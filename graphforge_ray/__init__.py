@@ -1,0 +1,24 @@
+"""graphforge_ray — a Ray-Data-native knowledge-graph construction engine.
+
+From-scratch reimplementation of the query/data-processing capabilities of
+the GraphForge reference (read-only snapshot at /root/reference), re-expressed
+as idiomatic Ray Data pipelines: ``ray.data.Dataset`` of Arrow blocks,
+``map_batches`` over zero-copy pyarrow batches, actor pools for stateful
+stages, groupby/sort/repartition for the wide steps.
+
+Layout:
+    schemas       Arrow schemas for the pages table and the triples table
+    fixtures      deterministic synthetic pages-table generator (seeded)
+    oracle        single-threaded reference-faithful extractor (P/R oracle)
+    extract/      rdfxml, turtle, ntriples, html_text, jsonmap parsers
+    stages/       map_batches stage functions / actor classes
+    sinks/        N-Triples + adjacency-parquet sinks with lineage manifests
+    pipelines/    end-to-end forge pipeline
+    query/        SPARQL-subset capability layer (BGP, OPTIONAL, paths, agg)
+    state/        checkpoint / resume manifests
+
+None of these modules call ``ray.init()``; sessions are owned by the
+caller (bench.py, tests/conftest.py, or the driver).
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,231 @@
+"""Deterministic synthetic Common-Crawl-style pages corpus (FIXTURES.md §1).
+
+Every row is a pure function of ``(seed, row_index)`` via blake2b — workers
+and reruns generate byte-identical rows with no shared RNG state. Payload
+kinds rotate ``row_idx % 4``:
+
+    0  RDF/XML ontology snippet — exercises the reference extractor rules
+       (owl:Class children, oneOf enumeration, `_:blank` fallback,
+       rdf:resource vs trimmed-text objects, http→IRI typing)
+    1  Turtle snippet — prefixes, lang/typed literals, cross-row duplicate
+       triples (dedup/set-semantics check)
+    2  HTML page — headings/paragraphs/anchors; anchors reuse entity IRIs
+       from kind 0 → linking ground truth
+    3  HTML page embedding a JSON record in <script type="application/json">
+       — drives the RML column-to-triple mapping path
+
+Domains are Zipf-skewed: ~20% of rows land on one popular domain
+(exercises salt-based skew splitting in the canonicalization shuffle).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .schemas import PAGES_SCHEMA
+
+__all__ = [
+    "gen_page", "gen_pages_table", "write_pages_parquet",
+    "ENTITY_BASE", "CLASS_NAMES", "GAZETTEER",
+]
+
+SEED = 42
+ENTITY_BASE = "http://graft.example/ont/"
+EPOCH_US = 1_700_000_000_000_000  # fixed epoch, microseconds
+
+# Popular domain first; rank-weighted (Zipf-ish) selection below puts ~20%
+# of rows on it.
+_DOMAINS = [
+    "big.example.com", "alpha.example.org", "beta.example.net",
+    "gamma.example.io", "delta.example.dev", "epsilon.example.co",
+    "zeta.example.app", "eta.example.site", "theta.example.info",
+    "iota.example.page",
+]
+_LANGS = ["en", "de", "fr", "es"]
+
+# 3-level class hierarchy (property-path closure fixture): item classes →
+# mid classes → Top.
+CLASS_NAMES = [
+    "Margherita", "Capricciosa", "Hawaiian", "Quattro", "Calzone",
+    "Sourdough", "Baguette", "Ciabatta", "Focaccia", "Brioche",
+]
+_MID_CLASSES = ["Pizza", "Bread"]
+_TOP_CLASS = "Food"
+
+# surface form → entity IRI (NER gazetteer ground truth)
+GAZETTEER = {name: f"{ENTITY_BASE}{name}" for name in CLASS_NAMES}
+GAZETTEER.update({name: f"{ENTITY_BASE}{name}" for name in _MID_CLASSES})
+GAZETTEER[_TOP_CLASS] = f"{ENTITY_BASE}{_TOP_CLASS}"
+
+
+def _h(i: int, salt: str, seed: int) -> int:
+    d = hashlib.blake2b(f"{seed}:{salt}:{i}".encode(), digest_size=8).digest()
+    return int.from_bytes(d, "big")
+
+
+def _domain(i: int, seed: int) -> str:
+    # rank-weighted: weight(r) ∝ 1/(r+1); domain 0 gets ~20% of mass over
+    # harmonic weights; deterministic per row.
+    x = _h(i, "domain", seed) % 1000
+    # cumulative thresholds over 1/(r+1) weights normalized to 1000
+    weights = [1.0 / (r + 1) for r in range(len(_DOMAINS))]
+    total = sum(weights)
+    acc = 0.0
+    for r, w in enumerate(weights):
+        acc += w / total * 1000
+        if x < acc:
+            return _DOMAINS[r]
+    return _DOMAINS[-1]
+
+
+def _item_class(i: int, seed: int) -> str:
+    return CLASS_NAMES[_h(i, "cls", seed) % len(CLASS_NAMES)]
+
+
+def _mid_for(name: str) -> str:
+    return _MID_CLASSES[0] if name in CLASS_NAMES[:5] else _MID_CLASSES[1]
+
+
+def _rdfxml_payload(i: int, seed: int) -> str:
+    name = _item_class(i, seed)
+    mid = _mid_for(name)
+    e = ENTITY_BASE
+    variant_a = f"{e}{name}VarA{_h(i, 'va', seed) % 7}"
+    variant_b = f"{e}{name}VarB{_h(i, 'vb', seed) % 7}"
+    return f"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xmlns:ex="{e}">
+  <owl:Class rdf:about="{e}{name}">
+    <rdfs:label>  {name}  </rdfs:label>
+    <rdfs:subClassOf rdf:resource="{e}{mid}"/>
+    <rdfs:comment>A deterministic fixture class #{_h(i, 'c', seed) % 100}</rdfs:comment>
+    <owl:equivalentClass>
+      <owl:Class>
+        <owl:oneOf rdf:parseType="Collection">
+          <rdf:Description rdf:about="{variant_a}"/>
+          <rdf:Description rdf:about="{variant_b}"/>
+        </owl:oneOf>
+      </owl:Class>
+    </owl:equivalentClass>
+  </owl:Class>
+  <owl:Class rdf:about="{e}{mid}">
+    <rdfs:subClassOf rdf:resource="{e}{_TOP_CLASS}"/>
+    <rdfs:label>{mid}</rdfs:label>
+  </owl:Class>
+  <ex:Orphan>
+    <ex:seeAlso rdf:resource="{e}{name}"/>
+  </ex:Orphan>
+  <rdf:Description rdf:about="{e}{name}/detail">
+    <ex:droppedTextProp>this text property is dropped by the walker</ex:droppedTextProp>
+    <ex:Holder>
+      <ex:linksTo rdf:resource="{e}{_TOP_CLASS}"/>
+    </ex:Holder>
+  </rdf:Description>
+</rdf:RDF>
+"""
+
+
+def _turtle_payload(i: int, seed: int) -> str:
+    name = _item_class(i, seed)
+    mid = _mid_for(name)
+    price = 5 + (_h(i, "price", seed) % 20)
+    # duplicate-across-rows triple: every turtle row re-asserts the mid→Top
+    # subclass edge (set semantics must collapse it).
+    return f"""@prefix ex: <{ENTITY_BASE}> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+ex:{name} a ex:{mid} ;
+    rdfs:label "{name}"@en ;
+    ex:price {price} ;
+    ex:servedWith "salad {_h(i, 'sw', seed) % 5}" .
+ex:{mid} rdfs:subClassOf ex:{_TOP_CLASS} .
+ex:order{_h(i, 'ord', seed) % 1000} ex:contains ex:{name} ;
+    ex:quantity {1 + _h(i, 'q', seed) % 9} .
+"""
+
+
+def _html_payload(i: int, seed: int) -> str:
+    name = _item_class(i, seed)
+    other = CLASS_NAMES[_h(i, "other", seed) % len(CLASS_NAMES)]
+    mid = _mid_for(name)
+    return f"""<html><head><title>All about {name}</title>
+<script>var tracking = "ignored {i}";</script>
+<style>body {{ color: black; }}</style>
+</head><body>
+<h1>{name} — a classic {mid}</h1>
+<p>The   {name} is a kind of <a href="{ENTITY_BASE}{mid}">{mid}</a>
+enjoyed worldwide. Many prefer {other} as an alternative.</p>
+<p>Read more about <a href="https://graft.example/ont/{name}/">{name}</a> and
+<a href="{ENTITY_BASE}{_TOP_CLASS}">Food</a> generally.</p>
+<ul><li>rank {_h(i, 'rank', seed) % 50}</li><li>page {i}</li></ul>
+</body></html>
+"""
+
+
+def _json_payload(i: int, seed: int) -> str:
+    name = _item_class(i, seed)
+    other = CLASS_NAMES[_h(i, "rel", seed) % len(CLASS_NAMES)]
+    mid = _mid_for(name)
+    rec = (
+        '{"id": %d, "name": "%s", "type": "%s%s", "related": ["%s%s", "%s%s"]}'
+        % (
+            _h(i, "jid", seed) % 10_000, name, ENTITY_BASE, mid,
+            ENTITY_BASE, other, ENTITY_BASE, _TOP_CLASS,
+        )
+    )
+    return f"""<html><head><title>{name} record</title></head><body>
+<h1>Record {i}</h1>
+<script type="application/json">{rec}</script>
+<p>Structured record for {name}.</p>
+</body></html>
+"""
+
+
+_PAYLOAD_FNS = [_rdfxml_payload, _turtle_payload, _html_payload, _json_payload]
+KINDS = ["rdfxml", "turtle", "html", "json"]
+_EXT = {"rdfxml": "owl", "turtle": "ttl", "html": "html", "json": "html"}
+
+
+def gen_page(i: int, seed: int = SEED) -> dict:
+    kind = KINDS[i % 4]
+    payload = _PAYLOAD_FNS[i % 4](i, seed)
+    domain = _domain(i, seed)
+    url = f"https://{domain}/page/{i}.{_EXT[kind]}"
+    return {
+        "url": url,
+        "warc_ts": EPOCH_US + i * 1_000_000,
+        "html": payload.encode("utf-8"),
+        "text": "",  # pipeline fills; per-url byte-identity is the invariant
+        "lang": _LANGS[_h(i, "lang", seed) % len(_LANGS)],
+    }
+
+
+def gen_pages_table(n: int, seed: int = SEED, start: int = 0) -> pa.Table:
+    rows = [gen_page(i, seed) for i in range(start, start + n)]
+    return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+
+def write_pages_parquet(
+    out_dir: str,
+    n: int,
+    seed: int = SEED,
+    rows_per_file: int = 2000,
+) -> list[str]:
+    """Write the corpus as multiple parquet files (file = unit of work /
+    partition, mirroring production shard layout). Skips files that already
+    exist (generation is deterministic, so an existing file is valid)."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for start in range(0, n, rows_per_file):
+        count = min(rows_per_file, n - start)
+        path = os.path.join(out_dir, f"pages-{start:09d}-{count}.parquet")
+        paths.append(path)
+        if not os.path.exists(path):
+            pq.write_table(gen_pages_table(count, seed, start), path)
+    return paths

@@ -1,0 +1,259 @@
+"""The forge pipeline — pages → knowledge graph.
+
+Ray-Data topology (one streaming-executor run per stage; SURVEY §3.1):
+
+    read_parquet(pages, columns=[url, html])       # prune at the read
+      → map_batches(extract_pages_batch)           # stateless tasks, fuses
+      → map_batches(MentionLinker, concurrency=N)  # actor pool, broadcast gaz
+      → dedup_triples                              # combiner + hash shuffle
+      → apply_canonical_mapping                    # broadcast map-side rewrite
+      → write adjacency parquet + N-Triples        # partitioned sinks
+
+Two APIs:
+
+* ``forge_triples(pages_ds)`` — in-memory streaming form, returns the
+  canonical triples ``Dataset`` (used by tests / driver ``queries()``).
+* ``run_forge_pipeline(input_paths, out_dir)`` — production form with
+  checkpoint-resumable stage boundaries: each stage writes partitioned
+  parquet + a lineage manifest via ``StageRunner``; a restarted run skips
+  completed stages (north rule: "resumable from checkpoint with
+  per-partition lineage + metrics").
+
+Canonical-surface-form note: the mapping is BUILT from all entity IRIs
+(asserted + linked, so the reference spelling wins as representative) but
+APPLIED only to link-derived triples (``gf:mentions`` / ``gf:linksTo``) —
+reference-extracted triples pass through byte-exact, preserving P/R parity
+(SURVEY §7 hard part 1).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.compute as pc
+import pyarrow.dataset  # noqa: F401  (ensures pq dataset machinery loaded)
+
+import ray
+import ray.data
+
+from ..fixtures import GAZETTEER
+from ..sinks.adjacency import write_adjacency
+from ..sinks.ntriples_sink import write_ntriples
+from ..stages.canonicalize import (
+    apply_canonical_mapping,
+    build_canonical_mapping,
+    dedup_triples,
+)
+from ..stages.extract import (
+    PRED_LINKS_TO,
+    PRED_MENTION,
+    PRED_QUARANTINE,
+    PRED_TEXT,
+    extract_pages_batch,
+)
+from ..stages.linker import MentionLinker, PRED_MENTIONS
+from ..state.manifest import StageRunner
+
+__all__ = ["forge_triples", "run_forge_pipeline", "extract_and_link"]
+
+_LINK_PREDS = (PRED_MENTIONS, PRED_LINKS_TO)
+_NON_TRIPLE_PREDS = (PRED_TEXT, PRED_QUARANTINE, PRED_MENTION)
+
+
+def extract_and_link(
+    pages_ds: "ray.data.Dataset",
+    gazetteer: dict[str, str] | None = None,
+    linker_concurrency: int | tuple[int, int] = (1, 4),
+    batch_size: int = 256,
+) -> "ray.data.Dataset":
+    """pages → EXTRACT_SCHEMA rows with mentions linked (text rows kept)."""
+    gaz = GAZETTEER if gazetteer is None else gazetteer
+    gaz_ref = ray.put(gaz)
+    extracted = pages_ds.map_batches(
+        extract_pages_batch,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    return extracted.map_batches(
+        MentionLinker,
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=linker_concurrency,
+        fn_constructor_kwargs={"gazetteer_ref": gaz_ref},
+    )
+
+
+def _real_triples(linked: "ray.data.Dataset") -> "ray.data.Dataset":
+    import pyarrow as pa
+
+    def keep(batch: "pa.Table") -> "pa.Table":
+        mask = pc.invert(
+            pc.is_in(batch["pred"], value_set=pa.array(_NON_TRIPLE_PREDS))
+        )
+        return batch.filter(mask).drop_columns(["text", "kind"])
+
+    return linked.map_batches(keep, batch_format="pyarrow")
+
+
+def forge_triples(
+    pages_ds: "ray.data.Dataset",
+    gazetteer: dict[str, str] | None = None,
+    canonicalize: bool = True,
+    linker_concurrency: int | tuple[int, int] = (1, 4),
+) -> "ray.data.Dataset":
+    """In-memory flagship: pages Dataset → canonical triples Dataset.
+
+    The deduped triples are narrow rows; they are materialized once so the
+    canonical-mapping build and the final rewrite don't re-execute the
+    extract stage (the checkpointed API uses parquet stage boundaries
+    instead — never materialize the 100 TB path in memory).
+    """
+    linked = extract_and_link(pages_ds, gazetteer, linker_concurrency)
+    deduped = dedup_triples(_real_triples(linked))
+    if not canonicalize:
+        return deduped
+    deduped = deduped.materialize()
+    mapping = build_canonical_mapping(deduped, columns=["subj", "obj"])
+    if not mapping:
+        return deduped
+
+    def rewrite_link_rows(df):
+        sel = df["pred"].isin(_LINK_PREDS)
+        if sel.any():
+            df = df.copy()
+            df.loc[sel, "obj"] = df.loc[sel, "obj"].map(
+                lambda v: mapping.get(v, v)
+            )
+        return df
+
+    rewritten = deduped.map_batches(rewrite_link_rows, batch_format="pandas")
+    # rewriting can re-introduce duplicates (two variants → one canon)
+    return dedup_triples(rewritten)
+
+
+def run_forge_pipeline(
+    input_paths: list[str] | str,
+    out_dir: str,
+    gazetteer: dict[str, str] | None = None,
+    linker_concurrency: int | tuple[int, int] = (1, 4),
+    num_adjacency_partitions: int = 64,
+    write_nt: bool = True,
+) -> StageRunner:
+    """Checkpoint-resumable production pipeline. Stage layout::
+
+        <out_dir>/extract/      EXTRACT_SCHEMA parquet  + MANIFEST.json
+        <out_dir>/linked/       linked rows parquet     + MANIFEST.json
+        <out_dir>/text/         (url, text) parquet     + MANIFEST.json
+        <out_dir>/canonical/    canonical triples       + MANIFEST.json
+        <out_dir>/adjacency/    part=<k>/ parquet       + MANIFEST.json
+        <out_dir>/ntriples/     part-*.nt               + MANIFEST.json
+    """
+    if isinstance(input_paths, str):
+        input_paths = [input_paths]
+    runner = StageRunner(out_dir)
+    gaz = GAZETTEER if gazetteer is None else gazetteer
+
+    def stage_inputs(*stages: str) -> list[str]:
+        out = []
+        for s in stages:
+            d = runner.stage_dir(s)
+            out.extend(
+                os.path.join(dp, f)
+                for dp, _, fs in os.walk(d)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+        return sorted(out)
+
+    # -- stage 1: extract -------------------------------------------------
+    def build_extract(tmp_dir):
+        ds = ray.data.read_parquet(input_paths, columns=["url", "html"])
+        ex = ds.map_batches(
+            extract_pages_batch, batch_format="pyarrow", batch_size=256,
+            zero_copy_batch=True,
+        )
+        ex.write_parquet(tmp_dir)
+        return -1, {}
+
+    runner.run("extract", list(input_paths), build_extract)
+
+    # -- stage 2: link ----------------------------------------------------
+    def build_link(tmp_dir):
+        gaz_ref = ray.put(gaz)
+        ds = ray.data.read_parquet(stage_inputs("extract"))
+        linked = ds.map_batches(
+            MentionLinker,
+            batch_format="pyarrow",
+            batch_size=4096,
+            concurrency=linker_concurrency,
+            fn_constructor_kwargs={"gazetteer_ref": gaz_ref},
+        )
+        linked.write_parquet(tmp_dir)
+        return -1, {}
+
+    runner.run("linked", stage_inputs("extract"), build_link)
+
+    # -- stage 3: extracted text artifact ---------------------------------
+    def build_text(tmp_dir):
+        import pyarrow as pa
+
+        ds = ray.data.read_parquet(
+            stage_inputs("linked"), columns=["src_url", "pred", "text"]
+        )
+
+        def keep_text(batch: "pa.Table") -> "pa.Table":
+            t = batch.filter(pc.equal(batch["pred"], pa.scalar(PRED_TEXT)))
+            return t.select(["src_url", "text"]).rename_columns(["url", "text"])
+
+        ds.map_batches(keep_text, batch_format="pyarrow").write_parquet(tmp_dir)
+        return -1, {}
+
+    runner.run("text", stage_inputs("linked"), build_text)
+
+    # -- stage 4: canonicalize (dedup shuffle + surface-form merge) -------
+    def build_canonical(tmp_dir):
+        linked = ray.data.read_parquet(stage_inputs("linked"))
+        triples = _real_triples(linked)
+        deduped = dedup_triples(triples)
+        deduped.write_parquet(os.path.join(tmp_dir, "pre"))
+        pre = ray.data.read_parquet(os.path.join(tmp_dir, "pre"))
+        mapping = build_canonical_mapping(pre, columns=["subj", "obj"])
+        link_mapping = mapping  # applied to link-derived rows only
+
+        def rewrite(df):
+            sel = df["pred"].isin(_LINK_PREDS)
+            if sel.any() and link_mapping:
+                df = df.copy()
+                df.loc[sel, "obj"] = df.loc[sel, "obj"].map(
+                    lambda v: link_mapping.get(v, v)
+                )
+            return df
+
+        final = dedup_triples(pre.map_batches(rewrite, batch_format="pandas"))
+        final.write_parquet(tmp_dir)
+        import shutil
+
+        shutil.rmtree(os.path.join(tmp_dir, "pre"))
+        return -1, {"canonical_merges": len(mapping)}
+
+    runner.run("canonical", stage_inputs("linked"), build_canonical)
+
+    # -- stage 5: materialize ---------------------------------------------
+    def build_adjacency(tmp_dir):
+        ds = ray.data.read_parquet(stage_inputs("canonical"))
+        extra = write_adjacency(ds, tmp_dir, num_adjacency_partitions)
+        return -1, extra
+
+    runner.run("adjacency", stage_inputs("canonical"), build_adjacency)
+
+    if write_nt:
+
+        def build_nt(tmp_dir):
+            ds = ray.data.read_parquet(stage_inputs("canonical"))
+            stats = write_ntriples(ds, tmp_dir, sort=True)
+            return stats["lines"], stats
+
+        runner.run("ntriples", stage_inputs("canonical"), build_nt)
+
+    return runner

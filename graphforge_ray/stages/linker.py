@@ -1,0 +1,147 @@
+"""Stage 2 — NER mention detection + entity-link scoring (stateful actor).
+
+North-star requirement: "NER-based mention detection and entity-link scoring
+run as map_batches over zero-copy Arrow batches with stateful actor pools
+hosting the linker models and URI-minting dictionaries". The reference holds
+analogous cross-record state as module-global singletons (store/prefixes,
+/root/reference/docs/scripts/document.js:645-646); here state lives in an
+actor pool:
+
+    pages.map_batches(MentionLinker, batch_format="pyarrow",
+                      concurrency=N, batch_size=B,
+                      fn_constructor_kwargs={"gazetteer_ref": ray.put(gaz)})
+
+``__init__`` runs once per actor: fetch the broadcast gazetteer
+(``ray.put`` once on the driver, ``ray.get`` per actor — never re-shipped
+per batch), build the alias index, compile the mention regex.
+``__call__`` runs per batch, fully pass-through for non-mention rows.
+
+URI minting is hash-based (blake2b of the normalized surface), NOT
+sequence-based, so parallel workers mint identical IRIs for identical
+surfaces with no coordination (SURVEY §7 hard part 2).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .extract import EXTRACT_SCHEMA, PRED_MENTION, PRED_TEXT, VOCAB, _Out
+
+__all__ = ["MentionLinker", "PRED_MENTIONS", "mint_iri", "normalize_surface"]
+
+PRED_MENTIONS = VOCAB + "mentions"
+MINT_BASE = "http://graft.example/minted/"
+
+_NORM_WS = re.compile(r"\s+")
+
+
+def normalize_surface(surface: str) -> str:
+    """Normalized surface form — the canonicalization key."""
+    return _NORM_WS.sub(" ", surface.strip()).casefold()
+
+
+def mint_iri(surface: str) -> str:
+    """Deterministic, coordination-free URI mint for unlinked surfaces."""
+    digest = hashlib.blake2b(
+        normalize_surface(surface).encode(), digest_size=8
+    ).hexdigest()
+    return f"{MINT_BASE}{digest}"
+
+
+class MentionLinker:
+    """Actor-pool stage: detect gazetteer mentions in TEXT rows, score and
+    link candidate-mention rows; pass every other row through unchanged."""
+
+    def __init__(
+        self,
+        gazetteer_ref=None,
+        gazetteer: dict[str, str] | None = None,
+        min_score: float = 0.5,
+        mint_unlinked: bool = True,
+    ) -> None:
+        if gazetteer is None:
+            if gazetteer_ref is not None:
+                import ray
+
+                gazetteer = ray.get(gazetteer_ref)
+            else:
+                gazetteer = {}
+        # alias index: normalized surface → (entity_iri, match_quality)
+        self.aliases: dict[str, str] = {
+            normalize_surface(k): v for k, v in gazetteer.items()
+        }
+        self.exact: dict[str, str] = dict(gazetteer)
+        # one compiled alternation, longest-first so e.g. "Quattro Formaggi"
+        # beats "Quattro"
+        if gazetteer:
+            pattern = "|".join(
+                re.escape(s)
+                for s in sorted(gazetteer, key=len, reverse=True)
+            )
+            self.mention_re: re.Pattern | None = re.compile(
+                r"\b(?:" + pattern + r")\b"
+            )
+        else:
+            self.mention_re = None
+        self.min_score = min_score
+        self.mint_unlinked = mint_unlinked
+
+    # -- linking ---------------------------------------------------------
+    def link(self, surface: str) -> tuple[str, float]:
+        """surface → (entity_iri, score); deterministic."""
+        if surface in self.exact:
+            return self.exact[surface], 1.0
+        norm = normalize_surface(surface)
+        if norm in self.aliases:
+            return self.aliases[norm], 0.9
+        if self.mint_unlinked:
+            return mint_iri(surface), 0.5
+        return "", 0.0
+
+    # -- batch body ------------------------------------------------------
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pred = batch.column("pred")
+        is_text = pc.equal(pred, pa.scalar(PRED_TEXT))
+        is_mention = pc.equal(pred, pa.scalar(PRED_MENTION))
+        # candidate-mention rows are consumed (replaced by linked triples);
+        # TEXT rows are scanned for mentions AND passed through — they are
+        # the per-url extracted-text artifact downstream stages emit.
+        passthrough = batch.filter(pc.invert(is_mention))
+
+        out = _Out()
+        # NER over extracted page text
+        text_rows = batch.filter(is_text)
+        for url, text in zip(
+            text_rows.column("src_url").to_pylist(),
+            text_rows.column("text").to_pylist(),
+        ):
+            if self.mention_re and text:
+                seen: set[str] = set()
+                for m in self.mention_re.finditer(text):
+                    surface = m.group()
+                    if surface in seen:
+                        continue
+                    seen.add(surface)
+                    iri, score = self.link(surface)
+                    if score >= self.min_score and iri:
+                        out.add(url, PRED_MENTIONS, iri, True, "", "", "",
+                                url, score=score, kind="html")
+        # score anchor-text candidate mentions
+        mention_rows = batch.filter(is_mention)
+        for url, surface in zip(
+            mention_rows.column("src_url").to_pylist(),
+            mention_rows.column("obj").to_pylist(),
+        ):
+            iri, score = self.link(surface)
+            if score >= self.min_score and iri:
+                out.add(url, PRED_MENTIONS, iri, True, "", "", "", url,
+                        score=score, kind="html")
+
+        linked = out.table()
+        if linked.num_rows == 0:
+            return passthrough
+        return pa.concat_tables([passthrough, linked]).combine_chunks()
