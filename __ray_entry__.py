@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in graphforge_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()``      — flagship forge pipeline (pages → canonical triples)
+                     plus the RML mapping over sf0.001 documents.
+* ``queries()``    — one callable per implemented operator family
+                     (SURVEY.md §2 + training-data ops), each over
+                     ``sf_dir`` testdata tables.
+* ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
+                     query (same column names; floats rounded on both
+                     sides). Non-SQL ops (langid, minhash/simhash dedup,
+                     embedding near-dup, the pages forge) are rows-only.
 """
 
 from __future__ import annotations
@@ -20,25 +21,31 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: forge the synthetic
+    pages corpus into canonical triples and union the RML-mapped
+    documents-table triples. Returns a ray.data.Dataset of
+    (subj, pred, obj)."""
+    import ray.data as rd
+
+    from graphforge_ray.fixtures import gen_pages_table
+    from graphforge_ray.pipelines.driver_queries import q_rml_documents_triples
+    from graphforge_ray.pipelines.forge import forge_triples
+
+    pages = rd.from_arrow(gen_pages_table(200))
+    forged = forge_triples(pages).map_batches(
+        lambda df: df[["subj", "pred", "obj"]], batch_format="pandas"
+    )
+    mapped = q_rml_documents_triples("/root/testdata/sf0.001")
+    return forged.union(mapped)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from graphforge_ray.pipelines.driver_queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from graphforge_ray.pipelines.driver_queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,568 @@
+"""Driver-contract queries: one entry per implemented operator family
+(SURVEY.md §2 + the training-data operator suite), each over the driver's
+testdata tables, paired with a DuckDB oracle SQL string where the operator
+is SQL-expressible.
+
+Column-name parity rule: every computed/aggregate column is explicitly
+named IDENTICALLY in the Ray implementation and the SQL (the driver's
+compare hashes values after sorting columns by name).
+
+Float parity rule: floating aggregates are rounded (ROUND(x, 2|4|6)) on
+BOTH sides; distributed summation order differs from DuckDB's, so raw
+float equality is not a contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..fixtures import gen_pages_table
+from ..query.ops import transitive_closure
+from ..stages.dedup import (
+    embedding_neardup,
+    exact_dedup,
+    minhash_dedup,
+    simhash_batch,
+)
+from ..stages.similarity import brute_force_topk
+from ..stages.text_analysis import (
+    LangIdentifier,
+    TextQualityScorer,
+    token_stats_batch,
+)
+from .forge import forge_triples
+
+VOCAB_LANG = "http://schema.org/inLanguage"
+VOCAB_SOURCE = "http://graft.example/vocab#source"
+VOCAB_NCHARS = "http://graft.example/vocab#nChars"
+
+
+def _t(sf_dir: str, table: str, columns: list[str] | None = None):
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Relational capability parity (SURVEY §2.4-2.7)
+# ---------------------------------------------------------------------------
+
+def q_count_by_event_type(sf_dir: str):
+    """A1/A4: GROUP BY + COUNT (reference testAggregationQuery)."""
+    return (
+        _t(sf_dir, "events", ["event_type"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="cnt"))
+    )
+
+
+SQL_COUNT_BY_EVENT_TYPE = (
+    "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type"
+)
+
+
+def q_lineitem_agg(sf_dir: str):
+    """TPC-H-Q1-shaped grouped aggregate (Sum/Mean/Count over groups).
+    Map-side partial aggregation is what Ray's groupby does internally;
+    rounding applied at the end (float parity rule)."""
+    ds = _t(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount"],
+    )
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+        )
+        return batch.append_column("revenue", rev)
+
+    agg = (
+        ds.map_batches(revenue, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("revenue", alias_name="sum_revenue"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="n"),
+        )
+    )
+
+    def final_round(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_qty"] = df["sum_qty"].round(2)
+        df["sum_revenue"] = df["sum_revenue"].round(2)
+        df["avg_disc"] = df["avg_disc"].round(4)
+        return df
+
+    return agg.map_batches(final_round, batch_format="pandas")
+
+
+SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                        AS sum_qty,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
+       ROUND(AVG(l_discount), 4)                        AS avg_disc,
+       COUNT(*)                                         AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_parts_by_qty(sf_dir: str):
+    """O2 top-k + J1 join: top 10 parts by total lineitem quantity."""
+    li = _t(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    part = _t(sf_dir, "part", ["p_partkey", "p_name"])
+    sums = li.groupby("l_partkey").aggregate(Sum("l_quantity", alias_name="sum_qty"))
+    joined = sums.join(
+        part.map_batches(
+            lambda t: t.rename_columns(["l_partkey", "p_name"]),
+            batch_format="pyarrow",
+        ),
+        join_type="inner",
+        num_partitions=8,
+        on=("l_partkey",),
+        validate_schemas=False,
+    )
+    top = joined.sort(["sum_qty", "l_partkey"], descending=[True, False]).limit(10)
+
+    def shape(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"l_partkey": "p_partkey"})
+        df["sum_qty"] = df["sum_qty"].round(2)
+        return df[["p_partkey", "p_name", "sum_qty"]]
+
+    return top.map_batches(shape, batch_format="pandas")
+
+
+SQL_TOP_PARTS_BY_QTY = """
+SELECT p_partkey, p_name, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_partkey, p_name
+ORDER BY sum_qty DESC, p_partkey LIMIT 10
+"""
+
+
+def q_customer_order_counts(sf_dir: str):
+    """J2 OPTIONAL analog: LEFT OUTER join — customers with zero orders
+    keep a 0 count."""
+    cust = _t(sf_dir, "customer", ["c_custkey"])
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderkey"]).map_batches(
+        lambda t: t.rename_columns(["c_custkey", "o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    joined = cust.join(
+        orders, join_type="left_outer", num_partitions=8,
+        on=("c_custkey",), validate_schemas=False,
+    )
+
+    def indicator(df: pd.DataFrame) -> pd.DataFrame:
+        df["has_order"] = df["o_orderkey"].notna().astype("int64")
+        return df[["c_custkey", "has_order"]]
+
+    return (
+        joined.map_batches(indicator, batch_format="pandas")
+        .groupby("c_custkey")
+        .aggregate(Sum("has_order", alias_name="n_orders"))
+    )
+
+
+SQL_CUSTOMER_ORDER_COUNTS = """
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+"""
+
+
+def q_orders_limit(sf_dir: str):
+    """O1 LIMIT with deterministic ordering (reference default LIMIT 50)."""
+    return (
+        _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .sort("o_orderkey")
+        .limit(50)
+    )
+
+
+SQL_ORDERS_LIMIT = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_orderkey LIMIT 50
+"""
+
+
+def q_distinct_flags(sf_dir: str):
+    """U2/A5: DISTINCT via groupby shuffle."""
+    return (
+        _t(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    )
+
+
+SQL_DISTINCT_FLAGS = (
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+)
+
+
+def q_union_names(sf_dir: str):
+    """U1 union + distinct: nation ∪ region names."""
+    n = _t(sf_dir, "nation", ["n_name"]).map_batches(
+        lambda t: t.rename_columns(["name"]), batch_format="pyarrow"
+    )
+    r = _t(sf_dir, "region", ["r_name"]).map_batches(
+        lambda t: t.rename_columns(["name"]), batch_format="pyarrow"
+    )
+    return (
+        n.union(r).groupby("name").aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    )
+
+
+SQL_UNION_NAMES = (
+    "SELECT n_name AS name FROM nation UNION SELECT r_name AS name FROM region"
+)
+
+
+def q_revenue_filter(sf_dir: str):
+    """P-style vectorized predicate + global aggregate (TPC-H Q6 shape);
+    predicate pushdown happens in the arrow filter, only 4 columns read."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+
+    def filt(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch["l_shipdate"],
+                                 pa.scalar(pd.Timestamp("1994-01-01"))),
+                pc.less(batch["l_shipdate"],
+                        pa.scalar(pd.Timestamp("1995-01-01"))),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(batch["l_discount"], pa.scalar(0.05)),
+                    pc.less_equal(batch["l_discount"], pa.scalar(0.07)),
+                ),
+                pc.less(batch["l_quantity"], pa.scalar(24.0)),
+            ),
+        )
+        t = batch.filter(m)
+        rev = pc.multiply(t["l_extendedprice"], t["l_discount"])
+        return pa.Table.from_arrays([rev], names=["rev"])
+
+    agg = ds.map_batches(filt, batch_format="pyarrow").aggregate(
+        Sum("rev", alias_name="revenue")
+    )
+    return pd.DataFrame({"revenue": [round(agg["revenue"] or 0.0, 2)]})
+
+
+SQL_REVENUE_FILTER = """
+SELECT COALESCE(ROUND(SUM(l_extendedprice * l_discount), 2), 0.0) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate <  TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_events_hourly(sf_dir: str):
+    """Streaming-shaped tumbling window: per (user, hour) count + sum
+    (ray_guide 'Streaming-shaped workloads' pattern; A1 generalized)."""
+    ds = _t(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())
+        hour = pc.divide(us, pa.scalar(3_600_000_000, pa.int64()))
+        return pa.Table.from_arrays(
+            [batch["user_id"], hour, batch["value"]],
+            names=["user_id", "hour", "value"],
+        )
+
+    agg = (
+        ds.map_batches(add_hour, batch_format="pyarrow")
+        .groupby(["user_id", "hour"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+    return agg.map_batches(
+        lambda df: df.assign(sum_value=df["sum_value"].round(2)),
+        batch_format="pandas",
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY user_id, hour
+"""
+
+
+def q_part_hierarchy_closure(sf_dir: str):
+    """J3 property-path transitive closure over a derived hierarchy
+    (p_partkey → p_partkey // 2), matching a recursive CTE oracle."""
+    part = _t(sf_dir, "part", ["p_partkey"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        keys = batch["p_partkey"]
+        t = batch.filter(pc.greater(keys, pa.scalar(1)))
+        s = t["p_partkey"]
+        o = pc.divide(s, pa.scalar(2, pa.int64()))
+        return pa.Table.from_arrays([s, o], names=["s", "o"])
+
+    edge_df = edges_df = (
+        part.map_batches(edges, batch_format="pyarrow").to_pandas()
+    )
+    return transitive_closure(edge_df, max_iterations=64, include_reflexive=False)
+
+
+SQL_PART_HIERARCHY_CLOSURE = """
+WITH RECURSIVE e AS (
+    SELECT p_partkey AS s, p_partkey // 2 AS o FROM part WHERE p_partkey > 1
+), r(s, o) AS (
+    SELECT s, o FROM e
+    UNION
+    SELECT r.s, e.o FROM r JOIN e ON r.o = e.s
+)
+SELECT s, o FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# KG mapping over documents (RML path, S2/P-family) — SQL-expressible
+# ---------------------------------------------------------------------------
+
+def q_rml_documents_triples(sf_dir: str):
+    """RML-style column-to-triple mapping over the documents table."""
+    docs = _t(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+
+    def to_triples(df: pd.DataFrame) -> pd.DataFrame:
+        subj = "doc:" + df["doc_id"].astype(str)
+        frames = [
+            pd.DataFrame({"subj": subj, "pred": VOCAB_LANG, "obj": df["lang"]}),
+            pd.DataFrame({"subj": subj, "pred": VOCAB_SOURCE, "obj": df["source"]}),
+            pd.DataFrame({"subj": subj, "pred": VOCAB_NCHARS,
+                          "obj": df["n_chars"].astype(str)}),
+        ]
+        return pd.concat(frames, ignore_index=True)
+
+    return docs.map_batches(to_triples, batch_format="pandas")
+
+
+SQL_RML_DOCUMENTS_TRIPLES = f"""
+SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS subj, '{VOCAB_LANG}' AS pred,
+       lang AS obj FROM documents
+UNION ALL
+SELECT 'doc:' || CAST(doc_id AS VARCHAR), '{VOCAB_SOURCE}', source
+FROM documents
+UNION ALL
+SELECT 'doc:' || CAST(doc_id AS VARCHAR), '{VOCAB_NCHARS}',
+       CAST(n_chars AS VARCHAR) FROM documents
+"""
+
+
+def q_triples_pred_counts(sf_dir: str):
+    """A1 over the mapped triples: per-predicate counts."""
+    return (
+        q_rml_documents_triples(sf_dir)
+        .groupby("pred")
+        .aggregate(Count(alias_name="cnt"))
+    )
+
+
+SQL_TRIPLES_PRED_COUNTS = (
+    f"SELECT pred, COUNT(*) AS cnt FROM ({SQL_RML_DOCUMENTS_TRIPLES}) "
+    "GROUP BY pred"
+)
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators — dedup / text analysis / similarity
+# ---------------------------------------------------------------------------
+
+def q_docs_exact_dedup(sf_dir: str):
+    """Exact dedup: min doc_id per md5(text)."""
+    return exact_dedup(_t(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_DOCS_EXACT_DEDUP = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_doc_token_stats(sf_dir: str):
+    """Vectorized token counting (whitespace + BPE-ish pieces)."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda df: token_stats_batch(df)[["doc_id", "n_tokens", "n_bpe_tokens"]],
+        batch_format="pandas",
+    )
+
+
+SQL_DOC_TOKEN_STATS = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+'))                        AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))
+                                                                   AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_doc_char_classes(sf_dir: str):
+    """Quality-signal counts (actor-pool TextQualityScorer; integer
+    columns only — float parity rule)."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        TextQualityScorer,
+        batch_format="pandas",
+        concurrency=(1, 4),
+    ).map_batches(
+        lambda df: df[["doc_id", "n_chars_text", "n_punct", "n_digits",
+                       "n_upper", "n_stopwords"]],
+        batch_format="pandas",
+    )
+
+
+SQL_DOC_CHAR_CLASSES = r"""
+SELECT doc_id,
+       len(text)                                           AS n_chars_text,
+       len(regexp_extract_all(text, '[^\w\s]'))            AS n_punct,
+       len(regexp_extract_all(text, '[0-9]'))              AS n_digits,
+       len(regexp_extract_all(text, '[A-Z]'))              AS n_upper,
+       len(list_filter(regexp_extract_all(lower(text), '[a-z'']+'),
+           t -> t IN ('the','and','of','a','an','to','in','is','it','that',
+                      'for','on','as','with','was','are','be','this','at',
+                      'by')))                              AS n_stopwords
+FROM documents
+"""
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 against the vec_id=0 embedding (broadcast
+    query matrix, per-batch matmul + partial top-k)."""
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = np.asarray(
+        pd.DataFrame(
+            emb.filter(expr="vec_id == 0").take_all()
+        )["embedding"].iloc[0],
+        dtype=np.float64,
+    )
+    out = brute_force_topk(emb, q, k=10)
+    out = out[["vec_id", "cosine"]].copy()
+    out["cosine"] = out["cosine"].round(4)
+    return out.reset_index(drop=True)
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       ROUND(list_cosine_similarity(e.embedding, q.embedding), 4) AS cosine
+FROM embeddings e, q
+ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
+LIMIT 10
+"""
+
+
+# -- rows-only checks (no clean ANSI-SQL equivalent) ------------------------
+
+def q_docs_langid(sf_dir: str):
+    """n-gram language-ID heuristic (actor pool)."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        LangIdentifier, batch_format="pandas", concurrency=(1, 4)
+    ).map_batches(lambda df: df[["doc_id", "lang_pred"]], batch_format="pandas")
+
+
+def q_docs_minhash_dedup(sf_dir: str):
+    """MinHash-LSH near-dup clustering."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = minhash_dedup(ds, threshold=0.8)
+    return out
+
+
+def q_docs_simhash(sf_dir: str):
+    """64-bit SimHash per document (hex string for portability)."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def sh(df: pd.DataFrame) -> pd.DataFrame:
+        out = simhash_batch(df)
+        out["simhash_hex"] = [f"{int(h):016x}" for h in out["simhash"]]
+        return out[["doc_id", "simhash_hex"]]
+
+    return ds.map_batches(sh, batch_format="pandas")
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (LSH buckets + verify)."""
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_neardup(emb, threshold=0.95)
+
+
+def q_forge_pages(sf_dir: str):
+    """Flagship KG pipeline over the deterministic synthetic pages corpus
+    (scaled by sf: sf0.01 → 600 pages). Rows-only check — the real P/R
+    gate is the pytest oracle-parity suite."""
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        n = max(64, int(float(sf) * 60_000))
+    except ValueError:
+        n = 200
+    pages = rd.from_arrow(gen_pages_table(n))
+    tri = forge_triples(pages)
+    return tri.map_batches(
+        lambda df: df[["subj", "pred", "obj", "obj_is_iri", "src_url"]],
+        batch_format="pandas",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "count_by_event_type": q_count_by_event_type,
+    "lineitem_agg": q_lineitem_agg,
+    "top_parts_by_qty": q_top_parts_by_qty,
+    "customer_order_counts": q_customer_order_counts,
+    "orders_limit": q_orders_limit,
+    "distinct_flags": q_distinct_flags,
+    "union_names": q_union_names,
+    "revenue_filter": q_revenue_filter,
+    "events_hourly": q_events_hourly,
+    "part_hierarchy_closure": q_part_hierarchy_closure,
+    "rml_documents_triples": q_rml_documents_triples,
+    "triples_pred_counts": q_triples_pred_counts,
+    "docs_exact_dedup": q_docs_exact_dedup,
+    "doc_token_stats": q_doc_token_stats,
+    "doc_char_classes": q_doc_char_classes,
+    "ann_topk": q_ann_topk,
+    "docs_langid": q_docs_langid,
+    "docs_minhash_dedup": q_docs_minhash_dedup,
+    "docs_simhash": q_docs_simhash,
+    "embedding_neardup": q_embedding_neardup,
+    "forge_pages": q_forge_pages,
+}
+
+ORACLES = {
+    "count_by_event_type": SQL_COUNT_BY_EVENT_TYPE,
+    "lineitem_agg": SQL_LINEITEM_AGG,
+    "top_parts_by_qty": SQL_TOP_PARTS_BY_QTY,
+    "customer_order_counts": SQL_CUSTOMER_ORDER_COUNTS,
+    "orders_limit": SQL_ORDERS_LIMIT,
+    "distinct_flags": SQL_DISTINCT_FLAGS,
+    "union_names": SQL_UNION_NAMES,
+    "revenue_filter": SQL_REVENUE_FILTER,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "part_hierarchy_closure": SQL_PART_HIERARCHY_CLOSURE,
+    "rml_documents_triples": SQL_RML_DOCUMENTS_TRIPLES,
+    "triples_pred_counts": SQL_TRIPLES_PRED_COUNTS,
+    "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
+    "doc_token_stats": SQL_DOC_TOKEN_STATS,
+    "doc_char_classes": SQL_DOC_CHAR_CLASSES,
+    "ann_topk": SQL_ANN_TOPK,
+    # docs_langid / docs_minhash_dedup / docs_simhash / embedding_neardup /
+    # forge_pages: genuinely non-SQL ops → rows-only checks
+}

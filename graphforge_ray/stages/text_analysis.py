@@ -1,0 +1,177 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+All operate on a documents table ``(doc_id, text, lang, ...)`` as
+vectorized ``map_batches`` bodies (pandas str kernels / numpy) or an actor
+pool where state is worth amortizing (compiled regexes, stopword tables —
+loaded once per actor in ``__init__``).
+
+Components: token counting (whitespace + BPE-ish word/punct regex),
+quality scoring (length/punct/digit/upper/stopword ratios), n-gram
+language ID heuristic, rolling-hash document fingerprinting.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+__all__ = [
+    "token_stats_batch", "TextQualityScorer", "LangIdentifier",
+    "fingerprint_batch", "content_hash_batch",
+]
+
+_WS_TOKEN = re.compile(r"\S+")
+# BPE-ish pre-tokenizer: words / numbers / punctuation runs (GPT-2-style
+# coarse approximation, public knowledge)
+_BPE_TOKEN = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
+
+
+def token_stats_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized token counting: ``n_tokens`` (whitespace tokens) and
+    ``n_bpe_tokens`` (word/number/punct pieces)."""
+    text = df["text"].fillna("")
+    out = df.copy()
+    out["n_tokens"] = text.str.count(_WS_TOKEN).astype("int64")
+    out["n_bpe_tokens"] = text.str.count(_BPE_TOKEN).astype("int64")
+    return out
+
+
+class TextQualityScorer:
+    """Actor-pool stage: per-document quality signals. Regexes compiled and
+    stopword table built ONCE per actor (``__init__``), reused per batch.
+
+    Counts are integers (stable under any float comparison); ratios are
+    derived and rounded to 6 decimals.
+    """
+
+    STOPWORDS = {
+        "the", "and", "of", "a", "an", "to", "in", "is", "it", "that",
+        "for", "on", "as", "with", "was", "are", "be", "this", "at", "by",
+    }
+
+    def __init__(self) -> None:
+        self.punct = re.compile(r"[^\w\s]")
+        self.digit = re.compile(r"\d")
+        self.upper = re.compile(r"[A-Z]")
+        self.word = re.compile(r"[a-z']+")
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        out = df.copy()
+        n_chars = text.str.len().astype("int64")
+        out["n_chars_text"] = n_chars
+        out["n_punct"] = text.str.count(self.punct).astype("int64")
+        out["n_digits"] = text.str.count(self.digit).astype("int64")
+        out["n_upper"] = text.str.count(self.upper).astype("int64")
+        denom = n_chars.clip(lower=1)
+        out["punct_ratio"] = (out["n_punct"] / denom).round(6)
+        out["digit_ratio"] = (out["n_digits"] / denom).round(6)
+
+        lower_words = text.str.lower().str.findall(self.word)
+        n_words = lower_words.str.len().astype("int64")
+        n_stop = lower_words.map(
+            lambda ws: sum(1 for w in ws if w in self.STOPWORDS)
+        ).astype("int64")
+        out["n_words"] = n_words
+        out["n_stopwords"] = n_stop
+        out["stopword_ratio"] = (n_stop / n_words.clip(lower=1)).round(6)
+        # simple composite quality: long enough, not punct/digit heavy,
+        # has stopwords (prose-ness)
+        out["quality_score"] = (
+            (n_chars.clip(upper=2000) / 2000) * 0.4
+            + (1 - (out["punct_ratio"] * 4).clip(upper=1)) * 0.2
+            + (1 - (out["digit_ratio"] * 4).clip(upper=1)) * 0.2
+            + (out["stopword_ratio"] * 4).clip(upper=1) * 0.2
+        ).round(6)
+        return out
+
+
+class LangIdentifier:
+    """Actor-pool stage: n-gram + stopword language-ID heuristic for
+    {en, de, fr, es}. Deterministic; tables built once per actor."""
+
+    PROFILES = {
+        "en": {"the", "and", "of", "to", "in", "is", "you", "that", "it",
+               "for", "with", "was", "this", "are", "not"},
+        "de": {"der", "die", "und", "das", "ist", "ich", "nicht", "mit",
+               "ein", "eine", "zu", "den", "von", "für", "auf"},
+        "fr": {"le", "la", "les", "et", "de", "des", "un", "une", "est",
+               "dans", "que", "qui", "pour", "pas", "avec"},
+        "es": {"el", "la", "los", "las", "y", "de", "que", "un", "una",
+               "es", "en", "no", "por", "con", "para"},
+    }
+    NGRAMS = {
+        "en": {"th", "he", "in", "er", "an"},
+        "de": {"en", "er", "ch", "de", "ei"},
+        "fr": {"es", "le", "de", "en", "re"},
+        "es": {"de", "en", "el", "la", "os"},
+    }
+
+    def __init__(self) -> None:
+        self.word = re.compile(r"[a-zà-ÿ']+")
+
+    def identify(self, text: str) -> str:
+        words = self.word.findall(text.lower())
+        if not words:
+            return "und"
+        scores: dict[str, float] = {}
+        bigrams: dict[str, int] = {}
+        joined = " ".join(words)
+        for i in range(len(joined) - 1):
+            bg = joined[i : i + 2]
+            bigrams[bg] = bigrams.get(bg, 0) + 1
+        for lang in self.PROFILES:
+            sw = sum(1 for w in words if w in self.PROFILES[lang])
+            ng = sum(bigrams.get(g, 0) for g in self.NGRAMS[lang])
+            scores[lang] = sw * 3.0 + ng * 0.1
+        # deterministic tie-break by language code
+        return max(scores, key=lambda k: (scores[k], k))
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["lang_pred"] = df["text"].fillna("").map(self.identify)
+        return out
+
+
+_MOD = (1 << 61) - 1
+_BASE = 257
+
+
+def _rolling_fingerprint(text: str, window: int = 16, keep: int = 4) -> str:
+    """Winnowing-style fingerprint: min-k of rolling hashes over character
+    windows (deterministic, order-free document signature)."""
+    if not text:
+        return ""
+    data = text.encode("utf-8", errors="replace")
+    if len(data) <= window:
+        return hashlib.blake2b(data, digest_size=8).hexdigest()
+    h = 0
+    power = pow(_BASE, window - 1, _MOD)
+    mins: list[int] = []
+    for i, b in enumerate(data):
+        h = (h * _BASE + b) % _MOD
+        if i >= window:
+            h = (h - data[i - window] * power * _BASE) % _MOD
+        if i >= window - 1:
+            mins.append(h)
+    mins = sorted(set(mins))[:keep]
+    return "-".join(f"{m:016x}" for m in mins)
+
+
+def fingerprint_batch(df: pd.DataFrame) -> pd.DataFrame:
+    out = df.copy()
+    out["fingerprint"] = df["text"].fillna("").map(_rolling_fingerprint)
+    return out
+
+
+def content_hash_batch(df: pd.DataFrame, column: str = "text") -> pd.DataFrame:
+    """md5 content hash (matches SQL ``md5(text)`` for oracle parity)."""
+    out = df.copy()
+    out["content_hash"] = [
+        hashlib.md5((t or "").encode("utf-8")).hexdigest()
+        for t in df[column]
+    ]
+    return out

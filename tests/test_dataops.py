@@ -1,0 +1,205 @@
+"""Tests for the training-data operator family: dedup (exact / MinHash-LSH
+/ SimHash / embedding), similarity search, text analysis, multimodal
+plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from graphforge_ray.stages.dedup import (
+    embedding_neardup,
+    exact_dedup,
+    minhash_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard,
+    simhash_batch,
+    simhash_neardup_candidates,
+)
+from graphforge_ray.stages.multimodal import (
+    AudioFeatureExtractor,
+    ImageDecoder,
+    ImageResizer,
+    fake_audio_bytes,
+    fake_image_bytes,
+)
+from graphforge_ray.stages.similarity import (
+    assign_clusters,
+    brute_force_topk,
+    ivf_topk,
+    train_centroids,
+)
+from graphforge_ray.stages.text_analysis import (
+    LangIdentifier,
+    TextQualityScorer,
+    fingerprint_batch,
+    token_stats_batch,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep green forest to find some tasty food for the winter"
+)
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    rows = [
+        {"doc_id": 0, "text": BASE},
+        {"doc_id": 1, "text": BASE},  # exact dup of 0
+        {"doc_id": 2, "text": BASE.replace("winter", "summer")},  # near dup
+        {"doc_id": 3, "text": "completely different content about ray data "
+                              "pipelines streaming execution and arrow blocks "
+                              "flowing through the object store with pressure"},
+        {"doc_id": 4, "text": "der hund läuft schnell durch den wald und die "
+                              "katze ist nicht mit ihm denn sie schläft"},
+    ]
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def test_exact_dedup(docs_ds):
+    out = exact_dedup(docs_ds).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 2, 3, 4]  # 1 collapsed into 0
+
+
+def test_minhash_candidates_and_dedup(docs_ds):
+    cand = minhash_lsh_candidates(docs_ds)
+    pairs = set(zip(cand["id_a"], cand["id_b"]))
+    assert (0, 1) in pairs          # exact dup always collides
+    assert (0, 2) in pairs          # near dup shares most shingle bands
+    assert (0, 3) not in pairs      # unrelated
+
+    res = minhash_dedup(docs_ds, threshold=0.5)
+    by_id = res.set_index("doc_id")
+    assert by_id.loc[1, "cluster_id"] == 0 and not by_id.loc[1, "keep"]
+    assert by_id.loc[2, "cluster_id"] == 0 and not by_id.loc[2, "keep"]
+    assert by_id.loc[3, "keep"] and by_id.loc[4, "keep"]
+
+
+def test_ngram_jaccard_bounds():
+    assert ngram_jaccard(BASE, BASE) == 1.0
+    assert ngram_jaccard(BASE, "xyz") == 0.0
+    mid = ngram_jaccard(BASE, BASE.replace("winter", "summer"))
+    assert 0.5 < mid < 1.0
+
+
+def test_simhash_neardup(docs_ds):
+    sh = simhash_batch(pd.DataFrame({"doc_id": [0, 1], "text": [BASE, BASE]}))
+    assert sh["simhash"][0] == sh["simhash"][1]
+    cand = simhash_neardup_candidates(docs_ds, max_hamming=6)
+    pairs = set(zip(cand["id_a"], cand["id_b"]))
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs
+
+
+@pytest.fixture(scope="module")
+def embeds_ds(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((20, 16))
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(20)]
+    rows.append({"vec_id": 20, "embedding": (base[0] * 1.001 + 0.0001).tolist()})
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def test_embedding_neardup(embeds_ds):
+    out = embedding_neardup(embeds_ds, threshold=0.99)
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (0, 20) in pairs
+
+
+def test_brute_force_topk(embeds_ds):
+    q = np.asarray(
+        embeds_ds.to_pandas().set_index("vec_id").loc[0, "embedding"]
+    )
+    out = brute_force_topk(embeds_ds, q, k=3)
+    assert list(out["vec_id"][:2]) in ([0, 20], [20, 0])
+    assert out.iloc[0]["cosine"] >= 0.999
+
+
+def test_ivf_topk_matches_brute_force_for_top1(embeds_ds):
+    cents = train_centroids(embeds_ds, num_clusters=4)
+    assigned = assign_clusters(embeds_ds, cents)
+    q = np.asarray(
+        embeds_ds.to_pandas().set_index("vec_id").loc[5, "embedding"]
+    )
+    approx = ivf_topk(assigned, cents, q, k=3, nprobe=2)
+    assert approx.iloc[0]["vec_id"] == 5  # self is always found
+
+
+# -- text analysis ----------------------------------------------------------
+
+def test_token_stats_and_fingerprint():
+    df = pd.DataFrame({"doc_id": [1], "text": ["Hello, world! 42 times."]})
+    out = token_stats_batch(df)
+    assert out["n_tokens"][0] == 4
+    assert out["n_bpe_tokens"][0] == 7  # Hello , world ! 42 times .
+    fp = fingerprint_batch(df)["fingerprint"][0]
+    fp2 = fingerprint_batch(df)["fingerprint"][0]
+    assert fp and fp == fp2
+
+
+def test_quality_scorer():
+    scorer = TextQualityScorer()
+    df = pd.DataFrame({"text": [BASE, "!!!! 1234 ????"]})
+    out = scorer(df)
+    assert out["quality_score"][0] > out["quality_score"][1]
+    assert out["n_digits"][1] == 4
+    assert out["stopword_ratio"][0] > 0.2
+
+
+def test_langid():
+    lid = LangIdentifier()
+    df = pd.DataFrame(
+        {"text": [
+            BASE,
+            "der hund und die katze sind nicht mit dem mann",
+            "le chat est dans la maison avec les enfants pour une fête",
+            "el perro y el gato están en la casa con los niños",
+        ]}
+    )
+    out = lid(df)
+    assert list(out["lang_pred"]) == ["en", "de", "fr", "es"]
+
+
+# -- multimodal plumbing ----------------------------------------------------
+
+def test_image_decode_and_resize(ray_session):
+    import ray.data as rd
+
+    rows = [{"img_id": i, "data": fake_image_bytes(i)} for i in range(6)]
+    rows.append({"img_id": 99, "data": b"not an image"})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    meta = ds.map_batches(
+        ImageDecoder, batch_format="pandas", batch_size=3, concurrency=(1, 2)
+    ).to_pandas().set_index("img_id")
+    assert meta.loc[0, "width"] == 8 and meta.loc[0, "height"] == 6
+    assert meta.loc[99, "width"] == -1  # poison row survives
+    assert meta.loc[0, "phash"] != ""
+
+    resized = ds.map_batches(
+        ImageResizer, batch_format="pandas", batch_size=3, concurrency=(1, 2)
+    ).to_pandas()
+    ok = [p for p in resized["data"] if p.startswith(b"GFIMG|4|4|")]
+    assert len(ok) == 6
+
+
+def test_real_codec_path_is_stubbed():
+    dec = ImageDecoder(use_fake=True)
+    with pytest.raises(NotImplementedError):
+        dec._decode_real(b"GFIMG|1|1|1|x")
+
+
+def test_audio_features(ray_session):
+    import ray.data as rd
+
+    rows = [{"aud_id": i, "data": fake_audio_bytes(i)} for i in range(4)]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = ds.map_batches(
+        AudioFeatureExtractor, batch_format="pandas", concurrency=(1, 2)
+    ).to_pandas()
+    assert (out["sample_rate"] == 8000).all()
+    assert (out["duration_sec"] == 0.008).all()
+    assert all(len(f) == 4 for f in out["frame_means"])

@@ -1,0 +1,104 @@
+"""Query-layer conformance tests — the reference's three canned queries
+(SPARQL.html test harness) re-expressed against the triples Dataset, plus
+BGP/limit/top-k (FIXTURES.md §4)."""
+
+import pandas as pd
+import pytest
+
+from graphforge_ray.query import (
+    bgp,
+    count_by,
+    limit,
+    match_pattern,
+    optional_join,
+    property_path_closure,
+    top_k,
+)
+
+EX = "http://ex.org/"
+
+
+@pytest.fixture(scope="module")
+def triples_ds(ray_session):
+    import ray.data as rd
+
+    rows = []
+
+    def t(s, p, o):
+        rows.append(
+            {"subj": s, "pred": p, "obj": o, "obj_is_iri": o.startswith("http"),
+             "obj_lang": "", "obj_datatype": "", "graph": "", "src_url": "u"}
+        )
+
+    # small class hierarchy: a -> B -> C -> D (subClassOf), typed instances
+    t(f"{EX}a", "rdf:type", f"{EX}B")
+    t(f"{EX}B", "rdfs:subClassOf", f"{EX}C")
+    t(f"{EX}C", "rdfs:subClassOf", f"{EX}D")
+    t(f"{EX}a", f"{EX}name", "Ann")
+    t(f"{EX}b", "rdf:type", f"{EX}B")
+    t(f"{EX}b", f"{EX}optionalProp", "opt-b")
+    t(f"{EX}c", "rdf:type", f"{EX}C")
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def test_match_pattern_constants_and_vars(triples_ds):
+    out = match_pattern(triples_ds, "?s", "rdf:type", f"{EX}B").to_pandas()
+    assert sorted(out["s"]) == [f"{EX}a", f"{EX}b"]
+    assert list(out.columns) == ["s"]
+
+
+def test_default_query_spo_limit(triples_ds):
+    # reference default: SELECT ?s ?p ?o WHERE {?s ?p ?o} LIMIT 50
+    out = limit(match_pattern(triples_ds, "?s", "?p", "?o"), 50).to_pandas()
+    assert len(out) == 7
+    assert set(out.columns) == {"s", "p", "o"}
+
+
+def test_bgp_join(triples_ds):
+    # instances of B with their names
+    out = bgp(
+        triples_ds,
+        [("?s", "rdf:type", f"{EX}B"), ("?s", f"{EX}name", "?n")],
+        num_partitions=2,
+    ).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["s"] == f"{EX}a"
+    assert out.iloc[0]["n"] == "Ann"
+
+
+def test_optional_left_join(triples_ds):
+    # testOptionalQuery (SPARQL.html:241-254): all typed subjects, optional
+    # optionalProp; subjects without it keep a null binding
+    req = match_pattern(triples_ds, "?s", "rdf:type", "?t")
+    opt = match_pattern(triples_ds, "?s", f"{EX}optionalProp", "?v")
+    out = optional_join(req, opt, on=["s"], num_partitions=2).to_pandas()
+    assert len(out) == 3
+    vals = dict(zip(out["s"], out["v"]))
+    assert vals[f"{EX}b"] == "opt-b"
+    assert pd.isna(vals[f"{EX}a"])
+
+
+def test_property_path_closure(triples_ds):
+    # testPropertyPathQuery (SPARQL.html:256-267): (rdf:type|rdfs:subClassOf)*
+    clo = property_path_closure(triples_ds, ["rdf:type", "rdfs:subClassOf"])
+    pairs = set(zip(clo["s"], clo["o"]))
+    assert (f"{EX}a", f"{EX}B") in pairs        # direct
+    assert (f"{EX}a", f"{EX}D") in pairs        # transitive x3
+    assert (f"{EX}B", f"{EX}D") in pairs        # transitive x2
+    assert (f"{EX}a", f"{EX}a") in pairs        # reflexive (star)
+
+
+def test_count_by_predicate(triples_ds):
+    # testAggregationQuery (SPARQL.html:269-283)
+    b = match_pattern(triples_ds, "?s", "?p", "?o")
+    out = count_by(b, "p").to_pandas().set_index("p")["count"]
+    assert out["rdf:type"] == 3
+    assert out["rdfs:subClassOf"] == 2
+    assert out[f"{EX}name"] == 1
+
+
+def test_top_k(triples_ds):
+    b = match_pattern(triples_ds, "?s", "?p", "?o")
+    out = top_k(count_by(b, "p"), by="count", k=2).to_pandas()
+    assert list(out["count"]) == [3, 2]
+    assert out.iloc[0]["p"] == "rdf:type"
