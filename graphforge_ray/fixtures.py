@@ -90,12 +90,21 @@ def _mid_for(name: str) -> str:
     return _MID_CLASSES[0] if name in CLASS_NAMES[:5] else _MID_CLASSES[1]
 
 
-def _rdfxml_payload(i: int, seed: int) -> str:
+def _rdfxml_payload(i: int, seed: int, rich: int = 1) -> str:
     name = _item_class(i, seed)
     mid = _mid_for(name)
     e = ENTITY_BASE
     variant_a = f"{e}{name}VarA{_h(i, 'va', seed) % 7}"
     variant_b = f"{e}{name}VarB{_h(i, 'vb', seed) % 7}"
+    extra = "".join(
+        f"""  <owl:Class rdf:about="{e}{_item_class(i * 131 + r, seed)}Rich{r}">
+    <rdfs:label>  {_item_class(i * 131 + r, seed)} variant {r} </rdfs:label>
+    <rdfs:subClassOf rdf:resource="{e}{_mid_for(_item_class(i * 131 + r, seed))}"/>
+    <rdfs:comment>filler comment {_h(i, f'rc{r}', seed) % 10_000} with some prose text to parse</rdfs:comment>
+  </owl:Class>
+"""
+        for r in range(rich - 1)
+    )
     return f"""<?xml version="1.0"?>
 <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
          xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
@@ -127,14 +136,21 @@ def _rdfxml_payload(i: int, seed: int) -> str:
       <ex:linksTo rdf:resource="{e}{_TOP_CLASS}"/>
     </ex:Holder>
   </rdf:Description>
-</rdf:RDF>
+{extra}</rdf:RDF>
 """
 
 
-def _turtle_payload(i: int, seed: int) -> str:
+def _turtle_payload(i: int, seed: int, rich: int = 1) -> str:
     name = _item_class(i, seed)
     mid = _mid_for(name)
     price = 5 + (_h(i, "price", seed) % 20)
+    extra = "".join(
+        f"""ex:order{_h(i, f'eo{r}', seed) % 100_000} ex:contains ex:{_item_class(i * 7 + r, seed)} ;
+    ex:quantity {1 + _h(i, f'eq{r}', seed) % 9} ;
+    ex:note "deterministic filler note {_h(i, f'en{r}', seed) % 10_000}"@en .
+"""
+        for r in range(rich - 1)
+    )
     # duplicate-across-rows triple: every turtle row re-asserts the mid→Top
     # subclass edge (set semantics must collapse it).
     return f"""@prefix ex: <{ENTITY_BASE}> .
@@ -147,13 +163,21 @@ ex:{name} a ex:{mid} ;
 ex:{mid} rdfs:subClassOf ex:{_TOP_CLASS} .
 ex:order{_h(i, 'ord', seed) % 1000} ex:contains ex:{name} ;
     ex:quantity {1 + _h(i, 'q', seed) % 9} .
-"""
+""" + extra
 
 
-def _html_payload(i: int, seed: int) -> str:
+def _html_payload(i: int, seed: int, rich: int = 1) -> str:
     name = _item_class(i, seed)
     other = CLASS_NAMES[_h(i, "other", seed) % len(CLASS_NAMES)]
     mid = _mid_for(name)
+    extra = "".join(
+        f"""<p>Paragraph {r}: the {_item_class(i * 13 + r, seed)} remains a topic of
+conversation among enthusiasts of {mid} preparations, with number
+{_h(i, f'hp{r}', seed) % 1000} appearances in the corpus and a link to
+<a href="{ENTITY_BASE}{_item_class(i * 13 + r, seed)}">{_item_class(i * 13 + r, seed)}</a>.</p>
+"""
+        for r in range(rich - 1)
+    )
     return f"""<html><head><title>All about {name}</title>
 <script>var tracking = "ignored {i}";</script>
 <style>body {{ color: black; }}</style>
@@ -164,14 +188,24 @@ enjoyed worldwide. Many prefer {other} as an alternative.</p>
 <p>Read more about <a href="https://graft.example/ont/{name}/">{name}</a> and
 <a href="{ENTITY_BASE}{_TOP_CLASS}">Food</a> generally.</p>
 <ul><li>rank {_h(i, 'rank', seed) % 50}</li><li>page {i}</li></ul>
-</body></html>
+{extra}</body></html>
 """
 
 
-def _json_payload(i: int, seed: int) -> str:
+def _json_payload(i: int, seed: int, rich: int = 1) -> str:
     name = _item_class(i, seed)
     other = CLASS_NAMES[_h(i, "rel", seed) % len(CLASS_NAMES)]
     mid = _mid_for(name)
+    recs = ", ".join(
+        '{"id": %d, "name": "%s%d", "type": "%s%s", "related": ["%s%s"]}'
+        % (
+            _h(i, f"jr{r}", seed) % 1_000_000,
+            _item_class(i * 17 + r, seed), r,
+            ENTITY_BASE, _mid_for(_item_class(i * 17 + r, seed)),
+            ENTITY_BASE, CLASS_NAMES[_h(i, f"jl{r}", seed) % len(CLASS_NAMES)],
+        )
+        for r in range(rich - 1)
+    )
     rec = (
         '{"id": %d, "name": "%s", "type": "%s%s", "related": ["%s%s", "%s%s"]}'
         % (
@@ -181,7 +215,7 @@ def _json_payload(i: int, seed: int) -> str:
     )
     return f"""<html><head><title>{name} record</title></head><body>
 <h1>Record {i}</h1>
-<script type="application/json">{rec}</script>
+<script type="application/json">[{rec}{", " if recs else ""}{recs}]</script>
 <p>Structured record for {name}.</p>
 </body></html>
 """
@@ -192,9 +226,9 @@ KINDS = ["rdfxml", "turtle", "html", "json"]
 _EXT = {"rdfxml": "owl", "turtle": "ttl", "html": "html", "json": "html"}
 
 
-def gen_page(i: int, seed: int = SEED) -> dict:
+def gen_page(i: int, seed: int = SEED, rich: int = 1) -> dict:
     kind = KINDS[i % 4]
-    payload = _PAYLOAD_FNS[i % 4](i, seed)
+    payload = _PAYLOAD_FNS[i % 4](i, seed, rich)
     domain = _domain(i, seed)
     url = f"https://{domain}/page/{i}.{_EXT[kind]}"
     return {
@@ -206,9 +240,37 @@ def gen_page(i: int, seed: int = SEED) -> dict:
     }
 
 
-def gen_pages_table(n: int, seed: int = SEED, start: int = 0) -> pa.Table:
-    rows = [gen_page(i, seed) for i in range(start, start + n)]
+def gen_pages_table(
+    n: int, seed: int = SEED, start: int = 0, rich: int = 1
+) -> pa.Table:
+    """``rich`` scales per-page payload size (≈rich× parse compute) —
+    bench uses rich>1 so the corpus is compute-dominated like real
+    Common-Crawl pages (tens of KB), while unit fixtures stay tiny."""
+    rows = [gen_page(i, seed, rich) for i in range(start, start + n)]
     return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+
+def pages_dataset(
+    n: int, seed: int = SEED, num_blocks: int | None = None, rich: int = 1
+):
+    """Generate the corpus as a PARALLEL multi-block Dataset: generation is
+    a pure function of row index, so blocks are produced independently by
+    ``rd.range(n).map_batches`` — no single-block driver bottleneck (a
+    ``from_arrow`` table is one block → one task downstream)."""
+    import ray.data as rd
+
+    if num_blocks is None:
+        num_blocks = max(8, n // 500)
+
+    def make(batch) -> pa.Table:
+        ids = batch["id"].tolist() if hasattr(batch["id"], "tolist") else list(batch["id"])
+        return pa.Table.from_pylist(
+            [gen_page(int(i), seed, rich) for i in ids], schema=PAGES_SCHEMA
+        )
+
+    return rd.range(n, override_num_blocks=num_blocks).map_batches(
+        make, batch_format="numpy"
+    )
 
 
 def write_pages_parquet(

@@ -51,7 +51,7 @@ from ..stages.extract import (
     PRED_TEXT,
     extract_pages_batch,
 )
-from ..stages.linker import MentionLinker, PRED_MENTIONS
+from ..stages.linker import MentionLinker, PRED_MENTIONS, make_stateless_linker
 from ..state.manifest import StageRunner
 
 __all__ = ["forge_triples", "run_forge_pipeline", "extract_and_link"]
@@ -60,13 +60,41 @@ _LINK_PREDS = (PRED_MENTIONS, PRED_LINKS_TO)
 _NON_TRIPLE_PREDS = (PRED_TEXT, PRED_QUARANTINE, PRED_MENTION)
 
 
+def _default_concurrency(fused: bool = True) -> int:
+    """Fixed actor-pool size (fixed start-up in parallel beats autoscaling's
+    serial ramp, measured 2×). ``fused=True`` (a shuffle runs in the SAME
+    execution): pool = cpus // 2 so the concurrent shuffle map/reduce tasks
+    keep the other half busy — a cpus−2 pool starves the sort (measured
+    1.6× slower). ``fused=False`` (standalone stage): cpus − 2, leaving two
+    CPUs for the read/write operators (a pool of ALL CPUs deadlocks the
+    streaming executor on small clusters)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, cpus // 2 if fused else cpus - 2)
+
+
 def extract_and_link(
     pages_ds: "ray.data.Dataset",
     gazetteer: dict[str, str] | None = None,
-    linker_concurrency: int | tuple[int, int] = (1, 4),
-    batch_size: int = 256,
+    linker_concurrency=None,
+    batch_size: int | None = None,
 ) -> "ray.data.Dataset":
-    """pages → EXTRACT_SCHEMA rows with mentions linked (text rows kept)."""
+    """pages → EXTRACT_SCHEMA rows with mentions linked (text rows kept).
+
+    ``linker_concurrency``: None/"tasks" → stateless tasks with a
+    per-worker-process cached linker (default: shares all CPUs with fused
+    shuffles); "actors" or an int/(min,max) → MentionLinker actor pool
+    (the right tool when the stage runs standalone or holds heavy state).
+
+    ``batch_size=None`` on BOTH stages is deliberate: the stages fuse into
+    one actor-pool operator, and an explicit batch_size there makes Ray
+    COALESCE upstream blocks into batch-sized tasks — a batch_size larger
+    than the block size silently caps parallelism at n_rows/batch_size
+    tasks (measured: 120 blocks → 14 tasks → 14 of 30 actors busy). With
+    None, one task per input block; parallelism = input block count, which
+    the reader/generator controls."""
     gaz = GAZETTEER if gazetteer is None else gazetteer
     gaz_ref = ray.put(gaz)
     extracted = pages_ds.map_batches(
@@ -75,10 +103,23 @@ def extract_and_link(
         batch_size=batch_size,
         zero_copy_batch=True,
     )
+    if linker_concurrency == "tasks":
+        # stateless tasks (linker cached per worker process): fluid CPU
+        # sharing, no pool; measured slower than the pool on this host but
+        # kept as an option (see make_stateless_linker)
+        return extracted.map_batches(
+            make_stateless_linker(gaz_ref),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+    if linker_concurrency is None:
+        linker_concurrency = _default_concurrency(fused=True)
+    elif linker_concurrency == "actors":
+        linker_concurrency = _default_concurrency(fused=False)
     return extracted.map_batches(
         MentionLinker,
         batch_format="pyarrow",
-        batch_size=4096,
+        batch_size=batch_size,
         concurrency=linker_concurrency,
         fn_constructor_kwargs={"gazetteer_ref": gaz_ref},
     )
@@ -99,44 +140,68 @@ def _real_triples(linked: "ray.data.Dataset") -> "ray.data.Dataset":
 def forge_triples(
     pages_ds: "ray.data.Dataset",
     gazetteer: dict[str, str] | None = None,
-    canonicalize: bool = True,
-    linker_concurrency: int | tuple[int, int] = (1, 4),
+    canonicalize: bool = True,  # kept for API compat: False skips nothing
+    linker_concurrency: int | tuple[int, int] | None = None,
+    num_buckets: int = 512,
+    variant_merge: bool = False,
 ) -> "ray.data.Dataset":
     """In-memory flagship: pages Dataset → canonical triples Dataset.
 
-    The deduped triples are narrow rows; they are materialized once so the
-    canonical-mapping build and the final rewrite don't re-execute the
-    extract stage (the checkpointed API uses parquet stage boundaries
-    instead — never materialize the 100 TB path in memory).
+    Default path is ONE fully-streamed execution: extract → link → dedup
+    shuffle, with link-IRI canonicalization applied AT EMISSION
+    (iri.normalize_iri inside the extract/linker stages), so the dedup
+    shuffle is keyed directly on normalized surface forms — no extra
+    passes, no barrier. Reference-extracted triples are never normalized
+    (byte-exact P/R parity, SURVEY §7 hard part 1).
+
+    ``variant_merge=True`` additionally merges IRIs whose DIFFERENT
+    spellings normalize together across the corpus onto the minimum
+    occurring spelling (build_canonical_mapping): requires pinning the
+    deduped set + two map passes + a small re-dedup of the link slice —
+    use when corpora mix spellings beyond what emission-normalization
+    already unifies.
     """
+    import graphforge_ray
+
+    graphforge_ray.tune_data_context()
     linked = extract_and_link(pages_ds, gazetteer, linker_concurrency)
-    deduped = dedup_triples(_real_triples(linked))
-    if not canonicalize:
+    real = _real_triples(linked)
+    deduped = dedup_triples(real, num_buckets)
+    if not variant_merge:
         return deduped
+
     deduped = deduped.materialize()
     mapping = build_canonical_mapping(deduped, columns=["subj", "obj"])
     if not mapping:
         return deduped
 
-    def rewrite_link_rows(df):
-        sel = df["pred"].isin(_LINK_PREDS)
-        if sel.any():
-            df = df.copy()
-            df.loc[sel, "obj"] = df.loc[sel, "obj"].map(
-                lambda v: mapping.get(v, v)
-            )
+    import pyarrow as pa
+
+    def split(batch: "pa.Table", keep_links: bool) -> "pa.Table":
+        mask = pc.is_in(batch["pred"], value_set=pa.array(_LINK_PREDS))
+        return batch.filter(mask if keep_links else pc.invert(mask))
+
+    untouched = deduped.map_batches(
+        lambda b: split(b, False), batch_format="pyarrow"
+    )
+
+    def rewrite_links(df):
+        df = df.copy()
+        df["obj"] = df["obj"].map(lambda v: mapping.get(v, v))
         return df
 
-    rewritten = deduped.map_batches(rewrite_link_rows, batch_format="pandas")
-    # rewriting can re-introduce duplicates (two variants → one canon)
-    return dedup_triples(rewritten)
+    links = (
+        deduped.map_batches(lambda b: split(b, True), batch_format="pyarrow")
+        .map_batches(rewrite_links, batch_format="pandas")
+    )
+    return untouched.union(dedup_triples(links, max(16, num_buckets // 4)))
 
 
 def run_forge_pipeline(
     input_paths: list[str] | str,
     out_dir: str,
     gazetteer: dict[str, str] | None = None,
-    linker_concurrency: int | tuple[int, int] = (1, 4),
+    linker_concurrency: int | tuple[int, int] | None = None,
     num_adjacency_partitions: int = 64,
     write_nt: bool = True,
 ) -> StageRunner:
@@ -149,6 +214,9 @@ def run_forge_pipeline(
         <out_dir>/adjacency/    part=<k>/ parquet       + MANIFEST.json
         <out_dir>/ntriples/     part-*.nt               + MANIFEST.json
     """
+    import graphforge_ray
+
+    graphforge_ray.tune_data_context()
     if isinstance(input_paths, str):
         input_paths = [input_paths]
     runner = StageRunner(out_dir)
@@ -180,6 +248,9 @@ def run_forge_pipeline(
 
     # -- stage 2: link ----------------------------------------------------
     def build_link(tmp_dir):
+        nonlocal linker_concurrency
+        if linker_concurrency is None:
+            linker_concurrency = _default_concurrency()
         gaz_ref = ray.put(gaz)
         ds = ray.data.read_parquet(stage_inputs("extract"))
         linked = ds.map_batches(
@@ -213,24 +284,37 @@ def run_forge_pipeline(
 
     # -- stage 4: canonicalize (dedup shuffle + surface-form merge) -------
     def build_canonical(tmp_dir):
+        import pyarrow as pa
+
         linked = ray.data.read_parquet(stage_inputs("linked"))
         triples = _real_triples(linked)
         deduped = dedup_triples(triples)
         deduped.write_parquet(os.path.join(tmp_dir, "pre"))
         pre = ray.data.read_parquet(os.path.join(tmp_dir, "pre"))
-        mapping = build_canonical_mapping(pre, columns=["subj", "obj"])
-        link_mapping = mapping  # applied to link-derived rows only
+        count = pre.count()  # parquet metadata read
+        mapping = build_canonical_mapping(
+            pre, columns=["subj", "obj"], count_hint=count
+        )
 
-        def rewrite(df):
-            sel = df["pred"].isin(_LINK_PREDS)
-            if sel.any() and link_mapping:
+        if not mapping:
+            final = pre
+        else:
+            def split(batch: "pa.Table", keep_links: bool) -> "pa.Table":
+                mask = pc.is_in(batch["pred"], value_set=pa.array(_LINK_PREDS))
+                return batch.filter(mask if keep_links else pc.invert(mask))
+
+            def rewrite(df):
                 df = df.copy()
-                df.loc[sel, "obj"] = df.loc[sel, "obj"].map(
-                    lambda v: link_mapping.get(v, v)
-                )
-            return df
+                df["obj"] = df["obj"].map(lambda v: mapping.get(v, v))
+                return df
 
-        final = dedup_triples(pre.map_batches(rewrite, batch_format="pandas"))
+            untouched = pre.map_batches(
+                lambda b: split(b, False), batch_format="pyarrow"
+            )
+            links = pre.map_batches(
+                lambda b: split(b, True), batch_format="pyarrow"
+            ).map_batches(rewrite, batch_format="pandas")
+            final = untouched.union(dedup_triples(links, num_buckets=16))
         final.write_parquet(tmp_dir)
         import shutil
 

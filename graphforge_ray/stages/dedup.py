@@ -56,21 +56,37 @@ _TOKEN = re.compile(r"\w+")
 # ---------------------------------------------------------------------------
 
 def exact_dedup(
-    docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"
+    docs: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 32,
 ) -> "ray.data.Dataset":
-    """Keep exactly one row (min id) per distinct text. The groupby key is
-    the md5 content hash → uniform partitioning, no key skew; map-side
-    within-batch pre-dedup acts as the combiner for pathological corpora
-    where one document repeats millions of times."""
+    """Keep exactly one row (min id) per distinct text. Map-side
+    within-batch pre-dedup is the combiner (a document repeated millions of
+    times collapses to ≤1 row per batch); the reduce side hash-partitions
+    the md5 content hash into coarse buckets and dedups each with one
+    vectorized kernel — uniform keys, no skew, no per-key Python reduce."""
     hashed = docs.map_batches(
         lambda df: content_hash_batch(df, text_col)[[id_col, "content_hash"]]
         .sort_values(id_col)
-        .drop_duplicates("content_hash", keep="first"),
+        .drop_duplicates("content_hash", keep="first")
+        .assign(
+            _bucket=lambda d: (
+                pd.util.hash_array(
+                    d["content_hash"].to_numpy(dtype=object),
+                    hash_key="graphforge-dedup!"[:16],
+                )
+                % num_buckets
+            ).astype("int32")
+        ),
         batch_format="pandas",
     )
-    return hashed.groupby("content_hash").aggregate(
-        Min(id_col, alias_name=id_col)
-    )
+
+    def bucket_min(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col).drop_duplicates("content_hash", keep="first")
+        return g[["content_hash", id_col]]
+
+    return hashed.groupby("_bucket").map_groups(bucket_min, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

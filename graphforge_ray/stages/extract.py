@@ -30,6 +30,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..extract.html_text import extract_text_and_anchors
+from ..iri import normalize_iri
 from ..extract.jsonmap import map_json_text
 from ..extract.ntriples import parse_nquads
 from ..extract.rdfxml import RdfXmlParseError, extract_rdfxml_triples
@@ -143,16 +144,16 @@ def _extract_one(out: _Out, url: str, payload: bytes) -> None:
             out.add(url, PRED_TEXT, "", False, "", "", "", url,
                     text=text, kind=kind)
             for href, anchor_text in anchors:
-                out.add(url, PRED_LINKS_TO, href, True, "", "", "", url,
-                        kind=kind)
+                out.add(url, PRED_LINKS_TO, normalize_iri(href), True, "",
+                        "", "", url, kind=kind)
         elif kind == "html":
             text, anchors = extract_text_and_anchors(payload)
             # the per-url byte-identical extracted-text artifact
             out.add(url, PRED_TEXT, "", False, "", "", "", url,
                     text=text, kind=kind)
             for href, anchor_text in anchors:
-                out.add(url, PRED_LINKS_TO, href, True, "", "", "", url,
-                        kind=kind)
+                out.add(url, PRED_LINKS_TO, normalize_iri(href), True, "",
+                        "", "", url, kind=kind)
                 if anchor_text:
                     # anchor text is a high-precision candidate mention
                     out.add(url, PRED_MENTION, anchor_text, False, "", "",

@@ -29,6 +29,7 @@ import re
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..iri import normalize_iri
 from .extract import EXTRACT_SCHEMA, PRED_MENTION, PRED_TEXT, VOCAB, _Out
 
 __all__ = ["MentionLinker", "PRED_MENTIONS", "mint_iri", "normalize_surface"]
@@ -92,12 +93,12 @@ class MentionLinker:
 
     # -- linking ---------------------------------------------------------
     def link(self, surface: str) -> tuple[str, float]:
-        """surface → (entity_iri, score); deterministic."""
+        """surface → (normalized entity_iri, score); deterministic."""
         if surface in self.exact:
-            return self.exact[surface], 1.0
+            return normalize_iri(self.exact[surface]), 1.0
         norm = normalize_surface(surface)
         if norm in self.aliases:
-            return self.aliases[norm], 0.9
+            return normalize_iri(self.aliases[norm]), 0.9
         if self.mint_unlinked:
             return mint_iri(surface), 0.5
         return "", 0.0
@@ -145,3 +146,34 @@ class MentionLinker:
         if linked.num_rows == 0:
             return passthrough
         return pa.concat_tables([passthrough, linked]).combine_chunks()
+
+
+# -- stateless-task variant --------------------------------------------------
+#
+# A MentionLinker instance cached per WORKER PROCESS, keyed by the broadcast
+# gazetteer's ObjectRef. Available for pipelines that prefer fluid CPU
+# sharing between tasks over a dedicated pool. (Measured on this workload
+# the actor pool at cpus//2 was consistently FASTER than stateless tasks in
+# an interleaved A/B — Ray's task path pays per-task closure/scheduling
+# costs the pool avoids — so the pool is the default; see
+# pipelines/forge.extract_and_link.)
+
+_PROCESS_LINKERS: dict[bytes, MentionLinker] = {}
+
+
+def make_stateless_linker(gazetteer_ref):
+    """→ a plain function usable in ``map_batches`` whose MentionLinker is
+    built once per worker process (ray.get of the broadcast gazetteer +
+    regex compile amortized across all tasks that land on the process)."""
+    key = gazetteer_ref.binary()
+
+    def link_batch(batch: pa.Table) -> pa.Table:
+        linker = _PROCESS_LINKERS.get(key)
+        if linker is None:
+            import ray
+
+            linker = MentionLinker(gazetteer=ray.get(gazetteer_ref))
+            _PROCESS_LINKERS[key] = linker
+        return linker(batch)
+
+    return link_batch

@@ -1,0 +1,111 @@
+"""Source/sink coverage: file-based ingest (S1/S2), N-Quads loader (S6),
+Turtle serializer (S7), salted surface-form counts, incremental ingest
+(S11 append-at-read semantics)."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from graphforge_ray.extract.ntriples import format_triple_line
+from graphforge_ray.fixtures import gen_page
+from graphforge_ray.sinks.ntriples_sink import serialize_turtle
+from graphforge_ray.sources.files import read_ntriples, read_source_documents
+from graphforge_ray.stages.canonicalize import surface_form_counts
+
+
+def _write_fixture_docs(root) -> None:
+    os.makedirs(root, exist_ok=True)
+    # one turtle + one rdfxml doc from the deterministic corpus + one
+    # unsupported file that discovery must skip
+    with open(os.path.join(root, "a.owl"), "wb") as f:
+        f.write(gen_page(0)["html"])  # kind 0 = rdfxml
+    with open(os.path.join(root, "b.ttl"), "wb") as f:
+        f.write(gen_page(1)["html"])  # kind 1 = turtle
+    with open(os.path.join(root, "ignore.bin"), "wb") as f:
+        f.write(b"\x00\x01")
+
+
+def test_read_source_documents_and_forge(ray_session, tmp_path):
+    from graphforge_ray.pipelines.forge import forge_triples
+
+    root = str(tmp_path / "proj")
+    _write_fixture_docs(root)
+    pages = read_source_documents(root)
+    pdf = pages.to_pandas()
+    assert len(pdf) == 2  # .bin skipped at discovery
+    assert set(pdf["url"].str.split("/").str[-1]) == {"a.owl", "b.ttl"}
+
+    tri = forge_triples(pages, canonicalize=False).to_pandas()
+    assert len(tri) > 5
+    assert (tri["pred"] == "rdfs:label").any()        # rdfxml path
+    assert tri["pred"].str.startswith("http://graft.example/").any()  # turtle
+
+
+def test_read_ntriples_roundtrip(ray_session, tmp_path):
+    lines = [
+        format_triple_line("http://s1", "http://p", "http://o", True),
+        format_triple_line("http://s2", "http://p", 'lit "x"', False),
+        format_triple_line("http://s3", "http://p", "bonjour", False, "fr"),
+        "# comment",
+        "",
+    ]
+    path = tmp_path / "quads.nq"
+    path.write_text("\n".join(lines) + "\n")
+    out = read_ntriples(str(path)).to_pandas()
+    assert len(out) == 3
+    row = out.set_index("subj").loc["http://s2"]
+    assert row["obj"] == 'lit "x"' and not row["obj_is_iri"]
+    assert out.set_index("subj").loc["http://s3", "obj_lang"] == "fr"
+
+
+def test_serialize_turtle_small():
+    import pyarrow as pa
+
+    table = pa.table(
+        {
+            "subj": ["http://ex.org/a", "http://ex.org/a"],
+            "pred": ["http://ex.org/knows", "http://ex.org/name"],
+            "obj": ["http://ex.org/b", "Ann"],
+            "obj_is_iri": [True, False],
+            "obj_lang": ["", "en"],
+            "obj_datatype": ["", ""],
+        }
+    )
+    ttl = serialize_turtle(table, prefixes={"ex": "http://ex.org/"})
+    assert "@prefix ex: <http://ex.org/> ." in ttl
+    assert "ex:a" in ttl and "ex:knows ex:b" in ttl
+    assert '"Ann"@en' in ttl
+
+
+def test_surface_form_counts_salted(ray_session):
+    import ray.data as rd
+
+    rows = []
+    for i in range(300):  # head entity: one norm form dominates
+        rows.append({"subj": "http://big.example.com/Hot",
+                     "pred": "p", "obj": f"http://x/{i}", "obj_is_iri": True})
+    rows.append({"subj": "https://big.example.com/Hot/",  # variant spelling
+                 "pred": "p", "obj": "http://x/0", "obj_is_iri": True})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = surface_form_counts(ds, columns=["subj"]).to_pandas()
+    counts = dict(zip(out["norm"], out["n"]))
+    assert counts["http://big.example.com/Hot"] == 301  # variants merged
+
+
+def test_incremental_ingest_union(ray_session, tmp_path):
+    """S11: appending new source docs ≡ new blocks, union at read; set
+    semantics keep previously-forged triples stable."""
+    from graphforge_ray.pipelines.forge import forge_triples
+
+    root = str(tmp_path / "proj")
+    _write_fixture_docs(root)
+    first = forge_triples(read_source_documents(root), canonicalize=False).to_pandas()
+    with open(os.path.join(root, "c.ttl"), "wb") as f:
+        f.write(gen_page(5)["html"])  # another turtle doc
+    second = forge_triples(read_source_documents(root), canonicalize=False).to_pandas()
+
+    key = ["subj", "pred", "obj"]
+    s1 = set(map(tuple, first[key].to_numpy()))
+    s2 = set(map(tuple, second[key].to_numpy()))
+    assert s1 <= s2 and len(s2) > len(s1)

@@ -1,0 +1,105 @@
+"""SPARQL front-end tests: prepare_query regex parity + SELECT compiler
+against the reference's conformance queries."""
+
+import pandas as pd
+import pytest
+
+from graphforge_ray.query.sparql import compile_select, prepare_query, run_select
+
+EX = "http://ex.org/"
+
+
+def test_prepare_query_a_rule():
+    # 'a' before CURIE/IRI → rdf:type (document.js:931); bare 'a' kept
+    q = prepare_query("SELECT ?s WHERE { ?s a ex:Thing . ?s ex:letter 'a' }")
+    assert "rdf:type ex:Thing" in q
+    assert "'a'" in q
+
+
+def test_prepare_query_iri_wrapping_and_prefixes():
+    q = prepare_query(
+        "PREFIX ex: <http://ex.org/>\n"
+        "SELECT ?s WHERE { ?s ex:p http://ex.org/x }",
+        prefixes={"g": "http://g.org/"},
+    )
+    assert "<http://ex.org/x>" in q
+    # user PREFIX re-attached first, global prefix injected
+    assert q.splitlines()[0] == "PREFIX ex: <http://ex.org/>"
+    assert "PREFIX g: <http://g.org/>" in q
+
+
+def test_prepare_query_keeps_bracketed_iris():
+    q = prepare_query("SELECT ?s WHERE { ?s ?p <http://ex.org/x> }")
+    assert "<<" not in q
+
+
+@pytest.fixture(scope="module")
+def triples_ds(ray_session):
+    import ray.data as rd
+
+    rows = []
+
+    def t(s, p, o):
+        rows.append(
+            {"subj": s, "pred": p, "obj": o, "obj_is_iri": o.startswith("http"),
+             "obj_lang": "", "obj_datatype": "", "graph": "", "src_url": "u"}
+        )
+
+    t(f"{EX}a", "rdf:type", f"{EX}B")
+    t(f"{EX}b", "rdf:type", f"{EX}B")
+    t(f"{EX}B", "rdfs:subClassOf", f"{EX}C")
+    t(f"{EX}a", f"{EX}name", "Ann")
+    t(f"{EX}b", f"{EX}optionalProp", "opt-b")
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def test_select_spo_limit(triples_ds):
+    out = run_select(triples_ds, "SELECT ?s ?p ?o WHERE { ?s ?p ?o } LIMIT 3")
+    assert len(out) == 3
+    assert list(out.columns) == ["s", "p", "o"]
+
+
+def test_select_constant_pattern_with_a(triples_ds):
+    out = run_select(
+        triples_ds,
+        "PREFIX ex: <http://ex.org/>\nSELECT ?s WHERE { ?s a ex:B }",
+    )
+    assert sorted(out["s"]) == [f"{EX}a", f"{EX}b"]
+
+
+def test_select_bgp_join(triples_ds):
+    out = run_select(
+        triples_ds,
+        "PREFIX ex: <http://ex.org/>\n"
+        "SELECT ?s ?n WHERE { ?s a ex:B . ?s ex:name ?n }",
+    )
+    assert len(out) == 1 and out.iloc[0]["n"] == "Ann"
+
+
+def test_select_optional(triples_ds):
+    out = run_select(
+        triples_ds,
+        "PREFIX ex: <http://ex.org/>\n"
+        "SELECT ?s ?v WHERE { ?s a ex:B . OPTIONAL { ?s ex:optionalProp ?v } }",
+    )
+    vals = dict(zip(out["s"], out["v"]))
+    assert vals[f"{EX}b"] == "opt-b" and pd.isna(vals[f"{EX}a"])
+
+
+def test_select_group_count(triples_ds):
+    out = run_select(
+        triples_ds,
+        "SELECT (COUNT(?o) AS ?count) ?p WHERE { ?s ?p ?o } GROUP BY ?p",
+    )
+    counts = dict(zip(out["p"], out["count"]))
+    assert counts["rdf:type"] == 2
+
+
+def test_select_property_path(triples_ds):
+    out = run_select(
+        triples_ds,
+        "SELECT ?s ?o WHERE { ?s (rdf:type|rdfs:subClassOf)* ?o }",
+    )
+    pairs = set(zip(out["s"], out["o"]))
+    assert (f"{EX}a", f"{EX}C") in pairs   # transitive through B
+    assert (f"{EX}a", f"{EX}a") in pairs   # reflexive star
