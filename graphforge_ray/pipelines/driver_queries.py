@@ -501,6 +501,25 @@ def q_embedding_neardup(sf_dir: str):
     return embedding_neardup(emb, threshold=0.95)
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF (coarse-quantized) approximate top-10 — the ANN scale path:
+    deterministic k-means centroids, map-side cluster assignment, nprobe
+    pruning before exact scoring. Rows-only (approximate by design)."""
+    from ..stages.similarity import assign_clusters, ivf_topk, train_centroids
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = np.asarray(
+        pd.DataFrame(emb.filter(expr="vec_id == 0").take_all())["embedding"].iloc[0],
+        dtype=np.float64,
+    )
+    cents = train_centroids(emb, num_clusters=8)
+    assigned = assign_clusters(emb, cents)
+    out = ivf_topk(assigned, cents, q, k=10, nprobe=4)
+    out = out[["vec_id", "cosine"]].copy()
+    out["cosine"] = out["cosine"].round(4)
+    return out.reset_index(drop=True)
+
+
 def q_forge_pages(sf_dir: str):
     """Flagship KG pipeline over the deterministic synthetic pages corpus
     (scaled by sf: sf0.01 → 600 pages). Rows-only check — the real P/R
@@ -543,6 +562,7 @@ QUERIES = {
     "docs_minhash_dedup": q_docs_minhash_dedup,
     "docs_simhash": q_docs_simhash,
     "embedding_neardup": q_embedding_neardup,
+    "ann_ivf": q_ann_ivf,
     "forge_pages": q_forge_pages,
 }
 

@@ -234,17 +234,22 @@ def run_forge_pipeline(
             )
         return sorted(out)
 
-    # -- stage 1: extract -------------------------------------------------
-    def build_extract(tmp_dir):
-        ds = ray.data.read_parquet(input_paths, columns=["url", "html"])
-        ex = ds.map_batches(
-            extract_pages_batch, batch_format="pyarrow", batch_size=256,
-            zero_copy_batch=True,
-        )
-        ex.write_parquet(tmp_dir)
-        return -1, {}
+    # -- stage 1: extract (per-shard checkpoints) -------------------------
+    # One input file = one shard = one manifest: a killed run re-runs only
+    # the missing shards (north rule: per-partition lineage + resume). At
+    # cluster scale a "shard" is an input path prefix, not a single file.
+    for i, path in enumerate(sorted(input_paths)):
 
-    runner.run("extract", list(input_paths), build_extract)
+        def build_extract_shard(tmp_dir, _path=path):
+            ds = ray.data.read_parquet(_path, columns=["url", "html"])
+            ex = ds.map_batches(
+                extract_pages_batch, batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            ex.write_parquet(tmp_dir)
+            return -1, {"input": _path}
+
+        runner.run(f"extract/shard-{i:05d}", [path], build_extract_shard)
 
     # -- stage 2: link ----------------------------------------------------
     def build_link(tmp_dir):

@@ -228,20 +228,36 @@ def minhash_dedup(
     shingle_k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> pd.DataFrame:
-    """Full near-dup pipeline → DataFrame (doc_id, cluster_id, keep).
+):
+    """Full near-dup pipeline → Dataset (doc_id, cluster_id, keep).
 
     cluster_id = min doc_id of the connected component (union-find on the
     verified candidate pairs — the pair set is LSH-pruned and small
-    relative to the corpus; components computed driver-side, documented
-    assumption mirroring the candidate-set bound of LSH).
+    relative to the corpus; components computed driver-side, the full
+    label table produced distributed via broadcast lookup; only candidate
+    texts ever reach the driver).
     """
     candidates = minhash_lsh_candidates(
         docs, num_perm, num_bands, shingle_k, id_col, text_col
     )
-    texts = docs.map_batches(
-        lambda df: df[[id_col, text_col]], batch_format="pandas"
-    ).to_pandas().set_index(id_col)[text_col].to_dict()
+    # Fetch ONLY the candidate docs' texts (broadcast id-set, map-side
+    # filter) — the full corpus never reaches the driver; the candidate
+    # set is LSH-pruned and small by construction.
+    cand_ids = set(candidates.get("id_a", [])) | set(candidates.get("id_b", []))
+    ids_ref = ray.put(cand_ids)
+
+    def keep_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        wanted = ray.get(ids_ref)
+        return df.loc[df[id_col].isin(wanted), [id_col, text_col]]
+
+    texts = (
+        docs.map_batches(keep_candidates, batch_format="pandas")
+        .to_pandas()
+        .set_index(id_col)[text_col]
+        .to_dict()
+        if cand_ids
+        else {}
+    )
 
     verified = [
         (a, b)
@@ -270,11 +286,20 @@ def minhash_dedup(
         parent.setdefault(b, b)
         union(a, b)
 
-    all_ids = sorted(texts)
-    cluster = [find(i) if i in parent else i for i in all_ids]
-    out = pd.DataFrame({id_col: all_ids, "cluster_id": cluster})
-    out["keep"] = out[id_col] == out["cluster_id"]
-    return out
+    # labels exist only for docs in verified components (small); the full
+    # per-doc label table is produced DISTRIBUTED via a broadcast lookup —
+    # non-candidate docs are their own cluster.
+    labels = {i: find(i) for i in parent}
+    labels_ref = ray.put(labels)
+
+    def label_batch(df: pd.DataFrame) -> pd.DataFrame:
+        lab = ray.get(labels_ref)
+        out = df[[id_col]].copy()
+        out["cluster_id"] = out[id_col].map(lambda i: lab.get(i, i))
+        out["keep"] = out[id_col] == out["cluster_id"]
+        return out
+
+    return docs.map_batches(label_batch, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

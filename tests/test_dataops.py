@@ -70,7 +70,7 @@ def test_minhash_candidates_and_dedup(docs_ds):
     assert (0, 2) in pairs          # near dup shares most shingle bands
     assert (0, 3) not in pairs      # unrelated
 
-    res = minhash_dedup(docs_ds, threshold=0.5)
+    res = minhash_dedup(docs_ds, threshold=0.5).to_pandas()
     by_id = res.set_index("doc_id")
     assert by_id.loc[1, "cluster_id"] == 0 and not by_id.loc[1, "keep"]
     assert by_id.loc[2, "cluster_id"] == 0 and not by_id.loc[2, "keep"]

@@ -55,17 +55,20 @@ def test_checkpoint_pipeline_and_resume(ray_session, tmp_path):
     runner = run_forge_pipeline(paths, out_dir, write_nt=True)
     assert all(line.startswith("ran ") for line in runner.log)
 
-    # every stage has a lineage manifest
-    for stage in ["extract", "linked", "text", "canonical", "adjacency", "ntriples"]:
+    # per-shard extract manifests (per-partition lineage) + stage manifests
+    shard_stages = [f"extract/shard-{i:05d}" for i in range(len(paths))]
+    for stage in shard_stages + ["linked", "text", "canonical", "adjacency",
+                                 "ntriples"]:
         mpath = os.path.join(out_dir, stage, "MANIFEST.json")
         assert os.path.exists(mpath), stage
         m = json.load(open(mpath))
         assert m["status"] == "done" and m["input_fingerprint"]
         assert m["output_files"]
 
-    # resume: second run skips every stage
+    # resume: second run skips every stage and every shard
     runner2 = run_forge_pipeline(paths, out_dir, write_nt=True)
     assert all(line.startswith("skip ") for line in runner2.log), runner2.log
+
 
     # outputs readable + consistent
     canon = pq.read_table(
@@ -88,6 +91,18 @@ def test_checkpoint_pipeline_and_resume(ray_session, tmp_path):
     # adjacency is hive-partitioned by subject hash
     adj = os.path.join(out_dir, "adjacency")
     assert any(d.startswith("part=") for d in os.listdir(adj))
+
+    # incremental input: one new shard runs; finished shards skip
+    from graphforge_ray.fixtures import write_pages_parquet as wpp
+
+    more = wpp(input_dir, 64, rows_per_file=16)  # adds one new file
+    runner3 = run_forge_pipeline(more, out_dir, write_nt=False)
+    shard_lines = [l for l in runner3.log if "extract/shard" in l]
+    assert sum(1 for l in shard_lines if l.startswith("ran ")) == 1
+    assert sum(1 for l in shard_lines if l.startswith("skip ")) == len(paths)
+    # downstream stages re-ran (their inputs changed)
+    assert any(l.startswith("ran linked") for l in runner3.log)
+
 
 
 def test_extracted_text_byte_identical(ray_session, tmp_path):
