@@ -43,29 +43,49 @@ def format_ntriples_batch(df: pd.DataFrame) -> pd.DataFrame:
 def write_ntriples(ds, out_dir: str, sort: bool = True) -> dict:
     """Write a triples Dataset as partitioned N-Triples text files.
 
+    DISTRIBUTED sink: each block is serialized and written by the worker
+    that holds it (one ``part-<contenthash>.nt`` per block — names are
+    deterministic in the block contents, so a re-run overwrites rather
+    than duplicates). The driver only aggregates the per-file manifest
+    rows; triple bytes never funnel through it. ``sort=True`` makes the
+    line set and per-file contents deterministic (the documented
+    stable-output contract, SURVEY §2.6 O3).
+
     Returns ``{"files": n, "lines": n, "bytes": n}`` for the manifest.
     """
+    import hashlib
+
+    import pandas as pd
+
     os.makedirs(out_dir, exist_ok=True)
     if sort:
         ds = ds.sort(["subj", "pred", "obj"])
-    lines_ds = ds.map_batches(format_ntriples_batch, batch_format="pandas")
 
-    stats = {"files": 0, "lines": 0, "bytes": 0}
-    # iterate blocks on the driver → one file per block. Block contents are
-    # already pipelined/bounded; this keeps file naming dense and ordered.
-    for i, batch in enumerate(
-        lines_ds.iter_batches(batch_size=None, batch_format="pyarrow")
-    ):
-        path = os.path.join(out_dir, f"part-{i:05d}.nt")
-        payload = "\n".join(batch.column("line").to_pylist())
+    def write_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"file": [], "lines": [], "bytes": []})
+        out = format_ntriples_batch(df)
+        payload = "\n".join(out["line"])
         if payload:
             payload += "\n"
-        with open(path, "w") as f:
-            f.write(payload)
-        stats["files"] += 1
-        stats["lines"] += batch.num_rows
-        stats["bytes"] += len(payload.encode())
-    return stats
+        data = payload.encode()
+        digest = hashlib.blake2b(data, digest_size=8).hexdigest()
+        path = os.path.join(out_dir, f"part-{digest}.nt")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)  # atomic publish
+        return pd.DataFrame(
+            {"file": [os.path.basename(path)], "lines": [len(out)],
+             "bytes": [len(data)]}
+        )
+
+    manifest = ds.map_batches(write_block, batch_format="pandas").to_pandas()
+    return {
+        "files": int(len(manifest)),
+        "lines": int(manifest["lines"].sum()) if len(manifest) else 0,
+        "bytes": int(manifest["bytes"].sum()) if len(manifest) else 0,
+    }
 
 
 def serialize_turtle(table: pa.Table, prefixes: dict[str, str] | None = None) -> str:
