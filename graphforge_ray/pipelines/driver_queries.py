@@ -115,28 +115,28 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 
 
 def q_top_parts_by_qty(sf_dir: str):
-    """O2 top-k + J1 join: top 10 parts by total lineitem quantity."""
+    """O2 top-k + J1 join: top 10 parts by total lineitem quantity.
+
+    Scale shape: distributed partial-sum groupby → distributed top-k
+    (sort+limit) → the 10 winners look up their names against the
+    dimension table with a key-pruned read — the fact table never joins
+    the dimension table wholesale."""
     li = _t(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
-    part = _t(sf_dir, "part", ["p_partkey", "p_name"])
     sums = li.groupby("l_partkey").aggregate(Sum("l_quantity", alias_name="sum_qty"))
-    joined = sums.join(
-        part.map_batches(
-            lambda t: t.rename_columns(["l_partkey", "p_name"]),
-            batch_format="pyarrow",
-        ),
-        join_type="inner",
-        num_partitions=8,
-        on=("l_partkey",),
-        validate_schemas=False,
+    top = (
+        sums.sort(["sum_qty", "l_partkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+        .rename(columns={"l_partkey": "p_partkey"})
     )
-    top = joined.sort(["sum_qty", "l_partkey"], descending=[True, False]).limit(10)
-
-    def shape(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.rename(columns={"l_partkey": "p_partkey"})
-        df["sum_qty"] = df["sum_qty"].round(2)
-        return df[["p_partkey", "p_name", "sum_qty"]]
-
-    return top.map_batches(shape, batch_format="pandas")
+    names = (
+        _t(sf_dir, "part", ["p_partkey", "p_name"])
+        .filter(expr=f"p_partkey in {sorted(top['p_partkey'])}")
+        .to_pandas()
+    )
+    out = top.merge(names, on="p_partkey", how="inner")
+    out["sum_qty"] = out["sum_qty"].round(2)
+    return out[["p_partkey", "p_name", "sum_qty"]]
 
 
 SQL_TOP_PARTS_BY_QTY = """
@@ -148,26 +148,28 @@ ORDER BY sum_qty DESC, p_partkey LIMIT 10
 
 
 def q_customer_order_counts(sf_dir: str):
-    """J2 OPTIONAL analog: LEFT OUTER join — customers with zero orders
-    keep a 0 count."""
+    """J2 OPTIONAL analog — customers with zero orders keep a 0 count.
+
+    Scale shape: aggregate the FACT side distributed (one small row per
+    customer), then broadcast-merge the aggregate into the dimension
+    Dataset map-side (query.ops.broadcast_lookup_join) — the left-outer
+    semantics (zero-fill) come from the merge + fillna, no big shuffle
+    join. ``Dataset.join(join_type='left_outer')`` remains available for
+    two large sides (exercised in query/ops.optional_join tests)."""
+    from ..query.ops import broadcast_lookup_join
+
+    counts = (
+        _t(sf_dir, "orders", ["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"))
+        .to_pandas()
+        .rename(columns={"o_custkey": "c_custkey"})
+    )
     cust = _t(sf_dir, "customer", ["c_custkey"])
-    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderkey"]).map_batches(
-        lambda t: t.rename_columns(["c_custkey", "o_orderkey"]),
-        batch_format="pyarrow",
-    )
-    joined = cust.join(
-        orders, join_type="left_outer", num_partitions=8,
-        on=("c_custkey",), validate_schemas=False,
-    )
-
-    def indicator(df: pd.DataFrame) -> pd.DataFrame:
-        df["has_order"] = df["o_orderkey"].notna().astype("int64")
-        return df[["c_custkey", "has_order"]]
-
-    return (
-        joined.map_batches(indicator, batch_format="pandas")
-        .groupby("c_custkey")
-        .aggregate(Sum("has_order", alias_name="n_orders"))
+    joined = broadcast_lookup_join(cust, counts, on="c_custkey", how="left")
+    return joined.map_batches(
+        lambda df: df.assign(n_orders=df["n_orders"].fillna(0).astype("int64")),
+        batch_format="pandas",
     )
 
 
@@ -520,6 +522,24 @@ def q_ann_ivf(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def q_sparql_pred_counts(sf_dir: str):
+    """The reference's aggregation conformance query (SPARQL.html:269-283)
+    executed through the SPARQL-subset compiler over forged triples.
+    Rows-only (input is the synthetic pages corpus, not an sf table)."""
+    from ..query.sparql import run_select
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        n = max(64, min(2000, int(float(sf) * 20_000)))
+    except ValueError:
+        n = 200
+    triples = forge_triples(rd.from_arrow(gen_pages_table(n)))
+    return run_select(
+        triples,
+        "SELECT (COUNT(?o) AS ?count) ?p WHERE { ?s ?p ?o } GROUP BY ?p",
+    )
+
+
 def q_forge_pages(sf_dir: str):
     """Flagship KG pipeline over the deterministic synthetic pages corpus
     (scaled by sf: sf0.01 → 600 pages). Rows-only check — the real P/R
@@ -563,6 +583,7 @@ QUERIES = {
     "docs_simhash": q_docs_simhash,
     "embedding_neardup": q_embedding_neardup,
     "ann_ivf": q_ann_ivf,
+    "sparql_pred_counts": q_sparql_pred_counts,
     "forge_pages": q_forge_pages,
 }
 

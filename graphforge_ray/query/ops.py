@@ -101,6 +101,31 @@ def _join(
     )
 
 
+def broadcast_lookup_join(
+    ds: "ray.data.Dataset",
+    small: pd.DataFrame,
+    on: str,
+    how: str = "left",
+    concurrency: int | tuple[int, int] = (1, 4),
+) -> "ray.data.Dataset":
+    """Map-side join against a SMALL side (dimension table, aggregate
+    result): the small frame ships once via ``ray.put`` and each batch
+    merges locally — no shuffle (ray_guide 'Joins and lookups'). Use
+    ``_join`` / ``Dataset.join`` when both sides are large."""
+    small_ref = ray.put(small)
+
+    class Merger:
+        def __init__(self):
+            self.small = ray.get(small_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return df.merge(self.small, on=on, how=how)
+
+    return ds.map_batches(
+        Merger, batch_format="pandas", concurrency=concurrency
+    )
+
+
 def bgp(
     triples: "ray.data.Dataset",
     patterns: list[tuple[str | None, str | None, str | None]],
