@@ -234,22 +234,82 @@ def run_forge_pipeline(
             )
         return sorted(out)
 
-    # -- stage 1: extract (per-shard checkpoints) -------------------------
-    # One input file = one shard = one manifest: a killed run re-runs only
-    # the missing shards (north rule: per-partition lineage + resume). At
-    # cluster scale a "shard" is an input path prefix, not a single file.
-    for i, path in enumerate(sorted(input_paths)):
+    # -- stage 1: extract (per-shard checkpoints, ONE execution) ----------
+    # One input file = one shard = one manifest: a killed/incremental run
+    # re-extracts only pending shards (north rule: per-partition lineage +
+    # resume). All pending shards are processed in a SINGLE streaming
+    # execution (per-shard executions serialize and pay per-run fixed
+    # costs — measured 30 shards sequentially = 87 s vs ~8 s fused): the
+    # output is hive-partitioned by shard id, then each partition is
+    # published atomically with its own manifest. At cluster scale a
+    # "shard" is an input path prefix, not a single file.
+    import shutil
 
-        def build_extract_shard(tmp_dir, _path=path):
-            ds = ray.data.read_parquet(_path, columns=["url", "html"])
-            ex = ds.map_batches(
-                extract_pages_batch, batch_format="pyarrow",
-                zero_copy_batch=True,
+    import pyarrow as pa
+
+    from ..state.manifest import StageManifest, fingerprint_paths
+
+    extract_root = runner.stage_dir("extract")
+    os.makedirs(extract_root, exist_ok=True)
+    shards = list(enumerate(sorted(input_paths)))
+    pending = [
+        (i, path)
+        for i, path in shards
+        if not runner.is_done(f"extract/shard-{i:05d}", [path])
+    ]
+    pending_ids = {i for i, _ in pending}
+    for i, _ in shards:
+        if i not in pending_ids:
+            runner.log.append(f"skip extract/shard-{i:05d} (checkpoint hit)")
+    if pending:
+        partial = extract_root + ".partial"
+        shutil.rmtree(partial, ignore_errors=True)
+
+        parts = []
+        for i, path in pending:
+            d = ray.data.read_parquet(path, columns=["url", "html"])
+            parts.append(
+                d.map_batches(
+                    lambda t, _i=i: t.append_column(
+                        "shard", pa.array([_i] * t.num_rows, pa.int32())
+                    ),
+                    batch_format="pyarrow",
+                )
             )
-            ex.write_parquet(tmp_dir)
-            return -1, {"input": _path}
+        ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
 
-        runner.run(f"extract/shard-{i:05d}", [path], build_extract_shard)
+        def extract_keep_shard(batch: "pa.Table") -> "pa.Table":
+            shard_col = batch.column("shard")
+            out = extract_pages_batch(batch.drop_columns(["shard"]))
+            # blocks never span input files, so the batch has one shard id
+            sid = shard_col[0].as_py() if batch.num_rows else -1
+            return out.append_column(
+                "shard", pa.array([sid] * out.num_rows, pa.int32())
+            )
+
+        ds.map_batches(
+            extract_keep_shard, batch_format="pyarrow", zero_copy_batch=True
+        ).write_parquet(partial, partition_cols=["shard"])
+
+        for i, path in pending:
+            sdir = runner.stage_dir(f"extract/shard-{i:05d}")
+            src = os.path.join(partial, f"shard={i}")
+            shutil.rmtree(sdir, ignore_errors=True)
+            if os.path.exists(src):
+                os.replace(src, sdir)
+            else:  # shard produced no rows (e.g. all-null input)
+                os.makedirs(sdir, exist_ok=True)
+            outputs = sorted(
+                f for f in os.listdir(sdir) if f.endswith(".parquet")
+            )
+            StageManifest(
+                stage=f"extract/shard-{i:05d}",
+                input_fingerprint=fingerprint_paths([path]),
+                output_files=outputs,
+                extra={"input": path},
+            ).write(sdir)
+            runner.log.append(f"ran extract/shard-{i:05d}: {len(outputs)} files")
+        shutil.rmtree(partial, ignore_errors=True)
 
     # -- stage 2: link ----------------------------------------------------
     def build_link(tmp_dir):
