@@ -92,6 +92,15 @@ def test_checkpoint_pipeline_and_resume(ray_session, tmp_path):
     adj = os.path.join(out_dir, "adjacency")
     assert any(d.startswith("part=") for d in os.listdir(adj))
 
+    # crash-recovery: losing a mid-pipeline checkpoint re-runs only that
+    # stage and its dependents; upstream stages stay skipped
+    os.remove(os.path.join(out_dir, "canonical", "MANIFEST.json"))
+    runner_crash = run_forge_pipeline(paths, out_dir, write_nt=True)
+    ran = {l.split()[1].rstrip(":") for l in runner_crash.log
+           if l.startswith("ran ")}
+    assert "canonical" in ran
+    assert not any(s.startswith("extract") or s == "linked" for s in ran)
+
     # incremental input: one new shard runs; finished shards skip
     from graphforge_ray.fixtures import write_pages_parquet as wpp
 
