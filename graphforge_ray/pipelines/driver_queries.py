@@ -277,7 +277,7 @@ def q_events_hourly(sf_dir: str):
     ds = _t(sf_dir, "events", ["user_id", "ts", "value"])
 
     def add_hour(batch: pa.Table) -> pa.Table:
-        us = pc.cast(batch["ts"], pa.int64())
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
         hour = pc.divide(us, pa.scalar(3_600_000_000, pa.int64()))
         return pa.Table.from_arrays(
             [batch["user_id"], hour, batch["value"]],
@@ -299,6 +299,63 @@ SQL_EVENTS_HOURLY = """
 SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
        COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
 FROM events GROUP BY user_id, hour
+"""
+
+
+def q_user_sessions(sf_dir: str):
+    """Session windows (30-min gap) per user — groupby(key) shuffle +
+    per-group vectorized gaps-and-islands (stages/windows.session_window);
+    oracle = SQL LAG + cumulative-SUM islands."""
+    from ..stages.windows import session_window
+
+    ev = _t(sf_dir, "events", ["user_id", "ts", "value"])
+    return session_window(ev, gap_us=1_800_000_000)
+
+
+SQL_USER_SESSIONS = """
+WITH t AS (
+    SELECT user_id, epoch_us(ts) AS us, value,
+           CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+), s AS (
+    SELECT user_id, us, value,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM t
+)
+SELECT user_id, MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+def q_events_sliding(sf_dir: str):
+    """Sliding windows (1 h size, 30 min slide): map-side fan-out to the
+    containing windows, then one grouped aggregate (stages/windows)."""
+    from ..stages.windows import sliding_window
+
+    ev = _t(sf_dir, "events", ["user_id", "ts", "value"])
+    return sliding_window(
+        ev, size_us=3_600_000_000, slide_us=1_800_000_000
+    )
+
+
+SQL_EVENTS_SLIDING = """
+SELECT user_id, w AS window_start_us,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM (
+    SELECT user_id,
+           (epoch_us(ts) // 1800000000) * 1800000000 AS w, value
+    FROM events
+    UNION ALL
+    SELECT user_id,
+           (epoch_us(ts) // 1800000000) * 1800000000 - 1800000000 AS w, value
+    FROM events
+)
+GROUP BY user_id, w
 """
 
 
@@ -571,6 +628,8 @@ QUERIES = {
     "union_names": q_union_names,
     "revenue_filter": q_revenue_filter,
     "events_hourly": q_events_hourly,
+    "user_sessions": q_user_sessions,
+    "events_sliding": q_events_sliding,
     "part_hierarchy_closure": q_part_hierarchy_closure,
     "rml_documents_triples": q_rml_documents_triples,
     "triples_pred_counts": q_triples_pred_counts,
@@ -597,6 +656,8 @@ ORACLES = {
     "union_names": SQL_UNION_NAMES,
     "revenue_filter": SQL_REVENUE_FILTER,
     "events_hourly": SQL_EVENTS_HOURLY,
+    "user_sessions": SQL_USER_SESSIONS,
+    "events_sliding": SQL_EVENTS_SLIDING,
     "part_hierarchy_closure": SQL_PART_HIERARCHY_CLOSURE,
     "rml_documents_triples": SQL_RML_DOCUMENTS_TRIPLES,
     "triples_pred_counts": SQL_TRIPLES_PRED_COUNTS,

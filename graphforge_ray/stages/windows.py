@@ -1,0 +1,163 @@
+"""Windowed aggregations over a keyed event stream.
+
+Ray Data is a batch/streaming-batch engine with no event-time watermark
+machinery (the reference has none either — SURVEY §2.9); stream-shaped
+inputs are treated as an ordered, partitioned log: partition by key with a
+``groupby(key)`` shuffle, sort within the group by timestamp, and compute
+the windows per group with vectorized pandas (ray_guide "Streaming-shaped
+workloads"). Ordering assumption: one group fits a worker (per-user event
+counts are bounded); the shuffle key is the entity key, so skew follows
+entity activity — salt a pathological hot key upstream if needed.
+
+* ``tumbling_window``  — fixed-size buckets (ts // size)
+* ``sliding_window``   — fixed windows every ``slide`` (size > slide →
+                         overlapping; an event lands in size/slide windows)
+* ``session_window``   — gaps-and-islands: a new session starts when the
+                         gap to the previous event exceeds ``gap`` (exactly
+                         expressible in SQL with LAG + cumulative SUM —
+                         the driver oracle uses that formulation)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+__all__ = ["tumbling_window", "sliding_window", "session_window"]
+
+US = 1_000_000
+
+
+def _ts_us(series: pd.Series) -> np.ndarray:
+    return series.astype("datetime64[us]").astype("int64").to_numpy()
+
+
+def tumbling_window(
+    events: "ray.data.Dataset",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    size_us: int = 3600 * US,
+) -> "ray.data.Dataset":
+    """→ (key, window_start_us, n, sum_value) — one row per non-empty
+    window. Implemented as a pure groupby on (key, bucket): no per-group
+    sort needed for tumbling windows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+
+    def bucket(batch: "pa.Table") -> "pa.Table":
+        # normalize resolution first: pandas-born timestamps are ns,
+        # parquet-born are us — cast to timestamp[us] before int64
+        us = pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64())
+        start = pc.multiply(
+            pc.divide(us, pa.scalar(size_us, pa.int64())),
+            pa.scalar(size_us, pa.int64()),
+        )
+        return pa.Table.from_arrays(
+            [batch[key], start, batch[value_col]],
+            names=[key, "window_start_us", value_col],
+        )
+
+    agg = (
+        events.map_batches(bucket, batch_format="pyarrow")
+        .groupby([key, "window_start_us"])
+        .aggregate(Count(alias_name="n"), Sum(value_col, alias_name="sum_value"))
+    )
+    return agg.map_batches(
+        lambda df: df.assign(sum_value=df["sum_value"].round(2)),
+        batch_format="pandas",
+    )
+
+
+def sliding_window(
+    events: "ray.data.Dataset",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    size_us: int = 3600 * US,
+    slide_us: int = 1800 * US,
+) -> "ray.data.Dataset":
+    """→ (key, window_start_us, n, sum_value). Each event fans out
+    map-side to every window containing it (size/slide rows), then the
+    same grouped aggregate as tumbling — no per-group state."""
+    from ray.data.aggregate import Count, Sum
+
+    fanout = int(np.ceil(size_us / slide_us))
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        us = _ts_us(df[ts_col])
+        frames = []
+        for i in range(fanout):
+            start = ((us - i * slide_us) // slide_us) * slide_us
+            keep = (us >= start) & (us < start + size_us)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        key: df[key].to_numpy()[keep],
+                        "window_start_us": start[keep],
+                        value_col: df[value_col].to_numpy()[keep],
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {key: [], "window_start_us": [], value_col: []}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    agg = (
+        events.map_batches(explode, batch_format="pandas")
+        .groupby([key, "window_start_us"])
+        .aggregate(Count(alias_name="n"), Sum(value_col, alias_name="sum_value"))
+    )
+    return agg.map_batches(
+        lambda df: df.assign(sum_value=df["sum_value"].round(2)),
+        batch_format="pandas",
+    )
+
+
+def session_window(
+    events: "ray.data.Dataset",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_us: int = 1800 * US,
+) -> "ray.data.Dataset":
+    """→ (key, session_start_us, session_end_us, n, sum_value) — sessions
+    split where the inter-event gap exceeds ``gap_us``. groupby(key) →
+    per-group ts sort → vectorized gaps-and-islands."""
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="stable")
+        us = _ts_us(g[ts_col])
+        new_session = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new_session[1:] = (us[1:] - us[:-1]) > gap_us
+        session_id = np.cumsum(new_session)
+        out = (
+            pd.DataFrame(
+                {
+                    key: g[key].to_numpy(),
+                    "_sid": session_id,
+                    "_us": us,
+                    value_col: g[value_col].to_numpy(),
+                }
+            )
+            .groupby([key, "_sid"], as_index=False)
+            .agg(
+                session_start_us=("_us", "min"),
+                session_end_us=("_us", "max"),
+                n=("_us", "size"),
+                sum_value=(value_col, "sum"),
+            )
+        )
+        out["sum_value"] = out["sum_value"].round(2)
+        out["n"] = out["n"].astype("int64")
+        return out.drop(columns=["_sid"])
+
+    return events.groupby(key).map_groups(sessions, batch_format="pandas")

@@ -1,0 +1,59 @@
+"""Windowed-aggregation tests (stages/windows): tumbling, sliding,
+session semantics on a hand-computable event log."""
+
+import pandas as pd
+import pytest
+
+from graphforge_ray.stages.windows import (
+    session_window,
+    sliding_window,
+    tumbling_window,
+)
+
+US = 1_000_000
+H = 3600 * US
+
+
+@pytest.fixture(scope="module")
+def events_ds(ray_session):
+    import ray.data as rd
+
+    rows = [
+        # user 1: two events in hour 0, one in hour 2 (session gap)
+        {"user_id": 1, "ts": pd.Timestamp(10 * US * 60, unit="us"), "value": 1.0},
+        {"user_id": 1, "ts": pd.Timestamp(20 * US * 60, unit="us"), "value": 2.0},
+        {"user_id": 1, "ts": pd.Timestamp(2 * H + 5 * US * 60, unit="us"), "value": 4.0},
+        # user 2: single event
+        {"user_id": 2, "ts": pd.Timestamp(30 * US * 60, unit="us"), "value": 8.0},
+    ]
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def test_tumbling(events_ds):
+    out = tumbling_window(events_ds, size_us=H).to_pandas()
+    key = out.set_index(["user_id", "window_start_us"])
+    assert key.loc[(1, 0), "n"] == 2 and key.loc[(1, 0), "sum_value"] == 3.0
+    assert key.loc[(1, 2 * H), "n"] == 1
+    assert key.loc[(2, 0), "sum_value"] == 8.0
+
+
+def test_sliding_fanout(events_ds):
+    out = sliding_window(events_ds, size_us=H, slide_us=H // 2).to_pandas()
+    key = out.set_index(["user_id", "window_start_us"])
+    # window [-30min, 30min) and [0, 60min) both contain the min-10 and
+    # min-20 events (each event fans out to 2 windows)
+    assert key.loc[(1, -H // 2), "n"] == 2
+    assert key.loc[(1, 0), "n"] == 2
+    # window starting 00:00 for user2 contains the 30-min event
+    assert key.loc[(2, 0), "n"] == 1 and key.loc[(2, H // 2), "n"] == 1
+
+
+def test_sessions(events_ds):
+    out = session_window(events_ds, gap_us=30 * 60 * US).to_pandas()
+    u1 = out[out["user_id"] == 1].sort_values("session_start_us")
+    assert len(u1) == 2                       # hour-0 pair, hour-2 single
+    first = u1.iloc[0]
+    assert first["n"] == 2 and first["sum_value"] == 3.0
+    assert first["session_start_us"] == 10 * 60 * US
+    assert first["session_end_us"] == 20 * 60 * US
+    assert len(out[out["user_id"] == 2]) == 1
