@@ -1,23 +1,27 @@
-"""Turtle subset parser.
+"""Turtle parser (full grammar for the constructs real corpora use).
 
 The reference parses Turtle with N3.js (``parseWithN3`` at
-/root/reference/docs/scripts/document.js:702-717). We hand-roll a parser for
-the well-defined subset our corpus uses (no external RDF libraries exist in
-this environment):
+/root/reference/docs/scripts/document.js:702-717). We hand-roll a
+recursive-descent parser (no external RDF libraries exist in this
+environment) covering:
 
 * ``@prefix p: <iri> .`` / SPARQL-style ``PREFIX p: <iri>``
 * triple statements with ``;`` (predicate lists) and ``,`` (object lists)
 * terms: ``<iri>``, ``prefix:local`` CURIEs, ``a`` (→ rdf:type),
-  ``"literal"`` with ``\\``-escapes, ``@lang`` tags, ``^^datatype``,
-  bare integers / decimals / booleans (typed literals, like N3.js),
-  blank node labels ``_:name``
+  ``"literal"`` / ``'literal'`` with ``\\``-escapes, triple-quoted
+  ``\"\"\"…\"\"\"`` / ``'''…'''`` long strings, ``@lang`` tags,
+  ``^^datatype``, numeric literals incl. exponents (``4.2e-3`` →
+  xsd:double), booleans, blank node labels ``_:name``
+* anonymous blank nodes ``[ pred obj ; … ]`` (fresh ``_:anonN`` labels,
+  nested to any depth — every OWL restriction is one of these)
+* collections ``( a b c )`` → rdf:first / rdf:rest / rdf:nil chains
 * ``#`` comments outside quoted strings
 
-Out of scope (documented): collections ``( .. )``, anonymous bnodes
-``[ .. ]``, triple-quoted strings, numeric exponents. The fixture generator
-stays inside the subset; real-corpus rows that fail to parse are routed to a
-quarantine count rather than failing the job (reference rejects the file:
-document.js:673-676).
+Out of scope (documented): ``@base`` / relative IRI resolution (raises →
+quarantine, mirroring the reference's file-reject at document.js:673-676).
+All token access is bounds-checked: truncated payloads raise
+``TurtleParseError`` (never IndexError), so poison rows quarantine instead
+of killing the extract task.
 
 Terms are returned as ``(subj, pred, obj, obj_is_iri, obj_lang,
 obj_datatype)``; literal values carry their lexical form.
@@ -29,7 +33,11 @@ import re
 
 __all__ = ["parse_turtle", "TurtleParseError"]
 
-RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDF_TYPE = RDF_NS + "type"
+RDF_FIRST = RDF_NS + "first"
+RDF_REST = RDF_NS + "rest"
+RDF_NIL = RDF_NS + "nil"
 XSD = "http://www.w3.org/2001/XMLSchema#"
 
 
@@ -42,13 +50,14 @@ _TOKEN = re.compile(
     (?P<ws>\s+)
   | (?P<comment>\#[^\n]*)
   | (?P<iri><[^<>"{}|^`\\\s]*>)
-  | (?P<literal>"(?:[^"\\]|\\.)*")
+  | (?P<literal3>\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\"|'''(?:[^'\\]|\\.|'(?!''))*''')
+  | (?P<literal>"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*')
   | (?P<prefix_kw>@prefix\b|@base\b)
   | (?P<langtag>@[a-zA-Z][a-zA-Z0-9-]*)
   | (?P<dtype>\^\^)
-  | (?P<number>[+-]?\d+\.\d+|[+-]?\d+(?=[\s;,]|\.\s|$))
-  | (?P<punct>[.;,])
-  | (?P<curie_or_word>[^\s.;,"<>@^]+\b:?[^\s.;,"<>@^]*)
+  | (?P<number>[+-]?(?:\d+\.\d*[eE][+-]?\d+|\.\d+[eE][+-]?\d+|\d+[eE][+-]?\d+|\d*\.\d+|\d+))
+  | (?P<punct>[.;,\[\]()])
+  | (?P<curie_or_word>[^\s.;,"'<>@^\[\]()]+\b:?[^\s.;,"'<>@^\[\]()]*)
     """,
     re.VERBOSE,
 )
@@ -58,7 +67,11 @@ _ESCAPES = {
     '"': '"', "'": "'", "\\": "\\",
 }
 
-_NUMBER = re.compile(r"^[+-]?\d+(\.\d+)?$")
+_NUMBER = re.compile(
+    r"^[+-]?(?:\d+\.\d*[eE][+-]?\d+|\.\d+[eE][+-]?\d+|\d+[eE][+-]?\d+"
+    r"|\d*\.\d+|\d+)$"
+)
+_EXPONENT = re.compile(r"[eE][+-]?\d+")
 
 
 def _unescape(s: str) -> str:
@@ -68,11 +81,11 @@ def _unescape(s: str) -> str:
         c = s[i]
         if c == "\\" and i + 1 < len(s):
             nxt = s[i + 1]
-            if nxt == "u" and i + 5 < len(s) + 1:
+            if nxt == "u" and i + 6 <= len(s) - 0:
                 out.append(chr(int(s[i + 2 : i + 6], 16)))
                 i += 6
                 continue
-            if nxt == "U" and i + 9 < len(s) + 1:
+            if nxt == "U" and i + 10 <= len(s):
                 out.append(chr(int(s[i + 2 : i + 10], 16)))
                 i += 10
                 continue
@@ -84,13 +97,23 @@ def _unescape(s: str) -> str:
     return "".join(out)
 
 
+def _number_datatype(lexical: str) -> str:
+    if _EXPONENT.search(lexical):
+        return XSD + "double"
+    if "." in lexical:
+        return XSD + "decimal"
+    return XSD + "integer"
+
+
 def _tokens(text: str):
     pos = 0
     n = len(text)
     while pos < n:
         m = _TOKEN.match(text, pos)
         if not m:
-            raise TurtleParseError(f"lex error at offset {pos}: {text[pos:pos+40]!r}")
+            raise TurtleParseError(
+                f"lex error at offset {pos}: {text[pos:pos+40]!r}"
+            )
         pos = m.end()
         kind = m.lastgroup
         if kind in ("ws", "comment"):
@@ -98,20 +121,51 @@ def _tokens(text: str):
         yield kind, m.group()
 
 
-def parse_turtle(
-    text: str,
-) -> tuple[list[tuple[str, str, str, bool, str, str]], dict[str, str]]:
-    """Parse a Turtle document (subset). Returns ``(triples, prefixes)``
-    where each triple is ``(subj, pred, obj, obj_is_iri, obj_lang,
-    obj_datatype)``."""
-    prefixes: dict[str, str] = {}
-    triples: list[tuple[str, str, str, bool, str, str]] = []
-    toks = list(_tokens(text))
-    i = 0
-    n = len(toks)
+class _Parser:
+    """Recursive-descent Turtle parser. Every token access goes through
+    ``tok()`` which raises TurtleParseError on EOF — truncated documents
+    can never escape as IndexError."""
 
-    def expand(kind: str, val: str) -> tuple[str, bool]:
-        """Resolve a term token → (value, is_iri)."""
+    def __init__(self, text: str):
+        self.toks = list(_tokens(text))
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+        self.triples: list[tuple[str, str, str, bool, str, str]] = []
+        self._anon = 0
+
+    # -- token plumbing ----------------------------------------------------
+
+    def at_end(self) -> bool:
+        return self.i >= len(self.toks)
+
+    def tok(self) -> tuple[str, str]:
+        if self.i >= len(self.toks):
+            raise TurtleParseError("unexpected end of input")
+        return self.toks[self.i]
+
+    def advance(self) -> tuple[str, str]:
+        t = self.tok()
+        self.i += 1
+        return t
+
+    def is_punct(self, ch: str) -> bool:
+        return not self.at_end() and self.toks[self.i] == ("punct", ch)
+
+    def expect_punct(self, ch: str) -> None:
+        if not self.is_punct(ch):
+            got = None if self.at_end() else self.toks[self.i]
+            raise TurtleParseError(f"expected {ch!r}, got {got!r}")
+        self.i += 1
+
+    def fresh_bnode(self) -> str:
+        label = f"_:anon{self._anon}"
+        self._anon += 1
+        return label
+
+    # -- term resolution ---------------------------------------------------
+
+    def expand(self, kind: str, val: str) -> tuple[str, bool]:
+        """Resolve an IRI-ish token → (value, is_iri)."""
         if kind == "iri":
             return val[1:-1], True
         if kind == "curie_or_word":
@@ -121,82 +175,134 @@ def parse_turtle(
                 return val, True  # blank node label (IRI-kind term)
             if ":" in val:
                 pfx, local = val.split(":", 1)
-                base = prefixes.get(pfx)
+                base = self.prefixes.get(pfx)
                 if base is None:
                     raise TurtleParseError(f"undefined prefix {pfx!r}")
                 return base + local, True
             raise TurtleParseError(f"bare word {val!r}")
         raise TurtleParseError(f"unexpected term token {kind}:{val!r}")
 
-    while i < n:
-        kind, val = toks[i]
-        # prefix directives
-        if kind == "prefix_kw" or (kind == "curie_or_word" and val.upper() == "PREFIX"):
-            is_at = kind == "prefix_kw"
-            if val == "@base":
-                raise TurtleParseError("@base not supported")
-            pk, pv = toks[i + 1]
-            if pk != "curie_or_word" or not pv.endswith(":"):
-                raise TurtleParseError(f"bad prefix name {pv!r}")
-            ik, iv = toks[i + 2]
-            if ik != "iri":
-                raise TurtleParseError(f"bad prefix iri {iv!r}")
-            prefixes[pv[:-1]] = iv[1:-1]
-            i += 3
-            if is_at:
-                if i >= n or toks[i] != ("punct", "."):
-                    raise TurtleParseError("@prefix missing terminating '.'")
-                i += 1
-            elif i < n and toks[i] == ("punct", "."):
-                i += 1
-            continue
+    def node(self, allow_literal: bool) -> tuple[str, bool, str, str]:
+        """Parse one node (term, anon bnode, or collection) →
+        (value, is_iri, lang, datatype)."""
+        kind, val = self.tok()
+        if kind == "punct" and val == "[":
+            self.i += 1
+            label = self.fresh_bnode()
+            if not self.is_punct("]"):
+                self.predicate_object_list(label)
+            self.expect_punct("]")
+            return label, True, "", ""
+        if kind == "punct" and val == "(":
+            return self.collection(), True, "", ""
+        if kind in ("literal", "literal3"):
+            self.i += 1
+            q = 3 if kind == "literal3" else 1
+            obj = _unescape(val[q:-q])
+            lang, dtype = "", ""
+            if not self.at_end():
+                nk, nv = self.toks[self.i]
+                if nk == "langtag":
+                    lang = nv[1:]
+                    self.i += 1
+                elif nk == "dtype":
+                    self.i += 1
+                    dk, dv = self.advance()
+                    dtype, _ = self.expand(dk, dv)
+            if not allow_literal:
+                raise TurtleParseError("literal not allowed as subject")
+            return obj, False, lang, dtype
+        if kind == "number" or (kind == "curie_or_word" and _NUMBER.match(val)):
+            if not allow_literal:
+                raise TurtleParseError("literal not allowed as subject")
+            self.i += 1
+            return val, False, "", _number_datatype(val)
+        if kind == "curie_or_word" and val in ("true", "false"):
+            if not allow_literal:
+                raise TurtleParseError("literal not allowed as subject")
+            self.i += 1
+            return val, False, "", XSD + "boolean"
+        value, is_iri = self.expand(kind, val)
+        self.i += 1
+        return value, is_iri, "", ""
 
-        # subject
-        subj, _ = expand(kind, val)
-        i += 1
+    def collection(self) -> str:
+        """``( item item … )`` → rdf:first/rdf:rest chain; returns the head
+        term (rdf:nil for the empty collection)."""
+        self.expect_punct("(")
+        items: list[tuple[str, bool, str, str]] = []
+        while not self.is_punct(")"):
+            items.append(self.node(allow_literal=True))
+        self.expect_punct(")")
+        if not items:
+            return RDF_NIL
+        labels = [self.fresh_bnode() for _ in items]
+        for idx, (label, item) in enumerate(zip(labels, items)):
+            value, is_iri, lang, dtype = item
+            self.triples.append((label, RDF_FIRST, value, is_iri, lang, dtype))
+            rest = labels[idx + 1] if idx + 1 < len(labels) else RDF_NIL
+            self.triples.append((label, RDF_REST, rest, True, "", ""))
+        return labels[0]
+
+    # -- grammar -----------------------------------------------------------
+
+    def predicate_object_list(self, subj: str) -> None:
         while True:
-            # predicate
-            pk, pv = toks[i]
-            pred, _ = expand(pk, pv)
-            i += 1
+            pk, pv = self.advance()
+            pred, _ = self.expand(pk, pv)
             while True:
-                # object
-                ok, ov = toks[i]
-                i += 1
-                lang, dtype = "", ""
-                if ok == "literal":
-                    obj, is_iri = _unescape(ov[1:-1]), False
-                    if i < n and toks[i][0] == "langtag":
-                        lang = toks[i][1][1:]
-                        i += 1
-                    elif i < n and toks[i][0] == "dtype":
-                        dk, dv = toks[i + 1]
-                        dtype, _ = expand(dk, dv)
-                        i += 2
-                elif ok == "number" or (ok == "curie_or_word" and _NUMBER.match(ov)):
-                    obj, is_iri = ov, False
-                    dtype = XSD + ("decimal" if "." in ov else "integer")
-                elif ok == "curie_or_word" and ov in ("true", "false"):
-                    obj, is_iri = ov, False
-                    dtype = XSD + "boolean"
-                else:
-                    obj, is_iri = expand(ok, ov)
-                triples.append((subj, pred, obj, is_iri, lang, dtype))
-                if toks[i] == ("punct", ","):
-                    i += 1
+                value, is_iri, lang, dtype = self.node(allow_literal=True)
+                self.triples.append((subj, pred, value, is_iri, lang, dtype))
+                if self.is_punct(","):
+                    self.i += 1
                     continue
                 break
-            if toks[i] == ("punct", ";"):
-                i += 1
-                # allow trailing ';' before '.'
-                if toks[i] == ("punct", "."):
-                    i += 1
-                    break
+            if self.is_punct(";"):
+                self.i += 1
+                while self.is_punct(";"):  # N3.js tolerates ';;'
+                    self.i += 1
+                # trailing ';' before '.' or ']'
+                if self.at_end() or self.is_punct(".") or self.is_punct("]"):
+                    return
                 continue
-            if toks[i] == ("punct", "."):
-                i += 1
-                break
-            raise TurtleParseError(f"expected . ; or , got {toks[i]!r}")
-        continue
+            return
 
-    return triples, prefixes
+    def directive(self) -> None:
+        kind, val = self.advance()
+        is_at = kind == "prefix_kw"
+        if val == "@base" or val.upper() == "BASE":
+            raise TurtleParseError("@base not supported")
+        pk, pv = self.advance()
+        if pk != "curie_or_word" or not pv.endswith(":"):
+            raise TurtleParseError(f"bad prefix name {pv!r}")
+        ik, iv = self.advance()
+        if ik != "iri":
+            raise TurtleParseError(f"bad prefix iri {iv!r}")
+        self.prefixes[pv[:-1]] = iv[1:-1]
+        if is_at:
+            self.expect_punct(".")
+        elif self.is_punct("."):
+            self.i += 1
+
+    def parse(self):
+        while not self.at_end():
+            kind, val = self.tok()
+            if kind == "prefix_kw" or (
+                kind == "curie_or_word" and val.upper() in ("PREFIX", "BASE")
+            ):
+                self.directive()
+                continue
+            subj, is_iri, _lang, _dtype = self.node(allow_literal=False)
+            # a bare '[ … ] .' statement needs no predicate-object list
+            if not self.is_punct("."):
+                self.predicate_object_list(subj)
+            self.expect_punct(".")
+        return self.triples, self.prefixes
+
+
+def parse_turtle(
+    text: str,
+) -> tuple[list[tuple[str, str, str, bool, str, str]], dict[str, str]]:
+    """Parse a Turtle document. Returns ``(triples, prefixes)`` where each
+    triple is ``(subj, pred, obj, obj_is_iri, obj_lang, obj_datatype)``."""
+    return _Parser(text).parse()

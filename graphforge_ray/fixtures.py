@@ -152,13 +152,24 @@ def _turtle_payload(i: int, seed: int, rich: int = 1) -> str:
         for r in range(rich - 1)
     )
     # duplicate-across-rows triple: every turtle row re-asserts the mid→Top
-    # subclass edge (set semantics must collapse it).
+    # subclass edge (set semantics must collapse it). The owl:Restriction
+    # bnode `[ … ]`, the ingredient collection `( … )`, the triple-quoted
+    # description and the exponent literal exercise the full Turtle grammar
+    # (every OWL ontology in the wild uses the `[ ]` form).
     return f"""@prefix ex: <{ENTITY_BASE}> .
 @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
 @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
 ex:{name} a ex:{mid} ;
     rdfs:label "{name}"@en ;
     ex:price {price} ;
+    ex:density {1 + _h(i, 'dn', seed) % 9}.{_h(i, 'df', seed) % 100}e-2 ;
+    rdfs:subClassOf [ a owl:Restriction ;
+        owl:onProperty ex:servedAt ;
+        owl:someValuesFrom ex:{_DOMAINS[_h(i, 'rv', seed) % 3].split('.')[0]} ] ;
+    ex:ingredients ( ex:Flour ex:Water "salt {_h(i, 'ig', seed) % 3}" ) ;
+    rdfs:comment \"\"\"A {name}:
+a "{mid}" variant, fixture #{_h(i, 'tc', seed) % 1000}.\"\"\"@en ;
     ex:servedWith "salad {_h(i, 'sw', seed) % 5}" .
 ex:{mid} rdfs:subClassOf ex:{_TOP_CLASS} .
 ex:order{_h(i, 'ord', seed) % 1000} ex:contains ex:{name} ;

@@ -27,6 +27,8 @@ dies here — only narrow rows enter any shuffle (SURVEY §4.3 "wide records").
 
 from __future__ import annotations
 
+import re
+
 import pyarrow as pa
 
 from ..extract.html_text import extract_text_and_anchors
@@ -65,6 +67,9 @@ EXTRACT_SCHEMA = pa.schema(
 )
 
 
+_NT_LINE = re.compile(rb"^<[^<>\s]+>\s+<[^<>\s]+>\s")
+
+
 def sniff_kind(payload: bytes) -> str:
     """Content-sniff the payload format (production rows have no file
     extension; mirrors the reference's extension dispatch semantics)."""
@@ -80,10 +85,15 @@ def sniff_kind(payload: bytes) -> str:
         return "html"
     if head.startswith(b"{") or head.startswith(b"["):
         return "json"
-    if head.startswith(b"<"):  # bare N-Triples-ish or unknown XML
-        return "rdfxml"
-    if b" ." in head and (head.startswith(b"<") or head.startswith(b"_:")):
+    # N-Triples line shape BEFORE the bare-'<' XML fallback: '<s> <p> …'
+    # (an XML tag can't contain the '>' + whitespace + '<iri>' sequence
+    # this requires), terminated by ' .' somewhere in the head.
+    if b" ." in head and (
+        _NT_LINE.match(head) or head.startswith(b"_:")
+    ):
         return "ntriples"
+    if head.startswith(b"<"):  # unknown XML dialect
+        return "rdfxml"
     return "unknown"
 
 
@@ -161,7 +171,11 @@ def _extract_one(out: _Out, url: str, payload: bytes) -> None:
         else:
             out.add(url, PRED_QUARANTINE, "unsupported format", False, "",
                     "", "", url, score=0.0, kind=kind)
-    except (RdfXmlParseError, TurtleParseError, ValueError) as e:
+    except Exception as e:  # noqa: BLE001 — poison rows quarantine, never
+        # kill the task: at 10^12 documents ANY parser defect on a single
+        # malformed payload must degrade to a quarantine row (the typed
+        # errors — RdfXmlParseError/TurtleParseError/ValueError — are the
+        # expected cases; the broad catch is last-line defense).
         out.add(url, PRED_QUARANTINE, f"{type(e).__name__}: {e}", False,
                 "", "", "", url, score=0.0, kind=kind)
 

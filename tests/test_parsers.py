@@ -138,3 +138,159 @@ def test_map_json_text_script_block():
 def test_map_json_text_garbage_is_empty():
     assert map_json_text("<html><body>no json</body></html>") == []
     assert map_json_text("{broken json") == []
+
+
+# -- Turtle full-grammar additions (anon bnodes, collections, long strings,
+# exponents) — reference parity: N3.js accepts all of these
+# (document.js:702-717) ------------------------------------------------------
+
+def test_turtle_anonymous_bnode_owl_restriction():
+    triples, _ = parse_turtle(
+        f"@prefix ex: <{EX}> .\n"
+        "@prefix owl: <http://www.w3.org/2002/07/owl#> .\n"
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+        "ex:A rdfs:subClassOf [ a owl:Restriction ;\n"
+        "    owl:onProperty ex:hasTopping ;\n"
+        "    owl:someValuesFrom ex:Cheese ] .\n"
+    )
+    # the bnode links subject to the restriction triple set
+    sub = [t for t in triples if t[1].endswith("subClassOf")]
+    assert len(sub) == 1
+    bnode = sub[0][2]
+    assert bnode.startswith("_:anon")
+    nested = {t[1] for t in triples if t[0] == bnode}
+    assert "http://www.w3.org/2002/07/owl#onProperty" in nested
+    assert RDF_TYPE in nested
+
+
+def test_turtle_nested_anonymous_bnodes():
+    triples, _ = parse_turtle(
+        f"@prefix ex: <{EX}> .\n"
+        "ex:x ex:p [ ex:q [ ex:r ex:y ] ] .\n"
+        "[ ex:standalone ex:z ] .\n"
+    )
+    outer = next(t[2] for t in triples if t[0] == f"{EX}x")
+    inner = next(t[2] for t in triples if t[0] == outer)
+    assert (inner, f"{EX}r", f"{EX}y", True, "", "") in triples
+    assert any(t[1] == f"{EX}standalone" for t in triples)
+
+
+def test_turtle_collection_first_rest_nil():
+    from graphforge_ray.extract.turtle import RDF_FIRST, RDF_NIL, RDF_REST
+
+    triples, _ = parse_turtle(
+        f"@prefix ex: <{EX}> .\nex:s ex:list ( ex:a \"two\" 3 ) .\n"
+        "ex:s ex:empty () .\n"
+    )
+    head = next(t[2] for t in triples if t[1] == f"{EX}list")
+    firsts, node, order = {}, head, []
+    rests = {t[0]: t[2] for t in triples if t[1] == RDF_REST}
+    first_of = {t[0]: t[2] for t in triples if t[1] == RDF_FIRST}
+    while node != RDF_NIL:
+        order.append(first_of[node])
+        node = rests[node]
+    assert order == [f"{EX}a", "two", "3"]
+    assert next(t[2] for t in triples if t[1] == f"{EX}empty") == RDF_NIL
+
+
+def test_turtle_triple_quoted_strings():
+    triples, _ = parse_turtle(
+        f'@prefix ex: <{EX}> .\n'
+        'ex:a ex:doc """multi\nline with "quotes" inside"""@en .\n'
+        "ex:a ex:doc2 '''single-quoted\nlong''' .\n"
+    )
+    objs = {t[2] for t in triples}
+    assert 'multi\nline with "quotes" inside' in objs
+    assert "single-quoted\nlong" in objs
+    assert any(t[4] == "en" for t in triples)
+
+
+def test_turtle_numeric_exponents():
+    triples, _ = parse_turtle(
+        f"@prefix ex: <{EX}> .\n"
+        "ex:a ex:v 4.2e-3 , 1E10 , .5e2 , -3e+1 , .25 .\n"
+    )
+    got = {(t[2], t[5].rsplit("#", 1)[-1]) for t in triples}
+    assert got == {
+        ("4.2e-3", "double"), ("1E10", "double"), (".5e2", "double"),
+        ("-3e+1", "double"), (".25", "decimal"),
+    }
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "@prefix ex: <http://e/> .\nex:a ex:b",          # missing object+dot
+        "@prefix ex: <http://e/> .\nex:a ex:b \"open",   # unterminated quote
+        "@prefix ex:",                                     # truncated directive
+        "@prefix ex: <http://e/> .\nex:a ex:b ex:c ;",    # dangling ';'
+        "@prefix ex: <http://e/> .\nex:a ex:b [ ex:c ex:d .",  # unclosed '['
+        "@prefix ex: <http://e/> .\nex:a ex:b ( ex:c .",  # unclosed '('
+    ],
+)
+def test_turtle_truncated_raises_parse_error(bad):
+    """Truncated payloads raise TurtleParseError (quarantine-able), never
+    IndexError (which would kill the extract map task)."""
+    with pytest.raises(TurtleParseError):
+        parse_turtle(bad)
+
+
+# -- sniff_kind dispatch ------------------------------------------------------
+
+def test_sniff_ntriples_not_misrouted_to_rdfxml():
+    from graphforge_ray.stages.extract import sniff_kind
+
+    assert sniff_kind(b'<http://e/s> <http://e/p> "o" .\n') == "ntriples"
+    assert sniff_kind(b'<http://e/s> <http://e/p> <http://e/o> .') == "ntriples"
+    assert sniff_kind(b'_:b0 <http://e/p> "o" .') == "ntriples"
+    assert sniff_kind(b'<?xml version="1.0"?><rdf:RDF/>') == "rdfxml"
+    assert sniff_kind(b"<unknownXml><a/></unknownXml>") == "rdfxml"
+
+
+def test_extract_quarantines_truncated_turtle():
+    """A poison turtle row lands in quarantine; the batch's good rows
+    survive (extract task never dies)."""
+    import pyarrow as pa
+
+    from graphforge_ray.stages.extract import (
+        PRED_QUARANTINE,
+        extract_pages_batch,
+    )
+
+    batch = pa.table(
+        {
+            "url": ["http://a/ok.ttl", "http://a/bad.ttl"],
+            "html": [
+                b"@prefix ex: <http://e/> .\nex:a ex:b ex:c .",
+                b"@prefix ex: <http://e/> .\nex:a ex:b",
+            ],
+        }
+    )
+    out = extract_pages_batch(batch)
+    preds = out.column("pred").to_pylist()
+    assert f"{'http://e/b'}" in preds
+    assert PRED_QUARANTINE in preds
+
+
+def test_turtle_fixture_full_grammar_no_quarantine():
+    """The turtle fixture kind uses `[ ]`, `( )`, long strings and
+    exponents; all of it must flow through extraction with zero quarantine
+    rows (VERDICT r1 item 4 done-criterion)."""
+    import pyarrow as pa
+
+    from graphforge_ray.fixtures import gen_page
+    from graphforge_ray.stages.extract import (
+        PRED_QUARANTINE,
+        extract_pages_batch,
+    )
+
+    pages = [gen_page(i) for i in range(1, 64, 4)]  # kind 1 = turtle
+    batch = pa.table(
+        {"url": [p["url"] for p in pages], "html": [p["html"] for p in pages]}
+    )
+    out = extract_pages_batch(batch)
+    preds = set(out.column("pred").to_pylist())
+    assert PRED_QUARANTINE not in preds
+    assert "http://www.w3.org/1999/02/22-rdf-syntax-ns#first" in preds
+    anon = [s for s in out.column("subj").to_pylist() if s.startswith("_:anon")]
+    assert anon
