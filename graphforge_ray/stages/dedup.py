@@ -18,10 +18,13 @@ Scale notes (how each behaves at 100 TB):
 - shingling/minhashing is map-side vectorized numpy per batch;
 - the ONLY all-to-all exchange is the (band_id, band_hash) groupby whose
   rows are 3 ints + doc_id — narrow;
-- candidate pairs are verified pairwise only within buckets (bucket size
-  is bounded by design: identical-band groups are near-dup clusters);
-- connected components run min-label propagation as iterated groupbys —
-  driver only sees the final label table when asked for survivors.
+- candidate pairs are deduped DISTRIBUTED (bucketed pair shuffle) and
+  verified distributed: texts reach the pairs via two hash joins on the
+  candidate ids — never a driver-side text dict;
+- connected components run min-label propagation as iterated groupbys
+  (see ``connected_components``) — the label table stays a Dataset and is
+  LEFT-JOINED to the corpus for final cluster assignment; the driver never
+  holds pairs, texts, or labels.
 
 All hashing is keyed blake2b / fixed-key pandas hashing — deterministic
 across processes (Python's builtin ``hash`` is per-process salted and is
@@ -44,6 +47,7 @@ from .text_analysis import content_hash_batch
 
 __all__ = [
     "exact_dedup", "shingle_minhash_batch", "minhash_lsh_candidates",
+    "verify_candidate_pairs", "connected_components",
     "minhash_dedup", "simhash_batch", "simhash_neardup_candidates",
     "ngram_jaccard", "embedding_neardup",
 ]
@@ -168,6 +172,43 @@ def _band_rows(
     )
 
 
+def _empty_pairs(id_dtype) -> pd.DataFrame:
+    """Typed empty pair frame — Ray unions blocks across tasks, and a
+    schema-less (all-object) empty frame triggers PandasBlockSchema
+    mismatch warnings and breaks downstream joins."""
+    return pd.DataFrame(
+        {"id_a": pd.Series(dtype=id_dtype), "id_b": pd.Series(dtype=id_dtype)}
+    )
+
+
+# fixed 16-byte key → deterministic across worker processes
+_PAIR_HASH_KEY = "graphforge-pairs"[:16].ljust(16, "0")
+
+
+def _dedup_pairs(
+    pairs: "ray.data.Dataset", num_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Distributed exact dedup of an (id_a, id_b) pair Dataset: within-batch
+    drop_duplicates (combiner) → coarse hash bucket → one vectorized
+    drop_duplicates per bucket. The pair set never lands on the driver."""
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["id_a", "id_b"])
+        h = pd.util.hash_pandas_object(
+            df[["id_a", "id_b"]], index=False, hash_key=_PAIR_HASH_KEY
+        )
+        return df.assign(_bucket=(h % num_buckets).astype("int32"))
+
+    def bucket_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"]).drop(columns=["_bucket"])
+
+    return (
+        pairs.map_batches(keyed, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(bucket_dedup, batch_format="pandas")
+    )
+
+
 def minhash_lsh_candidates(
     docs: "ray.data.Dataset",
     num_perm: int = 64,
@@ -175,14 +216,18 @@ def minhash_lsh_candidates(
     shingle_k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> pd.DataFrame:
-    """→ candidate pair DataFrame (id_a < id_b) from LSH bucket collisions.
+    as_dataset: bool = False,
+):
+    """→ candidate pairs (id_a < id_b) from LSH bucket collisions —
+    a Dataset when ``as_dataset=True`` (the scale path: the pair set is
+    O(corpus) on a web corpus and must stay distributed), else a pandas
+    DataFrame for interactive/test use.
 
-    Shuffle profile: one groupby on (band_id, band_hash) over narrow rows.
-    Pair explosion inside a bucket is quadratic — buckets ARE near-dup
-    groups so their size is naturally bounded; a defensive cap drops
-    degenerate buckets (e.g. empty-text collisions) with a warning row
-    rather than exploding.
+    Shuffle profile: one groupby on (band_id, band_hash) over narrow rows,
+    then a bucketed distributed pair dedup (pairs surface once per
+    colliding band otherwise). Pair explosion inside a bucket is quadratic
+    — buckets ARE near-dup groups so their size is naturally bounded; a
+    defensive cap drops degenerate buckets (e.g. empty-text collisions).
     """
     sigs = docs.map_batches(
         lambda df: shingle_minhash_batch(df, num_perm, shingle_k, id_col, text_col),
@@ -195,18 +240,21 @@ def minhash_lsh_candidates(
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(group[id_col]))
         if len(ids) < 2 or len(ids) > 200:  # degenerate-bucket cap
-            return pd.DataFrame({"id_a": [], "id_b": []})
+            return _empty_pairs(group[id_col].dtype)
         pairs = [(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]]
-        return pd.DataFrame(pairs, columns=["id_a", "id_b"])
+        out = pd.DataFrame(pairs, columns=["id_a", "id_b"])
+        return out.astype({"id_a": group[id_col].dtype, "id_b": group[id_col].dtype})
 
-    pairs = (
+    pairs_ds = _dedup_pairs(
         bands.groupby(["band_id", "band_hash"])
         .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
     )
+    if as_dataset:
+        return pairs_ds
+    pairs = pairs_ds.to_pandas()
     if pairs.empty:
         return pd.DataFrame({"id_a": [], "id_b": []})
-    return pairs.drop_duplicates().reset_index(drop=True)
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -220,6 +268,290 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return len(a & b) / len(a | b)
 
 
+def _bucket_tag(df: pd.DataFrame, key: str, num_buckets: int) -> pd.Series:
+    arr = (
+        df[key].to_numpy(dtype=object)
+        if df[key].dtype == object
+        else df[key].to_numpy()
+    )
+    return (
+        pd.util.hash_array(arr, hash_key=_PAIR_HASH_KEY) % num_buckets
+    ).astype("int32")
+
+
+def verify_candidate_pairs(
+    pairs: "ray.data.Dataset",
+    docs: "ray.data.Dataset",
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Exact n-gram Jaccard verification of LSH candidate pairs, fully
+    distributed → Dataset (id_a, id_b, jaccard) with jaccard ≥ threshold.
+
+    Texts reach the pairs via TWO distributed hash joins on the candidate
+    ids (the semi-join: only candidate docs' texts move, each shipped once
+    per join, never collected into a driver dict). Joining text onto the
+    narrow pair rows beats shipping text into every band-bucket row (which
+    would widen the LSH shuffle ×num_bands). Each join is the bucketed
+    union-groupby form with a FIXED no-null schema (``Dataset.join``'s
+    empty partitions poison downstream operators; dummy fills avoid
+    int→float null-widening). The Jaccard kernel runs inside the second
+    join's buckets, so texts never leave the shuffle — only (id_a, id_b,
+    jaccard) rows come out."""
+    # join 1: text_a onto pairs, keyed on id_a. Uniform schema
+    # (k, other, txt, _side, _bucket); no nulls anywhere.
+    p1 = pairs.map_batches(
+        lambda df: pd.DataFrame(
+            {"k": df["id_a"], "other": df["id_b"], "txt": ""}
+        ).assign(_side=np.int8(0)),
+        batch_format="pandas",
+    )
+    d1 = docs.map_batches(
+        lambda df: pd.DataFrame(
+            {"k": df[id_col], "other": df[id_col],
+             "txt": df[text_col].fillna("")}
+        ).assign(_side=np.int8(1)),
+        batch_format="pandas",
+    )
+    tagged1 = p1.union(d1).map_batches(
+        lambda df: df.assign(_bucket=_bucket_tag(df, "k", num_partitions)),
+        batch_format="pandas",
+    )
+
+    def merge1(g: pd.DataFrame):
+        l = g.loc[g["_side"] == 0, ["k", "other"]]
+        r = g.loc[g["_side"] == 1, ["k", "txt"]]
+        m = l.merge(r, on="k", how="inner")
+        if m.empty:  # typed ARROW empty: quiet + unambiguous schema
+            import pyarrow as pa
+
+            kt = pa.Array.from_pandas(g["k"].iloc[:0]).type
+            return pa.table(
+                {
+                    "k": pa.array([], kt), "other": pa.array([], kt),
+                    "txt_l": pa.array([], pa.string()),
+                    "txt_r": pa.array([], pa.string()),
+                    "_side": pa.array([], pa.int8()),
+                }
+            )
+        # → (id_a=k, id_b=other, text_a=txt); rekey on id_b for join 2
+        return pd.DataFrame(
+            {"k": m["other"], "other": m["k"], "txt_l": m["txt"], "txt_r": ""}
+        ).assign(_side=np.int8(0))
+
+    with_a = tagged1.groupby("_bucket").map_groups(merge1, batch_format="pandas")
+
+    # join 2: text_b onto (id_b=k, id_a=other, text_a=txt_l); jaccard
+    # computed IN the bucket, texts dropped before anything leaves.
+    d2 = docs.map_batches(
+        lambda df: pd.DataFrame(
+            {"k": df[id_col], "other": df[id_col], "txt_l": "",
+             "txt_r": df[text_col].fillna("")}
+        ).assign(_side=np.int8(1)),
+        batch_format="pandas",
+    )
+    tagged2 = with_a.union(d2).map_batches(
+        lambda df: df.assign(_bucket=_bucket_tag(df, "k", num_partitions)),
+        batch_format="pandas",
+    )
+
+    def merge2(g: pd.DataFrame):
+        l = g.loc[g["_side"] == 0, ["k", "other", "txt_l"]]
+        r = g.loc[g["_side"] == 1, ["k", "txt_r"]]
+        m = l.merge(r, on="k", how="inner")
+        if m.empty:
+            import pyarrow as pa
+
+            kt = pa.Array.from_pandas(g["k"].iloc[:0]).type
+            return pa.table(
+                {
+                    "id_a": pa.array([], kt), "id_b": pa.array([], kt),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        jac = np.fromiter(
+            (
+                ngram_jaccard(a, b, shingle_k)
+                for a, b in zip(m["txt_l"], m["txt_r"])
+            ),
+            dtype=np.float64,
+            count=len(m),
+        )
+        keep = jac >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": m["other"].to_numpy()[keep],
+                "id_b": m["k"].to_numpy()[keep],
+                "jaccard": np.round(jac[keep], 6),
+            }
+        )
+
+    return tagged2.groupby("_bucket").map_groups(merge2, batch_format="pandas")
+
+
+def _kv_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Distributed inner hash join of two (k, v) Datasets (identical
+    dtypes) on ``k`` → Dataset (node=v_left, label=v_right). One groupby
+    shuffle: tag each side, union (schemas identical by construction),
+    bucket on a deterministic key hash, vectorized pandas merge per
+    bucket.
+
+    Exists because Ray's acero-based ``Dataset.join`` emits ZERO-COLUMN
+    empty blocks for empty partitions; those pass through ``map_batches``
+    uncalled and crash any downstream acero join with 'No match for
+    FieldRef' — so iterative algorithms (label propagation) can't chain
+    Dataset.join. Bucketed map_groups is also the measured-faster shape
+    on this workload (CLAUDE.md: per-key aggregates 16× slower)."""
+
+    def tag(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(
+                _side=np.int8(side),
+                _bucket=_bucket_tag(df, "k", num_buckets),
+            )
+
+        return fn
+
+    both = left.map_batches(tag(0), batch_format="pandas").union(
+        right.map_batches(tag(1), batch_format="pandas")
+    )
+
+    def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["_side"] == 0, ["k", "v"]].rename(columns={"v": "node"})
+        r = g.loc[g["_side"] == 1, ["k", "v"]].rename(columns={"v": "label"})
+        out = l.merge(r, on="k", how="inner")
+        return out[["node", "label"]]
+
+    return both.groupby("_bucket").map_groups(
+        bucket_merge, batch_format="pandas"
+    )
+
+
+def _bucket_groupby_min(
+    ds: "ray.data.Dataset",
+    key: str,
+    val: str,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """groupby(key).min(val) as combiner + coarse-bucket shuffle with ONE
+    vectorized pandas groupby per bucket (Ray's per-key Min aggregate
+    reduces row-by-row in Python — measured 16× slower on string keys)."""
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key, as_index=False)[val].min()
+        h = pd.util.hash_array(
+            g[key].to_numpy(dtype=object)
+            if g[key].dtype == object
+            else g[key].to_numpy(),
+            hash_key=_PAIR_HASH_KEY,
+        )
+        return g.assign(_bucket=(h % num_buckets).astype("int32"))
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(key, as_index=False)[val].min()
+
+    return (
+        ds.map_batches(combine, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
+
+
+def connected_components(
+    pairs: "ray.data.Dataset",
+    max_rounds: int = 25,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Connected components of an (id_a, id_b) edge Dataset via iterated
+    min-label propagation — the distributed groupby form (no driver-side
+    union-find): per round, every node takes the min label over itself and
+    its neighbors (edge ⋈ labels hash join + bucketed groupby-min), until
+    the label multiset stops changing. Rounds ≈ cluster diameter — LSH
+    near-dup components are band-bucket cliques, so 2-3 rounds in
+    practice. Labels are materialized per round (iterative lineage must
+    not re-execute).
+
+    Convergence check: labels only ever decrease, so the Sum of a 64-bit
+    deterministic label hash is a fixpoint witness (one cheap aggregate
+    per round, no extra join).
+
+    Returns Dataset (node, label) for every node incident to an edge.
+    """
+    from ray.data.aggregate import Sum
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": pd.concat([df["id_a"], df["id_b"]], ignore_index=True),
+                "nbr": pd.concat([df["id_b"], df["id_a"]], ignore_index=True),
+            }
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pandas").materialize()
+
+    # round 0: label(node) = min(node, neighbors)
+    def seed(df: pd.DataFrame) -> pd.DataFrame:
+        both = pd.concat(
+            [
+                df.rename(columns={"nbr": "label"}),
+                pd.DataFrame({"node": df["node"], "label": df["node"]}),
+            ],
+            ignore_index=True,
+        )
+        return both
+
+    labels = _bucket_groupby_min(
+        edges.map_batches(seed, batch_format="pandas"), "node", "label"
+    ).materialize()
+
+    def label_hash_sum(ds: "ray.data.Dataset") -> int:
+        def h(df: pd.DataFrame) -> pd.DataFrame:
+            arr = (
+                df["label"].to_numpy(dtype=object)
+                if df["label"].dtype == object
+                else df["label"].to_numpy()
+            )
+            return pd.DataFrame(
+                {"h": pd.util.hash_array(arr, hash_key=_PAIR_HASH_KEY)
+                 .astype("uint64").astype("float64")}
+            )
+
+        agg = ds.map_batches(h, batch_format="pandas").aggregate(
+            Sum("h", alias_name="s")
+        )
+        return agg["s"] if agg else 0.0
+
+    prev = label_hash_sum(labels)
+    for _ in range(max_rounds):
+        # label(nbr) shipped to node: hash join edges(k=nbr, v=node) with
+        # labels(k=node, v=label) → (node, label)
+        nbr_labels = _kv_join(
+            edges.map_batches(
+                lambda df: pd.DataFrame({"k": df["nbr"], "v": df["node"]}),
+                batch_format="pandas",
+            ),
+            labels.map_batches(
+                lambda df: pd.DataFrame({"k": df["node"], "v": df["label"]}),
+                batch_format="pandas",
+            ),
+        )
+        labels = _bucket_groupby_min(
+            nbr_labels.union(labels), "node", "label"
+        ).materialize()
+        cur = label_hash_sum(labels)
+        if cur == prev:
+            break
+        prev = cur
+    return labels
+
+
 def minhash_dedup(
     docs: "ray.data.Dataset",
     threshold: float = 0.8,
@@ -228,78 +560,62 @@ def minhash_dedup(
     shingle_k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    num_partitions: int = 16,
 ):
-    """Full near-dup pipeline → Dataset (doc_id, cluster_id, keep).
+    """Full near-dup pipeline → Dataset (doc_id, cluster_id, keep),
+    end-to-end distributed — no stage materializes O(corpus) state on the
+    driver (on a web corpus 30-50% of documents are near-dups, so the
+    candidate/verified-pair/label sets are all corpus-sized):
 
-    cluster_id = min doc_id of the connected component (union-find on the
-    verified candidate pairs — the pair set is LSH-pruned and small
-    relative to the corpus; components computed driver-side, the full
-    label table produced distributed via broadcast lookup; only candidate
-    texts ever reach the driver).
+    1. LSH candidates  — narrow band-hash groupby (+ distributed pair dedup)
+    2. Jaccard verify  — texts semi-joined onto pairs (two hash joins)
+    3. components      — iterated min-label propagation groupbys
+    4. labeling        — left join of the corpus ids against the component
+                         labels; unlabeled docs are their own cluster
+
+    cluster_id = min doc_id of the verified connected component.
     """
     candidates = minhash_lsh_candidates(
-        docs, num_perm, num_bands, shingle_k, id_col, text_col
+        docs, num_perm, num_bands, shingle_k, id_col, text_col, as_dataset=True
     )
-    # Fetch ONLY the candidate docs' texts (broadcast id-set, map-side
-    # filter) — the full corpus never reaches the driver; the candidate
-    # set is LSH-pruned and small by construction.
-    cand_ids = set(candidates.get("id_a", [])) | set(candidates.get("id_b", []))
-    ids_ref = ray.put(cand_ids)
+    verified = verify_candidate_pairs(
+        candidates, docs, threshold, shingle_k, id_col, text_col, num_partitions
+    ).materialize()
 
-    def keep_candidates(df: pd.DataFrame) -> pd.DataFrame:
-        wanted = ray.get(ids_ref)
-        return df.loc[df[id_col].isin(wanted), [id_col, text_col]]
+    ids_only = docs.map_batches(
+        lambda df: df[[id_col]], batch_format="pandas"
+    )
+    if verified.count() == 0:
+        # no verified pairs: every doc is its own cluster (typed, no join)
+        return ids_only.map_batches(
+            lambda df: df.assign(cluster_id=df[id_col], keep=True),
+            batch_format="pandas",
+        )
 
-    texts = (
-        docs.map_batches(keep_candidates, batch_format="pandas")
-        .to_pandas()
-        .set_index(id_col)[text_col]
-        .to_dict()
-        if cand_ids
-        else {}
+    comp = connected_components(verified, num_partitions=num_partitions)
+    # final labeling WITHOUT an outer join (outer-join null-fill widens
+    # int64 ids to float64, corrupting 64-bit ids at web scale): every doc
+    # contributes a self-label row (node=id, label=id); the component
+    # labels are unioned in and a bucketed groupby-min picks min(label) —
+    # component labels are min doc_ids, so label ≤ node always holds.
+    self_rows = ids_only.map_batches(
+        lambda df: pd.DataFrame({"node": df[id_col], "label": df[id_col]}),
+        batch_format="pandas",
+    )
+    labels_full = _bucket_groupby_min(
+        self_rows.union(comp), "node", "label"
     )
 
-    verified = [
-        (a, b)
-        for a, b in zip(candidates.get("id_a", []), candidates.get("id_b", []))
-        if ngram_jaccard(texts.get(a, ""), texts.get(b, ""), shingle_k)
-        >= threshold
-    ]
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: df["node"],
+                "cluster_id": df["label"],
+                "keep": (df["node"] == df["label"]),
+            }
+        )
 
-    parent: dict = {}
-
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    def union(x, y):
-        rx, ry = find(x), find(y)
-        if rx != ry:
-            if ry < rx:
-                rx, ry = ry, rx
-            parent[ry] = rx
-
-    for a, b in verified:
-        parent.setdefault(a, a)
-        parent.setdefault(b, b)
-        union(a, b)
-
-    # labels exist only for docs in verified components (small); the full
-    # per-doc label table is produced DISTRIBUTED via a broadcast lookup —
-    # non-candidate docs are their own cluster.
-    labels = {i: find(i) for i in parent}
-    labels_ref = ray.put(labels)
-
-    def label_batch(df: pd.DataFrame) -> pd.DataFrame:
-        lab = ray.get(labels_ref)
-        out = df[[id_col]].copy()
-        out["cluster_id"] = out[id_col].map(lambda i: lab.get(i, i))
-        out["keep"] = out[id_col] == out["cluster_id"]
-        return out
-
-    return docs.map_batches(label_batch, batch_format="pandas")
+    return labels_full.map_batches(finalize, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -348,16 +664,25 @@ def simhash_neardup_candidates(
     frames = []
     for band in range(4):
         def pairs(group: pd.DataFrame, _band=band) -> pd.DataFrame:
+            empty = _empty_pairs(group[id_col].dtype).assign(
+                hamming=pd.Series(dtype="int64")
+            )
             rows = list(zip(group[id_col], group["simhash"]))
             if len(rows) < 2 or len(rows) > 200:
-                return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+                return empty
             out = []
             for i, (ia, ha) in enumerate(rows):
                 for ib, hb in rows[i + 1 :]:
                     d = int(bin(int(ha) ^ int(hb)).count("1"))
                     if d <= max_hamming:
                         out.append((min(ia, ib), max(ia, ib), d))
-            return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
+            if not out:
+                return empty
+            res = pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
+            return res.astype(
+                {"id_a": group[id_col].dtype, "id_b": group[id_col].dtype,
+                 "hamming": "int64"}
+            )
 
         frames.append(
             sh.groupby(f"band{band}")
@@ -395,7 +720,13 @@ def embedding_neardup(
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
         mat = np.asarray(df[vec_col].tolist(), dtype=np.float64)
         if mat.size == 0:
-            return pd.DataFrame({id_col: [], "bucket": [], vec_col: []})
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype=df[id_col].dtype),
+                    "bucket": pd.Series(dtype="int64"),
+                    vec_col: pd.Series(dtype=object),
+                }
+            )
         if "p" not in planes_holder:
             r = np.random.RandomState(seed)
             planes_holder["p"] = r.standard_normal((mat.shape[1], num_planes))
@@ -412,7 +743,9 @@ def embedding_neardup(
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) < 2 or len(group) > 500:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            return _empty_pairs(group[id_col].dtype).assign(
+                cosine=pd.Series(dtype="float64")
+            )
         mat = np.asarray(group[vec_col].tolist(), dtype=np.float64)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0

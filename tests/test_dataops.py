@@ -203,3 +203,52 @@ def test_audio_features(ray_session):
     assert (out["sample_rate"] == 8000).all()
     assert (out["duration_sec"] == 0.008).all()
     assert all(len(f) == 4 for f in out["frame_means"])
+
+
+def test_minhash_dedup_large_candidate_set(ray_session):
+    """Thousands of candidate pairs: the distributed pipeline (bucketed
+    pair dedup → in-shuffle Jaccard verify → min-label-propagation
+    components) must produce exact clusters without any driver-side
+    union-find or text dict (VERDICT r1 item 1 done-criterion)."""
+    import ray.data as rd
+
+    texts = [
+        f"group {g} shares this exact sentence about topic number {g} "
+        f"with plenty of common words repeated across every member of "
+        f"the group so bands collide g{g}a g{g}b g{g}c g{g}d"
+        for g in range(25)
+    ]
+    rows = [
+        {"doc_id": g * 1000 + j, "text": texts[g]}
+        for g in range(25)
+        for j in range(15)
+    ]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+
+    cand = minhash_lsh_candidates(ds, as_dataset=True)
+    n_pairs = cand.count()
+    assert n_pairs >= 25 * (15 * 14) // 2  # every in-group pair collides
+
+    res = minhash_dedup(ds, threshold=0.8).to_pandas()
+    assert len(res) == 375
+    res["expect"] = (res["doc_id"] // 1000) * 1000
+    assert (res["cluster_id"] == res["expect"]).all()
+    assert res["keep"].sum() == 25
+    assert set(res.loc[res["keep"], "doc_id"]) == {g * 1000 for g in range(25)}
+
+
+def test_connected_components_chain(ray_session):
+    """Min-label propagation handles a CHAIN (diameter > 1, not a clique):
+    labels must propagate across rounds to the global min."""
+    import ray.data as rd
+
+    from graphforge_ray.stages.dedup import connected_components
+
+    # two chains: 10-20-30-40-50 and 77-88
+    pairs = pd.DataFrame(
+        {"id_a": [10, 20, 30, 40, 77], "id_b": [20, 30, 40, 50, 88]}
+    )
+    out = connected_components(rd.from_pandas(pairs)).to_pandas()
+    lab = out.set_index("node")["label"].to_dict()
+    assert {lab[n] for n in (10, 20, 30, 40, 50)} == {10}
+    assert lab[77] == 77 and lab[88] == 77
