@@ -24,6 +24,7 @@ import ray.data
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+
 from ..fixtures import gen_pages_table
 from ..query.ops import transitive_closure
 from ..stages.dedup import (
@@ -473,11 +474,12 @@ FROM documents
 def q_doc_char_classes(sf_dir: str):
     """Quality-signal counts (actor-pool TextQualityScorer; integer
     columns only — float parity rule)."""
+    from ..stages.proc_cache import process_cached_stage
+
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
-        TextQualityScorer,
+        process_cached_stage(TextQualityScorer),
         batch_format="pandas",
-        concurrency=(1, 4),
     ).map_batches(
         lambda df: df[["doc_id", "n_chars_text", "n_punct", "n_digits",
                        "n_upper", "n_stopwords"]],
@@ -499,16 +501,23 @@ FROM documents
 """
 
 
+def _query_vec(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    """Fetch ONE query embedding with a metadata-pruned direct parquet
+    read (row-group predicate pushdown on the driver) — launching a Ray
+    execution to retrieve a single row costs ~2 s of fixed overhead."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["embedding"], filter=pads.field("vec_id") == vec_id
+    )
+    return np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+
+
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-10 against the vec_id=0 embedding (broadcast
     query matrix, per-batch matmul + partial top-k)."""
     emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q = np.asarray(
-        pd.DataFrame(
-            emb.filter(expr="vec_id == 0").take_all()
-        )["embedding"].iloc[0],
-        dtype=np.float64,
-    )
+    q = _query_vec(sf_dir)
     out = brute_force_topk(emb, q, k=10)
     out = out[["vec_id", "cosine"]].copy()
     out["cosine"] = out["cosine"].round(4)
@@ -529,9 +538,11 @@ LIMIT 10
 
 def q_docs_langid(sf_dir: str):
     """n-gram language-ID heuristic (actor pool)."""
+    from ..stages.proc_cache import process_cached_stage
+
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
-        LangIdentifier, batch_format="pandas", concurrency=(1, 4)
+        process_cached_stage(LangIdentifier), batch_format="pandas"
     ).map_batches(lambda df: df[["doc_id", "lang_pred"]], batch_format="pandas")
 
 
@@ -567,11 +578,8 @@ def q_ann_ivf(sf_dir: str):
     from ..stages.similarity import assign_clusters, ivf_topk, train_centroids
 
     emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q = np.asarray(
-        pd.DataFrame(emb.filter(expr="vec_id == 0").take_all())["embedding"].iloc[0],
-        dtype=np.float64,
-    )
-    cents = train_centroids(emb, num_clusters=8)
+    q = _query_vec(sf_dir)
+    cents = train_centroids(emb, num_clusters=8, max_sample=4096)
     assigned = assign_clusters(emb, cents)
     out = ivf_topk(assigned, cents, q, k=10, nprobe=4)
     out = out[["vec_id", "cosine"]].copy()

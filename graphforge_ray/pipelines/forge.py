@@ -60,19 +60,7 @@ _LINK_PREDS = (PRED_MENTIONS, PRED_LINKS_TO)
 _NON_TRIPLE_PREDS = (PRED_TEXT, PRED_QUARANTINE, PRED_MENTION)
 
 
-def _default_concurrency(fused: bool = True) -> int:
-    """Fixed actor-pool size (fixed start-up in parallel beats autoscaling's
-    serial ramp, measured 2×). ``fused=True`` (a shuffle runs in the SAME
-    execution): pool = cpus // 2 so the concurrent shuffle map/reduce tasks
-    keep the other half busy — a cpus−2 pool starves the sort (measured
-    1.6× slower). ``fused=False`` (standalone stage): cpus − 2, leaving two
-    CPUs for the read/write operators (a pool of ALL CPUs deadlocks the
-    streaming executor on small clusters)."""
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    return max(2, cpus // 2 if fused else cpus - 2)
+from .. import default_concurrency as _default_concurrency  # shared sizing
 
 
 def extract_and_link(

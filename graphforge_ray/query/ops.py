@@ -106,12 +106,16 @@ def broadcast_lookup_join(
     small: pd.DataFrame,
     on: str,
     how: str = "left",
-    concurrency: int | tuple[int, int] = (1, 4),
+    concurrency: int | tuple[int, int] | None = None,
 ) -> "ray.data.Dataset":
     """Map-side join against a SMALL side (dimension table, aggregate
     result): the small frame ships once via ``ray.put`` and each batch
     merges locally — no shuffle (ray_guide 'Joins and lookups'). Use
     ``_join`` / ``Dataset.join`` when both sides are large."""
+    if concurrency is None:
+        from .. import default_concurrency
+
+        concurrency = default_concurrency(fused=False)
     small_ref = ray.put(small)
 
     class Merger:

@@ -43,6 +43,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Sum
 
+from .. import default_concurrency
 from ..iri import normalize_iri
 
 __all__ = [
@@ -223,7 +224,7 @@ def build_canonical_mapping(
 
     partners = (
         ds.map_batches(PartnerFilter, batch_format="pandas",
-                       concurrency=(1, 4))
+                       concurrency=default_concurrency(fused=False))
         .to_pandas()
         .drop_duplicates()
     )
@@ -311,11 +312,13 @@ class _Rewriter:
 def apply_canonical_mapping(
     ds: "ray.data.Dataset",
     mapping: dict[str, str],
-    concurrency: int | tuple[int, int] = (1, 4),
+    concurrency: int | tuple[int, int] | None = None,
 ) -> "ray.data.Dataset":
     """Rewrite subj/obj IRIs through the broadcast mapping (no shuffle)."""
     if not mapping:
         return ds
+    if concurrency is None:
+        concurrency = default_concurrency(fused=False)
     mapping_ref = ray.put(mapping)
     return ds.map_batches(
         _Rewriter,

@@ -245,16 +245,23 @@ def minhash_lsh_candidates(
         out = pd.DataFrame(pairs, columns=["id_a", "id_b"])
         return out.astype({"id_a": group[id_col].dtype, "id_b": group[id_col].dtype})
 
-    pairs_ds = _dedup_pairs(
-        bands.groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    raw_pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
     )
     if as_dataset:
-        return pairs_ds
-    pairs = pairs_ds.to_pandas()
+        # scale path: distributed pair dedup (one extra narrow shuffle
+        # beats ×num_bands redundant Jaccard verifications downstream)
+        return _dedup_pairs(raw_pairs)
+    # interactive/test path: the pair frame is being collected anyway, so
+    # dedup on the driver and skip the extra shuffle round
+    pairs = raw_pairs.to_pandas()
     if pairs.empty:
         return pd.DataFrame({"id_a": [], "id_b": []})
-    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return (
+        pairs.drop_duplicates()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:

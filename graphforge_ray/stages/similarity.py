@@ -2,8 +2,11 @@
 
 * ``brute_force_topk`` — baseline: per-batch numpy matmul of the
   normalized corpus block against a BROADCAST query matrix (``ray.put``
-  once, fetched per actor in ``__init__``, never re-shipped per batch),
-  per-batch partial top-k, tiny driver-side merge. One pass, no shuffle.
+  once; per-task ``ray.get`` is a zero-copy local read, never re-shipped
+  over the network), per-batch partial top-k, tiny driver-side merge.
+  One pass, no shuffle, stateless tasks by default (parallelism = block
+  count; an actor pool is opt-in via ``concurrency`` for heavy query
+  matrices).
 * ``ivf_topk`` — scale path: IVF-style coarse quantizer. Centroids are
   trained once on a sample (deterministic k-means), each vector is
   assigned map-side to its nearest centroid (cluster id column →
@@ -65,20 +68,37 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    concurrency: int | tuple[int, int] = (1, 4),
+    concurrency: int | tuple[int, int] | None = None,
 ) -> pd.DataFrame:
     """Exact cosine top-k for each query row →
-    (query_id, id_col, cosine), sorted by (query_id, -cosine, id)."""
+    (query_id, id_col, cosine), sorted by (query_id, -cosine, id).
+
+    Default is STATELESS TASKS closing over the broadcast query matrix
+    (``ray.put`` once; ``ray.get`` per task is a local shared-memory read
+    and normalization of the small matrix is trivial) — parallelism then
+    equals block count with no actor-pool spin-up, which is what a small
+    or medium corpus needs. Pass ``concurrency`` to force an actor pool
+    (``_BlockScorer``) for huge query matrices where per-actor setup is
+    worth amortizing."""
     queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
     q_ref = ray.put(queries)
-    partials = embeddings.map_batches(
-        _BlockScorer,
-        batch_format="pandas",
-        concurrency=concurrency,
-        fn_constructor_kwargs={
-            "queries_ref": q_ref, "k": k, "id_col": id_col, "vec_col": vec_col,
-        },
-    ).to_pandas()  # ≤ k rows per (batch, query) — small
+    if concurrency is not None:
+        scored = embeddings.map_batches(
+            _BlockScorer,
+            batch_format="pandas",
+            concurrency=concurrency,
+            fn_constructor_kwargs={
+                "queries_ref": q_ref, "k": k,
+                "id_col": id_col, "vec_col": vec_col,
+            },
+        )
+    else:
+        def score_batch(df: pd.DataFrame) -> pd.DataFrame:
+            scorer = _BlockScorer(q_ref, k, id_col, vec_col)
+            return scorer(df)
+
+        scored = embeddings.map_batches(score_batch, batch_format="pandas")
+    partials = scored.to_pandas()  # ≤ k rows per (batch, query) — small
     out = (
         partials.sort_values(
             ["query_id", "cosine", id_col], ascending=[True, False, True]
@@ -94,23 +114,43 @@ def brute_force_topk(
 # IVF (coarse-quantized) variant
 # ---------------------------------------------------------------------------
 
+def _bounded_sample(
+    embeddings: "ray.data.Dataset",
+    cap: int,
+    seed: int,
+    vec_col: str,
+    sample_fraction: float | None = None,
+) -> np.ndarray:
+    """Deterministic sample of ≤ ``cap`` vectors. The fraction is derived
+    from the corpus row count (parquet-metadata-cheap) so the driver NEVER
+    materializes the full embedding table; ``limit(cap)`` is a hard bound
+    even when the fraction estimate overshoots."""
+    if sample_fraction is None:
+        n = embeddings.count()
+        # 1.3× headroom so the limit(cap) is actually reached w.h.p.
+        sample_fraction = min(1.0, (cap * 1.3) / max(n, 1))
+    sample_ds = (
+        embeddings
+        if sample_fraction >= 1.0
+        else embeddings.random_sample(sample_fraction, seed=seed)
+    ).limit(cap)
+    return np.asarray(sample_ds.to_pandas()[vec_col].tolist(), dtype=np.float64)
+
+
 def train_centroids(
     embeddings: "ray.data.Dataset",
     num_clusters: int = 16,
-    sample_fraction: float = 1.0,
+    sample_fraction: float | None = None,
     iters: int = 10,
     seed: int = 42,
     vec_col: str = "embedding",
+    max_sample: int | None = None,
 ) -> np.ndarray:
-    """Deterministic mini k-means on a sample (driver-side numpy; the
-    sample is bounded, the corpus itself streams)."""
-    sample_ds = (
-        embeddings if sample_fraction >= 1.0
-        else embeddings.random_sample(sample_fraction, seed=seed)
-    )
-    sample = np.asarray(
-        sample_ds.to_pandas()[vec_col].tolist(), dtype=np.float64
-    )
+    """Deterministic mini k-means on a BOUNDED sample (driver-side numpy
+    over ≤ ``max_sample`` vectors — default ``max(64·k, 4096)``; the
+    corpus itself streams and is never materialized on the driver)."""
+    cap = max_sample if max_sample is not None else max(64 * num_clusters, 4096)
+    sample = _bounded_sample(embeddings, cap, seed, vec_col, sample_fraction)
     sample = _normalize(sample)
     rng = np.random.RandomState(seed)
     idx = rng.choice(len(sample), size=min(num_clusters, len(sample)), replace=False)
@@ -132,22 +172,18 @@ def assign_clusters(
     vec_col: str = "embedding",
 ) -> "ray.data.Dataset":
     """Map-side cluster assignment (adds ``cluster`` column). Broadcast
-    centroids via ray.put."""
+    centroids via ray.put; stateless tasks (the per-task ``ray.get`` is a
+    local shared-memory read — no pool spin-up, parallelism = blocks)."""
     c_ref = ray.put(np.asarray(centroids, dtype=np.float64))
 
-    class Assigner:
-        def __init__(self):
-            self.c = _normalize(ray.get(c_ref))
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        c = _normalize(ray.get(c_ref))
+        mat = _normalize(np.asarray(df[vec_col].tolist(), dtype=np.float64))
+        out = df.copy()
+        out["cluster"] = np.argmax(mat @ c.T, axis=1).astype("int32")
+        return out
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            mat = _normalize(np.asarray(df[vec_col].tolist(), dtype=np.float64))
-            out = df.copy()
-            out["cluster"] = np.argmax(mat @ self.c.T, axis=1).astype("int32")
-            return out
-
-    return embeddings.map_batches(
-        Assigner, batch_format="pandas", concurrency=(1, 4)
-    )
+    return embeddings.map_batches(assign, batch_format="pandas")
 
 
 def ivf_topk(
