@@ -360,9 +360,16 @@ GROUP BY user_id, w
 """
 
 
-def q_part_hierarchy_closure(sf_dir: str):
+def q_part_hierarchy_closure(sf_dir: str, distributed_threshold: int = 200_000):
     """J3 property-path transitive closure over a derived hierarchy
-    (p_partkey → p_partkey // 2), matching a recursive CTE oracle."""
+    (p_partkey → p_partkey // 2), matching a recursive CTE oracle.
+
+    Edge distillation stays a Dataset; the closure auto-routes by edge
+    count — ≤ threshold: driver-side vectorized semi-naïve (zero
+    shuffles), above: ``transitive_closure_distributed`` path-doubling
+    rounds (nothing corpus-sized on the driver)."""
+    from ..query.ops import transitive_closure_distributed
+
     part = _t(sf_dir, "part", ["p_partkey"])
 
     def edges(batch: pa.Table) -> pa.Table:
@@ -372,10 +379,17 @@ def q_part_hierarchy_closure(sf_dir: str):
         o = pc.divide(s, pa.scalar(2, pa.int64()))
         return pa.Table.from_arrays([s, o], names=["s", "o"])
 
-    edge_df = edges_df = (
-        part.map_batches(edges, batch_format="pyarrow").to_pandas()
+    edges_ds = part.map_batches(edges, batch_format="pyarrow").materialize()
+    if edges_ds.count() <= distributed_threshold:
+        return transitive_closure(
+            edges_ds.to_pandas(), max_iterations=64, include_reflexive=False
+        )
+    return (
+        transitive_closure_distributed(edges_ds)
+        .to_pandas()
+        .sort_values(["s", "o"])
+        .reset_index(drop=True)
     )
-    return transitive_closure(edge_df, max_iterations=64, include_reflexive=False)
 
 
 SQL_PART_HIERARCHY_CLOSURE = """

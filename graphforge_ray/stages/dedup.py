@@ -43,6 +43,13 @@ import ray
 import ray.data
 from ray.data.aggregate import Min
 
+from ..shuffle import (
+    HASH_KEY as _PAIR_HASH_KEY,
+    bucket_groupby_min as _bucket_groupby_min,
+    bucket_tag as _bucket_tag,
+    dedup_pairs as _dedup_pairs,
+    kv_join as _kv_join,
+)
 from .text_analysis import content_hash_batch
 
 __all__ = [
@@ -181,34 +188,6 @@ def _empty_pairs(id_dtype) -> pd.DataFrame:
     )
 
 
-# fixed 16-byte key → deterministic across worker processes
-_PAIR_HASH_KEY = "graphforge-pairs"[:16].ljust(16, "0")
-
-
-def _dedup_pairs(
-    pairs: "ray.data.Dataset", num_buckets: int = 64
-) -> "ray.data.Dataset":
-    """Distributed exact dedup of an (id_a, id_b) pair Dataset: within-batch
-    drop_duplicates (combiner) → coarse hash bucket → one vectorized
-    drop_duplicates per bucket. The pair set never lands on the driver."""
-
-    def keyed(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(["id_a", "id_b"])
-        h = pd.util.hash_pandas_object(
-            df[["id_a", "id_b"]], index=False, hash_key=_PAIR_HASH_KEY
-        )
-        return df.assign(_bucket=(h % num_buckets).astype("int32"))
-
-    def bucket_dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["id_a", "id_b"]).drop(columns=["_bucket"])
-
-    return (
-        pairs.map_batches(keyed, batch_format="pandas")
-        .groupby("_bucket")
-        .map_groups(bucket_dedup, batch_format="pandas")
-    )
-
-
 def minhash_lsh_candidates(
     docs: "ray.data.Dataset",
     num_perm: int = 64,
@@ -273,17 +252,6 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     if not a or not b:
         return 0.0
     return len(a & b) / len(a | b)
-
-
-def _bucket_tag(df: pd.DataFrame, key: str, num_buckets: int) -> pd.Series:
-    arr = (
-        df[key].to_numpy(dtype=object)
-        if df[key].dtype == object
-        else df[key].to_numpy()
-    )
-    return (
-        pd.util.hash_array(arr, hash_key=_PAIR_HASH_KEY) % num_buckets
-    ).astype("int32")
 
 
 def verify_candidate_pairs(
@@ -399,78 +367,6 @@ def verify_candidate_pairs(
     return tagged2.groupby("_bucket").map_groups(merge2, batch_format="pandas")
 
 
-def _kv_join(
-    left: "ray.data.Dataset",
-    right: "ray.data.Dataset",
-    num_buckets: int = 64,
-) -> "ray.data.Dataset":
-    """Distributed inner hash join of two (k, v) Datasets (identical
-    dtypes) on ``k`` → Dataset (node=v_left, label=v_right). One groupby
-    shuffle: tag each side, union (schemas identical by construction),
-    bucket on a deterministic key hash, vectorized pandas merge per
-    bucket.
-
-    Exists because Ray's acero-based ``Dataset.join`` emits ZERO-COLUMN
-    empty blocks for empty partitions; those pass through ``map_batches``
-    uncalled and crash any downstream acero join with 'No match for
-    FieldRef' — so iterative algorithms (label propagation) can't chain
-    Dataset.join. Bucketed map_groups is also the measured-faster shape
-    on this workload (CLAUDE.md: per-key aggregates 16× slower)."""
-
-    def tag(side: int):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            return df.assign(
-                _side=np.int8(side),
-                _bucket=_bucket_tag(df, "k", num_buckets),
-            )
-
-        return fn
-
-    both = left.map_batches(tag(0), batch_format="pandas").union(
-        right.map_batches(tag(1), batch_format="pandas")
-    )
-
-    def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
-        l = g.loc[g["_side"] == 0, ["k", "v"]].rename(columns={"v": "node"})
-        r = g.loc[g["_side"] == 1, ["k", "v"]].rename(columns={"v": "label"})
-        out = l.merge(r, on="k", how="inner")
-        return out[["node", "label"]]
-
-    return both.groupby("_bucket").map_groups(
-        bucket_merge, batch_format="pandas"
-    )
-
-
-def _bucket_groupby_min(
-    ds: "ray.data.Dataset",
-    key: str,
-    val: str,
-    num_buckets: int = 64,
-) -> "ray.data.Dataset":
-    """groupby(key).min(val) as combiner + coarse-bucket shuffle with ONE
-    vectorized pandas groupby per bucket (Ray's per-key Min aggregate
-    reduces row-by-row in Python — measured 16× slower on string keys)."""
-
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(key, as_index=False)[val].min()
-        h = pd.util.hash_array(
-            g[key].to_numpy(dtype=object)
-            if g[key].dtype == object
-            else g[key].to_numpy(),
-            hash_key=_PAIR_HASH_KEY,
-        )
-        return g.assign(_bucket=(h % num_buckets).astype("int32"))
-
-    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(key, as_index=False)[val].min()
-
-    return (
-        ds.map_batches(combine, batch_format="pandas")
-        .groupby("_bucket")
-        .map_groups(reduce_bucket, batch_format="pandas")
-    )
-
-
 def connected_components(
     pairs: "ray.data.Dataset",
     max_rounds: int = 25,
@@ -549,9 +445,12 @@ def connected_components(
                 batch_format="pandas",
             ),
         )
+        # repartition bounds the block count across rounds (sort-shuffle
+        # output blocks track input blocks; iterated groupbys otherwise
+        # accumulate blocks and scheduling overhead every round)
         labels = _bucket_groupby_min(
             nbr_labels.union(labels), "node", "label"
-        ).materialize()
+        ).repartition(64).materialize()
         cur = label_hash_sum(labels)
         if cur == prev:
             break

@@ -2,6 +2,7 @@
 (SPARQL.html test harness) re-expressed against the triples Dataset, plus
 BGP/limit/top-k (FIXTURES.md §4)."""
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -102,3 +103,55 @@ def test_top_k(triples_ds):
     out = top_k(count_by(b, "p"), by="count", k=2).to_pandas()
     assert list(out["count"]) == [3, 2]
     assert out.iloc[0]["p"] == "rdf:type"
+
+
+def test_transitive_closure_distributed_parity(ray_session):
+    """Distributed path-doubling closure == driver semi-naïve closure on
+    the part-hierarchy shape."""
+    import ray.data as rd
+
+    from graphforge_ray.query.ops import (
+        transitive_closure,
+        transitive_closure_distributed,
+    )
+
+    edges = pd.DataFrame({"s": np.arange(2, 500), "o": np.arange(2, 500) // 2})
+    exp = transitive_closure(edges, max_iterations=64)
+    got = (
+        transitive_closure_distributed(rd.from_pandas(edges))
+        .to_pandas()
+        .sort_values(["s", "o"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(exp[["s", "o"]].reset_index(drop=True))
+    # reflexive variant
+    got_r = transitive_closure_distributed(
+        rd.from_pandas(pd.DataFrame({"s": [1], "o": [2]})),
+        include_reflexive=True,
+    ).to_pandas()
+    assert set(map(tuple, got_r[["s", "o"]].values.tolist())) == {
+        (1, 1), (1, 2), (2, 2)
+    }
+
+
+def test_transitive_closure_distributed_million_edges(ray_session):
+    """≥10⁶ synthetic edges complete WITHOUT a driver-side edge frame
+    (VERDICT r1 item 5 done-criterion). Forest: parent(i) = i // 32,
+    depth ≈ 4 → closure ≈ 3M pairs, all Dataset-resident."""
+    import ray.data as rd
+
+    N = 1_000_000
+
+    def gen(batch):
+        ids = np.asarray(batch["id"]) + 32
+        return pd.DataFrame({"s": ids, "o": ids // 32})
+
+    from graphforge_ray.query.ops import transitive_closure_distributed
+
+    edges = rd.range(N, override_num_blocks=32).map_batches(
+        gen, batch_format="numpy"
+    )
+    closure = transitive_closure_distributed(edges.materialize())
+    assert closure.count() == 2_966_272  # edges + depth-2/3 ancestor pairs
+    anc = closure.filter(expr=f"s == {N + 31}").to_pandas()
+    assert sorted(anc["o"]) == [30, 976, 31250]
