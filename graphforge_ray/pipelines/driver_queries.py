@@ -601,6 +601,89 @@ def q_ann_ivf(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+VOCAB_CHILDOF = "http://graft.example/vocab#childOf"
+VOCAB_PNAME = "http://graft.example/vocab#pname"
+
+
+def q_sparql_filter_orderby(sf_dir: str):
+    """SPARQL FILTER (numeric coercion) + multi-key ORDER BY through the
+    SELECT compiler, over the RML-mapped documents triples. Oracled: the
+    result set is order-insensitive (no LIMIT), so the DuckDB compare is
+    exact."""
+    from ..query.sparql import run_select
+
+    triples = q_rml_documents_triples(sf_dir)
+    return run_select(
+        triples,
+        f'SELECT ?s ?v WHERE {{ ?s <{VOCAB_NCHARS}> ?v . '
+        "FILTER (?v > 300) } ORDER BY DESC(?v) ?s",
+    )
+
+
+SQL_SPARQL_FILTER_ORDERBY = """
+SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS s, CAST(n_chars AS VARCHAR) AS v
+FROM documents WHERE n_chars > 300
+"""
+
+
+def _part_triples(sf_dir: str):
+    """part table → (subj, pred, obj) triples: childOf hierarchy edges +
+    pname labels (the fixture graph for path+BGP SPARQL queries)."""
+    part = _t(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def to_tri(df: pd.DataFrame) -> pd.DataFrame:
+        subj = "part:" + df["p_partkey"].astype(str)
+        child = df["p_partkey"] > 1
+        edges = pd.DataFrame(
+            {
+                "subj": subj[child],
+                "pred": VOCAB_CHILDOF,
+                "obj": "part:" + (df.loc[child, "p_partkey"] // 2).astype(str),
+            }
+        )
+        names = pd.DataFrame(
+            {"subj": subj, "pred": VOCAB_PNAME, "obj": df["p_name"]}
+        )
+        return pd.concat([edges, names], ignore_index=True)
+
+    return part.map_batches(to_tri, batch_format="pandas")
+
+
+def q_sparql_path_bgp(sf_dir: str):
+    """Property-path pattern JOINED with a BGP pattern + FILTER — the
+    r1-missing mixed-pattern case: all descendants of part 3 in the
+    derived hierarchy with the ancestor's name attached."""
+    from ..query.sparql import run_select
+
+    return run_select(
+        _part_triples(sf_dir),
+        f'SELECT ?s ?n WHERE {{ ?s (<{VOCAB_CHILDOF}>)* ?o . '
+        f'?o <{VOCAB_PNAME}> ?n . FILTER (?o = "part:3") }}',
+    )
+
+
+SQL_SPARQL_PATH_BGP = """
+WITH RECURSIVE e AS (
+    SELECT p_partkey AS s, p_partkey // 2 AS o FROM part WHERE p_partkey > 1
+), r(s, o) AS (
+    SELECT s, o FROM e
+    UNION
+    SELECT r.s, e.o FROM r JOIN e ON r.o = e.s
+), nodes AS (
+    SELECT s AS k FROM e UNION SELECT o FROM e
+), rr AS (
+    -- explicit DISTINCT: inside a WITH RECURSIVE clause DuckDB does not
+    -- reliably dedup a plain UNION of a recursive CTE with another CTE
+    SELECT DISTINCT s, o FROM (
+        SELECT s, o FROM r UNION ALL SELECT k, k FROM nodes
+    )
+)
+SELECT 'part:' || CAST(rr.s AS VARCHAR) AS s, p.p_name AS n
+FROM rr JOIN part p ON p.p_partkey = rr.o
+WHERE rr.o = 3
+"""
+
+
 def q_sparql_pred_counts(sf_dir: str):
     """The reference's aggregation conformance query (SPARQL.html:269-283)
     executed through the SPARQL-subset compiler over forged triples.
@@ -659,6 +742,8 @@ QUERIES = {
     "doc_token_stats": q_doc_token_stats,
     "doc_char_classes": q_doc_char_classes,
     "ann_topk": q_ann_topk,
+    "sparql_filter_orderby": q_sparql_filter_orderby,
+    "sparql_path_bgp": q_sparql_path_bgp,
     "docs_langid": q_docs_langid,
     "docs_minhash_dedup": q_docs_minhash_dedup,
     "docs_simhash": q_docs_simhash,
@@ -687,6 +772,8 @@ ORACLES = {
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "doc_char_classes": SQL_DOC_CHAR_CLASSES,
     "ann_topk": SQL_ANN_TOPK,
+    "sparql_filter_orderby": SQL_SPARQL_FILTER_ORDERBY,
+    "sparql_path_bgp": SQL_SPARQL_PATH_BGP,
     # docs_langid / docs_minhash_dedup / docs_simhash / embedding_neardup /
     # forge_pages: genuinely non-SQL ops → rows-only checks
 }

@@ -47,6 +47,7 @@ from ..stages.canonicalize import (
 from ..stages.extract import (
     PRED_LINKS_TO,
     PRED_MENTION,
+    PRED_PREFIX,
     PRED_QUARANTINE,
     PRED_TEXT,
     extract_pages_batch,
@@ -54,10 +55,11 @@ from ..stages.extract import (
 from ..stages.linker import MentionLinker, PRED_MENTIONS, make_stateless_linker
 from ..state.manifest import StageRunner
 
-__all__ = ["forge_triples", "run_forge_pipeline", "extract_and_link"]
+__all__ = ["forge_triples", "run_forge_pipeline", "extract_and_link",
+           "collect_prefixes"]
 
 _LINK_PREDS = (PRED_MENTIONS, PRED_LINKS_TO)
-_NON_TRIPLE_PREDS = (PRED_TEXT, PRED_QUARANTINE, PRED_MENTION)
+_NON_TRIPLE_PREDS = (PRED_TEXT, PRED_QUARANTINE, PRED_MENTION, PRED_PREFIX)
 
 
 from .. import default_concurrency as _default_concurrency  # shared sizing
@@ -111,6 +113,39 @@ def extract_and_link(
         concurrency=linker_concurrency,
         fn_constructor_kwargs={"gazetteer_ref": gaz_ref},
     )
+
+
+def collect_prefixes(extracted: "ray.data.Dataset") -> dict[str, str]:
+    """Distill the corpus prefix map from the extract output's prefixDecl
+    rows (reference parity: every parse's prefixes accumulate into the
+    global prefix map used at query time, document.js:706-715/:940-942).
+
+    Distributed distill: predicate filter + per-batch dedup map-side; the
+    driver sees only the distinct (prefix, iri, src_url) universe, which
+    is vocabulary-sized. The reference's 'last declaration wins' is
+    store-insertion-order-dependent; a distributed engine needs a
+    DETERMINISTIC merge, so conflicts resolve to the declaration from the
+    lexicographically smallest src_url (ties: smallest iri)."""
+    import pyarrow as pa
+
+    def decls(batch: "pa.Table") -> "pa.Table":
+        t = batch.filter(pc.equal(batch["pred"], pa.scalar(PRED_PREFIX)))
+        return pa.Table.from_arrays(
+            [t["subj"], t["obj"], t["src_url"]],
+            names=["prefix", "iri", "src_url"],
+        )
+
+    pairs = (
+        extracted.map_batches(decls, batch_format="pyarrow")
+        .map_batches(lambda df: df.drop_duplicates(), batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    if pairs.empty:
+        return {}
+    pairs = pairs.sort_values(["prefix", "src_url", "iri"], kind="stable")
+    first = pairs.drop_duplicates("prefix", keep="first")
+    return dict(zip(first["prefix"], first["iri"]))
 
 
 def _real_triples(linked: "ray.data.Dataset") -> "ray.data.Dataset":

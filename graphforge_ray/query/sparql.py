@@ -15,15 +15,23 @@ inline twin in ``executeQuery`` document.js:930-946) rule for rule:
 NOT replicated — SURVEY §2.2 P10 marks it variant-only.)
 
 ``compile_select`` parses the SELECT subset the reference's harnesses
-exercise (SPARQL.html:241-283 + the app default query app.js:100-104) and
-executes it against a triples Dataset via query.ops:
+exercise (SPARQL.html:241-283 + the app default query app.js:100-104),
+extended with the constructs the first real user query needs (the
+reference gets these from Comunica, document.js:951-953):
 
     SELECT ?v … | (COUNT(?v) AS ?alias)
-    WHERE { pattern . pattern . OPTIONAL { pattern } }  with property-path
-    alternation/star ``(p1|p2)*`` on the predicate position
-    GROUP BY ?v / LIMIT n
+    WHERE { pattern . pattern . OPTIONAL { pattern } FILTER (?v op x) }
+    with property-path alternation/star ``(p1|p2)*`` on the predicate
+    position — the path pattern may now be JOINED with other patterns
+    GROUP BY ?v / ORDER BY [DESC(?v)] ?w … / LIMIT n
 
-Always driver-side compile → distributed Dataset execution.
+FILTER supports ``= != < <= > >=`` against a number, a quoted string, or
+another variable. Numeric comparison coerces the lexical forms with
+``to_numeric`` and DROPS rows that fail to parse — the reference's
+parseFloat row-skip convention (P13, queryManager.js preparePlotData).
+
+Always driver-side compile → distributed Dataset execution; path closures
+are presentation-sized frames broadcast-merged into the bindings.
 """
 
 from __future__ import annotations
@@ -36,7 +44,7 @@ import pandas as pd
 import ray.data
 
 from .ops import bgp, count_by, limit as limit_op, match_pattern, optional_join
-from .ops import property_path_closure
+from .ops import broadcast_lookup_join, property_path_closure
 
 __all__ = ["prepare_query", "compile_select", "run_select", "SelectQuery"]
 
@@ -72,6 +80,8 @@ class SelectQuery:
     optionals: list[list[tuple]]
     group_by: str | None
     limit: int | None
+    filters: list[tuple] = field(default_factory=list)   # (var, op, rhs)
+    order_by: list[tuple] = field(default_factory=list)  # (var, descending)
     prefixes: dict[str, str] = field(default_factory=dict)
 
 
@@ -92,6 +102,15 @@ _GROUP_BY = re.compile(r"GROUP\s+BY\s+(\?\w+)", re.I)
 _LIMIT = re.compile(r"LIMIT\s+(\d+)", re.I)
 _OPTIONAL = re.compile(r"OPTIONAL\s*\{([^}]*)\}", re.S | re.I)
 _PATH = re.compile(r"^\(([^)]+)\)(\*?)$")
+_FILTER = re.compile(
+    r"FILTER\s*\(\s*(\?\w+)\s*(!=|<=|>=|=|<|>)\s*"
+    r"(\?\w+|\"[^\"]*\"|[-+]?\d+(?:\.\d+)?)\s*\)",
+    re.I,
+)
+_ORDER_BY = re.compile(
+    r"ORDER\s+BY((?:\s+(?:DESC|ASC)?\s*\(?\s*\?\w+\s*\)?)+)", re.I
+)
+_ORDER_KEY = re.compile(r"(DESC|ASC)?\s*\(?\s*(\?\w+)\s*\)?", re.I)
 
 
 def _term(tok: str, prefixes: dict[str, str]):
@@ -114,17 +133,45 @@ def _term(tok: str, prefixes: dict[str, str]):
     return tok
 
 
+def _split_statements(body: str) -> list[str]:
+    """Split WHERE-body statements on '.' terminators, ignoring dots
+    inside ``<IRI>`` brackets and quoted literals (a naive regex split
+    breaks ``<http://graft.example/...>``)."""
+    stmts: list[str] = []
+    cur: list[str] = []
+    in_iri = in_str = False
+    for ch in body:
+        if ch == "<" and not in_str:
+            in_iri = True
+        elif ch == ">" and not in_str:
+            in_iri = False
+        elif ch == '"' and not in_iri:
+            in_str = not in_str
+        if ch == "." and not in_iri and not in_str:
+            stmts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    stmts.append("".join(cur))
+    return [s.strip() for s in stmts if s.strip()]
+
+
 def _parse_patterns(body: str, prefixes: dict[str, str]) -> list[tuple]:
     patterns = []
-    for stmt in re.split(r"\s*\.\s*", body.strip()):
-        stmt = stmt.strip()
-        if not stmt:
-            continue
+    for stmt in _split_statements(body):
         toks = stmt.split()
         if len(toks) != 3:
             raise ValueError(f"unsupported pattern: {stmt!r}")
         patterns.append(tuple(_term(t, prefixes) for t in toks))
     return patterns
+
+
+def _parse_filter_rhs(rhs: str):
+    if rhs.startswith("?"):
+        return ("var", rhs[1:])
+    if rhs.startswith('"'):
+        return ("str", rhs.strip('"'))
+    return ("num", float(rhs))
 
 
 def compile_select(
@@ -147,11 +194,25 @@ def compile_select(
         proj = _COUNT.sub("", proj)
     variables = [v[1:] for v in re.findall(r"\?(?:\w+)", proj)]
 
+    filters = [
+        (m.group(1)[1:], m.group(2), _parse_filter_rhs(m.group(3)))
+        for m in _FILTER.finditer(body)
+    ]
+    body = _FILTER.sub("", body)
+
     optionals = [
         _parse_patterns(m.group(1), decl) for m in _OPTIONAL.finditer(body)
     ]
     body = _OPTIONAL.sub("", body)
     patterns = _parse_patterns(body, decl)
+
+    order_by: list[tuple] = []
+    om = _ORDER_BY.search(tail) or _ORDER_BY.search(query)
+    if om:
+        for dm in _ORDER_KEY.finditer(om.group(1)):
+            order_by.append(
+                (dm.group(2)[1:], (dm.group(1) or "ASC").upper() == "DESC")
+            )
 
     gb = _GROUP_BY.search(tail) or _GROUP_BY.search(query)
     lim = _LIMIT.search(tail) or _LIMIT.search(query)
@@ -163,7 +224,94 @@ def compile_select(
         optionals=optionals,
         group_by=gb.group(1)[1:] if gb else None,
         limit=int(lim.group(1)) if lim else None,
+        filters=filters,
+        order_by=order_by,
         prefixes=decl,
+    )
+
+
+def _apply_filters(df: pd.DataFrame, filters: list[tuple]) -> pd.DataFrame:
+    """Vectorized FILTER evaluation on a bindings frame. Numeric
+    comparisons coerce with to_numeric and drop unparseable rows (the
+    reference's parseFloat row-skip convention, P13)."""
+    import operator
+
+    ops = {
+        "=": operator.eq, "!=": operator.ne, "<": operator.lt,
+        "<=": operator.le, ">": operator.gt, ">=": operator.ge,
+    }
+    for var, op, (kind, val) in filters:
+        if var not in df.columns:
+            raise ValueError(f"FILTER variable ?{var} is unbound")
+        f = ops[op]
+        if kind == "num":
+            col = pd.to_numeric(df[var], errors="coerce")
+            mask = f(col, val) & col.notna()
+        elif kind == "var":
+            if val not in df.columns:
+                raise ValueError(f"FILTER variable ?{val} is unbound")
+            mask = f(df[var], df[val])
+        else:
+            mask = f(df[var].astype(str), val)
+        df = df.loc[mask]
+    return df
+
+
+def _order_frame(df: pd.DataFrame, order_by: list[tuple]) -> pd.DataFrame:
+    """ORDER BY on a bindings frame with SPARQL-ish value order: values
+    that parse as numbers sort by numeric value BEFORE non-numeric values
+    (which sort as strings) — lexical string sort would put "7" > "25"."""
+    if df.empty:
+        return df
+    for var, desc in reversed(order_by):
+        n = pd.to_numeric(df[var], errors="coerce")
+        key = pd.DataFrame(
+            {
+                "_nan": n.isna(),
+                "_num": n.fillna(0.0),
+                "_str": df[var].astype(str),
+            },
+            index=df.index,
+        )
+        order = key.sort_values(
+            ["_nan", "_num", "_str"],
+            ascending=[True, not desc, not desc],
+            kind="stable",
+        ).index
+        df = df.loc[order]
+    return df
+
+
+def _order_dataset_topk(
+    bindings: "ray.data.Dataset", order_by: list[tuple], limit: int
+) -> "ray.data.Dataset":
+    """Distributed ORDER BY + LIMIT (top-k): derive (isnan, numeric, str)
+    sort keys per batch, Dataset.sort + limit, drop the keys."""
+    sort_cols: list[str] = []
+    desc_flags: list[bool] = []
+    varnames = [v for v, _ in order_by]
+
+    def add_keys(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for var in varnames:
+            n = pd.to_numeric(df[var], errors="coerce")
+            df[f"_nan_{var}"] = n.isna()
+            df[f"_num_{var}"] = n.fillna(0.0)
+            df[f"_str_{var}"] = df[var].astype(str)
+        return df
+
+    for var, desc in order_by:
+        sort_cols += [f"_nan_{var}", f"_num_{var}", f"_str_{var}"]
+        desc_flags += [False, desc, desc]
+
+    keyed = bindings.map_batches(add_keys, batch_format="pandas")
+    topk = keyed.sort(sort_cols, descending=desc_flags).limit(limit)
+    return topk.map_batches(
+        lambda df: df[
+            [c for c in df.columns
+             if not c.startswith(("_nan_", "_num_", "_str_"))]
+        ],
+        batch_format="pandas",
     )
 
 
@@ -177,51 +325,97 @@ def run_select(
     per its LIMIT convention)."""
     q = compile_select(query, prefixes)
 
-    # property-path pattern → closure pairs joined as bindings
-    path_idx = [
-        i for i, p in enumerate(q.patterns) if isinstance(p[1], PathExpr)
-    ]
+    path_patterns = [p for p in q.patterns if isinstance(p[1], PathExpr)]
+    plain_patterns = [p for p in q.patterns if not isinstance(p[1], PathExpr)]
+
     bindings: "ray.data.Dataset | None" = None
-    if path_idx:
-        if len(q.patterns) > 1:
-            raise ValueError("property path must be the only pattern")
-        s_t, path, o_t = q.patterns[0]
+    if plain_patterns:
+        if len(plain_patterns) == 1:
+            bindings = match_pattern(triples, *plain_patterns[0])
+        else:
+            bindings = bgp(triples, plain_patterns)
+
+    # property-path patterns → closure pair frames; joined into the
+    # bindings via broadcast merge (closures are presentation-sized —
+    # ops.transitive_closure_distributed is the API for big closures)
+    path_frames: list[pd.DataFrame] = []
+    for s_t, path, o_t in path_patterns:
         closure = property_path_closure(
             triples, path.preds, include_reflexive=path.star
         )
-        df = closure.rename(
-            columns={"s": s_t[1:] if str(s_t).startswith("?") else "s",
-                     "o": o_t[1:] if str(o_t).startswith("?") else "o"}
-        )
-        out = df
-    else:
-        if len(q.patterns) == 1:
-            bindings = match_pattern(triples, *q.patterns[0])
+        cols = {}
+        if str(s_t).startswith("?"):
+            cols["s"] = s_t[1:]
         else:
-            bindings = bgp(triples, q.patterns)
-        for opt in q.optionals:
-            opt_b = match_pattern(triples, *opt[0]) if len(opt) == 1 else bgp(
-                triples, opt
-            )
-            shared = sorted(
-                set(c for c in bindings.schema().names)
-                & set(opt_b.schema().names)
-            )
-            bindings = optional_join(bindings, opt_b, on=shared)
-        if q.count_alias:
-            group = q.group_by or (q.variables[0] if q.variables else None)
-            if group is None:
-                out = pd.DataFrame({q.count_alias: [bindings.count()]})
-            else:
-                out = count_by(bindings, group, alias=q.count_alias).to_pandas()
+            closure = closure[closure["s"] == s_t]
+        if str(o_t).startswith("?"):
+            cols["o"] = o_t[1:]
         else:
+            closure = closure[closure["o"] == o_t]
+        frame = closure.rename(columns=cols)[list(cols.values())]
+        path_frames.append(frame.drop_duplicates().reset_index(drop=True))
+
+    for frame in path_frames:
+        if bindings is None and len(path_frames) == 1 and not q.optionals:
+            # pure path query: the frame IS the bindings
+            out = frame
+            out = _apply_filters(out, q.filters)
+            if q.order_by:
+                out = _order_frame(out, q.order_by)
             if q.limit is not None:
-                bindings = limit_op(bindings, q.limit)
-            out = bindings.to_pandas()
+                out = out.head(q.limit)
             if q.variables:
                 out = out[[v for v in q.variables if v in out.columns]]
             return out.reset_index(drop=True)
+        if bindings is None:
+            import ray.data as rd
 
-    if q.limit is not None:
-        out = out.head(q.limit)
+            bindings = rd.from_pandas(frame)
+            continue
+        shared = sorted(
+            set(bindings.schema().names) & set(frame.columns)
+        )
+        if not shared:
+            raise ValueError("path pattern shares no variable with BGP")
+        bindings = broadcast_lookup_join(bindings, frame, on=shared, how="inner")
+
+    for opt in q.optionals:
+        opt_b = match_pattern(triples, *opt[0]) if len(opt) == 1 else bgp(
+            triples, opt
+        )
+        shared = sorted(
+            set(c for c in bindings.schema().names)
+            & set(opt_b.schema().names)
+        )
+        bindings = optional_join(bindings, opt_b, on=shared)
+
+    if q.filters:
+        filters = q.filters
+        bindings = bindings.map_batches(
+            lambda df: _apply_filters(df, filters), batch_format="pandas"
+        )
+
+    if q.count_alias:
+        group = q.group_by or (q.variables[0] if q.variables else None)
+        if group is None:
+            out = pd.DataFrame({q.count_alias: [bindings.count()]})
+        else:
+            out = count_by(bindings, group, alias=q.count_alias).to_pandas()
+        if q.order_by:
+            out = _order_frame(out, q.order_by)
+        if q.limit is not None:
+            out = out.head(q.limit)
+        return out.reset_index(drop=True)
+
+    if q.order_by and q.limit is not None:
+        # distributed top-k: sort + limit push down to the Dataset
+        out = _order_dataset_topk(bindings, q.order_by, q.limit).to_pandas()
+    else:
+        if q.limit is not None and not q.order_by:
+            bindings = limit_op(bindings, q.limit)
+        out = bindings.to_pandas()
+        if q.order_by:
+            out = _order_frame(out, q.order_by)
+    if q.variables:
+        out = out[[v for v in q.variables if v in out.columns]]
     return out.reset_index(drop=True)

@@ -41,7 +41,7 @@ from ..extract.turtle import TurtleParseError, parse_turtle
 __all__ = [
     "EXTRACT_SCHEMA", "sniff_kind", "extract_pages_batch",
     "PRED_TEXT", "PRED_MENTION", "PRED_LINKS_TO", "PRED_QUARANTINE",
-    "VOCAB",
+    "PRED_PREFIX", "VOCAB",
 ]
 
 VOCAB = "http://graft.example/vocab#"
@@ -49,6 +49,10 @@ PRED_TEXT = ""  # text rows carry no predicate
 PRED_MENTION = VOCAB + "candidateMention"
 PRED_LINKS_TO = VOCAB + "linksTo"
 PRED_QUARANTINE = VOCAB + "quarantined"
+# prefix declarations surfaced from parsed sources (reference accumulates
+# every parse's prefixes into the global prefix map used at query time —
+# document.js:706-715, :940-942); these rows are metadata, not triples
+PRED_PREFIX = VOCAB + "prefixDecl"
 
 EXTRACT_SCHEMA = pa.schema(
     [
@@ -140,8 +144,12 @@ def _extract_one(out: _Out, url: str, payload: bytes) -> None:
                 out.add(s, p, o, iri, "", "", "", url, kind=kind)
         elif kind == "turtle":
             text = payload.decode("utf-8", errors="replace")
-            for s, p, o, iri, lang, dt in parse_turtle(text)[0]:
+            parsed, prefixes = parse_turtle(text)
+            for s, p, o, iri, lang, dt in parsed:
                 out.add(s, p, o, iri, lang, dt, "", url, kind=kind)
+            for pfx, iri in prefixes.items():
+                out.add(pfx, PRED_PREFIX, iri, True, "", "", "", url,
+                        score=0.0, kind=kind)
         elif kind == "ntriples":
             text = payload.decode("utf-8", errors="replace")
             for s, p, o, iri, lang, dt, g in parse_nquads(text):

@@ -39,10 +39,16 @@ def test_distributed_extract_precision_recall(ray_session):
         extract_pages_batch, batch_format="pyarrow", batch_size=64
     ).to_pandas()
     # structured payloads only (html/json link rows are engine extensions
-    # with no reference analog)
+    # with no reference analog; prefixDecl rows are prefix-map metadata,
+    # not triples — the reference keeps prefixes outside the store too)
+    from graphforge_ray.stages.extract import PRED_PREFIX
+
+    struct = out[
+        out["kind"].isin(["rdfxml", "turtle"]) & (out["pred"] != PRED_PREFIX)
+    ]
     got = {
         (r.subj, r.pred, r.obj, bool(r.obj_is_iri))
-        for r in out[out["kind"].isin(["rdfxml", "turtle"])].itertuples()
+        for r in struct.itertuples()
     }
     want = oracle_store_for_docs(_fixture_docs())
     tp = len(got & want)

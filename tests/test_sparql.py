@@ -103,3 +103,104 @@ def test_select_property_path(triples_ds):
     pairs = set(zip(out["s"], out["o"]))
     assert (f"{EX}a", f"{EX}C") in pairs   # transitive through B
     assert (f"{EX}a", f"{EX}a") in pairs   # reflexive star
+
+
+# -- r2 extensions: FILTER / ORDER BY / path-joined-with-BGP / prefixes -----
+
+@pytest.fixture(scope="module")
+def score_triples(ray_session):
+    import ray.data as rd
+
+    rows = [
+        ("e/A", "e/childOf", "e/B"), ("e/B", "e/childOf", "e/C"),
+        ("e/A", "e/name", "alpha"), ("e/B", "e/name", "beta"),
+        ("e/C", "e/name", "gamma"),
+        ("e/A", "e/score", "10"), ("e/B", "e/score", "25"),
+        ("e/C", "e/score", "7"), ("e/D", "e/score", "not-a-number"),
+    ]
+    return rd.from_pandas(
+        pd.DataFrame(rows, columns=["subj", "pred", "obj"])
+    )
+
+
+def test_filter_numeric_coercion_drops_unparseable(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT ?s ?v WHERE { ?s <e/score> ?v . FILTER (?v > 8) }",
+    )
+    assert sorted(out["s"]) == ["e/A", "e/B"]  # e/D row-skipped (P13)
+
+
+def test_filter_string_equality(score_triples):
+    out = run_select(
+        score_triples,
+        'SELECT ?s WHERE { ?s <e/name> ?n . FILTER (?n = "beta") }',
+    )
+    assert list(out["s"]) == ["e/B"]
+
+
+def test_filter_var_var(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT ?s ?n ?v WHERE { ?s <e/name> ?n . ?s <e/score> ?v . "
+        "FILTER (?n != ?v) }",
+    )
+    assert len(out) == 3  # every bound pair differs
+
+
+def test_order_by_numeric_value_not_lexical(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT ?s ?v WHERE { ?s <e/score> ?v } ORDER BY DESC(?v) LIMIT 2",
+    )
+    assert out.values.tolist() == [["e/B", "25"], ["e/A", "10"]]
+    asc = run_select(
+        score_triples,
+        "SELECT ?s ?v WHERE { ?s <e/score> ?v } ORDER BY ?v",
+    )
+    # numerics by value first, non-numeric strings last
+    assert list(asc["v"]) == ["7", "10", "25", "not-a-number"]
+
+
+def test_path_pattern_joined_with_bgp(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT ?a ?n WHERE { ?a (<e/childOf>)* ?b . ?b <e/name> ?n . "
+        'FILTER (?n = "gamma") }',
+    )
+    assert sorted(map(tuple, out.values.tolist())) == [
+        ("e/A", "gamma"), ("e/B", "gamma"), ("e/C", "gamma"),
+    ]
+
+
+def test_order_by_count_alias(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT (COUNT(?o) AS ?c) ?p WHERE { ?s ?p ?o } GROUP BY ?p "
+        "ORDER BY DESC(?c) ?p",
+    )
+    assert list(out["c"]) == [4, 3, 2]
+
+
+def test_corpus_prefixes_reach_queries(ray_session):
+    """A prefix declared ONLY inside a source document is usable at query
+    time (reference document.js:706-715/:940-942)."""
+    import ray.data as rd
+
+    from graphforge_ray.fixtures import gen_pages_table
+    from graphforge_ray.pipelines.forge import (
+        collect_prefixes,
+        extract_and_link,
+        forge_triples,
+    )
+
+    pages = rd.from_arrow(gen_pages_table(16))
+    pfx = collect_prefixes(extract_and_link(pages))
+    assert pfx["ex"] == "http://graft.example/ont/"
+    assert "rdfs" in pfx
+    tri = forge_triples(pages)
+    out = run_select(
+        tri, "SELECT ?s ?o WHERE { ?s ex:contains ?o }", prefixes=pfx
+    )
+    assert len(out) > 0
+    assert out["s"].str.startswith("http://graft.example/ont/order").all()
