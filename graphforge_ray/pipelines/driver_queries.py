@@ -561,10 +561,71 @@ def q_docs_langid(sf_dir: str):
 
 
 def q_docs_minhash_dedup(sf_dir: str):
-    """MinHash-LSH near-dup clustering."""
+    """MinHash-LSH near-dup clustering, EXACT-oracled: the documents
+    table contains genuine near-dup text pairs (e.g. 8/245 at jaccard
+    0.99), and deterministic probe copies (doc_id < 25, id + 100000) are
+    unioned in so exact-dup clustering is exercised too. The DuckDB
+    oracle recomputes trigram-Jaccard pairs + connected components from
+    scratch (recursive CTE), so every cluster assignment is checked."""
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
-    out = minhash_dedup(ds, threshold=0.8)
-    return out
+    probes = ds.filter(expr="doc_id < 25").map_batches(
+        lambda df: df.assign(doc_id=df["doc_id"] + 100000),
+        batch_format="pandas",
+    )
+    return minhash_dedup(ds.union(probes), threshold=0.8)
+
+
+# EXACT oracle: word-trigram Jaccard pairs (the same shingle definition as
+# stages.dedup._shingles, on raw gram strings instead of 64-bit hashes) +
+# connected components as a recursive CTE, over documents ∪ probes. The
+# LSH candidate stage has a nonzero false-negative probability in theory
+# (16 bands × 4 rows: P(miss | j=0.8) ≈ 2e-4), but the seeded minhash is
+# deterministic, so agreement on this table is a stable exact check. The
+# size-ratio prefilter (|A|/|B| ≥ 0.8) is implied by jaccard ≥ 0.8.
+SQL_DOCS_MINHASH_DEDUP = r"""
+WITH RECURSIVE
+docs2 AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, text FROM documents WHERE doc_id < 25
+),
+tok AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w FROM docs2
+),
+grams AS (
+    SELECT doc_id,
+           CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_distinct(list_transform(generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+           END AS g
+    FROM tok
+),
+pairs AS (
+    SELECT a.doc_id AS ia, b.doc_id AS ib
+    FROM grams a JOIN grams b
+      ON a.doc_id < b.doc_id
+     AND len(a.g) * 5 >= len(b.g) * 4 AND len(b.g) * 5 >= len(a.g) * 4
+    WHERE len(list_intersect(a.g, b.g)) * 1.0
+          / len(list_distinct(a.g || b.g)) >= 0.8
+),
+edges AS (
+    SELECT ia AS a, ib AS b FROM pairs
+    UNION
+    SELECT ib, ia FROM pairs
+),
+reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+lab AS (
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+)
+SELECT d.doc_id,
+       COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+       COALESCE(l.cluster_id, d.doc_id) = d.doc_id AS keep
+FROM docs2 d LEFT JOIN lab l ON l.doc_id = d.doc_id
+"""
 
 
 def q_docs_simhash(sf_dir: str):
@@ -580,9 +641,26 @@ def q_docs_simhash(sf_dir: str):
 
 
 def q_embedding_neardup(sf_dir: str):
-    """Embedding-cosine near-dup pairs (LSH buckets + verify)."""
+    """Embedding-cosine near-dup pairs (LSH buckets + verify) —
+    FALSIFIABLE form: the synthetic embeddings are near-orthogonal (max
+    pairwise cosine ≈ 0.51), so a bare run always returns 0 rows.
+    Deterministic probe copies (vec_id < 20, id + 100000) are unioned in;
+    identical vectors always share LSH buckets, so the result is exactly
+    the 20 (source, copy) pairs at cosine 1.0 — SQL-oracle-able."""
     emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_neardup(emb, threshold=0.95)
+    probes = emb.filter(expr="vec_id < 20").map_batches(
+        lambda df: df.assign(vec_id=df["vec_id"] + 100000),
+        batch_format="pandas",
+    )
+    out = embedding_neardup(emb.union(probes), threshold=0.95)
+    out["cosine"] = out["cosine"].round(4)
+    return out
+
+
+SQL_EMBEDDING_NEARDUP = """
+SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cosine
+FROM embeddings WHERE vec_id < 20
+"""
 
 
 def q_ann_ivf(sf_dir: str):
@@ -774,6 +852,8 @@ ORACLES = {
     "ann_topk": SQL_ANN_TOPK,
     "sparql_filter_orderby": SQL_SPARQL_FILTER_ORDERBY,
     "sparql_path_bgp": SQL_SPARQL_PATH_BGP,
-    # docs_langid / docs_minhash_dedup / docs_simhash / embedding_neardup /
+    "docs_minhash_dedup": SQL_DOCS_MINHASH_DEDUP,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    # docs_langid / docs_simhash / ann_ivf / sparql_pred_counts /
     # forge_pages: genuinely non-SQL ops → rows-only checks
 }

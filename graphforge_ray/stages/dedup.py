@@ -370,7 +370,7 @@ def verify_candidate_pairs(
 def connected_components(
     pairs: "ray.data.Dataset",
     max_rounds: int = 25,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Connected components of an (id_a, id_b) edge Dataset via iterated
     min-label propagation — the distributed groupby form (no driver-side
@@ -398,6 +398,12 @@ def connected_components(
         )
 
     edges = pairs.map_batches(sym, batch_format="pandas").materialize()
+    if num_partitions is None:
+        # bucket/block count scales with edge volume: per-round shuffle
+        # fixed cost grows with block count, so tiny pair sets get few
+        # buckets and web-scale edge sets get wide fan-out
+        num_partitions = max(8, min(256, edges.count() // 50_000 + 8))
+    edges = edges.repartition(num_partitions).materialize()
 
     # round 0: label(node) = min(node, neighbors)
     def seed(df: pd.DataFrame) -> pd.DataFrame:
@@ -411,8 +417,9 @@ def connected_components(
         return both
 
     labels = _bucket_groupby_min(
-        edges.map_batches(seed, batch_format="pandas"), "node", "label"
-    ).materialize()
+        edges.map_batches(seed, batch_format="pandas"), "node", "label",
+        num_buckets=num_partitions,
+    ).repartition(num_partitions).materialize()
 
     def label_hash_sum(ds: "ray.data.Dataset") -> int:
         def h(df: pd.DataFrame) -> pd.DataFrame:
@@ -444,13 +451,15 @@ def connected_components(
                 lambda df: pd.DataFrame({"k": df["node"], "v": df["label"]}),
                 batch_format="pandas",
             ),
+            num_buckets=num_partitions,
         )
         # repartition bounds the block count across rounds (sort-shuffle
         # output blocks track input blocks; iterated groupbys otherwise
         # accumulate blocks and scheduling overhead every round)
         labels = _bucket_groupby_min(
-            nbr_labels.union(labels), "node", "label"
-        ).repartition(64).materialize()
+            nbr_labels.union(labels), "node", "label",
+            num_buckets=num_partitions,
+        ).repartition(num_partitions).materialize()
         cur = label_hash_sum(labels)
         if cur == prev:
             break
@@ -509,7 +518,7 @@ def minhash_dedup(
         batch_format="pandas",
     )
     labels_full = _bucket_groupby_min(
-        self_rows.union(comp), "node", "label"
+        self_rows.union(comp), "node", "label", num_buckets=num_partitions
     )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:

@@ -271,3 +271,26 @@ def test_train_centroids_sample_is_bounded(ray_session):
     assert np.array_equal(s, s2)  # deterministic
     cents = train_centroids(ds, num_clusters=4, max_sample=64)
     assert cents.shape == (4, 8)
+
+
+def test_simhash_golden_values():
+    """Pinned simhash values: falsifiable against any kernel regression
+    (near-dup texts differ in few bits; unrelated texts in many)."""
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy cat",
+                "completely unrelated words about distributed shuffles",
+            ],
+        }
+    )
+    out = simhash_batch(df)
+    hexes = [f"{int(h):016x}" for h in out["simhash"]]
+    assert hexes == [
+        "1ad0837090563a37", "1af2837c10543a37", "081ca10f85c8868a",
+    ]
+    d12 = bin(int(hexes[0], 16) ^ int(hexes[1], 16)).count("1")
+    d13 = bin(int(hexes[0], 16) ^ int(hexes[2], 16)).count("1")
+    assert d12 <= 8 < d13
