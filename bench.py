@@ -122,14 +122,18 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same forge job at two parallelism levels in fresh processes."""
+    """Same forge job at two parallelism levels — INTERLEAVED A/B pairs,
+    median-of-N (r1 verdict item 9: the sequential best-of-2 protocol
+    left a 0.71-1.35 efficiency spread because host neighbor load drifted
+    between the two legs; interleaving puts both legs under the same
+    load, and per-PAIR efficiencies expose the spread honestly)."""
     lo, hi = (
         int(os.environ.get("GRAFT_SCALE_LO", "4")),
         int(os.environ.get("GRAFT_SCALE_HI", "16")),
     )
-    reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
-    results = {}
-    for ncpu in (lo, hi):
+    reps = int(os.environ.get("GRAFT_SCALE_REPS", "3"))
+
+    def one(ncpu: int) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
@@ -139,35 +143,43 @@ def run_scaling() -> dict:
             GRAFT_BENCH_PAGES=os.environ.get("GRAFT_SCALE_PAGES", "120000"),
             GRAFT_BENCH_RICH=os.environ.get("GRAFT_SCALE_RICH", "16"),
         )
-        # best-of-N: this sandbox host carries invisible neighbor load
-        # (load avg 5-10 at idle); min wall time is the least-interference
-        # estimate of the engine's own cost at each level
-        best = None
-        for _ in range(reps):
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, check=True,
-            ).stdout
-            r = json.loads(out.strip().splitlines()[-1])
-            if best is None or r["value"] < best["value"]:
-                best = r
-        results[ncpu] = best
-    thr_lo = results[lo]["forge"]["pages_per_sec"]
-    thr_hi = results[hi]["forge"]["pages_per_sec"]
-    eff = (thr_hi / thr_lo) / (hi / lo)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    pairs = []
+    for _ in range(reps):
+        r_lo = one(lo)   # A/B interleave: lo then hi under the same
+        r_hi = one(hi)   # ambient load window
+        pairs.append((r_lo, r_hi))
+
+    def med(vals):
+        vals = sorted(vals)
+        return vals[len(vals) // 2]
+
+    effs = [
+        (p[1]["forge"]["pages_per_sec"] / p[0]["forge"]["pages_per_sec"])
+        / (hi / lo)
+        for p in pairs
+    ]
+    thr_lo = med([p[0]["forge"]["pages_per_sec"] for p in pairs])
+    thr_hi = med([p[1]["forge"]["pages_per_sec"] for p in pairs])
+    sec_lo = med([p[0]["queries"]["forge"] for p in pairs])
+    sec_hi = med([p[1]["queries"]["forge"] for p in pairs])
     return {
         "metric": "forge throughput scaling",
         "unit": "pages/sec",
-        f"cpus_{lo}": {"sec": results[lo]["queries"]["forge"],
-                       "pages_per_sec": thr_lo,
-                       "triples_per_sec": results[lo]["forge"]["triples_per_sec"]},
-        f"cpus_{hi}": {"sec": results[hi]["queries"]["forge"],
-                       "pages_per_sec": thr_hi,
-                       "triples_per_sec": results[hi]["forge"]["triples_per_sec"]},
-        "scaling_efficiency": round(eff, 3),
-        "pages": results[hi]["forge"]["pages"],
-        "rich": results[hi]["forge"]["rich"],
-        "triples": results[hi]["forge"]["triples"],
+        "protocol": f"interleaved A/B, median of {reps} pairs",
+        f"cpus_{lo}": {"sec": sec_lo, "pages_per_sec": thr_lo},
+        f"cpus_{hi}": {"sec": sec_hi, "pages_per_sec": thr_hi},
+        "scaling_efficiency": round(med(effs), 3),
+        "efficiency_per_pair": [round(e, 3) for e in effs],
+        "efficiency_spread": round(max(effs) - min(effs), 3),
+        "pages": pairs[0][1]["forge"]["pages"],
+        "rich": pairs[0][1]["forge"]["rich"],
+        "triples": pairs[0][1]["forge"]["triples"],
     }
 
 
