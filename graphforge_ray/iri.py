@@ -4,8 +4,12 @@ Canonical spelling rules (applied at EMISSION time to link-derived IRIs,
 so the dedup shuffle is keyed on normalized surface forms with no extra
 pass): scheme + host casefolded (case-insensitive per RFC 3986 — the PATH
 stays case-sensitive so distinct entities don't merge), https unified to
-http, one trailing slash stripped. Reference-extracted triples are NEVER
-normalized (byte-exact P/R parity with the reference walker).
+http, trailing slashes/whitespace stripped to a fixpoint (the function
+must be IDEMPOTENT — stripping a single trailing '/' could expose
+trailing whitespace or another slash, so a second normalize would differ;
+found by the hypothesis idempotence property). Reference-extracted
+triples are NEVER normalized (byte-exact P/R parity with the reference
+walker).
 """
 
 from __future__ import annotations
@@ -23,6 +27,8 @@ def normalize_iri(iri: str) -> str:
         norm = norm[:host_end].casefold() + norm[host_end:]
         if norm.startswith("https://"):
             norm = "http://" + norm[len("https://"):]
-    if norm.endswith("/"):
-        norm = norm[:-1]
-    return norm
+    while True:
+        stripped = norm.rstrip().rstrip("/")
+        if stripped == norm:
+            return norm
+        norm = stripped

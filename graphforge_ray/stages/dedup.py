@@ -114,24 +114,46 @@ def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]
     return a, b
 
 
-def _shingles(text: str, k: int) -> np.ndarray:
-    """Word k-gram shingle hashes (uint64)."""
-    toks = _TOKEN.findall(text.lower())
-    if len(toks) < k:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    if not grams:
+# odd multipliers for positional k-gram hash mixing (any fixed odd
+# constants work; these are from splitmix64's golden-ratio family —
+# public knowledge)
+_MIX = np.array(
+    [0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB,
+     0xD6E8FEB86659FD93, 0xA5A5A5A5A5A5A5A5, 0xC2B2AE3D27D4EB4F,
+     0x165667B19E3779F9, 0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
+
+
+def _word_hashes(toks: list[str]) -> np.ndarray:
+    """uint64 hash per token — one vectorized pandas hash_array call
+    (fixed key → deterministic across processes), no per-token Python."""
+    if not toks:
         return np.zeros(0, dtype=np.uint64)
-    return np.fromiter(
-        (
-            int.from_bytes(
-                hashlib.blake2b(g.encode(), digest_size=8).digest(), "big"
-            )
-            for g in set(grams)
-        ),
-        dtype=np.uint64,
-    )
+    return pd.util.hash_array(
+        np.asarray(toks, dtype=object), hash_key=_PAIR_HASH_KEY
+    ).astype(np.uint64)
+
+
+def _gram_hashes(wh: np.ndarray, k: int) -> np.ndarray:
+    """Distinct k-gram hashes from a token-hash array: positionally-mixed
+    combination of k consecutive word hashes (vectorized slices; replaces
+    a per-gram blake2b Python loop, ~20× on this host)."""
+    n = len(wh)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    if n < k:
+        k = n  # short doc: one gram over all tokens (legacy semantics)
+    m = n - k + 1
+    out = wh[:m] * _MIX[0]
+    for j in range(1, k):
+        out = out ^ (wh[j : m + j] * _MIX[j % len(_MIX)])
+    return np.unique(out)
+
+
+def _shingles(text: str, k: int) -> np.ndarray:
+    """Word k-gram shingle hashes (uint64) for one text."""
+    return _gram_hashes(_word_hashes(_TOKEN.findall(text.lower())), k)
 
 
 def shingle_minhash_batch(
@@ -142,40 +164,72 @@ def shingle_minhash_batch(
     text_col: str = "text",
 ) -> pd.DataFrame:
     """→ one row per doc: (doc_id, sig) where sig is the uint64[num_perm]
-    minhash signature (kept as a list column)."""
+    minhash signature (kept as a list column).
+
+    Fully vectorized across the batch: all docs' shingles concatenate
+    into ONE array, the (a·x + b) mod p permutation table is computed as
+    one outer product, and per-doc minima come from
+    ``np.minimum.reduceat`` on the doc offsets — no per-doc numpy calls."""
     a, b = _perm_params(num_perm)
-    ids, sigs = [], []
-    for doc_id, text in zip(df[id_col], df[text_col].fillna("")):
-        sh = _shingles(text, shingle_k)
-        if len(sh) == 0:
-            sig = np.full(num_perm, _MERSENNE, dtype=np.uint64)
-        else:
-            # (a*x + b) mod p, min over shingles — vectorized outer product
-            vals = (
-                sh[None, :] * a[:, None] + b[:, None]
-            ) % np.uint64(_MERSENNE)
-            sig = vals.min(axis=1)
-        ids.append(doc_id)
-        sigs.append(sig.tolist())
-    return pd.DataFrame({id_col: ids, "sig": sigs})
+    texts = df[text_col].fillna("")
+    all_sh: list[np.ndarray] = [
+        _shingles(t, shingle_k) for t in texts
+    ]
+    lens = np.array([len(x) for x in all_sh], dtype=np.int64)
+    n_docs = len(lens)
+    sig_mat = np.full((n_docs, num_perm), _MERSENNE, dtype=np.uint64)
+    nonempty = lens > 0
+    if nonempty.any():
+        concat = (
+            np.concatenate([x for x in all_sh if len(x)])
+            if nonempty.any()
+            else np.zeros(0, dtype=np.uint64)
+        )
+        vals = (concat[None, :] * a[:, None] + b[:, None]) % np.uint64(
+            _MERSENNE
+        )  # (num_perm, total_shingles)
+        offsets = np.concatenate(
+            [[0], np.cumsum(lens[nonempty])[:-1]]
+        ).astype(np.int64)
+        mins = np.minimum.reduceat(vals, offsets, axis=1)  # (perm, ne_docs)
+        sig_mat[nonempty] = mins.T
+    return pd.DataFrame(
+        {id_col: df[id_col].to_numpy(), "sig": list(sig_mat)}
+    )
 
 
 def _band_rows(
     sig_df: pd.DataFrame, num_bands: int, id_col: str = "doc_id"
 ) -> pd.DataFrame:
-    """Explode signatures to (band_id, band_hash, doc_id) rows."""
-    out_band, out_hash, out_id = [], [], []
-    for doc_id, sig in zip(sig_df[id_col], sig_df["sig"]):
-        sig = np.asarray(sig, dtype=np.uint64)
-        rows_per_band = len(sig) // num_bands
-        for band in range(num_bands):
-            chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-            h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-            out_band.append(band)
-            out_hash.append(h)
-            out_id.append(doc_id)
+    """Explode signatures to (band_id, band_hash, doc_id) rows — one
+    vectorized reshape+mix over the whole batch (band_hash is uint64, a
+    cheaper groupby key than the old hex strings)."""
+    if not len(sig_df):
+        return pd.DataFrame(
+            {
+                "band_id": pd.Series(dtype="int32"),
+                "band_hash": pd.Series(dtype="uint64"),
+                id_col: pd.Series(dtype=sig_df[id_col].dtype
+                                  if id_col in sig_df else "int64"),
+            }
+        )
+    sig = np.asarray(list(sig_df["sig"]), dtype=np.uint64)  # (docs, perm)
+    n_docs, num_perm = sig.shape
+    rows_per_band = num_perm // num_bands
+    chunks = sig[:, : num_bands * rows_per_band].reshape(
+        n_docs, num_bands, rows_per_band
+    )
+    h = np.zeros((n_docs, num_bands), dtype=np.uint64)
+    for j in range(rows_per_band):
+        h = (h * np.uint64(0x100000001B3)) ^ chunks[:, :, j]  # FNV-style
     return pd.DataFrame(
-        {"band_id": out_band, "band_hash": out_hash, id_col: out_id}
+        {
+            "band_id": np.tile(
+                np.arange(num_bands, dtype=np.int32), n_docs
+            ),
+            "band_hash": h.reshape(-1),
+            id_col: np.repeat(sig_df[id_col].to_numpy(), num_bands),
+        }
     )
 
 
@@ -541,26 +595,39 @@ def simhash_batch(
     df: pd.DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> pd.DataFrame:
     """64-bit SimHash per document (token-hash bit-vote), plus the four
-    16-bit bands used for near-dup bucketing."""
-    ids, hashes = [], []
-    for doc_id, text in zip(df[id_col], df[text_col].fillna("")):
-        toks = _TOKEN.findall(text.lower())
-        votes = np.zeros(64, dtype=np.int64)
-        for tok in toks:
-            h = int.from_bytes(
-                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
-            )
-            bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            votes += np.where(bits == 1, 1, -1)
-        sh = int("".join("1" if v > 0 else "0" for v in votes[::-1]), 2)
-        ids.append(doc_id)
-        hashes.append(sh)
-    out = pd.DataFrame({id_col: ids})
-    out["simhash"] = np.array(hashes, dtype=np.uint64)
-    for band in range(4):
-        out[f"band{band}"] = np.array(
-            [(h >> (band * 16)) & 0xFFFF for h in hashes], dtype=np.uint32
+    16-bit bands used for near-dup bucketing.
+
+    Vectorized across the batch: one hash_array call over the
+    concatenated token stream, bit expansion via unpackbits, per-doc
+    votes via ``np.add.reduceat`` — no per-token Python loop."""
+    texts = df[text_col].fillna("")
+    tok_lists = [_TOKEN.findall(t.lower()) for t in texts]
+    lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    n_docs = len(lens)
+    hashes = np.zeros(n_docs, dtype=np.uint64)
+    nonempty = lens > 0
+    if nonempty.any():
+        concat = _word_hashes(
+            [tok for toks in tok_lists for tok in toks]
         )
+        # (total_tokens, 64) sign matrix from the hash bits
+        bits = np.unpackbits(
+            concat.view(np.uint8).reshape(-1, 8)[:, ::-1], axis=1
+        ).astype(np.int32)
+        signs = 2 * bits - 1
+        offsets = np.concatenate(
+            [[0], np.cumsum(lens[nonempty])[:-1]]
+        ).astype(np.int64)
+        votes = np.add.reduceat(signs, offsets, axis=0)  # (ne_docs, 64)
+        bitvals = (votes > 0).astype(np.uint64)
+        weights = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
+        hashes[nonempty] = bitvals @ weights
+    out = pd.DataFrame({id_col: df[id_col].to_numpy()})
+    out["simhash"] = hashes
+    for band in range(4):
+        out[f"band{band}"] = (
+            (hashes >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+        ).astype(np.uint32)
     return out
 
 

@@ -289,7 +289,7 @@ def test_simhash_golden_values():
     out = simhash_batch(df)
     hexes = [f"{int(h):016x}" for h in out["simhash"]]
     assert hexes == [
-        "1ad0837090563a37", "1af2837c10543a37", "081ca10f85c8868a",
+        "d0a2c833edae499c", "d0a2c833edae499d", "e559b3413473e4e1",
     ]
     d12 = bin(int(hexes[0], 16) ^ int(hexes[1], 16)).count("1")
     d13 = bin(int(hexes[0], 16) ^ int(hexes[2], 16)).count("1")
