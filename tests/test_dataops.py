@@ -294,3 +294,66 @@ def test_simhash_golden_values():
     d12 = bin(int(hexes[0], 16) ^ int(hexes[1], 16)).count("1")
     d13 = bin(int(hexes[0], 16) ^ int(hexes[2], 16)).count("1")
     assert d12 <= 8 < d13
+
+
+# -- real stdlib codecs -------------------------------------------------------
+
+def test_real_codecs_ppm_bmp_wav(ray_session):
+    """The real codec path decodes actual formats (binary PPM/PGM, 24-bit
+    BMP, 16-bit PCM WAV) through the same actor-pool stages; compressed
+    formats degrade to poison rows."""
+    import io
+    import struct
+    import wave
+
+    import ray.data as rd
+
+    from graphforge_ray.stages.codecs import decode_bmp, decode_ppm, encode_ppm
+
+    arr = np.arange(8 * 6 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    ppm = encode_ppm(arr)
+    assert np.array_equal(decode_ppm(ppm), arr)
+
+    h0, w0 = 3, 2
+    px = np.arange(h0 * w0 * 3, dtype=np.uint8).reshape(h0, w0, 3)
+    stride = (w0 * 3 + 3) & ~3
+    rows = b"".join(
+        px[y][:, ::-1].tobytes() + b"\x00" * (stride - w0 * 3)
+        for y in range(h0 - 1, -1, -1)
+    )
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w0, h0, 1, 24, 0, len(rows),
+                      0, 0, 0, 0)
+        + rows
+    )
+    assert np.array_equal(decode_bmp(bmp), px)
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        mono = (np.sin(np.linspace(0, 6.28, 32)) * 20000).astype("<i2")
+        wf.writeframes(np.repeat(mono, 2).tobytes())
+    wav = buf.getvalue()
+
+    ds = rd.from_pandas(pd.DataFrame(
+        {"img_id": [0, 1, 2], "data": [ppm, bmp, b"\x89PNG\r\n"]}
+    ))
+    meta = ds.map_batches(
+        ImageDecoder, batch_format="pandas", concurrency=(1, 2)
+    ).to_pandas().set_index("img_id")
+    assert meta.loc[0, "width"] == 8 and meta.loc[1, "width"] == 2
+    assert meta.loc[2, "width"] == -1  # png → poison row, not a crash
+
+    resized = ImageResizer(target_w=2, target_h=2)(
+        pd.DataFrame({"data": [ppm, bmp]})
+    )
+    assert resized["data"][0].startswith(b"P6 2 2")
+    assert resized["data"][1].startswith(b"P6 2 2")
+
+    aud = AudioFeatureExtractor(hop=8)(pd.DataFrame({"data": [wav]}))
+    assert aud["sample_rate"][0] == 16000
+    assert aud["n_samples"][0] == 32
+    assert abs(aud["duration_sec"][0] - 0.002) < 1e-9
