@@ -762,6 +762,77 @@ WHERE rr.o = 3
 """
 
 
+def q_sparql_union_distinct(sf_dir: str):
+    """SPARQL { } UNION { } + SELECT DISTINCT through the compiler, over
+    the part-hierarchy triples: parts that appear as a child OR carry a
+    label starting letter match is overkill — just union children and
+    parents, distinct."""
+    from ..query.sparql import run_select
+
+    return run_select(
+        _part_triples(sf_dir),
+        f"SELECT DISTINCT ?x WHERE {{ "
+        f"{{ ?x <{VOCAB_CHILDOF}> ?y }} UNION {{ ?y <{VOCAB_CHILDOF}> ?x }}"
+        f" }}",
+    )
+
+
+SQL_SPARQL_UNION_DISTINCT = """
+SELECT DISTINCT 'part:' || CAST(k AS VARCHAR) AS x FROM (
+    SELECT p_partkey AS k FROM part WHERE p_partkey > 1
+    UNION
+    SELECT p_partkey // 2 FROM part WHERE p_partkey > 1
+)
+"""
+
+
+def q_docs_quality_filter(sf_dir: str):
+    """Quality scoring E2E: TextQualityScorer over the documents table,
+    keep score ≥ 0.5 — the SQL oracle recomputes the whole composite
+    (length/punct/digit/stopword signals) from scratch. Ratios round to
+    6 decimals before the composite (matching the scorer); the final
+    score compares at 4 decimals (float parity rule)."""
+    from ..stages.proc_cache import process_cached_stage
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    scored = ds.map_batches(
+        process_cached_stage(TextQualityScorer), batch_format="pandas"
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.loc[df["quality_score"] >= 0.5, ["doc_id", "quality_score"]]
+        return out.assign(quality_score=out["quality_score"].round(4))
+
+    return scored.map_batches(finish, batch_format="pandas")
+
+
+SQL_DOCS_QUALITY_FILTER = r"""
+WITH sig AS (
+    SELECT doc_id,
+           len(text) AS n_chars,
+           ROUND(len(regexp_extract_all(text, '[^\w\s]')) * 1.0
+                 / GREATEST(len(text), 1), 6)                  AS punct_ratio,
+           ROUND(len(regexp_extract_all(text, '\d')) * 1.0
+                 / GREATEST(len(text), 1), 6)                  AS digit_ratio,
+           ROUND(len(list_filter(regexp_extract_all(lower(text), '[a-z'']+'),
+                     t -> t IN ('the','and','of','a','an','to','in','is','it',
+                                'that','for','on','as','with','was','are',
+                                'be','this','at','by'))) * 1.0
+                 / GREATEST(len(regexp_extract_all(lower(text), '[a-z'']+')),
+                            1), 6)                             AS stop_ratio
+    FROM documents
+), score AS (
+    SELECT doc_id,
+           ROUND(LEAST(n_chars, 2000) / 2000.0 * 0.4
+                 + (1 - LEAST(punct_ratio * 4, 1)) * 0.2
+                 + (1 - LEAST(digit_ratio * 4, 1)) * 0.2
+                 + LEAST(stop_ratio * 4, 1) * 0.2, 6)          AS q
+    FROM sig
+)
+SELECT doc_id, ROUND(q, 4) AS quality_score FROM score WHERE q >= 0.5
+"""
+
+
 def q_sparql_pred_counts(sf_dir: str):
     """The reference's aggregation conformance query (SPARQL.html:269-283)
     executed through the SPARQL-subset compiler over forged triples.
@@ -822,6 +893,8 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "sparql_filter_orderby": q_sparql_filter_orderby,
     "sparql_path_bgp": q_sparql_path_bgp,
+    "sparql_union_distinct": q_sparql_union_distinct,
+    "docs_quality_filter": q_docs_quality_filter,
     "docs_langid": q_docs_langid,
     "docs_minhash_dedup": q_docs_minhash_dedup,
     "docs_simhash": q_docs_simhash,
@@ -852,6 +925,8 @@ ORACLES = {
     "ann_topk": SQL_ANN_TOPK,
     "sparql_filter_orderby": SQL_SPARQL_FILTER_ORDERBY,
     "sparql_path_bgp": SQL_SPARQL_PATH_BGP,
+    "sparql_union_distinct": SQL_SPARQL_UNION_DISTINCT,
+    "docs_quality_filter": SQL_DOCS_QUALITY_FILTER,
     "docs_minhash_dedup": SQL_DOCS_MINHASH_DEDUP,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     # docs_langid / docs_simhash / ann_ivf / sparql_pred_counts /

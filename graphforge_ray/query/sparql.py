@@ -19,8 +19,9 @@ exercise (SPARQL.html:241-283 + the app default query app.js:100-104),
 extended with the constructs the first real user query needs (the
 reference gets these from Comunica, document.js:951-953):
 
-    SELECT ?v … | (COUNT(?v) AS ?alias)
+    SELECT [DISTINCT] ?v … | (COUNT(?v) AS ?alias)
     WHERE { pattern . pattern . OPTIONAL { pattern } FILTER (?v op x) }
+    WHERE { { group } UNION { group } [UNION { group } …] }
     with property-path alternation/star ``(p1|p2)*`` on the predicate
     position — the path pattern may now be JOINED with other patterns
     GROUP BY ?v / ORDER BY [DESC(?v)] ?w … / LIMIT n
@@ -82,6 +83,8 @@ class SelectQuery:
     limit: int | None
     filters: list[tuple] = field(default_factory=list)   # (var, op, rhs)
     order_by: list[tuple] = field(default_factory=list)  # (var, descending)
+    distinct: bool = False
+    union_groups: list[list[tuple]] = field(default_factory=list)
     prefixes: dict[str, str] = field(default_factory=dict)
 
 
@@ -186,6 +189,9 @@ def compile_select(
     body = body_match.group("body")
     tail = body_match.group("tail") or ""
 
+    distinct = bool(re.match(r"DISTINCT\s+", proj, re.I))
+    proj = re.sub(r"^DISTINCT\s+", "", proj, flags=re.I)
+
     count_match = _COUNT.search(proj)
     count_var = count_alias = None
     if count_match:
@@ -204,7 +210,17 @@ def compile_select(
         _parse_patterns(m.group(1), decl) for m in _OPTIONAL.finditer(body)
     ]
     body = _OPTIONAL.sub("", body)
-    patterns = _parse_patterns(body, decl)
+
+    union_groups: list[list[tuple]] = []
+    patterns: list[tuple] = []
+    if re.search(r"\bUNION\b", body, re.I):
+        # whole-body group union: { g1 } UNION { g2 } [UNION { g3 } …]
+        alts = re.split(r"\}\s*UNION\s*\{", body.strip(), flags=re.I)
+        alts[0] = alts[0].lstrip().lstrip("{")
+        alts[-1] = alts[-1].rstrip().rstrip("}")
+        union_groups = [_parse_patterns(a, decl) for a in alts]
+    else:
+        patterns = _parse_patterns(body, decl)
 
     order_by: list[tuple] = []
     om = _ORDER_BY.search(tail) or _ORDER_BY.search(query)
@@ -226,6 +242,8 @@ def compile_select(
         limit=int(lim.group(1)) if lim else None,
         filters=filters,
         order_by=order_by,
+        distinct=distinct,
+        union_groups=union_groups,
         prefixes=decl,
     )
 
@@ -329,7 +347,31 @@ def run_select(
     plain_patterns = [p for p in q.patterns if not isinstance(p[1], PathExpr)]
 
     bindings: "ray.data.Dataset | None" = None
-    if plain_patterns:
+    if q.union_groups:
+        # { g } UNION { g }: each group is an independent BGP; bindings
+        # are unioned (SPARQL UNION keeps duplicates — DISTINCT dedups).
+        # Groups must bind the same variables (engine restriction).
+        var_sets = set()
+        parts = []
+        for grp in q.union_groups:
+            part = (
+                match_pattern(triples, *grp[0])
+                if len(grp) == 1
+                else bgp(triples, grp)
+            )
+            parts.append(part)
+            var_sets.add(tuple(sorted(part.schema().names)))
+        if len(var_sets) != 1:
+            raise ValueError("UNION groups must bind the same variables")
+        order = list(var_sets.pop())
+        parts = [
+            p.map_batches(
+                lambda df, _o=order: df[list(_o)], batch_format="pandas"
+            )
+            for p in parts
+        ]
+        bindings = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    elif plain_patterns:
         if len(plain_patterns) == 1:
             bindings = match_pattern(triples, *plain_patterns[0])
         else:
@@ -407,6 +449,19 @@ def run_select(
             out = out.head(q.limit)
         return out.reset_index(drop=True)
 
+    if q.distinct:
+        # DISTINCT applies to the PROJECTED rows (SPARQL semantics):
+        # project first, then a distributed bucketed dedup
+        from ..shuffle import dedup_pairs
+
+        if q.variables:
+            keep = [v for v in q.variables]
+            bindings = bindings.map_batches(
+                lambda df, _k=tuple(keep): df[list(_k)],
+                batch_format="pandas",
+            )
+        cols = q.variables or bindings.schema().names
+        bindings = dedup_pairs(bindings, cols=tuple(cols), num_buckets=16)
     if q.order_by and q.limit is not None:
         # distributed top-k: sort + limit push down to the Dataset
         out = _order_dataset_topk(bindings, q.order_by, q.limit).to_pandas()

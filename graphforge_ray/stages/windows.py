@@ -84,34 +84,39 @@ def sliding_window(
 ) -> "ray.data.Dataset":
     """→ (key, window_start_us, n, sum_value). Each event fans out
     map-side to every window containing it (size/slide rows), then the
-    same grouped aggregate as tumbling — no per-group state."""
+    same grouped aggregate as tumbling — no per-group state.
+
+    The fan-out emits ARROW blocks: Ray's sort-aggregate reduces arrow
+    blocks with vectorized kernels but pandas blocks per-key in Python —
+    measured 30 s vs ~1 s on a 19k-group aggregate at sf0.01."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     from ray.data.aggregate import Count, Sum
 
     fanout = int(np.ceil(size_us / slide_us))
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        us = _ts_us(df[ts_col])
-        frames = []
+    def explode(batch: "pa.Table") -> "pa.Table":
+        us = pc.cast(
+            pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64()
+        ).to_numpy()
+        keys = batch[key]
+        vals = batch[value_col]
+        tables = []
         for i in range(fanout):
             start = ((us - i * slide_us) // slide_us) * slide_us
             keep = (us >= start) & (us < start + size_us)
-            frames.append(
-                pd.DataFrame(
-                    {
-                        key: df[key].to_numpy()[keep],
-                        "window_start_us": start[keep],
-                        value_col: df[value_col].to_numpy()[keep],
-                    }
+            idx = pa.array(np.nonzero(keep)[0])
+            tables.append(
+                pa.Table.from_arrays(
+                    [keys.take(idx), pa.array(start[keep]), vals.take(idx)],
+                    names=[key, "window_start_us", value_col],
                 )
             )
-        if not frames:
-            return pd.DataFrame(
-                {key: [], "window_start_us": [], value_col: []}
-            )
-        return pd.concat(frames, ignore_index=True)
+        return pa.concat_tables(tables)
 
     agg = (
-        events.map_batches(explode, batch_format="pandas")
+        events.map_batches(explode, batch_format="pyarrow")
         .groupby([key, "window_start_us"])
         .aggregate(Count(alias_name="n"), Sum(value_col, alias_name="sum_value"))
     )

@@ -204,3 +204,34 @@ def test_corpus_prefixes_reach_queries(ray_session):
     )
     assert len(out) > 0
     assert out["s"].str.startswith("http://graft.example/ont/order").all()
+
+
+def test_union_groups(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT ?s WHERE { { ?s <e/childOf> ?o } UNION { ?s <e/name> ?o } }",
+    )
+    # childOf: A,B ; name: A,B,C → duplicates kept without DISTINCT
+    assert sorted(out["s"]) == ["e/A", "e/A", "e/B", "e/B", "e/C"]
+
+
+def test_union_distinct(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT DISTINCT ?s WHERE { { ?s <e/childOf> ?o } UNION "
+        "{ ?s <e/name> ?o } }",
+    )
+    assert sorted(out["s"]) == ["e/A", "e/B", "e/C"]
+
+
+def test_distinct_applies_to_projection(score_triples):
+    out = run_select(score_triples, "SELECT DISTINCT ?s WHERE { ?s ?p ?o }")
+    assert sorted(out["s"]) == ["e/A", "e/B", "e/C", "e/D"]
+
+
+def test_union_mismatched_vars_raises(score_triples):
+    with pytest.raises(ValueError):
+        run_select(
+            score_triples,
+            "SELECT ?s WHERE { { ?s <e/childOf> ?o } UNION { ?x <e/name> ?n } }",
+        )
