@@ -10,8 +10,12 @@ here (or in graphforge_ray) calls ``ray.init()`` / ``ray.shutdown()``.
                      ``sf_dir`` testdata tables.
 * ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
                      query (same column names; floats rounded on both
-                     sides). Non-SQL ops (langid, minhash/simhash dedup,
-                     embedding near-dup, the pages forge) are rows-only.
+                     sides), including exact recomputation oracles for
+                     minhash near-dup clustering (trigram Jaccard +
+                     recursive-CTE components) and embedding near-dup
+                     (probe pairs). Genuinely non-SQL ops (langid,
+                     simhash, IVF approx, forged-pages runs) are
+                     rows-only.
 """
 
 from __future__ import annotations

@@ -833,6 +833,25 @@ SELECT doc_id, ROUND(q, 4) AS quality_score FROM score WHERE q >= 0.5
 """
 
 
+def q_docs_hash_split(sf_dir: str):
+    """Deterministic train/test split by keyed md5 (stages/sampling):
+    reproducible across runs/cluster sizes and stable under corpus
+    growth — the property random_sample lacks. Oracled: the SQL replays
+    the exact md5-prefix rule."""
+    from ..stages.sampling import hash_split
+
+    ds = _t(sf_dir, "documents", ["doc_id"])
+    return hash_split(ds, key_col="doc_id", test_pct=10.0)
+
+
+SQL_DOCS_HASH_SPLIT = """
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':graft-split'), 1, 4)
+                 < '1999' THEN 'test' ELSE 'train' END AS split
+FROM documents
+"""
+
+
 def q_sparql_pred_counts(sf_dir: str):
     """The reference's aggregation conformance query (SPARQL.html:269-283)
     executed through the SPARQL-subset compiler over forged triples.
@@ -895,6 +914,7 @@ QUERIES = {
     "sparql_path_bgp": q_sparql_path_bgp,
     "sparql_union_distinct": q_sparql_union_distinct,
     "docs_quality_filter": q_docs_quality_filter,
+    "docs_hash_split": q_docs_hash_split,
     "docs_langid": q_docs_langid,
     "docs_minhash_dedup": q_docs_minhash_dedup,
     "docs_simhash": q_docs_simhash,
@@ -927,6 +947,7 @@ ORACLES = {
     "sparql_path_bgp": SQL_SPARQL_PATH_BGP,
     "sparql_union_distinct": SQL_SPARQL_UNION_DISTINCT,
     "docs_quality_filter": SQL_DOCS_QUALITY_FILTER,
+    "docs_hash_split": SQL_DOCS_HASH_SPLIT,
     "docs_minhash_dedup": SQL_DOCS_MINHASH_DEDUP,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     # docs_langid / docs_simhash / ann_ivf / sparql_pred_counts /

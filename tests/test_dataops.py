@@ -357,3 +357,25 @@ def test_real_codecs_ppm_bmp_wav(ray_session):
     assert aud["sample_rate"][0] == 16000
     assert aud["n_samples"][0] == 32
     assert abs(aud["duration_sec"][0] - 0.002) < 1e-9
+
+
+def test_hash_split_deterministic_and_stable(ray_session):
+    """hash_split: reproducible across runs, stable under corpus growth
+    (existing rows keep their assignment when new rows arrive)."""
+    import ray.data as rd
+
+    from graphforge_ray.stages.sampling import hash_split
+
+    d1 = rd.from_pandas(pd.DataFrame({"doc_id": range(300)}))
+    a = hash_split(d1, test_pct=20.0).to_pandas().set_index("doc_id")["split"]
+    b = hash_split(d1, test_pct=20.0).to_pandas().set_index("doc_id")["split"]
+    assert (a == b).all()
+    frac = (a == "test").mean()
+    assert 0.1 < frac < 0.3  # ~20%
+    # growth stability: the first 300 assignments are unchanged
+    d2 = rd.from_pandas(pd.DataFrame({"doc_id": range(600)}))
+    c = hash_split(d2, test_pct=20.0).to_pandas().set_index("doc_id")["split"]
+    assert (c.loc[range(300)] == a).all()
+    # different salt → different split
+    s2 = hash_split(d1, test_pct=20.0, salt="other").to_pandas()
+    assert (s2.set_index("doc_id")["split"] != a).any()
