@@ -10,9 +10,11 @@ is compiled here into Ray Data operations:
 * BGP self-join (J1)    → ``Dataset.join`` hash join on shared variables
   (broadcast-merge fast path when one side is already small/materialized)
 * OPTIONAL (J2)         → left_outer join on the subject key
-* ``(p1|p2)*`` (J3)     → semi-naïve iterative frontier expansion: the
-  frontier is joined to the (small, broadcast) edge set per round until
-  fixpoint — alternation is a vectorized ``is_in`` pre-filter
+* ``(p1|p2)*`` (J3)     → transitive closure; alternation is a vectorized
+  ``is_in`` pre-filter. ≤200k filtered edges: driver semi-naïve pandas
+  merges (zero shuffles). Above: ``transitive_closure_distributed``
+  path-doubling Dataset rounds (log₂(diameter) bucketed-groupby joins,
+  in-shuffle new-pair detection)
 * GROUP BY + COUNT (A1) → ``groupby(var).count()``
 * LIMIT (O1) / top-k (O2) → ``limit`` / ``sort(desc).limit(k)``
 

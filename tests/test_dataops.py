@@ -379,3 +379,24 @@ def test_hash_split_deterministic_and_stable(ray_session):
     # different salt → different split
     s2 = hash_split(d1, test_pct=20.0, salt="other").to_pandas()
     assert (s2.set_index("doc_id")["split"] != a).any()
+
+
+def test_ivf_recall_against_brute_force(ray_session):
+    """IVF is approximate by design; assert a concrete quality bound so
+    the rows-only driver entry is falsifiable: recall@10 vs brute force
+    ≥ 0.5 with nprobe=2 of 8 clusters on a random corpus (self hit
+    guarantees > 0; typical observed ≈ 0.7-1.0)."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(11)
+    rows = [{"vec_id": i, "embedding": rng.standard_normal(16).tolist()}
+            for i in range(400)]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    q = np.asarray(rows[7]["embedding"])
+    exact = set(brute_force_topk(ds, q, k=10)["vec_id"])
+    cents = train_centroids(ds, num_clusters=8, max_sample=256)
+    assigned = assign_clusters(ds, cents)
+    approx = set(ivf_topk(assigned, cents, q, k=10, nprobe=2)["vec_id"])
+    recall = len(exact & approx) / 10
+    assert 7 in approx          # self is always found
+    assert recall >= 0.5, recall
