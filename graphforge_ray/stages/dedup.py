@@ -250,6 +250,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     as_dataset: bool = False,
+    dedup: bool = True,
 ):
     """→ candidate pairs (id_a < id_b) from LSH bucket collisions —
     a Dataset when ``as_dataset=True`` (the scale path: the pair set is
@@ -282,9 +283,10 @@ def minhash_lsh_candidates(
         bucket_pairs, batch_format="pandas"
     )
     if as_dataset:
-        # scale path: distributed pair dedup (one extra narrow shuffle
-        # beats ×num_bands redundant Jaccard verifications downstream)
-        return _dedup_pairs(raw_pairs)
+        # scale path: distributed pair dedup; pass dedup=False when the
+        # consumer dedups in its own keyed shuffle anyway
+        # (verify_candidate_pairs does, in-bucket — same key)
+        return _dedup_pairs(raw_pairs) if dedup else raw_pairs
     # interactive/test path: the pair frame is being collected anyway, so
     # dedup on the driver and skip the extra shuffle round
     pairs = raw_pairs.to_pandas()
@@ -351,7 +353,10 @@ def verify_candidate_pairs(
     )
 
     def merge1(g: pd.DataFrame):
-        l = g.loc[g["_side"] == 0, ["k", "other"]]
+        # in-bucket pair dedup IS global pair dedup: duplicate (id_a,
+        # id_b) pairs share k=id_a, hence the bucket — so callers can
+        # skip a separate pair-dedup shuffle entirely
+        l = g.loc[g["_side"] == 0, ["k", "other"]].drop_duplicates()
         r = g.loc[g["_side"] == 1, ["k", "txt"]]
         m = l.merge(r, on="k", how="inner")
         if m.empty:  # typed ARROW empty: quiet + unambiguous schema
@@ -545,7 +550,8 @@ def minhash_dedup(
     cluster_id = min doc_id of the verified connected component.
     """
     candidates = minhash_lsh_candidates(
-        docs, num_perm, num_bands, shingle_k, id_col, text_col, as_dataset=True
+        docs, num_perm, num_bands, shingle_k, id_col, text_col,
+        as_dataset=True, dedup=False,  # verify dedups in-bucket for free
     )
     verified = verify_candidate_pairs(
         candidates, docs, threshold, shingle_k, id_col, text_col, num_partitions
