@@ -27,7 +27,8 @@ import json
 import re
 from typing import Any
 
-__all__ = ["apply_mapping", "map_json_text", "DEFAULT_DOC_MAPPING"]
+__all__ = ["apply_mapping", "map_json_text", "map_table",
+           "DEFAULT_DOC_MAPPING"]
 
 _FIELD = re.compile(r"\{([^{}]+)\}")
 
@@ -131,3 +132,36 @@ def map_json_text(
     for r in recs:
         out.extend(apply_mapping(r, spec))
     return out
+
+
+def map_table(ds, spec: list[dict[str, Any]]):
+    """Tabular-to-RDF entry point (north star: "R2RML/RML-style
+    column-to-triple mapping" over tabular records): apply a mapping spec
+    to every ROW of a Dataset → triples Dataset
+    (subj, pred, obj, obj_is_iri, obj_lang, obj_datatype).
+
+    Stateless ``map_batches`` flat-map; the spec ships in the task
+    closure (it is spec-sized, not data-sized). Row-level templating is
+    per-record Python by design — templates are arbitrary; pin hot
+    mappings down to vectorized column ops when a profile demands it."""
+    import pandas as pd
+
+    cols = ["subj", "pred", "obj", "obj_is_iri", "obj_lang", "obj_datatype"]
+
+    def one_batch(df: pd.DataFrame) -> pd.DataFrame:
+        rows: list[tuple] = []
+        for rec in df.to_dict("records"):
+            rows.extend(apply_mapping(rec, spec))
+        out = pd.DataFrame(rows, columns=cols)
+        return out.astype({"obj_is_iri": bool}) if len(out) else pd.DataFrame(
+            {
+                "subj": pd.Series(dtype=object),
+                "pred": pd.Series(dtype=object),
+                "obj": pd.Series(dtype=object),
+                "obj_is_iri": pd.Series(dtype=bool),
+                "obj_lang": pd.Series(dtype=object),
+                "obj_datatype": pd.Series(dtype=object),
+            }
+        )
+
+    return ds.map_batches(one_batch, batch_format="pandas")

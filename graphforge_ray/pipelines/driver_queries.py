@@ -852,6 +852,46 @@ FROM documents
 """
 
 
+def q_rml_customer_triples(sf_dir: str):
+    """Generic RML mapping-spec engine (extract.jsonmap.map_table) over a
+    TPC-H tabular table: customer rows → name/nation/segment triples.
+    Exercises the spec-driven path (templated subjects, IRI object term
+    maps) rather than a hand-rolled converter."""
+    from ..extract.jsonmap import map_table
+
+    spec = [
+        {"subject": "cust:{c_custkey}", "predicate": VOCAB_PNAME,
+         "object": "{c_name}", "object_kind": "literal"},
+        {"subject": "cust:{c_custkey}",
+         "predicate": "http://graft.example/vocab#inNation",
+         "object": "nation:{c_nationkey}", "object_kind": "iri"},
+        {"subject": "cust:{c_custkey}",
+         "predicate": "http://graft.example/vocab#segment",
+         "object": "{c_mktsegment}", "object_kind": "literal"},
+    ]
+    ds = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey",
+                                 "c_mktsegment"])
+    tri = map_table(ds, spec)
+    return tri.map_batches(
+        lambda df: df[["subj", "pred", "obj", "obj_is_iri"]],
+        batch_format="pandas",
+    )
+
+
+SQL_RML_CUSTOMER_TRIPLES = f"""
+SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS subj,
+       '{{0}}' AS pred, c_name AS obj, FALSE AS obj_is_iri FROM customer
+UNION ALL
+SELECT 'cust:' || CAST(c_custkey AS VARCHAR),
+       'http://graft.example/vocab#inNation',
+       'nation:' || CAST(c_nationkey AS VARCHAR), TRUE FROM customer
+UNION ALL
+SELECT 'cust:' || CAST(c_custkey AS VARCHAR),
+       'http://graft.example/vocab#segment', c_mktsegment, FALSE
+FROM customer
+""".replace("{0}", VOCAB_PNAME)
+
+
 def q_sparql_pred_counts(sf_dir: str):
     """The reference's aggregation conformance query (SPARQL.html:269-283)
     executed through the SPARQL-subset compiler over forged triples.
@@ -915,6 +955,7 @@ QUERIES = {
     "sparql_union_distinct": q_sparql_union_distinct,
     "docs_quality_filter": q_docs_quality_filter,
     "docs_hash_split": q_docs_hash_split,
+    "rml_customer_triples": q_rml_customer_triples,
     "docs_langid": q_docs_langid,
     "docs_minhash_dedup": q_docs_minhash_dedup,
     "docs_simhash": q_docs_simhash,
@@ -948,6 +989,7 @@ ORACLES = {
     "sparql_union_distinct": SQL_SPARQL_UNION_DISTINCT,
     "docs_quality_filter": SQL_DOCS_QUALITY_FILTER,
     "docs_hash_split": SQL_DOCS_HASH_SPLIT,
+    "rml_customer_triples": SQL_RML_CUSTOMER_TRIPLES,
     "docs_minhash_dedup": SQL_DOCS_MINHASH_DEDUP,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     # docs_langid / docs_simhash / ann_ivf / sparql_pred_counts /

@@ -294,3 +294,29 @@ def test_turtle_fixture_full_grammar_no_quarantine():
     assert "http://www.w3.org/1999/02/22-rdf-syntax-ns#first" in preds
     anon = [s for s in out.column("subj").to_pylist() if s.startswith("_:anon")]
     assert anon
+
+
+def test_map_table_tabular_rml(ray_session):
+    """Generic mapping-spec engine over a tabular Dataset (north star:
+    R2RML/RML-style column-to-triple mapping)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from graphforge_ray.extract.jsonmap import map_table
+
+    ds = rd.from_pandas(pd.DataFrame(
+        {"id": [1, 2], "name": ["Ann", None], "tags": [["x", "y"], ["z"]]}
+    ))
+    spec = [
+        {"subject": "e:{id}", "predicate": "p:name", "object": "{name}"},
+        {"subject": "e:{id}", "predicate": "p:tag", "object": "t:{tags}",
+         "object_kind": "iri"},
+    ]
+    out = map_table(ds, spec).to_pandas()
+    got = set(map(tuple, out[["subj", "pred", "obj", "obj_is_iri"]].values))
+    assert got == {
+        ("e:1", "p:name", "Ann", False),        # row 2 name None → dropped
+        ("e:1", "p:tag", "t:x", True),          # list fan-out
+        ("e:1", "p:tag", "t:y", True),
+        ("e:2", "p:tag", "t:z", True),
+    }
