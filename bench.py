@@ -61,7 +61,7 @@ def run_bench() -> dict:
             while f.read(1 << 22):
                 pass
 
-    from graphforge_ray.fixtures import pages_dataset
+    from graphforge_ray.fixtures import pages_dataset, write_pages_parquet
     from graphforge_ray.pipelines import driver_queries as dq
     from graphforge_ray.pipelines.forge import forge_triples
     from graphforge_ray.stages.dedup import exact_dedup, minhash_lsh_candidates
@@ -87,10 +87,27 @@ def run_bench() -> dict:
     # untimed warm-up (worker spawn + imports)
     forge_triples(pages_dataset(2000, rich=rich)).count()
 
-    # 1. forge — the headline KG pipeline
+    # 1. forge — the headline KG pipeline, from PARQUET pages (the north
+    # rule's input shape). The corpus is deterministic and written once
+    # (untimed; existing files are reused), so the timed run measures
+    # read → extract → link → dedup-shuffle, not Python fixture
+    # generation (~0.46 ms/page, slower than the parse itself).
+    import ray.data as _rd
+
+    corpus_dir = os.environ.get(
+        "GRAFT_BENCH_CORPUS", f"/tmp/graft_bench_pages_{n_pages}_r{rich}"
+    )
+    paths = write_pages_parquet(corpus_dir, n_pages, rows_per_file=500,
+                                rich=rich)
+    for path in paths:  # warm the page cache like the sf tables above
+        with open(path, "rb") as f:
+            while f.read(1 << 22):
+                pass
     n_triples = timed(
         "forge",
-        lambda: forge_triples(pages_dataset(n_pages, rich=rich)).count(),
+        lambda: forge_triples(
+            _rd.read_parquet(paths, columns=["url", "html"])
+        ).count(),
     )
     detail["forge"] = {
         "pages": n_pages,

@@ -289,16 +289,21 @@ def write_pages_parquet(
     n: int,
     seed: int = SEED,
     rows_per_file: int = 2000,
+    rich: int = 1,
 ) -> list[str]:
     """Write the corpus as multiple parquet files (file = unit of work /
     partition, mirroring production shard layout). Skips files that already
-    exist (generation is deterministic, so an existing file is valid)."""
+    exist (generation is deterministic, so an existing file is valid —
+    the ``rich`` level is part of the filename for that reason)."""
     os.makedirs(out_dir, exist_ok=True)
     paths = []
+    suffix = "" if rich == 1 else f"-r{rich}"
     for start in range(0, n, rows_per_file):
         count = min(rows_per_file, n - start)
-        path = os.path.join(out_dir, f"pages-{start:09d}-{count}.parquet")
+        path = os.path.join(
+            out_dir, f"pages-{start:09d}-{count}{suffix}.parquet"
+        )
         paths.append(path)
         if not os.path.exists(path):
-            pq.write_table(gen_pages_table(count, seed, start), path)
+            pq.write_table(gen_pages_table(count, seed, start, rich), path)
     return paths
