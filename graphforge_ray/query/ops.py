@@ -115,23 +115,31 @@ def broadcast_lookup_join(
     """Map-side join against a SMALL side (dimension table, aggregate
     result): the small frame ships once via ``ray.put`` and each batch
     merges locally — no shuffle (ray_guide 'Joins and lookups'). Use
-    ``_join`` / ``Dataset.join`` when both sides are large."""
-    if concurrency is None:
-        from .. import default_concurrency
+    ``_join`` / ``Dataset.join`` when both sides are large.
 
-        concurrency = default_concurrency(fused=False)
+    Default is STATELESS TASKS (per-task ``ray.get`` of the broadcast is
+    a local shared-memory read): parallelism = block count, no pool
+    spin-up — the right shape for the presentation-sized lookups this
+    serves. Pass ``concurrency`` to force an actor pool when the merge
+    side is heavy enough to amortize."""
     small_ref = ray.put(small)
 
-    class Merger:
-        def __init__(self):
-            self.small = ray.get(small_ref)
+    if concurrency is not None:
+        class Merger:
+            def __init__(self):
+                self.small = ray.get(small_ref)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            return df.merge(self.small, on=on, how=how)
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                return df.merge(self.small, on=on, how=how)
 
-    return ds.map_batches(
-        Merger, batch_format="pandas", concurrency=concurrency
-    )
+        return ds.map_batches(
+            Merger, batch_format="pandas", concurrency=concurrency
+        )
+
+    def merge_batch(df: pd.DataFrame) -> pd.DataFrame:
+        return df.merge(ray.get(small_ref), on=on, how=how)
+
+    return ds.map_batches(merge_batch, batch_format="pandas")
 
 
 def bgp(

@@ -398,18 +398,10 @@ def run_select(
         path_frames.append(frame.drop_duplicates().reset_index(drop=True))
 
     for frame in path_frames:
-        if bindings is None and len(path_frames) == 1 and not q.optionals:
-            # pure path query: the frame IS the bindings
-            out = frame
-            out = _apply_filters(out, q.filters)
-            if q.order_by:
-                out = _order_frame(out, q.order_by)
-            if q.limit is not None:
-                out = out.head(q.limit)
-            if q.variables:
-                out = out[[v for v in q.variables if v in out.columns]]
-            return out.reset_index(drop=True)
         if bindings is None:
+            # pure path (or first of several paths): the frame becomes
+            # the bindings Dataset so DISTINCT / COUNT / GROUP BY /
+            # FILTER all flow through the standard machinery below
             import ray.data as rd
 
             bindings = rd.from_pandas(frame)
@@ -455,12 +447,14 @@ def run_select(
         from ..shuffle import dedup_pairs
 
         if q.variables:
-            keep = [v for v in q.variables]
+            keep = [v for v in q.variables if v in bindings.schema().names]
             bindings = bindings.map_batches(
                 lambda df, _k=tuple(keep): df[list(_k)],
                 batch_format="pandas",
             )
-        cols = q.variables or bindings.schema().names
+        else:
+            keep = bindings.schema().names
+        cols = keep
         bindings = dedup_pairs(bindings, cols=tuple(cols), num_buckets=16)
     if q.order_by and q.limit is not None:
         # distributed top-k: sort + limit push down to the Dataset

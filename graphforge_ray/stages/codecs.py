@@ -165,8 +165,10 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
             width = wf.getsampwidth()
             channels = wf.getnchannels()
             raw = wf.readframes(n)
-    except wave.Error as e:
+    except (wave.Error, EOFError) as e:
         raise ValueError(f"bad WAV: {e}") from e
+    if rate <= 0:
+        raise ValueError(f"bad WAV: nonpositive sample rate {rate}")
     if width == 1:  # unsigned 8-bit
         arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
     elif width == 2:  # signed 16-bit LE

@@ -147,7 +147,13 @@ def _gram_hashes(wh: np.ndarray, k: int) -> np.ndarray:
     m = n - k + 1
     out = wh[:m] * _MIX[0]
     for j in range(1, k):
-        out = out ^ (wh[j : m + j] * _MIX[j % len(_MIX)])
+        v = wh[j : m + j]
+        r = (j // len(_MIX)) * 7 % 63
+        if r:  # k > 8 reuses multipliers; rotating the operand keeps
+            # positions j and j+8 distinct (else they XOR-cancel and
+            # swapping tokens 8 apart yields identical gram hashes)
+            v = (v << np.uint64(r)) | (v >> np.uint64(64 - r))
+        out = out ^ (v * _MIX[j % len(_MIX)])
     return np.unique(out)
 
 
@@ -322,28 +328,72 @@ def verify_candidate_pairs(
     """Exact n-gram Jaccard verification of LSH candidate pairs, fully
     distributed → Dataset (id_a, id_b, jaccard) with jaccard ≥ threshold.
 
-    Texts reach the pairs via TWO distributed hash joins on the candidate
-    ids (the semi-join: only candidate docs' texts move, each shipped once
-    per join, never collected into a driver dict). Joining text onto the
-    narrow pair rows beats shipping text into every band-bucket row (which
-    would widen the LSH shuffle ×num_bands). Each join is the bucketed
-    union-groupby form with a FIXED no-null schema (``Dataset.join``'s
-    empty partitions poison downstream operators; dummy fills avoid
-    int→float null-widening). The Jaccard kernel runs inside the second
-    join's buckets, so texts never leave the shuffle — only (id_a, id_b,
-    jaccard) rows come out."""
-    # join 1: text_a onto pairs, keyed on id_a. Uniform schema
-    # (k, other, txt, _side, _bucket); no nulls anywhere.
+    Three bucketed union-groupby shuffles with FIXED no-null schemas
+    (``Dataset.join``'s empty partitions poison downstream operators;
+    dummy fills avoid int→float null-widening):
+
+    1. **candidate-text distillation** — the distributed semi-join and
+       the ONLY shuffle the full corpus text passes through: docs and
+       candidate-id rows bucket on the id; each bucket keeps exactly the
+       texts whose id appears among its candidate ids. Non-candidate
+       text is dropped AT the bucket, so the two pair joins below move
+       candidate-sized data only (on a web corpus the candidate set is
+       LSH-pruned — shipping all text through every join would dominate
+       the data volume moved).
+    2. text_a joined onto the narrow pair rows, keyed on id_a;
+    3. text_b keyed on id_b, with the Jaccard kernel running inside the
+       bucket — texts never leave the shuffle, only (id_a, id_b,
+       jaccard) rows come out."""
+    # -- stage 1: candidate texts (one full-text shuffle, in-bucket
+    # semi-join on the candidate id set)
+    cand_ids = pairs.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "k": pd.concat([df["id_a"], df["id_b"]], ignore_index=True),
+                "txt": "",
+            }
+        ).assign(_side=np.int8(0)),
+        batch_format="pandas",
+    )
+    all_texts = docs.map_batches(
+        lambda df: pd.DataFrame(
+            {"k": df[id_col], "txt": df[text_col].fillna("")}
+        ).assign(_side=np.int8(1)),
+        batch_format="pandas",
+    )
+    tagged0 = cand_ids.union(all_texts).map_batches(
+        lambda df: df.assign(_bucket=_bucket_tag(df, "k", num_partitions)),
+        batch_format="pandas",
+    )
+
+    def distill(g: pd.DataFrame):
+        wanted = set(g.loc[g["_side"] == 0, "k"])
+        out = g.loc[(g["_side"] == 1) & g["k"].isin(wanted), ["k", "txt"]]
+        if out.empty:
+            import pyarrow as pa
+
+            kt = pa.Array.from_pandas(g["k"].iloc[:0]).type
+            return pa.table(
+                {"k": pa.array([], kt), "txt": pa.array([], pa.string())}
+            )
+        return out
+
+    cand_texts = (
+        tagged0.groupby("_bucket")
+        .map_groups(distill, batch_format="pandas")
+        .materialize()  # reused by BOTH pair joins below
+    )
+
+    # -- stage 2: text_a onto pairs, keyed on id_a
     p1 = pairs.map_batches(
         lambda df: pd.DataFrame(
             {"k": df["id_a"], "other": df["id_b"], "txt": ""}
         ).assign(_side=np.int8(0)),
         batch_format="pandas",
     )
-    d1 = docs.map_batches(
+    d1 = cand_texts.map_batches(
         lambda df: pd.DataFrame(
-            {"k": df[id_col], "other": df[id_col],
-             "txt": df[text_col].fillna("")}
+            {"k": df["k"], "other": df["k"], "txt": df["txt"]}
         ).assign(_side=np.int8(1)),
         batch_format="pandas",
     )
@@ -378,12 +428,12 @@ def verify_candidate_pairs(
 
     with_a = tagged1.groupby("_bucket").map_groups(merge1, batch_format="pandas")
 
-    # join 2: text_b onto (id_b=k, id_a=other, text_a=txt_l); jaccard
+    # -- stage 3: text_b onto (id_b=k, id_a=other, text_a=txt_l); jaccard
     # computed IN the bucket, texts dropped before anything leaves.
-    d2 = docs.map_batches(
+    d2 = cand_texts.map_batches(
         lambda df: pd.DataFrame(
-            {"k": df[id_col], "other": df[id_col], "txt_l": "",
-             "txt_r": df[text_col].fillna("")}
+            {"k": df["k"], "other": df["k"], "txt_l": "",
+             "txt_r": df["txt"]}
         ).assign(_side=np.int8(1)),
         batch_format="pandas",
     )
@@ -446,7 +496,6 @@ def connected_components(
 
     Returns Dataset (node, label) for every node incident to an edge.
     """
-    from ray.data.aggregate import Sum
 
     def sym(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -481,21 +530,24 @@ def connected_components(
     ).repartition(num_partitions).materialize()
 
     def label_hash_sum(ds: "ray.data.Dataset") -> int:
+        """Exact fixpoint witness: per-block uint64 hash sums (modular)
+        reduced with Python bignums on the driver (one tiny row per
+        block). A float64 Sum aggregate would round each ~2⁶³ hash to
+        ~2¹¹ granularity — two different label multisets could collide
+        and break the loop before convergence."""
         def h(df: pd.DataFrame) -> pd.DataFrame:
             arr = (
                 df["label"].to_numpy(dtype=object)
                 if df["label"].dtype == object
                 else df["label"].to_numpy()
             )
-            return pd.DataFrame(
-                {"h": pd.util.hash_array(arr, hash_key=_PAIR_HASH_KEY)
-                 .astype("uint64").astype("float64")}
+            hashed = pd.util.hash_array(arr, hash_key=_PAIR_HASH_KEY).astype(
+                "uint64"
             )
+            return pd.DataFrame({"h": [int(hashed.sum(dtype=np.uint64))]})
 
-        agg = ds.map_batches(h, batch_format="pandas").aggregate(
-            Sum("h", alias_name="s")
-        )
-        return agg["s"] if agg else 0.0
+        parts = ds.map_batches(h, batch_format="pandas").take_all()
+        return sum(int(r["h"]) for r in parts) & ((1 << 64) - 1)
 
     prev = label_hash_sum(labels)
     for _ in range(max_rounds):

@@ -26,7 +26,15 @@ __all__ = ["hash_split_column", "hash_split"]
 
 
 def _threshold_hex(test_pct: float) -> str:
-    return format(int(65536 * test_pct / 100.0), "04x")
+    """4-hex-char threshold; boundary pcts are clamped so the 4-char
+    lexicographic compare stays valid (pct=100 would otherwise format as
+    5-char '10000' and send everything to train)."""
+    t = int(65536 * test_pct / 100.0)
+    if t <= 0:
+        return "0000"   # bucket < '0000' is never true → all train
+    if t >= 65536:
+        return "zzzz"   # every hex bucket < 'zzzz' → all test
+    return format(t, "04x")
 
 
 def hash_split_column(

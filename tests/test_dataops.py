@@ -400,3 +400,37 @@ def test_ivf_recall_against_brute_force(ray_session):
     recall = len(exact & approx) / 10
     assert 7 in approx          # self is always found
     assert recall >= 0.5, recall
+
+
+def test_poison_media_never_crashes_stage():
+    """r2 review findings: zero-rate WAV and zero-dim images must become
+    poison rows, not task crashes."""
+    import io
+    import struct
+
+    # WAV with sample-rate 0 (wave.open accepts it)
+    data = (np.zeros(4, dtype="<i2")).tobytes()
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 0, 0, 2, 16)
+           + b"data" + struct.pack("<I", len(data)) + data)
+    out = AudioFeatureExtractor()(pd.DataFrame({"data": [hdr]}))
+    assert out["sample_rate"][0] == -1
+
+    # zero-dimension PPM
+    zero = b"P6 0 0 255\n"
+    dec = ImageDecoder()(pd.DataFrame({"img_id": [0], "data": [zero]}))
+    assert dec["width"][0] == -1 or dec["width"][0] == 0  # poison, no crash
+    rz = ImageResizer(target_w=2, target_h=2)(pd.DataFrame({"data": [zero]}))
+    assert rz["data"][0] == b""
+
+
+def test_hash_split_boundary_percentages(ray_session):
+    import ray.data as rd
+
+    from graphforge_ray.stages.sampling import hash_split
+
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": range(100)}))
+    all_test = hash_split(ds, test_pct=100.0).to_pandas()
+    assert (all_test["split"] == "test").all()
+    none_test = hash_split(ds, test_pct=0.0).to_pandas()
+    assert (none_test["split"] == "train").all()

@@ -235,3 +235,26 @@ def test_union_mismatched_vars_raises(score_triples):
             score_triples,
             "SELECT ?s WHERE { { ?s <e/childOf> ?o } UNION { ?x <e/name> ?n } }",
         )
+
+
+def test_pure_path_distinct_and_count(score_triples):
+    """r2 review finding: pure property-path queries must flow through
+    DISTINCT / COUNT / GROUP BY like any other bindings."""
+    out = run_select(
+        score_triples, "SELECT DISTINCT ?o WHERE { ?s (<e/childOf>)* ?o }"
+    )
+    assert sorted(out["o"]) == ["e/A", "e/B", "e/C"]
+    cnt = run_select(
+        score_triples,
+        "SELECT (COUNT(?o) AS ?n) ?o WHERE { ?s (<e/childOf>)* ?o } "
+        "GROUP BY ?o",
+    )
+    got = dict(zip(cnt["o"], cnt["n"]))
+    assert got == {"e/A": 1, "e/B": 2, "e/C": 3}
+
+
+def test_distinct_unbound_var_is_dropped(score_triples):
+    out = run_select(
+        score_triples, "SELECT DISTINCT ?s ?missing WHERE { ?s ?p ?o }"
+    )
+    assert list(out.columns) == ["s"]
