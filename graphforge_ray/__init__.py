@@ -18,7 +18,8 @@ Layout:
     state/        checkpoint / resume manifests
 
 None of these modules call ``ray.init()``; sessions are owned by the
-caller (bench.py, tests/conftest.py, or the driver).
+caller (bench.py, tests/conftest.py, tools/check_contract.py, the
+jobs/ entrypoints, or the driver).
 """
 
 __version__ = "0.1.0"

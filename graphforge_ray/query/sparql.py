@@ -448,6 +448,8 @@ def run_select(
 
         if q.variables:
             keep = [v for v in q.variables if v in bindings.schema().names]
+            if not keep:  # every projected variable unbound → empty result
+                return pd.DataFrame()
             bindings = bindings.map_batches(
                 lambda df, _k=tuple(keep): df[list(_k)],
                 batch_format="pandas",

@@ -148,10 +148,13 @@ def _gram_hashes(wh: np.ndarray, k: int) -> np.ndarray:
     out = wh[:m] * _MIX[0]
     for j in range(1, k):
         v = wh[j : m + j]
-        r = (j // len(_MIX)) * 7 % 63
-        if r:  # k > 8 reuses multipliers; rotating the operand keeps
-            # positions j and j+8 distinct (else they XOR-cancel and
-            # swapping tokens 8 apart yields identical gram hashes)
+        # k > 8 reuses multipliers; rotating the operand keeps positions
+        # distinct (else j and j+8 XOR-cancel and swapping tokens 8
+        # apart yields identical gram hashes). Rotation period 63 is
+        # coprime-ish to the 8-long multiplier cycle → combined period
+        # lcm(8, 63) = 504 positions before any (mult, rot) pair repeats.
+        r = 0 if j < len(_MIX) else (j % 63 or 1)
+        if r:
             v = (v << np.uint64(r)) | (v >> np.uint64(64 - r))
         out = out ^ (v * _MIX[j % len(_MIX)])
     return np.unique(out)
@@ -346,10 +349,16 @@ def verify_candidate_pairs(
        jaccard) rows come out."""
     # -- stage 1: candidate texts (one full-text shuffle, in-bucket
     # semi-join on the candidate id set)
+    # per-batch dedup combiner: with dedup=False candidates each pair
+    # appears once per colliding band (≤ num_bands copies, 2 ids each) —
+    # dropping duplicates map-side cuts the id-side shuffle volume up to
+    # ~2·num_bands× and distill() treats the ids as a set anyway
     cand_ids = pairs.map_batches(
         lambda df: pd.DataFrame(
             {
-                "k": pd.concat([df["id_a"], df["id_b"]], ignore_index=True),
+                "k": pd.concat(
+                    [df["id_a"], df["id_b"]], ignore_index=True
+                ).drop_duplicates(),
                 "txt": "",
             }
         ).assign(_side=np.int8(0)),

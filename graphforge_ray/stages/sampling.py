@@ -12,6 +12,10 @@ compared against a threshold) so the split is oracle-checkable:
 
     bucket = md5(str(key) + ':' + salt)[:4]   # 16-bit hex
     test   = bucket < format(int(65536 * pct / 100), '04x')
+
+(valid for 0 < pct < 100; the boundary percentages are clamped — see
+``_threshold_hex`` — because pct=100 would format a 5-char threshold
+that breaks the 4-char lexicographic compare).
 """
 
 from __future__ import annotations

@@ -434,3 +434,10 @@ def test_hash_split_boundary_percentages(ray_session):
     assert (all_test["split"] == "test").all()
     none_test = hash_split(ds, test_pct=0.0).to_pandas()
     assert (none_test["split"] == "train").all()
+
+
+def test_zero_rate_gfaud_fixture_is_poison_row():
+    out = AudioFeatureExtractor()(
+        pd.DataFrame({"data": [b"GFAUD|0|4|" + bytes(4)]})
+    )
+    assert out["sample_rate"][0] == -1

@@ -258,3 +258,10 @@ def test_distinct_unbound_var_is_dropped(score_triples):
         score_triples, "SELECT DISTINCT ?s ?missing WHERE { ?s ?p ?o }"
     )
     assert list(out.columns) == ["s"]
+
+
+def test_distinct_all_unbound_returns_empty(score_triples):
+    out = run_select(
+        score_triples, "SELECT DISTINCT ?missing WHERE { ?s ?p ?o }"
+    )
+    assert len(out) == 0
