@@ -162,10 +162,22 @@ def _split_statements(body: str) -> list[str]:
 def _parse_patterns(body: str, prefixes: dict[str, str]) -> list[tuple]:
     patterns = []
     for stmt in _split_statements(body):
-        toks = stmt.split()
-        if len(toks) != 3:
+        # Turtle-style predicate lists: `?s p1 o1 ; p2 o2 ; …`
+        segments = [seg.strip() for seg in stmt.split(";")]
+        head = segments[0].split()
+        if len(head) != 3:
             raise ValueError(f"unsupported pattern: {stmt!r}")
-        patterns.append(tuple(_term(t, prefixes) for t in toks))
+        subj_tok = head[0]
+        patterns.append(tuple(_term(t, prefixes) for t in head))
+        for seg in segments[1:]:
+            if not seg:
+                continue
+            toks = seg.split()
+            if len(toks) != 2:
+                raise ValueError(f"unsupported predicate list: {seg!r}")
+            patterns.append(
+                tuple(_term(t, prefixes) for t in (subj_tok, *toks))
+            )
     return patterns
 
 

@@ -265,3 +265,14 @@ def test_distinct_all_unbound_returns_empty(score_triples):
         score_triples, "SELECT DISTINCT ?missing WHERE { ?s ?p ?o }"
     )
     assert len(out) == 0
+
+
+def test_predicate_list_semicolon(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT ?s ?n ?v WHERE { ?s <e/name> ?n ; <e/score> ?v . "
+        "FILTER (?v > 8) }",
+    )
+    assert sorted(map(tuple, out.values.tolist())) == [
+        ("e/A", "alpha", "10"), ("e/B", "beta", "25"),
+    ]
