@@ -219,7 +219,16 @@ def property_path_closure(
         return transitive_closure(edges, max_iterations, include_reflexive)
     closure = transitive_closure_distributed(
         edges_ds, include_reflexive=include_reflexive
-    )
+    ).materialize()
+    n = closure.count()
+    if n > 5_000_000:
+        # this API returns a driver frame for the presentation-sized
+        # SPARQL surface; a closure this big must stay a Dataset
+        raise ValueError(
+            f"property-path closure has {n} pairs — too large for a "
+            "driver frame; use transitive_closure_distributed() and keep "
+            "the result a Dataset"
+        )
     return (
         closure.to_pandas().sort_values(["s", "o"]).reset_index(drop=True)
     )

@@ -78,7 +78,7 @@ class SelectQuery:
     count_alias: str | None
     count_var: str | None
     patterns: list[tuple]          # (s, p, o) terms; p may be PathExpr
-    optionals: list[list[tuple]]
+    optionals: list[tuple]            # (patterns, group-scoped filters)
     group_by: str | None
     limit: int | None
     filters: list[tuple] = field(default_factory=list)   # (var, op, rhs)
@@ -136,11 +136,11 @@ def _term(tok: str, prefixes: dict[str, str]):
     return tok
 
 
-def _split_statements(body: str) -> list[str]:
-    """Split WHERE-body statements on '.' terminators, ignoring dots
-    inside ``<IRI>`` brackets and quoted literals (a naive regex split
-    breaks ``<http://graft.example/...>``)."""
-    stmts: list[str] = []
+def _split_outside(body: str, delim: str) -> list[str]:
+    """Split on ``delim`` occurrences OUTSIDE ``<IRI>`` brackets and
+    quoted literals (a naive split breaks ``<http://ex/...>`` on '.' and
+    ``<http://ex/q?a=1;b=2>`` / literals on ';')."""
+    parts: list[str] = []
     cur: list[str] = []
     in_iri = in_str = False
     for ch in body:
@@ -150,20 +150,24 @@ def _split_statements(body: str) -> list[str]:
             in_iri = False
         elif ch == '"' and not in_iri:
             in_str = not in_str
-        if ch == "." and not in_iri and not in_str:
-            stmts.append("".join(cur))
+        if ch == delim and not in_iri and not in_str:
+            parts.append("".join(cur))
             cur = []
         else:
             cur.append(ch)
-    stmts.append("".join(cur))
-    return [s.strip() for s in stmts if s.strip()]
+    parts.append("".join(cur))
+    return parts
+
+
+def _split_statements(body: str) -> list[str]:
+    return [s.strip() for s in _split_outside(body, ".") if s.strip()]
 
 
 def _parse_patterns(body: str, prefixes: dict[str, str]) -> list[tuple]:
     patterns = []
     for stmt in _split_statements(body):
         # Turtle-style predicate lists: `?s p1 o1 ; p2 o2 ; …`
-        segments = [seg.strip() for seg in stmt.split(";")]
+        segments = [seg.strip() for seg in _split_outside(stmt, ";")]
         head = segments[0].split()
         if len(head) != 3:
             raise ValueError(f"unsupported pattern: {stmt!r}")
@@ -212,16 +216,24 @@ def compile_select(
         proj = _COUNT.sub("", proj)
     variables = [v[1:] for v in re.findall(r"\?(?:\w+)", proj)]
 
-    filters = [
-        (m.group(1)[1:], m.group(2), _parse_filter_rhs(m.group(3)))
-        for m in _FILTER.finditer(body)
-    ]
-    body = _FILTER.sub("", body)
+    def extract_filters(text: str):
+        fs = [
+            (m.group(1)[1:], m.group(2), _parse_filter_rhs(m.group(3)))
+            for m in _FILTER.finditer(text)
+        ]
+        return fs, _FILTER.sub("", text)
 
-    optionals = [
-        _parse_patterns(m.group(1), decl) for m in _OPTIONAL.finditer(body)
-    ]
+    # OPTIONAL groups are cut out BEFORE top-level FILTER extraction: a
+    # FILTER inside an OPTIONAL scopes to the optional group (applied
+    # before the left join) — hoisting it would filter the JOINED rows
+    # and silently turn left-join semantics into an inner join.
+    optionals = []
+    for m in _OPTIONAL.finditer(body):
+        opt_filters, opt_body = extract_filters(m.group(1))
+        optionals.append((_parse_patterns(opt_body, decl), opt_filters))
     body = _OPTIONAL.sub("", body)
+
+    filters, body = extract_filters(body)
 
     union_groups: list[list[tuple]] = []
     patterns: list[tuple] = []
@@ -425,10 +437,18 @@ def run_select(
             raise ValueError("path pattern shares no variable with BGP")
         bindings = broadcast_lookup_join(bindings, frame, on=shared, how="inner")
 
-    for opt in q.optionals:
-        opt_b = match_pattern(triples, *opt[0]) if len(opt) == 1 else bgp(
-            triples, opt
+    for opt_patterns, opt_filters in q.optionals:
+        opt_b = (
+            match_pattern(triples, *opt_patterns[0])
+            if len(opt_patterns) == 1
+            else bgp(triples, opt_patterns)
         )
+        if opt_filters:  # group-scoped: filter BEFORE the left join
+            _of = opt_filters
+            opt_b = opt_b.map_batches(
+                lambda df, _f=tuple(_of): _apply_filters(df, list(_f)),
+                batch_format="pandas",
+            )
         shared = sorted(
             set(c for c in bindings.schema().names)
             & set(opt_b.schema().names)

@@ -487,7 +487,7 @@ def verify_candidate_pairs(
 
 def connected_components(
     pairs: "ray.data.Dataset",
-    max_rounds: int = 25,
+    max_rounds: int = 100,
     num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Connected components of an (id_a, id_b) edge Dataset via iterated
@@ -559,6 +559,7 @@ def connected_components(
         return sum(int(r["h"]) for r in parts) & ((1 << 64) - 1)
 
     prev = label_hash_sum(labels)
+    converged = False
     for _ in range(max_rounds):
         # label(nbr) shipped to node: hash join edges(k=nbr, v=node) with
         # labels(k=node, v=label) → (node, label)
@@ -582,8 +583,16 @@ def connected_components(
         ).repartition(num_partitions).materialize()
         cur = label_hash_sum(labels)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # rounds ≈ component diameter; silently returning intermediate
+        # labels would split components (wrong clusters, no error)
+        raise RuntimeError(
+            f"connected_components: no fixpoint within {max_rounds} "
+            "rounds — component diameter exceeds max_rounds; raise it"
+        )
     return labels
 
 

@@ -71,7 +71,10 @@ EXTRACT_SCHEMA = pa.schema(
 )
 
 
-_NT_LINE = re.compile(rb"^<[^<>\s]+>\s+<[^<>\s]+>\s")
+# subject IRI + predicate IRI + an N-Triples OBJECT shape (IRI,
+# bnode, or quoted literal): two adjacent simple XML tags
+# (b"<catalog> <item> text") must NOT match
+_NT_LINE = re.compile(rb"^<[^<>\s]+>\s+<[^<>\s]+>\s+(?:<[^<>\s]+>|_:\S+|\")")
 
 
 def sniff_kind(payload: bytes) -> str:

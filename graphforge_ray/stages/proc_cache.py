@@ -28,9 +28,17 @@ def process_cached_stage(
     """→ a plain function for ``map_batches`` that lazily constructs ONE
     ``cls(**ctor_kwargs)`` per worker process and calls it per batch.
     ``ctor_kwargs`` must be picklable (use ``ray.put`` refs for big
-    state). Pass an explicit ``key`` when the same class is used with
-    different constructor arguments."""
-    cache_key = key or f"{cls.__module__}.{cls.__qualname__}"
+    state). The default cache key includes a repr-hash of the kwargs so
+    the same class with different constructor arguments never shares a
+    cached instance; pass ``key`` only to override that."""
+    if key is None:
+        import hashlib
+
+        kw = hashlib.blake2b(
+            repr(sorted(ctor_kwargs.items())).encode(), digest_size=8
+        ).hexdigest()
+        key = f"{cls.__module__}.{cls.__qualname__}:{kw}"
+    cache_key = key
 
     def stage(batch):
         inst = _CACHE.get(cache_key)

@@ -94,6 +94,11 @@ def sliding_window(
 
     from ray.data.aggregate import Count, Sum
 
+    if size_us <= 0 or slide_us <= 0:
+        raise ValueError(
+            f"window size/slide must be positive (got size_us={size_us}, "
+            f"slide_us={slide_us})"
+        )
     fanout = int(np.ceil(size_us / slide_us))
 
     def explode(batch: "pa.Table") -> "pa.Table":

@@ -320,3 +320,14 @@ def test_map_table_tabular_rml(ray_session):
         ("e:1", "p:tag", "t:y", True),
         ("e:2", "p:tag", "t:z", True),
     }
+
+
+def test_sniff_generic_xml_with_adjacent_tags_is_rdfxml():
+    from graphforge_ray.stages.extract import sniff_kind
+
+    assert sniff_kind(
+        b"<catalog> <item> Fine piece . Sold out </item> </catalog>"
+    ) == "rdfxml"
+    assert sniff_kind(b'<http://e/s> <http://e/p> "o" .') == "ntriples"
+    assert sniff_kind(b"<http://e/s> <http://e/p> <http://e/o> .") == "ntriples"
+    assert sniff_kind(b"<http://e/s> <http://e/p> _:b1 .") == "ntriples"

@@ -276,3 +276,32 @@ def test_predicate_list_semicolon(score_triples):
     assert sorted(map(tuple, out.values.tolist())) == [
         ("e/A", "alpha", "10"), ("e/B", "beta", "25"),
     ]
+
+
+def test_semicolon_inside_iri_and_literal(score_triples):
+    """';' inside <IRI> brackets must not split the pattern."""
+    import ray.data as rd
+
+    tri = pd.DataFrame(
+        [("e/S", "http://ex/q?a=1;b=2", "e/O")],
+        columns=["subj", "pred", "obj"],
+    )
+    out = run_select(
+        rd.from_pandas(tri),
+        "SELECT ?o WHERE { ?s <http://ex/q?a=1;b=2> ?o }",
+    )
+    assert list(out["o"]) == ["e/O"]
+
+
+def test_filter_inside_optional_scopes_to_group(score_triples):
+    """A FILTER inside OPTIONAL applies before the left join — subjects
+    without a match keep their row with unbound optional vars."""
+    out = run_select(
+        score_triples,
+        "SELECT ?s ?v WHERE { ?s <e/name> ?n . "
+        "OPTIONAL { ?s <e/score> ?v . FILTER (?v > 20) } }",
+    )
+    by_s = out.set_index("s")["v"].to_dict()
+    assert by_s["e/B"] == "25"            # passes the group filter
+    assert pd.isna(by_s["e/A"])           # filtered out → unbound, row kept
+    assert pd.isna(by_s["e/C"])
