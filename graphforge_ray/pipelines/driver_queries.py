@@ -560,6 +560,52 @@ def q_docs_langid(sf_dir: str):
     ).map_batches(lambda df: df[["doc_id", "lang_pred"]], batch_format="pandas")
 
 
+def q_docs_ngram_jaccard(sf_dir: str):
+    """Exact word-trigram Jaccard for every pair among doc_id < 40 — the
+    verification kernel exposed as its own operator, run through the
+    distributed pair-verify shuffle (threshold 0 → all pairs kept) and
+    hash-checked against a from-scratch SQL recomputation."""
+    from ..stages.dedup import verify_candidate_pairs
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"]).filter(
+        expr="doc_id < 40"
+    )
+    ids = list(range(40))
+    pairs = rd.from_pandas(
+        pd.DataFrame(
+            [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]],
+            columns=["id_a", "id_b"],
+        )
+    )
+    out = verify_candidate_pairs(pairs, docs, threshold=0.0).to_pandas()
+    # FLOOR at 1e-6, not round: numpy rounds half-even, DuckDB half-away
+    # (0.0078125 → 0.007812 vs 0.007813); floor of identical doubles is
+    # unambiguous on both sides
+    out["jaccard"] = np.floor(out["jaccard"] * 1e6) / 1e6
+    return out
+
+
+SQL_DOCS_NGRAM_JACCARD = r"""
+WITH tok AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w
+    FROM documents WHERE doc_id < 40
+),
+grams AS (
+    SELECT doc_id,
+           CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_distinct(list_transform(generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+           END AS g
+    FROM tok
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       FLOOR(len(list_intersect(a.g, b.g)) * 1.0
+             / len(list_distinct(a.g || b.g)) * 1000000)
+       / 1000000 AS jaccard
+FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+"""
+
+
 def q_docs_fingerprint(sf_dir: str):
     """Winnowing-style document fingerprints (min-k of rolling hashes;
     stages.text_analysis.fingerprint_batch). Rows-only: the rolling-hash
@@ -973,6 +1019,7 @@ QUERIES = {
     "docs_minhash_dedup": q_docs_minhash_dedup,
     "docs_simhash": q_docs_simhash,
     "docs_fingerprint": q_docs_fingerprint,
+    "docs_ngram_jaccard": q_docs_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
     "ann_ivf": q_ann_ivf,
     "sparql_pred_counts": q_sparql_pred_counts,
@@ -1004,6 +1051,7 @@ ORACLES = {
     "docs_quality_filter": SQL_DOCS_QUALITY_FILTER,
     "docs_hash_split": SQL_DOCS_HASH_SPLIT,
     "rml_customer_triples": SQL_RML_CUSTOMER_TRIPLES,
+    "docs_ngram_jaccard": SQL_DOCS_NGRAM_JACCARD,
     "docs_minhash_dedup": SQL_DOCS_MINHASH_DEDUP,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     # docs_langid / docs_simhash / ann_ivf / sparql_pred_counts /

@@ -478,7 +478,9 @@ def verify_candidate_pairs(
             {
                 "id_a": m["other"].to_numpy()[keep],
                 "id_b": m["k"].to_numpy()[keep],
-                "jaccard": np.round(jac[keep], 6),
+                # 9 decimals: enough precision for callers to apply
+                # their own tie-safe truncation (floor at 1e-6)
+                "jaccard": np.round(jac[keep], 9),
             }
         )
 
