@@ -230,7 +230,21 @@ def compile_select(
     optionals = []
     for m in _OPTIONAL.finditer(body):
         opt_filters, opt_body = extract_filters(m.group(1))
-        optionals.append((_parse_patterns(opt_body, decl), opt_filters))
+        opt_patterns = _parse_patterns(opt_body, decl)
+        bound = {
+            t[1:] for pat in opt_patterns for t in pat
+            if isinstance(t, str) and t.startswith("?")
+        }
+        for var, _op, rhs in opt_filters:
+            refs = {var} | ({rhs[1]} if rhs[0] == "var" else set())
+            if not refs <= bound:
+                raise ValueError(
+                    "unsupported: FILTER inside OPTIONAL references "
+                    f"variable(s) {sorted(refs - bound)} not bound by the "
+                    "optional group (outer-variable LeftJoin expressions "
+                    "are not implemented)"
+                )
+        optionals.append((opt_patterns, opt_filters))
     body = _OPTIONAL.sub("", body)
 
     filters, body = extract_filters(body)

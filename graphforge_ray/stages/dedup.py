@@ -478,9 +478,10 @@ def verify_candidate_pairs(
             {
                 "id_a": m["other"].to_numpy()[keep],
                 "id_b": m["k"].to_numpy()[keep],
-                # 9 decimals: enough precision for callers to apply
-                # their own tie-safe truncation (floor at 1e-6)
-                "jaccard": np.round(jac[keep], 9),
+                # RAW double: callers truncate tie-safely themselves
+                # (floor at 1e-6); pre-rounding here could carry a value
+                # across a truncation boundary on one side only
+                "jaccard": jac[keep],
             }
         )
 

@@ -33,9 +33,14 @@ def process_cached_stage(
     cached instance; pass ``key`` only to override that."""
     if key is None:
         import hashlib
+        import pickle
 
+        # pickle, not repr: numpy/pandas reprs ELIDE large values ('...'),
+        # so different big-array kwargs would repr identically and share
+        # a cached instance; pickle is content-based for array types
         kw = hashlib.blake2b(
-            repr(sorted(ctor_kwargs.items())).encode(), digest_size=8
+            pickle.dumps(sorted(ctor_kwargs.items()), protocol=4),
+            digest_size=8,
         ).hexdigest()
         key = f"{cls.__module__}.{cls.__qualname__}:{kw}"
     cache_key = key

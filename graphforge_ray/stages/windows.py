@@ -35,6 +35,12 @@ def _ts_us(series: pd.Series) -> np.ndarray:
     return series.astype("datetime64[us]").astype("int64").to_numpy()
 
 
+def _require_positive(**params: int) -> None:
+    bad = {k: v for k, v in params.items() if v <= 0}
+    if bad:
+        raise ValueError(f"window parameters must be positive: {bad}")
+
+
 def tumbling_window(
     events: "ray.data.Dataset",
     key: str = "user_id",
@@ -45,6 +51,7 @@ def tumbling_window(
     """→ (key, window_start_us, n, sum_value) — one row per non-empty
     window. Implemented as a pure groupby on (key, bucket): no per-group
     sort needed for tumbling windows."""
+    _require_positive(size_us=size_us)
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -94,11 +101,7 @@ def sliding_window(
 
     from ray.data.aggregate import Count, Sum
 
-    if size_us <= 0 or slide_us <= 0:
-        raise ValueError(
-            f"window size/slide must be positive (got size_us={size_us}, "
-            f"slide_us={slide_us})"
-        )
+    _require_positive(size_us=size_us, slide_us=slide_us)
     fanout = int(np.ceil(size_us / slide_us))
 
     def explode(batch: "pa.Table") -> "pa.Table":
@@ -141,6 +144,7 @@ def session_window(
     """→ (key, session_start_us, session_end_us, n, sum_value) — sessions
     split where the inter-event gap exceeds ``gap_us``. groupby(key) →
     per-group ts sort → vectorized gaps-and-islands."""
+    _require_positive(gap_us=gap_us)
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(ts_col, kind="stable")

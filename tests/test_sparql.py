@@ -305,3 +305,12 @@ def test_filter_inside_optional_scopes_to_group(score_triples):
     assert by_s["e/B"] == "25"            # passes the group filter
     assert pd.isna(by_s["e/A"])           # filtered out → unbound, row kept
     assert pd.isna(by_s["e/C"])
+
+
+def test_optional_filter_outer_var_rejected_at_compile(score_triples):
+    with pytest.raises(ValueError, match="not bound by the optional"):
+        run_select(
+            score_triples,
+            "SELECT ?s WHERE { ?s <e/name> ?n . "
+            "OPTIONAL { ?s <e/score> ?v . FILTER (?v > ?n) } }",
+        )

@@ -57,3 +57,27 @@ def test_sessions(events_ds):
     assert first["session_start_us"] == 10 * 60 * US
     assert first["session_end_us"] == 20 * 60 * US
     assert len(out[out["user_id"] == 2]) == 1
+
+
+def test_window_params_validated(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from graphforge_ray.stages.windows import (
+        session_window,
+        sliding_window,
+        tumbling_window,
+    )
+
+    ev = rd.from_pandas(pd.DataFrame(
+        {"user_id": [1], "ts": [pd.Timestamp("2024-01-01")], "value": [1.0]}
+    ))
+    for bad in (
+        lambda: tumbling_window(ev, size_us=0),
+        lambda: sliding_window(ev, size_us=0, slide_us=10),
+        lambda: sliding_window(ev, size_us=10, slide_us=-1),
+        lambda: session_window(ev, gap_us=0),
+    ):
+        with pytest.raises(ValueError, match="positive"):
+            bad()
