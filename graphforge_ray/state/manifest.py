@@ -116,7 +116,24 @@ class StageRunner:
             shutil.rmtree(final_dir)
         os.makedirs(tmp_dir)
         t0 = time.perf_counter()
+        # pipeline counter deltas (dropped LSH buckets, codec fallbacks,
+        # …) are lineage: a stage that capped work must SAY so in its
+        # manifest (no-silent-caps rule). Best-effort — a stage that
+        # never touched Ray still manifests fine.
+        try:
+            from .. import metrics as _metrics
+
+            counters_before = _metrics.snapshot()
+        except Exception:
+            counters_before = None
         rows_out, extra = build(tmp_dir)
+        if counters_before is not None:
+            try:
+                d = _metrics.delta(counters_before, _metrics.snapshot())
+                if d:
+                    extra = dict(extra or {}, counters=d)
+            except Exception:
+                pass
         os.replace(tmp_dir, final_dir)
         outputs = sorted(
             os.path.join(dp, f)
