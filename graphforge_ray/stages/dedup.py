@@ -282,7 +282,13 @@ def minhash_lsh_candidates(
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(group[id_col]))
-        if len(ids) < 2 or len(ids) > 200:  # degenerate-bucket cap
+        if len(ids) > 200:  # degenerate-bucket cap — counted, not silent
+            from .. import metrics
+
+            metrics.incr("minhash_lsh.dropped_buckets")
+            metrics.incr("minhash_lsh.dropped_ids", len(ids))
+            return _empty_pairs(group[id_col].dtype)
+        if len(ids) < 2:
             return _empty_pairs(group[id_col].dtype)
         pairs = [(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]]
         out = pd.DataFrame(pairs, columns=["id_a", "id_b"])
@@ -465,10 +471,28 @@ def verify_candidate_pairs(
                     "jaccard": pa.array([], pa.float64()),
                 }
             )
+        # shingle each DISTINCT doc ONCE per bucket: a doc in p pairs
+        # would otherwise be re-shingled p times (the gram sets, keyed on
+        # doc id, are reused across all its pairs in this bucket)
+        grams: dict = {}
+        for i, t in zip(m["other"], m["txt_l"]):
+            if i not in grams:
+                grams[i] = frozenset(_shingles(t, shingle_k).tolist())
+        for i, t in zip(m["k"], m["txt_r"]):
+            if i not in grams:
+                grams[i] = frozenset(_shingles(t, shingle_k).tolist())
+
+        def jac_sets(a: frozenset, b: frozenset) -> float:
+            if not a and not b:
+                return 1.0
+            if not a or not b:
+                return 0.0
+            return len(a & b) / len(a | b)
+
         jac = np.fromiter(
             (
-                ngram_jaccard(a, b, shingle_k)
-                for a, b in zip(m["txt_l"], m["txt_r"])
+                jac_sets(grams[ia], grams[ib])
+                for ia, ib in zip(m["other"], m["k"])
             ),
             dtype=np.float64,
             count=len(m),
@@ -715,120 +739,284 @@ def simhash_neardup_candidates(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> pd.DataFrame:
-    """Near-dup pairs by SimHash: two docs within ``max_hamming ≤ 3`` bits
-    share at least one identical 16-bit band (pigeonhole over 4 bands) →
-    groupby each band, verify Hamming distance within buckets."""
+    max_bucket: int = 200,
+) -> "ray.data.Dataset":
+    """Near-dup pairs by SimHash → **Dataset** (id_a, id_b, hamming):
+    two docs within ``max_hamming ≤ 3`` bits share at least one identical
+    16-bit band (pigeonhole over 4 bands).
+
+    ONE streaming execution: the 4 band columns MELT into
+    (band_id, band_val, doc_id, simhash) rows — narrow, 3 ints + the
+    hash — so a single ``groupby(band_id, band_val)`` shuffle replaces
+    the old 4 sequential executions + driver concat. In-bucket Hamming
+    is vectorized (XOR → byte view → unpackbits → row sum), and pairs
+    found in several bands dedup in a distributed bucketed shuffle
+    (hamming is a pure function of the two hashes, so duplicates are
+    identical rows and an exact drop_duplicates suffices).
+
+    Degenerate buckets (> ``max_bucket`` colliders, e.g. empty-text
+    mass collisions) are dropped AND counted in metrics
+    ``simhash_candidates.dropped_buckets`` / ``.dropped_ids`` — never
+    silently."""
     sh = docs.map_batches(
         lambda df: simhash_batch(df, id_col, text_col), batch_format="pandas"
     )
-    frames = []
-    for band in range(4):
-        def pairs(group: pd.DataFrame, _band=band) -> pd.DataFrame:
-            empty = _empty_pairs(group[id_col].dtype).assign(
-                hamming=pd.Series(dtype="int64")
-            )
-            rows = list(zip(group[id_col], group["simhash"]))
-            if len(rows) < 2 or len(rows) > 200:
-                return empty
-            out = []
-            for i, (ia, ha) in enumerate(rows):
-                for ib, hb in rows[i + 1 :]:
-                    d = int(bin(int(ha) ^ int(hb)).count("1"))
-                    if d <= max_hamming:
-                        out.append((min(ia, ib), max(ia, ib), d))
-            if not out:
-                return empty
-            res = pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
-            return res.astype(
-                {"id_a": group[id_col].dtype, "id_b": group[id_col].dtype,
-                 "hamming": "int64"}
-            )
 
-        frames.append(
-            sh.groupby(f"band{band}")
-            .map_groups(pairs, batch_format="pandas")
-            .to_pandas()
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return pd.DataFrame(
+            {
+                "band_id": np.repeat(np.arange(4, dtype=np.int32), n),
+                "band_val": pd.concat(
+                    [df[f"band{b}"] for b in range(4)], ignore_index=True
+                ),
+                id_col: np.tile(df[id_col].to_numpy(), 4),
+                "simhash": np.tile(
+                    df["simhash"].to_numpy(dtype=np.uint64), 4
+                ),
+            }
         )
-    allp = pd.concat(frames, ignore_index=True)
-    if allp.empty:
-        return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-    return (
-        allp.sort_values("hamming")
-        .drop_duplicates(["id_a", "id_b"])
-        .reset_index(drop=True)
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        empty = _empty_pairs(group[id_col].dtype).assign(
+            hamming=pd.Series(dtype="int64")
+        )
+        n = len(group)
+        if n < 2:
+            return empty
+        if n > max_bucket:
+            from .. import metrics
+
+            metrics.incr("simhash_candidates.dropped_buckets")
+            metrics.incr("simhash_candidates.dropped_ids", n)
+            return empty
+        ids = group[id_col].to_numpy()
+        hs = group["simhash"].to_numpy(dtype=np.uint64)
+        ia, ib = np.triu_indices(n, k=1)
+        x = hs[ia] ^ hs[ib]
+        ham = (
+            np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
+            .sum(axis=1)
+            .astype(np.int64)
+        )
+        keep = ham <= max_hamming
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ids[ia][keep], ids[ib][keep]),
+                "id_b": np.maximum(ids[ia][keep], ids[ib][keep]),
+                "hamming": ham[keep],
+            }
+        )
+
+    raw = (
+        sh.map_batches(melt, batch_format="pandas")
+        .groupby(["band_id", "band_val"])
+        .map_groups(pairs, batch_format="pandas")
     )
+    return _dedup_pairs(raw)
 
 
 # ---------------------------------------------------------------------------
 # Embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
+def _plane_seed(seed: int, *parts: int) -> int:
+    """Deterministic derived seed (blake2b over the tuple — never the
+    per-process-salted builtin hash)."""
+    h = hashlib.blake2b(
+        ("/".join(str(p) for p in parts) + f"@{seed}").encode(),
+        digest_size=4,
+    )
+    return int.from_bytes(h.digest(), "big")
+
+
+def _exact_cosine_pairs(
+    ids: np.ndarray, mat: np.ndarray, threshold: float, block: int = 1024
+) -> pd.DataFrame:
+    """All pairs (i < j) with cosine ≥ threshold over a NORMALIZED matrix,
+    blocked so memory stays O(block · n) instead of O(n²)."""
+    frames = []
+    n = len(ids)
+    for i0 in range(0, n, block):
+        chunk = mat[i0 : i0 + block]
+        sims = chunk @ mat.T  # (b, n)
+        rows, cols = np.nonzero(sims >= threshold)
+        gi = rows + i0
+        keep = cols > gi  # upper triangle only
+        if keep.any():
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "id_a": np.minimum(ids[gi[keep]], ids[cols[keep]]),
+                        "id_b": np.maximum(ids[gi[keep]], ids[cols[keep]]),
+                        "cosine": np.round(sims[rows[keep], cols[keep]], 6),
+                    }
+                )
+            )
+    if not frames:
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype=ids.dtype),
+                "id_b": pd.Series(dtype=ids.dtype),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
+def _auto_num_planes(n_rows: int, target_bucket: int = 64) -> int:
+    """Plane count scaled to the corpus: expected bucket occupancy
+    n / 2^planes ≈ target (a FIXED plane count saturates — 8 planes is
+    ≤256 buckets, so bucket size grows O(corpus/256) and dense buckets
+    dominate at scale)."""
+    import math
+
+    if n_rows <= 1:
+        return 8
+    return int(min(30, max(8, math.ceil(math.log2(n_rows / target_bucket)))))
+
+
 def embedding_neardup(
     embeddings: "ray.data.Dataset",
     threshold: float = 0.95,
-    num_planes: int = 8,
+    num_planes: int | None = None,
+    num_bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-) -> pd.DataFrame:
-    """Cosine near-dup via random-hyperplane LSH buckets: bucket key =
-    sign pattern of ``num_planes`` fixed random projections; exact cosine
-    verified within buckets (normalized matmul). → (id_a, id_b, cosine)."""
-    rng = np.random.RandomState(seed)
-    planes_holder: dict[str, np.ndarray] = {}
+    max_bucket: int = 512,
+    max_split_depth: int = 4,
+) -> "ray.data.Dataset":
+    """Cosine near-dup via random-hyperplane LSH → **Dataset**
+    (id_a, id_b, cosine) — fully distributed, nothing pair- or
+    corpus-sized ever lands on the driver.
+
+    Design (each piece is a scale requirement, not a nicety):
+
+    * ``num_planes`` defaults to log₂(corpus/64) (clamped [8, 30]) so
+      expected bucket occupancy stays ~64 at any corpus size.
+    * ``num_bands`` independent plane sets: a near-dup pair at cosine c
+      collides in a band w.p. (1 − θ/π)^planes; B bands lift recall to
+      1 − (1 − p)^B (p ≈ 0.43 → 0.89 at c = 0.95, 8 planes, 4 bands).
+      Band 0 uses RandomState(seed) — bit-compatible with the old
+      single-band form. Vectors ship through the groupby once per band.
+    * buckets larger than ``max_bucket`` are RECURSIVELY SPLIT with
+      fresh planes (derived seeds) instead of dropped — identical
+      vectors can never be separated by a split, so exact-dup clusters
+      always survive. When ``max_split_depth`` splits fail to get under
+      the cap (e.g. one giant exact-dup cluster), the bucket is scanned
+      anyway with a BLOCKED matmul (O(size²) compute, bounded memory)
+      and counted in metrics ``embedding_neardup.fallback_buckets`` —
+      slow-but-correct, never a silent empty result.
+    * verified pairs from different bands dedup in a distributed
+      bucketed shuffle (``shuffle.dedup_pairs``), not a driver concat.
+    """
+    if num_planes is None:
+        num_planes = _auto_num_planes(embeddings.count())
+    if num_planes > 62:
+        raise ValueError("num_planes must be ≤ 62 (uint64 bucket key)")
+
+    planes_cache: dict[tuple, np.ndarray] = {}
+
+    def planes_for(dim: int, band: int) -> np.ndarray:
+        key = (dim, band)
+        if key not in planes_cache:
+            # band 0 = RandomState(seed) exactly (back-compat with the
+            # single-band form); further bands use derived seeds
+            s = seed if band == 0 else _plane_seed(seed, band)
+            planes_cache[key] = np.random.RandomState(s).standard_normal(
+                (dim, num_planes)
+            )
+        return planes_cache[key]
+
+    weights = (np.uint64(1) << np.arange(num_planes, dtype=np.uint64))
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
-        mat = np.asarray(df[vec_col].tolist(), dtype=np.float64)
-        if mat.size == 0:
+        if not len(df):
             return pd.DataFrame(
                 {
-                    id_col: pd.Series(dtype=df[id_col].dtype),
-                    "bucket": pd.Series(dtype="int64"),
+                    id_col: pd.Series(dtype=df[id_col].dtype
+                                      if id_col in df else "int64"),
+                    "band": pd.Series(dtype="int32"),
+                    "bucket": pd.Series(dtype="uint64"),
                     vec_col: pd.Series(dtype=object),
                 }
             )
-        if "p" not in planes_holder:
-            r = np.random.RandomState(seed)
-            planes_holder["p"] = r.standard_normal((mat.shape[1], num_planes))
-        proj = mat @ planes_holder["p"]
-        bits = (proj > 0).astype(np.uint8)
-        bucket = [
-            int.from_bytes(np.packbits(row).tobytes(), "big")
-            for row in bits
-        ]
-        out = df[[id_col]].copy()
-        out["bucket"] = bucket
-        out[vec_col] = df[vec_col]
-        return out
+        mat = np.asarray(df[vec_col].tolist(), dtype=np.float64)
+        frames = []
+        for band in range(num_bands):
+            bits = (mat @ planes_for(mat.shape[1], band) > 0).astype(
+                np.uint64
+            )
+            frames.append(
+                pd.DataFrame(
+                    {
+                        id_col: df[id_col].to_numpy(),
+                        "band": np.int32(band),
+                        "bucket": bits @ weights,
+                        vec_col: df[vec_col].to_numpy(),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2 or len(group) > 500:
-            return _empty_pairs(group[id_col].dtype).assign(
-                cosine=pd.Series(dtype="float64")
-            )
+        empty = _empty_pairs(group[id_col].dtype).assign(
+            cosine=pd.Series(dtype="float64")
+        )
+        if len(group) < 2:
+            return empty
         mat = np.asarray(group[vec_col].tolist(), dtype=np.float64)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         mat = mat / norms
-        sims = mat @ mat.T
         ids = group[id_col].to_numpy()
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = sims[ia, ib] >= threshold
-        return pd.DataFrame(
-            {
-                "id_a": np.minimum(ids[ia][keep], ids[ib][keep]),
-                "id_b": np.maximum(ids[ia][keep], ids[ib][keep]),
-                "cosine": np.round(sims[ia, ib][keep], 6),
-            }
-        )
+        band = int(group["band"].iloc[0])
 
-    out = (
+        out: list[pd.DataFrame] = []
+        # iterative recursion: (member indices, split depth)
+        stack: list[tuple[np.ndarray, int]] = [
+            (np.arange(len(ids)), 0)
+        ]
+        while stack:
+            idx, depth = stack.pop()
+            if len(idx) < 2:
+                continue
+            if len(idx) <= max_bucket:
+                out.append(
+                    _exact_cosine_pairs(ids[idx], mat[idx], threshold)
+                )
+                continue
+            if depth >= max_split_depth:
+                # unsplittable (e.g. one giant exact-dup cluster):
+                # blocked quadratic scan — correct, counted, never empty
+                from .. import metrics
+
+                metrics.incr("embedding_neardup.fallback_buckets")
+                metrics.incr("embedding_neardup.fallback_rows", len(idx))
+                out.append(
+                    _exact_cosine_pairs(ids[idx], mat[idx], threshold)
+                )
+                continue
+            sub_planes = np.random.RandomState(
+                _plane_seed(seed, band, 1000 + depth)
+            ).standard_normal((mat.shape[1], 4))
+            sub = ((mat[idx] @ sub_planes > 0).astype(np.uint8)
+                   @ (1 << np.arange(4, dtype=np.uint8)))
+            for key in np.unique(sub):
+                stack.append((idx[sub == key], depth + 1))
+        if not out:
+            return empty
+        res = pd.concat(out, ignore_index=True)
+        return res.drop_duplicates(["id_a", "id_b"])
+
+    raw = (
         embeddings.map_batches(bucketize, batch_format="pandas")
-        .groupby("bucket")
+        .groupby(["band", "bucket"])
         .map_groups(pairs, batch_format="pandas")
-        .to_pandas()
     )
-    if out.empty:
-        return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-    return out.drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
+    # cross-band dedup, distributed (cosine is a pure function of the
+    # pair, so duplicate rows are identical and drop_duplicates is exact)
+    return _dedup_pairs(raw)

@@ -87,7 +87,7 @@ def test_ngram_jaccard_bounds():
 def test_simhash_neardup(docs_ds):
     sh = simhash_batch(pd.DataFrame({"doc_id": [0, 1], "text": [BASE, BASE]}))
     assert sh["simhash"][0] == sh["simhash"][1]
-    cand = simhash_neardup_candidates(docs_ds, max_hamming=6)
+    cand = simhash_neardup_candidates(docs_ds, max_hamming=6).to_pandas()
     pairs = set(zip(cand["id_a"], cand["id_b"]))
     assert (0, 1) in pairs
     assert (0, 3) not in pairs
@@ -105,9 +105,40 @@ def embeds_ds(ray_session):
 
 
 def test_embedding_neardup(embeds_ds):
-    out = embedding_neardup(embeds_ds, threshold=0.99)
+    out = embedding_neardup(embeds_ds, threshold=0.99).to_pandas()
     pairs = set(zip(out["id_a"], out["id_b"]))
     assert (0, 20) in pairs
+
+
+def test_embedding_neardup_oversized_bucket(ray_session):
+    """A bucket larger than max_bucket must still yield its pairs (the
+    old design silently returned EMPTY for saturated buckets): 120
+    identical vectors can never be separated by recursive plane splits,
+    so the depth-limit fallback engages — counted, not dropped."""
+    import ray.data as rd
+
+    from graphforge_ray import metrics
+
+    rng = np.random.RandomState(11)
+    v = rng.standard_normal(16)
+    n = 120
+    rows = [{"vec_id": i, "embedding": v.tolist()} for i in range(n)]
+    rows += [
+        {"vec_id": n + i, "embedding": rng.standard_normal(16).tolist()}
+        for i in range(10)
+    ]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    before = metrics.snapshot()
+    out = embedding_neardup(
+        ds, threshold=0.999, max_bucket=50, max_split_depth=2
+    ).to_pandas()
+    after = metrics.snapshot()
+    got = set(zip(out["id_a"], out["id_b"]))
+    expected = {(a, b) for a in range(n) for b in range(a + 1, n)}
+    assert expected <= got
+    assert metrics.delta(before, after).get(
+        "embedding_neardup.fallback_buckets", 0
+    ) > 0
 
 
 def test_brute_force_topk(embeds_ds):
