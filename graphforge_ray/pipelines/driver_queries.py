@@ -711,9 +711,11 @@ def q_embedding_neardup(sf_dir: str):
         lambda df: df.assign(vec_id=df["vec_id"] + 100000),
         batch_format="pandas",
     )
-    out = embedding_neardup(emb.union(probes), threshold=0.95)
+    # the operator returns a DISTRIBUTED pair Dataset; only the verified
+    # result (20 rows here) is collected for the driver compare
+    out = embedding_neardup(emb.union(probes), threshold=0.95).to_pandas()
     out["cosine"] = out["cosine"].round(4)
-    return out
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 SQL_EMBEDDING_NEARDUP = """
@@ -842,6 +844,64 @@ SELECT DISTINCT 'part:' || CAST(k AS VARCHAR) AS x FROM (
     UNION
     SELECT p_partkey // 2 FROM part WHERE p_partkey > 1
 )
+"""
+
+
+def q_sparql_group_agg(sf_dir: str):
+    """SPARQL aggregates beyond COUNT (SUM/AVG/MIN/MAX, multi-aggregate
+    projection + GROUP BY) through the SELECT compiler: per-source
+    character statistics over the RML-mapped documents triples (a BGP
+    join of the source and n_chars patterns feeds a distributed
+    groupby-aggregate). Floats are FLOOR-truncated at 1e-4 on both sides
+    (identical doubles floor identically; ROUND half-even vs half-away
+    differs at boundaries)."""
+    from ..query.sparql import run_select
+
+    triples = q_rml_documents_triples(sf_dir)
+    out = run_select(
+        triples,
+        f"SELECT ?src (SUM(?n) AS ?total) (AVG(?n) AS ?mean) "
+        f"(MIN(?n) AS ?lo) (MAX(?n) AS ?hi) (COUNT(?n) AS ?cnt) "
+        f"WHERE {{ ?s <{VOCAB_SOURCE}> ?src . ?s <{VOCAB_NCHARS}> ?n }} "
+        f"GROUP BY ?src",
+    )
+    for col in ("total", "mean", "lo", "hi"):
+        out[col] = np.floor(out[col].astype(float) * 1e4) / 1e4
+    return out.sort_values("src").reset_index(drop=True)
+
+
+SQL_SPARQL_GROUP_AGG = """
+SELECT source AS src,
+       FLOOR(SUM(n_chars) * 10000.0) / 10000 AS total,
+       FLOOR(AVG(n_chars) * 10000.0) / 10000 AS mean,
+       FLOOR(MIN(n_chars) * 10000.0) / 10000 AS lo,
+       FLOOR(MAX(n_chars) * 10000.0) / 10000 AS hi,
+       COUNT(*) AS cnt
+FROM documents
+GROUP BY source
+"""
+
+
+def q_sparql_string_filter(sf_dir: str):
+    """SPARQL string-function FILTERs (CONTAINS + REGEX) through the
+    SELECT compiler: docs whose source contains '1' and whose lang
+    matches ^(en|fr)$."""
+    from ..query.sparql import run_select
+
+    triples = q_rml_documents_triples(sf_dir)
+    return run_select(
+        triples,
+        f"SELECT ?s ?src ?lang WHERE {{ "
+        f"?s <{VOCAB_SOURCE}> ?src . ?s <{VOCAB_LANG}> ?lang . "
+        f'FILTER(CONTAINS(?src, "1")) . '
+        f'FILTER(REGEX(?lang, "^(en|fr)$")) }}',
+    )
+
+
+SQL_SPARQL_STRING_FILTER = """
+SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS s, source AS src, lang
+FROM documents
+WHERE source LIKE '%1%' AND regexp_matches(lang, '^(en|fr)$')
 """
 
 
@@ -1012,6 +1072,8 @@ QUERIES = {
     "sparql_filter_orderby": q_sparql_filter_orderby,
     "sparql_path_bgp": q_sparql_path_bgp,
     "sparql_union_distinct": q_sparql_union_distinct,
+    "sparql_group_agg": q_sparql_group_agg,
+    "sparql_string_filter": q_sparql_string_filter,
     "docs_quality_filter": q_docs_quality_filter,
     "docs_hash_split": q_docs_hash_split,
     "rml_customer_triples": q_rml_customer_triples,
@@ -1048,6 +1110,8 @@ ORACLES = {
     "sparql_filter_orderby": SQL_SPARQL_FILTER_ORDERBY,
     "sparql_path_bgp": SQL_SPARQL_PATH_BGP,
     "sparql_union_distinct": SQL_SPARQL_UNION_DISTINCT,
+    "sparql_group_agg": SQL_SPARQL_GROUP_AGG,
+    "sparql_string_filter": SQL_SPARQL_STRING_FILTER,
     "docs_quality_filter": SQL_DOCS_QUALITY_FILTER,
     "docs_hash_split": SQL_DOCS_HASH_SPLIT,
     "rml_customer_triples": SQL_RML_CUSTOMER_TRIPLES,

@@ -19,15 +19,17 @@ exercise (SPARQL.html:241-283 + the app default query app.js:100-104),
 extended with the constructs the first real user query needs (the
 reference gets these from Comunica, document.js:951-953):
 
-    SELECT [DISTINCT] ?v … | (COUNT(?v) AS ?alias)
+    SELECT [DISTINCT] ?v … | (COUNT|SUM|MIN|MAX|AVG(?v) AS ?alias) …
     WHERE { pattern . pattern . OPTIONAL { pattern } FILTER (?v op x) }
     WHERE { { group } UNION { group } [UNION { group } …] }
     with property-path alternation/star ``(p1|p2)*`` on the predicate
     position — the path pattern may now be JOINED with other patterns
-    GROUP BY ?v / ORDER BY [DESC(?v)] ?w … / LIMIT n
+    GROUP BY ?v [?w …] / ORDER BY [DESC(?v)] ?w … / LIMIT n
 
 FILTER supports ``= != < <= > >=`` against a number, a quoted string, or
-another variable. Numeric comparison coerces the lexical forms with
+another variable, plus the string functions
+``[!]CONTAINS/STRSTARTS/STRENDS/REGEX(?v, "x"[, "i"])``. Numeric
+comparison (and SUM/MIN/MAX/AVG) coerces the lexical forms with
 ``to_numeric`` and DROPS rows that fail to parse — the reference's
 parseFloat row-skip convention (P13, queryManager.js preparePlotData).
 
@@ -44,7 +46,7 @@ import pandas as pd
 
 import ray.data
 
-from .ops import bgp, count_by, limit as limit_op, match_pattern, optional_join
+from .ops import bgp, limit as limit_op, match_pattern, optional_join
 from .ops import broadcast_lookup_join, property_path_closure
 
 __all__ = ["prepare_query", "compile_select", "run_select", "SelectQuery"]
@@ -75,11 +77,10 @@ def prepare_query(query: str, prefixes: dict[str, str] | None = None) -> str:
 @dataclass
 class SelectQuery:
     variables: list[str]
-    count_alias: str | None
-    count_var: str | None
+    aggregates: list[tuple]        # (FUNC, var, alias): COUNT/SUM/MIN/MAX/AVG
     patterns: list[tuple]          # (s, p, o) terms; p may be PathExpr
     optionals: list[tuple]            # (patterns, group-scoped filters)
-    group_by: str | None
+    group_by: list[str]
     limit: int | None
     filters: list[tuple] = field(default_factory=list)   # (var, op, rhs)
     order_by: list[tuple] = field(default_factory=list)  # (var, descending)
@@ -100,8 +101,11 @@ _SELECT = re.compile(
     r"(?P<tail>[^}]*)$",
     re.S | re.I,
 )
-_COUNT = re.compile(r"\(\s*COUNT\s*\(\s*(\?\w+)\s*\)\s+AS\s+(\?\w+)\s*\)", re.I)
-_GROUP_BY = re.compile(r"GROUP\s+BY\s+(\?\w+)", re.I)
+_AGG = re.compile(
+    r"\(\s*(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(\?\w+)\s*\)\s+AS\s+(\?\w+)\s*\)",
+    re.I,
+)
+_GROUP_BY = re.compile(r"GROUP\s+BY((?:\s+\?\w+)+)", re.I)
 _LIMIT = re.compile(r"LIMIT\s+(\d+)", re.I)
 _OPTIONAL = re.compile(r"OPTIONAL\s*\{([^}]*)\}", re.S | re.I)
 _PATH = re.compile(r"^\(([^)]+)\)(\*?)$")
@@ -110,6 +114,14 @@ _FILTER = re.compile(
     r"(\?\w+|\"[^\"]*\"|[-+]?\d+(?:\.\d+)?)\s*\)",
     re.I,
 )
+# string-function filters: FILTER(CONTAINS(?v, "x")) / STRSTARTS /
+# STRENDS / REGEX(?v, "pat" [, "i"]), with optional leading !
+_STR_FILTER = re.compile(
+    r"FILTER\s*\(\s*(!?)\s*(CONTAINS|STRSTARTS|STRENDS|REGEX)\s*\(\s*"
+    r"(\?\w+)\s*,\s*\"([^\"]*)\"\s*(?:,\s*\"([^\"]*)\"\s*)?\)\s*\)",
+    re.I,
+)
+_FILTER_TOKEN = re.compile(r"\bFILTER\b", re.I)
 _ORDER_BY = re.compile(
     r"ORDER\s+BY((?:\s+(?:DESC|ASC)?\s*\(?\s*\?\w+\s*\)?)+)", re.I
 )
@@ -143,7 +155,16 @@ def _split_outside(body: str, delim: str) -> list[str]:
     parts: list[str] = []
     cur: list[str] = []
     in_iri = in_str = False
+    escaped = False
     for ch in body:
+        if escaped:  # char after a backslash inside a literal: never a
+            cur.append(ch)  # string boundary (handles \" and \\)
+            escaped = False
+            continue
+        if in_str and ch == "\\":
+            escaped = True
+            cur.append(ch)
+            continue
         if ch == "<" and not in_str:
             in_iri = True
         elif ch == ">" and not in_str:
@@ -208,12 +229,11 @@ def compile_select(
     distinct = bool(re.match(r"DISTINCT\s+", proj, re.I))
     proj = re.sub(r"^DISTINCT\s+", "", proj, flags=re.I)
 
-    count_match = _COUNT.search(proj)
-    count_var = count_alias = None
-    if count_match:
-        count_var = count_match.group(1)[1:]
-        count_alias = count_match.group(2)[1:]
-        proj = _COUNT.sub("", proj)
+    aggregates = [
+        (m.group(1).upper(), m.group(2)[1:], m.group(3)[1:])
+        for m in _AGG.finditer(proj)
+    ]
+    proj = _AGG.sub("", proj)
     variables = [v[1:] for v in re.findall(r"\?(?:\w+)", proj)]
 
     def extract_filters(text: str):
@@ -221,7 +241,16 @@ def compile_select(
             (m.group(1)[1:], m.group(2), _parse_filter_rhs(m.group(3)))
             for m in _FILTER.finditer(text)
         ]
-        return fs, _FILTER.sub("", text)
+        fs += [
+            (
+                m.group(3)[1:],
+                m.group(2).upper(),
+                ("strfn", (m.group(4), m.group(5) or "",
+                           m.group(1) == "!")),
+            )
+            for m in _STR_FILTER.finditer(text)
+        ]
+        return fs, _STR_FILTER.sub("", _FILTER.sub("", text))
 
     # OPTIONAL groups are cut out BEFORE top-level FILTER extraction: a
     # FILTER inside an OPTIONAL scopes to the optional group (applied
@@ -247,17 +276,34 @@ def compile_select(
         optionals.append((opt_patterns, opt_filters))
     body = _OPTIONAL.sub("", body)
 
-    filters, body = extract_filters(body)
-
     union_groups: list[list[tuple]] = []
     patterns: list[tuple] = []
     if re.search(r"\bUNION\b", body, re.I):
-        # whole-body group union: { g1 } UNION { g2 } [UNION { g3 } …]
-        alts = re.split(r"\}\s*UNION\s*\{", body.strip(), flags=re.I)
+        # whole-body group union: { g1 } UNION { g2 } [UNION { g3 } …].
+        # A FILTER AFTER the union's closing brace scopes to the unioned
+        # bindings (supported — extracted from the tail); a FILTER written
+        # INSIDE a branch scopes to that branch only, and hoisting it
+        # would silently apply it to every branch — refuse instead.
+        close = body.rfind("}")
+        tail_text = body[close + 1:] if close != -1 else ""
+        union_text = body[: close + 1] if close != -1 else body
+        filters, tail_text = extract_filters(tail_text)
+        if tail_text.strip():
+            raise ValueError(
+                f"unsupported tokens after UNION group: {tail_text.strip()!r}"
+            )
+        if _FILTER_TOKEN.search(union_text):
+            raise ValueError(
+                "FILTER inside a UNION branch is not supported (branch-"
+                "scoped filters would be silently hoisted to all "
+                "branches); move the FILTER outside the UNION"
+            )
+        alts = re.split(r"\}\s*UNION\s*\{", union_text.strip(), flags=re.I)
         alts[0] = alts[0].lstrip().lstrip("{")
         alts[-1] = alts[-1].rstrip().rstrip("}")
         union_groups = [_parse_patterns(a, decl) for a in alts]
     else:
+        filters, body = extract_filters(body)
         patterns = _parse_patterns(body, decl)
 
     order_by: list[tuple] = []
@@ -272,11 +318,12 @@ def compile_select(
     lim = _LIMIT.search(tail) or _LIMIT.search(query)
     return SelectQuery(
         variables=variables,
-        count_alias=count_alias,
-        count_var=count_var,
+        aggregates=aggregates,
         patterns=patterns,
         optionals=optionals,
-        group_by=gb.group(1)[1:] if gb else None,
+        group_by=(
+            re.findall(r"\?(\w+)", gb.group(1)) if gb else []
+        ),
         limit=int(lim.group(1)) if lim else None,
         filters=filters,
         order_by=order_by,
@@ -299,6 +346,30 @@ def _apply_filters(df: pd.DataFrame, filters: list[tuple]) -> pd.DataFrame:
     for var, op, (kind, val) in filters:
         if var not in df.columns:
             raise ValueError(f"FILTER variable ?{var} is unbound")
+        if kind == "strfn":
+            pattern, flags, negated = val
+            s = df[var].astype(str)
+            if op == "CONTAINS":
+                mask = s.str.contains(pattern, regex=False)
+            elif op == "STRSTARTS":
+                mask = s.str.startswith(pattern)
+            elif op == "STRENDS":
+                mask = s.str.endswith(pattern)
+            else:  # REGEX; flags "i" = case-insensitive (SPARQL fn)
+                import re as _re
+                import warnings as _warnings
+
+                with _warnings.catch_warnings():
+                    # user patterns with capture groups trigger pandas'
+                    # "match groups" UserWarning — matching is intended
+                    _warnings.simplefilter("ignore", UserWarning)
+                    mask = s.str.contains(
+                        pattern,
+                        regex=True,
+                        flags=_re.I if "i" in flags.lower() else 0,
+                    )
+            df = df.loc[~mask if negated else mask]
+            continue
         f = ops[op]
         if kind == "num":
             col = pd.to_numeric(df[var], errors="coerce")
@@ -336,6 +407,54 @@ def _order_frame(df: pd.DataFrame, order_by: list[tuple]) -> pd.DataFrame:
         ).index
         df = df.loc[order]
     return df
+
+
+def _run_aggregates(bindings: "ray.data.Dataset", q: SelectQuery) -> pd.DataFrame:
+    """GROUP BY + aggregate execution — a distributed Dataset
+    groupby-aggregate (one global row when nothing groups). COUNT counts
+    group rows; SUM/MIN/MAX/AVG coerce the lexical forms with
+    ``to_numeric`` and DROP unparseable rows (the reference's parseFloat
+    row-skip convention, P13); the drop is shared so every aggregate in
+    the projection sees the same rows."""
+    import numpy as np
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    groups = q.group_by or (q.variables[:1] if q.variables else [])
+    num_vars = sorted({v for f, v, _ in q.aggregates if f != "COUNT"})
+    for v in num_vars + groups:
+        if v not in bindings.schema().names:
+            raise ValueError(f"aggregate/group variable ?{v} is unbound")
+    if num_vars:
+
+        def coerce(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            mask = np.ones(len(df), dtype=bool)
+            for v in num_vars:
+                col = pd.to_numeric(df[v], errors="coerce")
+                df["_num_" + v] = col
+                mask &= col.notna().to_numpy()
+            return df.loc[mask]
+
+        bindings = bindings.map_batches(coerce, batch_format="pandas")
+    aggs = []
+    for f, v, alias in q.aggregates:
+        if f == "COUNT":
+            aggs.append(Count(alias_name=alias))
+        elif f == "SUM":
+            aggs.append(Sum("_num_" + v, alias_name=alias))
+        elif f == "AVG":
+            aggs.append(Mean("_num_" + v, alias_name=alias))
+        elif f == "MIN":
+            aggs.append(Min("_num_" + v, alias_name=alias))
+        else:
+            aggs.append(Max("_num_" + v, alias_name=alias))
+    aliases = [a for _, _, a in q.aggregates]
+    if not groups:
+        res = bindings.aggregate(*aggs)
+        return pd.DataFrame({a: [res[a]] for a in aliases})
+    key = groups if len(groups) > 1 else groups[0]
+    out = bindings.groupby(key).aggregate(*aggs).to_pandas()
+    return out[[*groups, *aliases]]
 
 
 def _order_dataset_topk(
@@ -475,12 +594,8 @@ def run_select(
             lambda df: _apply_filters(df, filters), batch_format="pandas"
         )
 
-    if q.count_alias:
-        group = q.group_by or (q.variables[0] if q.variables else None)
-        if group is None:
-            out = pd.DataFrame({q.count_alias: [bindings.count()]})
-        else:
-            out = count_by(bindings, group, alias=q.count_alias).to_pandas()
+    if q.aggregates:
+        out = _run_aggregates(bindings, q)
         if q.order_by:
             out = _order_frame(out, q.order_by)
         if q.limit is not None:

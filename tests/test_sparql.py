@@ -314,3 +314,99 @@ def test_optional_filter_outer_var_rejected_at_compile(score_triples):
             "SELECT ?s WHERE { ?s <e/name> ?n . "
             "OPTIONAL { ?s <e/score> ?v . FILTER (?v > ?n) } }",
         )
+
+
+# -- r3 extensions: aggregates beyond COUNT, string filters, union scoping --
+
+def test_aggregates_sum_min_max_avg(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT (SUM(?v) AS ?total) (MIN(?v) AS ?lo) (MAX(?v) AS ?hi) "
+        "(AVG(?v) AS ?mean) (COUNT(?v) AS ?n) "
+        "WHERE { ?s <e/score> ?v }",
+    )
+    row = out.iloc[0]
+    # e/D's "not-a-number" row-skips (P13): 10 + 25 + 7
+    assert row["total"] == 42.0
+    assert row["lo"] == 7.0 and row["hi"] == 25.0
+    assert row["mean"] == 14.0
+    assert row["n"] == 3
+
+
+def test_aggregates_group_by_multi_var(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT ?p ?o (COUNT(?s) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p ?o",
+    )
+    got = {(p, o): n for p, o, n in out.values.tolist()}
+    assert got[("e/childOf", "e/B")] == 1
+    assert got[("e/name", "alpha")] == 1
+    assert len(got) == 9  # every (pred, obj) combination is its own group
+
+
+def test_aggregate_sum_grouped(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT ?p (SUM(?o) AS ?total) WHERE { ?s ?p ?o } GROUP BY ?p",
+    )
+    got = dict(zip(out["p"], out["total"]))
+    # only e/score has numeric objects; other groups vanish (all rows
+    # dropped by coercion)
+    assert got == {"e/score": 42.0}
+
+
+def test_filter_contains_and_strstarts(score_triples):
+    out = run_select(
+        score_triples,
+        'SELECT ?s ?n WHERE { ?s <e/name> ?n . FILTER(CONTAINS(?n, "am")) }',
+    )
+    assert list(out["s"]) == ["e/C"]  # gamma
+    out = run_select(
+        score_triples,
+        'SELECT ?s WHERE { ?s <e/name> ?n . FILTER(STRSTARTS(?n, "b")) }',
+    )
+    assert list(out["s"]) == ["e/B"]
+
+
+def test_filter_regex_and_negation(score_triples):
+    out = run_select(
+        score_triples,
+        'SELECT ?n WHERE { ?s <e/name> ?n . FILTER(REGEX(?n, "^(ALPHA|BETA)$", "i")) }',
+    )
+    assert sorted(out["n"]) == ["alpha", "beta"]
+    out = run_select(
+        score_triples,
+        'SELECT ?n WHERE { ?s <e/name> ?n . FILTER(!CONTAINS(?n, "a")) }',
+    )
+    assert len(out) == 0  # every name contains 'a'
+
+
+def test_filter_inside_union_branch_rejected(score_triples):
+    with pytest.raises(ValueError, match="UNION branch"):
+        run_select(
+            score_triples,
+            "SELECT ?s WHERE { { ?s <e/name> ?o . FILTER (?o = \"beta\") } "
+            "UNION { ?s <e/childOf> ?o } }",
+        )
+
+
+def test_filter_after_union_applies_to_all_branches(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT ?s ?o WHERE { { ?s <e/childOf> ?o } UNION "
+        '{ ?s <e/name> ?o } FILTER(CONTAINS(?o, "a")) }',
+    )
+    # childOf objects e/B, e/C have no 'a'; names alpha/beta/gamma all do
+    assert sorted(out["o"]) == ["alpha", "beta", "gamma"]
+
+
+def test_escaped_quote_in_literal_does_not_missplit():
+    """A backslash-escaped quote inside a literal must not end the string
+    for the '.'/';' statement splitter (it previously toggled in_str on
+    EVERY '"' and mis-split the rest of the body)."""
+    from graphforge_ray.query.sparql import _split_outside
+
+    body = '?s ?p "a\\"; b. c" . ?s ?q ?o'
+    parts = [p.strip() for p in _split_outside(body, ".")]
+    assert parts == ['?s ?p "a\\"; b. c"', "?s ?q ?o"]
+    assert _split_outside(body, ";")[0] == body  # ';' is inside the literal
