@@ -187,6 +187,20 @@ def forge_triples(
     import graphforge_ray
 
     graphforge_ray.tune_data_context()
+    # block-count floor: a single-block input (rd.from_arrow of one
+    # table, a one-file read) can launch at most ONE extract/link task
+    # regardless of pool size — split it so parallelism = block count
+    # covers the cluster ("operator only received 1 input(s)" warning)
+    try:
+        n_blocks = pages_ds.num_blocks()
+    except Exception:
+        n_blocks = None  # lazy plans without known block counts: leave be
+    if n_blocks is not None:
+        import ray as _ray
+
+        floor = int(_ray.cluster_resources().get("CPU", 8))
+        if 0 < n_blocks < floor:
+            pages_ds = pages_ds.repartition(floor)
     linked = extract_and_link(pages_ds, gazetteer, linker_concurrency)
     real = _real_triples(linked)
     deduped = dedup_triples(real, num_buckets)
@@ -344,7 +358,10 @@ def run_forge_pipeline(
         linked = ds.map_batches(
             MentionLinker,
             batch_format="pyarrow",
-            batch_size=4096,
+            # None is deliberate (measured, CLAUDE.md): an explicit
+            # batch_size COALESCES blocks and caps parallelism at
+            # n_rows/batch_size tasks — one task per input block instead
+            batch_size=None,
             concurrency=linker_concurrency,
             fn_constructor_kwargs={"gazetteer_ref": gaz_ref},
         )

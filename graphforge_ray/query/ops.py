@@ -269,6 +269,7 @@ def transitive_closure_distributed(
         lambda df: df[["s", "o"]].assign(_new=False), batch_format="pandas"
     ).materialize()
 
+    converged = False
     for _ in range(max_rounds):
         # step = closure ∘ closure (paths a→b→c)
         step = kv_join(
@@ -324,7 +325,17 @@ def transitive_closure_distributed(
             batch_format="pandas",
         ).aggregate(Sum("n", alias_name="n"))["n"]
         if not n_new:
+            converged = True
             break
+    if not converged:
+        # path doubling reaches diameter 2^max_rounds; falling through
+        # silently would hand callers an INCOMPLETE closure (wrong query
+        # results, no error) — mirror connected_components and raise
+        raise RuntimeError(
+            f"transitive_closure_distributed: no fixpoint within "
+            f"{max_rounds} rounds — graph diameter exceeds 2^{max_rounds}; "
+            "raise max_rounds"
+        )
 
     out = closure.map_batches(
         lambda df: df[["s", "o"]], batch_format="pandas"

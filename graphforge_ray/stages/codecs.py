@@ -85,11 +85,20 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     maxval = int(_read_pnm_token(buf))
     if maxval > 255:
         raise UnsupportedCodec("16-bit PNM not supported")
+    if maxval <= 0:
+        raise ValueError(f"bad PNM maxval {maxval}")
     c = 3 if magic == b"P6" else 1
     data = buf.read(w * h * c)
     if len(data) < w * h * c:
         raise ValueError("truncated PNM pixel data")
-    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, c)
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(h, w, c)
+    if maxval != 255:
+        # rescale to the full 8-bit range (a maxval-15 PGM's samples are
+        # in [0,15]; leaving them raw skews mean/phash features 17×)
+        arr = np.round(arr.astype(np.float64) * (255.0 / maxval)).astype(
+            np.uint8
+        )
+    return arr
 
 
 def encode_ppm(arr: np.ndarray) -> bytes:

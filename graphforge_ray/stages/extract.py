@@ -140,8 +140,13 @@ class _Out:
 
 
 def _extract_one(out: _Out, url: str, payload: bytes) -> None:
-    kind = sniff_kind(payload)
+    kind = ""
     try:
+        if isinstance(payload, str):
+            # corpora with a utf-8 string html column (vs the canonical
+            # binary) are a supported shape, not a poison row
+            payload = payload.encode("utf-8")
+        kind = sniff_kind(payload)
         if kind == "rdfxml":
             for s, p, o, iri in extract_rdfxml_triples(payload):
                 out.add(s, p, o, iri, "", "", "", url, kind=kind)

@@ -46,9 +46,12 @@ def main() -> int:
     # standalone runs init locally. Never re-init inside the library.
     if not ray.is_initialized():
         kwargs = {"include_dashboard": False, "ignore_reinit_error": True}
-        if args.num_cpus:
+        address = os.environ.get("RAY_ADDRESS", "local")
+        # num_cpus is only legal when WE start the local session;
+        # ray.init(address=<cluster>, num_cpus=N) raises ValueError
+        if args.num_cpus and address == "local":
             kwargs["num_cpus"] = args.num_cpus
-        ray.init(address=os.environ.get("RAY_ADDRESS", "local"), **kwargs)
+        ray.init(address=address, **kwargs)
 
     import graphforge_ray
 

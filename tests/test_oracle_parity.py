@@ -70,3 +70,23 @@ def test_quarantine_not_fail():
     out = extract_pages_batch(batch)
     assert out.num_rows == 1
     assert out.column("pred")[0].as_py().endswith("quarantined")
+
+
+def test_string_html_column_supported():
+    """A corpus whose html column is utf-8 STRING (not the canonical
+    binary) must extract normally — and malformed string payloads must
+    QUARANTINE, not raise from sniff_kind (which previously ran before
+    the try and crashed the whole task on str input)."""
+    batch = pa.table(
+        {
+            "url": ["https://x/a", "https://x/bad"],
+            "html": [
+                '<html><body><a href="https://x/b">B page</a></body></html>',
+                "<not<xml",
+            ],
+        }
+    )
+    out = extract_pages_batch(batch)
+    preds = [p.as_py() for p in out.column("pred")]
+    assert any(p.endswith("linksTo") for p in preds)
+    assert any(p.endswith("quarantined") for p in preds)
