@@ -40,6 +40,12 @@ def run_bench() -> dict:
     n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "60000"))
     rich = int(os.environ.get("GRAFT_BENCH_RICH", "8"))
 
+    # ambient host load BEFORE we spin anything up — the only sample not
+    # polluted by our own workers; readers adjudicating a regressed-
+    # looking snapshot need this in the artifact (r2: every query
+    # "regressed" 1.5-2.3× at once under a load-avg-13 neighbor burst)
+    load_start = [round(x, 2) for x in os.getloadavg()]
+
     import ray
 
     ray.init(
@@ -67,21 +73,33 @@ def run_bench() -> dict:
     from graphforge_ray.stages.dedup import exact_dedup, minhash_lsh_candidates
 
     queries: dict[str, float] = {}
+    rep_times: dict[str, list[float]] = {}
     detail: dict = {}
     reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
+    max_reps = int(os.environ.get("GRAFT_BENCH_MAX_REPS", "4"))
 
     def timed(name: str, fn):
         # per-query best-of-N: this host carries bursty invisible
         # neighbor load (measured 4× swings within minutes); min wall
-        # time is the least-interference estimate of the engine's cost
-        best = None
-        for _ in range(reps):
+        # time is the least-interference estimate of the engine's cost.
+        # When the rep-to-rep spread says a rep was hit by neighbor load
+        # (max/min > 1.4), extra reps run (up to max_reps) so one noisy
+        # window can't double the headline number — the r2 driver
+        # snapshot regressed ~2× on every query simultaneously purely
+        # from ambient load.
+        times: list[float] = []
+        out = None
+        while True:
             t0 = time.perf_counter()
             out = fn()
-            dt = time.perf_counter() - t0
-            if best is None or dt < best:
-                best = dt
-        queries[name] = round(best, 3)
+            times.append(time.perf_counter() - t0)
+            if len(times) >= reps and (
+                len(times) >= max_reps
+                or max(times) / min(times) <= 1.4
+            ):
+                break
+        queries[name] = round(min(times), 3)
+        rep_times[name] = [round(t, 3) for t in times]
         return out
 
     # untimed warm-up (worker spawn + imports)
@@ -141,6 +159,11 @@ def run_bench() -> dict:
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "num_cpus": num_cpus,
+        "load_avg": {
+            "ambient_start": load_start,
+            "end": [round(x, 2) for x in os.getloadavg()],
+        },
+        "rep_times": rep_times,
         **detail,
     }
     ray.shutdown()
@@ -203,6 +226,11 @@ def run_scaling() -> dict:
         "scaling_efficiency": round(med(effs), 3),
         "efficiency_per_pair": [round(e, 3) for e in effs],
         "efficiency_spread": round(max(effs) - min(effs), 3),
+        "load_avg_per_pair": [
+            [p[0].get("load_avg", {}).get("ambient_start"),
+             p[1].get("load_avg", {}).get("ambient_start")]
+            for p in pairs
+        ],
         "pages": pairs[0][1]["forge"]["pages"],
         "rich": pairs[0][1]["forge"]["rich"],
         "triples": pairs[0][1]["forge"]["triples"],
@@ -215,6 +243,7 @@ def run_forge_only() -> dict:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "60000"))
     rich = int(os.environ.get("GRAFT_BENCH_RICH", "8"))
+    load_start = [round(x, 2) for x in os.getloadavg()]
 
     import ray
 
@@ -238,6 +267,8 @@ def run_forge_only() -> dict:
         "metric": "forge", "value": dt, "unit": "sec",
         "queries": {"forge": dt},
         "sf": 0.1, "num_cpus": num_cpus,
+        "load_avg": {"ambient_start": load_start,
+                     "end": [round(x, 2) for x in os.getloadavg()]},
         "forge": {
             "pages": n_pages, "rich": rich, "triples": int(n_triples),
             "pages_per_sec": round(n_pages / dt, 1),
