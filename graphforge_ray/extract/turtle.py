@@ -17,8 +17,13 @@ environment) covering:
 * collections ``( a b c )`` → rdf:first / rdf:rest / rdf:nil chains
 * ``#`` comments outside quoted strings
 
-Out of scope (documented): ``@base`` / relative IRI resolution (raises →
-quarantine, mirroring the reference's file-reject at document.js:673-676).
+* ``@base <iri>`` / SPARQL-style ``BASE`` with RFC 3986 relative-IRI
+  resolution (the reference gets this from N3.js's documentIRI handling,
+  document.js:702-717): relative ``<iri>`` terms and relative prefix
+  IRIs resolve against the innermost base; ``parse_turtle`` also accepts
+  a ``base_iri`` (the document URL) so base-less documents with relative
+  IRIs resolve the way a browser-side parser would.
+
 All token access is bounds-checked: truncated payloads raise
 ``TurtleParseError`` (never IndexError), so poison rows quarantine instead
 of killing the extract task.
@@ -31,7 +36,7 @@ from __future__ import annotations
 
 import re
 
-__all__ = ["parse_turtle", "TurtleParseError"]
+__all__ = ["parse_turtle", "resolve_iri", "TurtleParseError"]
 
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 RDF_TYPE = RDF_NS + "type"
@@ -43,6 +48,38 @@ XSD = "http://www.w3.org/2001/XMLSchema#"
 
 class TurtleParseError(ValueError):
     pass
+
+
+_ABS_IRI = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
+
+def resolve_iri(base: str | None, ref: str) -> str:
+    """RFC 3986 §5.2 reference resolution. Absolute refs (scheme-prefixed)
+    pass through; without a base the ref is kept as-is (lenient — N3.js
+    keeps relative IRIs unresolved when no documentIRI is supplied, so
+    base-less fixtures keep their historical output)."""
+    if not base or _ABS_IRI.match(ref):
+        return ref
+    m = _ABS_IRI.match(base)
+    if not m:
+        return ref  # base itself isn't absolute: nothing to resolve with
+    from urllib.parse import urljoin
+
+    def join(b: str, r: str) -> str:
+        out = urljoin(b, r)
+        if r.endswith("#") and not out.endswith("#"):
+            # urlunsplit drops an EMPTY fragment; hash-namespace prefix
+            # IRIs ('terms#') must keep it or CURIEs concat wrong
+            out += "#"
+        return out
+
+    scheme = m.group(0)[:-1]
+    if scheme in ("http", "https", "file", "ftp"):
+        return join(base, ref)
+    # urljoin only merges for schemes on its allowlist; alias unknown
+    # schemes (ex:, urn:, tag:) to http for the merge, then restore
+    joined = join("http" + base[len(scheme):], ref)
+    return scheme + joined[4:] if joined.startswith("http") else joined
 
 
 _TOKEN = re.compile(
@@ -126,12 +163,13 @@ class _Parser:
     ``tok()`` which raises TurtleParseError on EOF — truncated documents
     can never escape as IndexError."""
 
-    def __init__(self, text: str):
+    def __init__(self, text: str, base_iri: str | None = None):
         self.toks = list(_tokens(text))
         self.i = 0
         self.prefixes: dict[str, str] = {}
         self.triples: list[tuple[str, str, str, bool, str, str]] = []
         self._anon = 0
+        self.base = base_iri
 
     # -- token plumbing ----------------------------------------------------
 
@@ -167,7 +205,7 @@ class _Parser:
     def expand(self, kind: str, val: str) -> tuple[str, bool]:
         """Resolve an IRI-ish token → (value, is_iri)."""
         if kind == "iri":
-            return val[1:-1], True
+            return resolve_iri(self.base, val[1:-1]), True
         if kind == "curie_or_word":
             if val == "a":
                 return RDF_TYPE, True
@@ -271,14 +309,25 @@ class _Parser:
         kind, val = self.advance()
         is_at = kind == "prefix_kw"
         if val == "@base" or val.upper() == "BASE":
-            raise TurtleParseError("@base not supported")
+            ik, iv = self.advance()
+            if ik != "iri":
+                raise TurtleParseError(f"bad base iri {iv!r}")
+            # a relative @base resolves against the base in force (spec
+            # §6.3: each directive rebinds for the REST of the document)
+            self.base = resolve_iri(self.base, iv[1:-1])
+            if is_at:
+                self.expect_punct(".")
+            elif self.is_punct("."):
+                self.i += 1
+            return
         pk, pv = self.advance()
         if pk != "curie_or_word" or not pv.endswith(":"):
             raise TurtleParseError(f"bad prefix name {pv!r}")
         ik, iv = self.advance()
         if ik != "iri":
             raise TurtleParseError(f"bad prefix iri {iv!r}")
-        self.prefixes[pv[:-1]] = iv[1:-1]
+        # prefix IRIs resolve against the base too (spec 2.4)
+        self.prefixes[pv[:-1]] = resolve_iri(self.base, iv[1:-1])
         if is_at:
             self.expect_punct(".")
         elif self.is_punct("."):
@@ -301,8 +350,10 @@ class _Parser:
 
 
 def parse_turtle(
-    text: str,
+    text: str, base_iri: str | None = None
 ) -> tuple[list[tuple[str, str, str, bool, str, str]], dict[str, str]]:
     """Parse a Turtle document. Returns ``(triples, prefixes)`` where each
-    triple is ``(subj, pred, obj, obj_is_iri, obj_lang, obj_datatype)``."""
-    return _Parser(text).parse()
+    triple is ``(subj, pred, obj, obj_is_iri, obj_lang, obj_datatype)``.
+    ``base_iri`` (typically the document URL) seeds relative-IRI
+    resolution; an ``@base`` directive in the document overrides it."""
+    return _Parser(text, base_iri).parse()

@@ -83,7 +83,7 @@ def sniff_kind(payload: bytes) -> str:
     head = payload[:512].lstrip()
     if head.startswith(b"<?xml") or head.startswith(b"<rdf:RDF"):
         return "rdfxml"
-    if head.startswith(b"@prefix") or head.startswith(b"PREFIX"):
+    if head.startswith((b"@prefix", b"@base", b"PREFIX", b"BASE ")):
         return "turtle"
     low = head.lower()
     if low.startswith(b"<!doctype html") or low.startswith(b"<html"):
@@ -152,7 +152,9 @@ def _extract_one(out: _Out, url: str, payload: bytes) -> None:
                 out.add(s, p, o, iri, "", "", "", url, kind=kind)
         elif kind == "turtle":
             text = payload.decode("utf-8", errors="replace")
-            parsed, prefixes = parse_turtle(text)
+            # the page url is the document IRI: base-less documents with
+            # relative IRIs resolve like the reference's N3.js documentIRI
+            parsed, prefixes = parse_turtle(text, base_iri=url)
             for s, p, o, iri, lang, dt in parsed:
                 out.add(s, p, o, iri, lang, dt, "", url, kind=kind)
             for pfx, iri in prefixes.items():

@@ -331,3 +331,99 @@ def test_sniff_generic_xml_with_adjacent_tags_is_rdfxml():
     assert sniff_kind(b'<http://e/s> <http://e/p> "o" .') == "ntriples"
     assert sniff_kind(b"<http://e/s> <http://e/p> <http://e/o> .") == "ntriples"
     assert sniff_kind(b"<http://e/s> <http://e/p> _:b1 .") == "ntriples"
+
+
+# -- @base / relative IRI resolution (r3: last residual Turtle gap) --------
+
+def test_turtle_base_directive_resolves_relative_iris():
+    triples, _ = parse_turtle(
+        "@base <http://ex.org/data/> .\n"
+        "<alice> <knows> <bob> .\n"
+        "</rooted> <knows> <#frag> ."
+    )
+    assert (
+        "http://ex.org/data/alice", "http://ex.org/data/knows",
+        "http://ex.org/data/bob", True, "", "",
+    ) in triples
+    assert (
+        "http://ex.org/rooted", "http://ex.org/data/knows",
+        "http://ex.org/data/#frag", True, "", "",
+    ) in triples
+
+
+def test_turtle_base_rebinds_and_relative_base_chains():
+    triples, _ = parse_turtle(
+        "@base <http://ex.org/a/> .\n"
+        "<x> <p> <y> .\n"
+        "@base <sub/> .\n"          # relative: resolves against the prior base
+        "<x> <p> <y> ."
+    )
+    subjects = sorted(t[0] for t in triples)
+    assert subjects == ["http://ex.org/a/sub/x", "http://ex.org/a/x"]
+
+
+def test_turtle_document_iri_seeds_resolution():
+    triples, _ = parse_turtle(
+        "<alice> <knows> <bob> .", base_iri="http://host/dir/doc.ttl"
+    )
+    assert triples[0][0] == "http://host/dir/alice"
+    # no base at all: relative IRIs pass through (N3.js-lenient)
+    triples, _ = parse_turtle("<alice> <knows> <bob> .")
+    assert triples[0][0] == "alice"
+
+
+def test_turtle_prefix_iri_resolves_against_base():
+    triples, _ = parse_turtle(
+        "@base <http://ex.org/voc/> .\n"
+        "@prefix p: <terms#> .\n"
+        "<s> p:knows <o> ."
+    )
+    assert triples[0][1] == "http://ex.org/voc/terms#knows"
+
+
+def test_turtle_sparql_style_base():
+    triples, _ = parse_turtle(
+        "BASE <http://ex.org/b/>\n<s> <p> <o> ."
+    )
+    assert triples[0] == (
+        "http://ex.org/b/s", "http://ex.org/b/p", "http://ex.org/b/o",
+        True, "", "",
+    )
+
+
+def test_resolve_iri_unknown_scheme_and_dotsegments():
+    from graphforge_ray.extract.turtle import resolve_iri
+
+    assert resolve_iri("ex://h/a/b/c", "../d") == "ex://h/a/d"
+    assert resolve_iri("http://h/a/b", "./c") == "http://h/a/c"
+    assert resolve_iri("http://h/a/b", "http://other/x") == "http://other/x"
+    assert resolve_iri(None, "rel") == "rel"
+
+
+def test_base_document_no_longer_quarantines(ray_session):
+    """An @base turtle payload used to raise -> quarantine; it must now
+    extract resolved absolute IRIs through the full pipeline stage."""
+    import pyarrow as pa
+
+    from graphforge_ray.stages.extract import extract_pages_batch, sniff_kind
+
+    payload = (
+        b"@base <http://ex.org/kg/> .\n"
+        b"@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+        b'<thing> rdfs:label "Thing" .\n'
+    )
+    assert sniff_kind(payload) == "turtle"
+    out = extract_pages_batch(
+        pa.table({"url": ["https://x/doc.ttl"], "html": [payload]})
+    )
+    rows = {
+        (s.as_py(), p.as_py(), o.as_py())
+        for s, p, o in zip(out.column("subj"), out.column("pred"),
+                           out.column("obj"))
+    }
+    assert (
+        "http://ex.org/kg/thing",
+        "http://www.w3.org/2000/01/rdf-schema#label",
+        "Thing",
+    ) in rows
+    assert not any("quarantined" in p for _, p, _o in rows)
