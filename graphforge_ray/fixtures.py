@@ -30,6 +30,7 @@ from .schemas import PAGES_SCHEMA
 
 __all__ = [
     "gen_page", "gen_pages_table", "write_pages_parquet",
+    "gen_media_table", "media_dataset",
     "ENTITY_BASE", "CLASS_NAMES", "GAZETTEER",
 ]
 
@@ -277,6 +278,87 @@ def pages_dataset(
         ids = batch["id"].tolist() if hasattr(batch["id"], "tolist") else list(batch["id"])
         return pa.Table.from_pylist(
             [gen_page(int(i), seed, rich) for i in ids], schema=PAGES_SCHEMA
+        )
+
+    return rd.range(n, override_num_blocks=num_blocks).map_batches(
+        make, batch_format="numpy"
+    )
+
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),      # ppm | pgm | wav | gfimg | gfaud | poison
+        ("payload", pa.binary()),
+    ]
+)
+
+_MEDIA_KINDS = ["ppm", "pgm", "wav", "gfimg", "gfaud", "poison"]
+
+
+def _media_bytes(i: int, seed: int) -> tuple[str, bytes]:
+    """One deterministic media payload — pure function of (seed, i).
+    Rotates real stdlib-decodable formats (binary PPM/PGM images, RIFF
+    PCM-16 WAV), the GFIMG/GFAUD fixture formats, and one POISON payload
+    (a PNG header — a compressed codec this environment can't decode) so
+    every corpus exercises the quarantine row path."""
+    kind = _MEDIA_KINDS[i % len(_MEDIA_KINDS)]
+    raw = hashlib.blake2b(f"media:{seed}:{i}".encode(), digest_size=32).digest()
+    if kind in ("ppm", "pgm"):
+        w, h = 8 + i % 5, 6 + i % 3
+        c = 3 if kind == "ppm" else 1
+        n = w * h * c
+        pixels = (raw * (n // len(raw) + 1))[:n]
+        magic = b"P6" if kind == "ppm" else b"P5"
+        return kind, magic + f"\n{w} {h}\n255\n".encode() + pixels
+    if kind == "wav":
+        import io
+        import wave
+
+        n = 64 + (i % 4) * 16
+        pcm = (raw * (2 * n // len(raw) + 1))[: 2 * n]  # 16-bit samples
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(pcm)
+        return kind, buf.getvalue()
+    if kind == "gfimg":
+        from .stages.multimodal import fake_image_bytes
+
+        return kind, fake_image_bytes(seed * 1_000_003 + i)
+    if kind == "gfaud":
+        from .stages.multimodal import fake_audio_bytes
+
+        return kind, fake_audio_bytes(seed * 1_000_003 + i)
+    return kind, b"\x89PNG\r\n\x1a\n" + raw  # compressed → UnsupportedCodec
+
+
+def gen_media_table(n: int, seed: int = SEED, start: int = 0) -> pa.Table:
+    rows = []
+    for i in range(start, start + n):
+        kind, payload = _media_bytes(i, seed)
+        rows.append({"media_id": i, "kind": kind, "payload": payload})
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+def media_dataset(n: int, seed: int = SEED, num_blocks: int | None = None):
+    """Media corpus as a parallel multi-block Dataset (generation is a
+    pure function of row index; blocks are produced independently)."""
+    import ray.data as rd
+
+    if num_blocks is None:
+        num_blocks = max(4, n // 256)
+
+    def make(batch) -> pa.Table:
+        ids = (
+            batch["id"].tolist()
+            if hasattr(batch["id"], "tolist")
+            else list(batch["id"])
+        )
+        return gen_media_table(len(ids), seed, int(ids[0])) if ids else (
+            pa.Table.from_pylist([], schema=MEDIA_SCHEMA)
         )
 
     return rd.range(n, override_num_blocks=num_blocks).map_batches(

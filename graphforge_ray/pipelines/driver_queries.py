@@ -905,6 +905,52 @@ WHERE source LIKE '%1%' AND regexp_matches(lang, '^(en|fr)$')
 """
 
 
+def q_media_image_features(sf_dir: str):
+    """Multimodal image path E2E (rows-only — decode is not
+    SQL-expressible): the deterministic media fixture corpus
+    (fixtures.gen_media_table — testdata ships no media column) through
+    the ImageDecoder stage. Covers the real stdlib codecs (binary
+    PPM/PGM), the GFIMG fixture format, AND the poison path: 'poison'
+    rows are PNG payloads (compressed codec, undecodable here) that must
+    come out as (-1,-1,-1,-1.0,'') sentinel rows, never a crash.
+    Exact phash/mean values are pinned by pytest goldens
+    (tests/test_dataops.py)."""
+    from ..fixtures import media_dataset
+    from ..stages.multimodal import ImageDecoder
+    from ..stages.proc_cache import process_cached_stage
+
+    media = media_dataset(240).map_batches(
+        lambda df: df[df["kind"].isin(["ppm", "pgm", "gfimg", "poison"])],
+        batch_format="pandas",
+    )
+    out = media.map_batches(
+        process_cached_stage(ImageDecoder, data_col="payload"),
+        batch_format="pandas",
+    ).to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+def q_media_audio_features(sf_dir: str):
+    """Multimodal audio path E2E (rows-only): RIFF PCM-16 WAV via the
+    stdlib wave module plus the GFAUD fixture format through
+    AudioFeatureExtractor. frame_means (list column) is dropped for a
+    scalar-only driver schema; rms/duration pinned by pytest goldens."""
+    from ..fixtures import media_dataset
+    from ..stages.multimodal import AudioFeatureExtractor
+    from ..stages.proc_cache import process_cached_stage
+
+    media = media_dataset(240).map_batches(
+        lambda df: df[df["kind"].isin(["wav", "gfaud"])],
+        batch_format="pandas",
+    )
+    out = media.map_batches(
+        process_cached_stage(AudioFeatureExtractor, data_col="payload"),
+        batch_format="pandas",
+    ).to_pandas()
+    out = out.drop(columns=["frame_means"])
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def q_docs_quality_filter(sf_dir: str):
     """Quality scoring E2E: TextQualityScorer over the documents table,
     keep score ≥ 0.5 — the SQL oracle recomputes the whole composite
@@ -1076,6 +1122,8 @@ QUERIES = {
     "sparql_string_filter": q_sparql_string_filter,
     "docs_quality_filter": q_docs_quality_filter,
     "docs_hash_split": q_docs_hash_split,
+    "media_image_features": q_media_image_features,
+    "media_audio_features": q_media_audio_features,
     "rml_customer_triples": q_rml_customer_triples,
     "docs_langid": q_docs_langid,
     "docs_minhash_dedup": q_docs_minhash_dedup,

@@ -472,3 +472,34 @@ def test_zero_rate_gfaud_fixture_is_poison_row():
         pd.DataFrame({"data": [b"GFAUD|0|4|" + bytes(4)]})
     )
     assert out["sample_rate"][0] == -1
+
+
+def test_media_driver_queries_goldens(ray_session):
+    """The media CORRECTNESS rows are rows-only (decode isn't SQL);
+    these goldens pin their exact values so the driver check is still
+    falsifiable: blake2b phash / PCM rms over the deterministic fixture
+    payloads, plus the poison sentinel for the compressed-codec rows."""
+    from graphforge_ray.pipelines.driver_queries import (
+        q_media_audio_features,
+        q_media_image_features,
+    )
+
+    img = q_media_image_features("")
+    assert len(img) == 160
+    by_id = img.set_index("media_id")
+    assert by_id.loc[0, "phash"] == "85a17fb6691352e0"
+    assert by_id.loc[0, ["width", "height", "channels"]].tolist() == [8, 6, 3]
+    assert by_id.loc[0, "mean_intensity"] == 119.7847
+    assert by_id.loc[3, "phash"] == "964055e73ca111bc"  # GFIMG fixture row
+    # every 'poison' (PNG) row degrades to the sentinel, never crashes
+    poison = img[img["kind"] == "poison"]
+    assert len(poison) == 40
+    assert (poison["width"] == -1).all() and (poison["phash"] == "").all()
+
+    aud = q_media_audio_features("")
+    assert len(aud) == 80
+    a = aud.set_index("media_id")
+    assert a.loc[2, ["sample_rate", "n_samples"]].tolist() == [8000, 96]
+    assert a.loc[2, "rms"] == 0.492245
+    assert a.loc[4, "rms"] == 0.620871  # GFAUD fixture row
+    assert a.loc[2, "duration_sec"] == 0.012
