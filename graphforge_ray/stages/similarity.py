@@ -69,6 +69,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     concurrency: int | tuple[int, int] | None = None,
+    distributed_merge: bool | None = None,
 ) -> pd.DataFrame:
     """Exact cosine top-k for each query row →
     (query_id, id_col, cosine), sorted by (query_id, -cosine, id).
@@ -79,7 +80,15 @@ def brute_force_topk(
     equals block count with no actor-pool spin-up, which is what a small
     or medium corpus needs. Pass ``concurrency`` to force an actor pool
     (``_BlockScorer``) for huge query matrices where per-actor setup is
-    worth amortizing."""
+    worth amortizing.
+
+    The driver frame is the MERGED result. With few queries the ≤
+    k·blocks·queries partial rows collect and merge driver-side (no
+    shuffle). At many-query × many-block scale that frame is itself
+    corpus-shaped, so ``distributed_merge`` (auto above ~100k estimated
+    partial rows, or forced via the flag) first reduces partials to ≤ k
+    rows per query in a ``groupby(query_id)`` shuffle — the driver then
+    receives at most k·queries rows regardless of block count."""
     queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
     q_ref = ray.put(queries)
     if concurrency is not None:
@@ -98,7 +107,27 @@ def brute_force_topk(
             return scorer(df)
 
         scored = embeddings.map_batches(score_batch, batch_format="pandas")
-    partials = scored.to_pandas()  # ≤ k rows per (batch, query) — small
+
+    if distributed_merge is None:
+        try:
+            n_blocks = embeddings.num_blocks()
+        except Exception:
+            n_blocks = None
+        est = (n_blocks or 64) * len(queries) * k
+        distributed_merge = est > 100_000
+    if distributed_merge:
+        # per-query tree merge in the cluster: each query's partials
+        # co-locate in one shuffle group and reduce to its final top-k,
+        # so the driver never sees a blocks-proportional frame
+        def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+            return g.sort_values(
+                ["cosine", id_col], ascending=[False, True]
+            ).head(k)
+
+        scored = scored.groupby("query_id").map_groups(
+            merge_group, batch_format="pandas"
+        )
+    partials = scored.to_pandas()  # ≤ k rows per (batch|query, query)
     out = (
         partials.sort_values(
             ["query_id", "cosine", id_col], ascending=[True, False, True]

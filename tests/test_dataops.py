@@ -503,3 +503,25 @@ def test_media_driver_queries_goldens(ray_session):
     assert a.loc[2, "rms"] == 0.492245
     assert a.loc[4, "rms"] == 0.620871  # GFAUD fixture row
     assert a.loc[2, "duration_sec"] == 0.012
+
+
+def test_brute_force_topk_distributed_merge(ray_session):
+    """Many queries x many blocks: the distributed per-query merge must
+    return EXACTLY what the driver-side merge returns (same rows, same
+    order), while handing the driver at most k*queries rows."""
+    import ray.data as rd
+
+    from graphforge_ray.stages.similarity import brute_force_topk
+
+    rng = np.random.RandomState(7)
+    n, dim, nq, k = 400, 16, 64, 5
+    mat = rng.standard_normal((n, dim))
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": range(n), "embedding": mat.tolist()})
+    ).repartition(32)
+    queries = rng.standard_normal((nq, dim))
+
+    local = brute_force_topk(ds, queries, k=k, distributed_merge=False)
+    dist = brute_force_topk(ds, queries, k=k, distributed_merge=True)
+    assert len(dist) == nq * k
+    pd.testing.assert_frame_equal(local, dist)
