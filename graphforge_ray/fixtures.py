@@ -23,6 +23,7 @@ from __future__ import annotations
 import hashlib
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -293,17 +294,28 @@ MEDIA_SCHEMA = pa.schema(
     ]
 )
 
-_MEDIA_KINDS = ["ppm", "pgm", "wav", "gfimg", "gfaud", "poison"]
+_MEDIA_KINDS = ["ppm", "pgm", "png", "wav", "gfimg", "gfaud", "poison"]
 
 
 def _media_bytes(i: int, seed: int) -> tuple[str, bytes]:
     """One deterministic media payload — pure function of (seed, i).
-    Rotates real stdlib-decodable formats (binary PPM/PGM images, RIFF
-    PCM-16 WAV), the GFIMG/GFAUD fixture formats, and one POISON payload
-    (a PNG header — a compressed codec this environment can't decode) so
-    every corpus exercises the quarantine row path."""
+    Rotates real stdlib-decodable formats (binary PPM/PGM images, a real
+    COMPRESSED PNG whose scanline filter type cycles 0-4 so every
+    unfilter branch runs in the contract, RIFF PCM-16 WAV), the
+    GFIMG/GFAUD fixture formats, and one POISON payload (a JPEG header —
+    no stdlib decompressor exists for it) so every corpus exercises the
+    quarantine row path."""
     kind = _MEDIA_KINDS[i % len(_MEDIA_KINDS)]
     raw = hashlib.blake2b(f"media:{seed}:{i}".encode(), digest_size=32).digest()
+    if kind == "png":
+        from .stages.codecs import encode_png
+
+        w, h = 7 + i % 4, 5 + i % 3
+        n = w * h * 3
+        pixels = np.frombuffer(
+            (raw * (n // len(raw) + 1))[:n], dtype=np.uint8
+        ).reshape(h, w, 3)
+        return kind, encode_png(pixels, filter_type=(i // 7) % 5)
     if kind in ("ppm", "pgm"):
         w, h = 8 + i % 5, 6 + i % 3
         c = 3 if kind == "ppm" else 1
@@ -332,7 +344,7 @@ def _media_bytes(i: int, seed: int) -> tuple[str, bytes]:
         from .stages.multimodal import fake_audio_bytes
 
         return kind, fake_audio_bytes(seed * 1_000_003 + i)
-    return kind, b"\x89PNG\r\n\x1a\n" + raw  # compressed → UnsupportedCodec
+    return kind, b"\xff\xd8\xff\xe0" + raw  # JPEG → UnsupportedCodec
 
 
 def gen_media_table(n: int, seed: int = SEED, start: int = 0) -> pa.Table:

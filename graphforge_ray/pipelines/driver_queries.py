@@ -910,9 +910,10 @@ def q_media_image_features(sf_dir: str):
     SQL-expressible): the deterministic media fixture corpus
     (fixtures.gen_media_table — testdata ships no media column) through
     the ImageDecoder stage. Covers the real stdlib codecs (binary
-    PPM/PGM), the GFIMG fixture format, AND the poison path: 'poison'
-    rows are PNG payloads (compressed codec, undecodable here) that must
-    come out as (-1,-1,-1,-1.0,'') sentinel rows, never a crash.
+    PPM/PGM and COMPRESSED PNG, scanline filters 0-4), the GFIMG fixture
+    format, AND the poison path: 'poison' rows are JPEG payloads (no
+    stdlib decompressor) that must come out as (-1,-1,-1,-1.0,'')
+    sentinel rows, never a crash.
     Exact phash/mean values are pinned by pytest goldens
     (tests/test_dataops.py)."""
     from ..fixtures import media_dataset
@@ -920,7 +921,8 @@ def q_media_image_features(sf_dir: str):
     from ..stages.proc_cache import process_cached_stage
 
     media = media_dataset(240).map_batches(
-        lambda df: df[df["kind"].isin(["ppm", "pgm", "gfimg", "poison"])],
+        lambda df: df[df["kind"].isin(["ppm", "pgm", "png", "gfimg",
+                                       "poison"])],
         batch_format="pandas",
     )
     out = media.map_batches(

@@ -10,9 +10,14 @@ the multimodal stages' "real codec" path genuinely real for:
   parsing of the DIB header + bottom-up row decoding.
 * **WAV** (RIFF PCM, 8/16-bit, any channel count) — via the stdlib
   ``wave`` module.
+* **PNG** (non-interlaced, 8-bit gray / RGB / palette / gray-alpha /
+  RGBA) — a real COMPRESSED format: chunk walk + ``zlib`` inflate +
+  scanline unfiltering (all five filter types incl. Paeth). 16-bit
+  channels and Adam7 interlace raise ``UnsupportedCodec``.
 
-Compressed codecs (JPEG/PNG/MP3/…) remain honestly unsupported and raise
-``NotImplementedError`` — a poison row in the pipeline, never a crash.
+Codecs with no stdlib decompressor (JPEG/MP3/…) remain honestly
+unsupported and raise ``UnsupportedCodec`` — a poison row in the
+pipeline, never a crash.
 """
 
 from __future__ import annotations
@@ -20,12 +25,13 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 
 __all__ = [
     "sniff_media", "decode_image", "encode_ppm", "decode_wav",
-    "UnsupportedCodec",
+    "decode_png", "encode_png", "UnsupportedCodec",
 ]
 
 
@@ -149,14 +155,184 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(px[:, :, 2::-1])
 
 
+# ---------------------------------------------------------------------------
+# PNG (stdlib zlib inflate + scanline unfiltering)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel (before palette expansion)
+_PNG_SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    pos = len(_PNG_SIG)
+    n = len(payload)
+    while pos + 8 <= n:
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        data_start = pos + 8
+        if data_start + length + 4 > n:
+            raise ValueError("truncated PNG chunk")
+        yield ctype, payload[data_start : data_start + length]
+        pos = data_start + length + 4  # skip CRC
+        if ctype == b"IEND":
+            return
+    raise ValueError("PNG missing IEND")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _unfilter(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
+    """Filtered scanline stream → (h, w*bpp) uint8 (RFC 2083 §6)."""
+    stride = w * bpp
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG scanlines")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1)
+        pos += stride + 1
+        if f == 0:
+            cur = line.copy()
+        elif f == 2:  # Up (uint8 addition wraps mod 256 — the spec's rule)
+            cur = line + prev
+        elif f == 1:  # Sub: per-lane cumulative sum over the row
+            lanes = line.reshape(w, bpp).astype(np.int64)
+            cur = (np.cumsum(lanes, axis=0) % 256).astype(np.uint8).reshape(stride)
+        elif f == 3:  # Average — left-sequential, loop per byte
+            cur = np.zeros(stride, dtype=np.uint8)
+            for i in range(stride):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(line[i]) + (left + int(prev[i])) // 2) & 0xFF
+        elif f == 4:  # Paeth — left-sequential, loop per byte
+            cur = np.zeros(stride, dtype=np.uint8)
+            for i in range(stride):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                ul = int(prev[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(line[i]) + _paeth(left, int(prev[i]), ul)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = cur
+        prev = cur
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit PNG → uint8 array (h, w, c). Gray → c=1,
+    RGB → 3, palette → 3 (PLTE lookup), gray-alpha → 2, RGBA → 4.
+    16-bit channels, sub-byte depths and Adam7 raise UnsupportedCodec."""
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise UnsupportedCodec(f"{depth}-bit PNG not supported")
+    if color not in _PNG_SAMPLES:
+        raise ValueError(f"bad PNG color type {color}")
+    if comp != 0 or filt != 0:
+        raise ValueError("bad PNG compression/filter method")
+    if interlace != 0:
+        raise UnsupportedCodec("Adam7-interlaced PNG not supported")
+    if w == 0 or h == 0:
+        raise ValueError("zero-dimension PNG")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"bad PNG deflate stream: {e}") from e
+    bpp = _PNG_SAMPLES[color]
+    arr = _unfilter(raw, w, h, bpp).reshape(h, w, bpp)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        idx = arr[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        arr = plte[idx]
+    return np.ascontiguousarray(arr)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data)) + ctype + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 (h, w, c∈{1,2,3,4}) → PNG. ``filter_type`` applies one
+    filter to every scanline (0/1/2/3/4 — non-zero types exist so tests
+    can exercise every unfilter branch with true roundtrips)."""
+    h, w, c = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    arr = arr.astype(np.uint8)
+    stride = w * c
+    flat = arr.reshape(h, stride).astype(np.int64)
+    lines = []
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        cur = flat[y]
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 1:
+            left = np.concatenate([np.zeros(c, np.int64), cur[:-c]])
+            enc = cur - left
+        elif filter_type == 2:
+            enc = cur - prev
+        elif filter_type == 3:
+            left = np.concatenate([np.zeros(c, np.int64), cur[:-c]])
+            enc = cur - (left + prev) // 2
+        elif filter_type == 4:
+            left = np.concatenate([np.zeros(c, np.int64), cur[:-c]])
+            ul = np.concatenate([np.zeros(c, np.int64), prev[:-c]])
+            pred = np.fromiter(
+                (_paeth(int(a), int(b), int(cc))
+                 for a, b, cc in zip(left, prev, ul)),
+                dtype=np.int64, count=stride,
+            )
+            enc = cur - pred
+        else:
+            raise ValueError(f"bad filter type {filter_type}")
+        lines.append(bytes([filter_type]) + (enc % 256).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Real-format image decode (PPM/PGM/BMP); UnsupportedCodec for
-    compressed formats."""
+    """Real-format image decode (PPM/PGM/BMP/PNG); UnsupportedCodec for
+    formats with no stdlib decompressor (JPEG/…)."""
     kind = sniff_media(payload)
     if kind == "ppm":
         return decode_ppm(payload)
     if kind == "bmp":
         return decode_bmp(payload)
+    if kind == "png":
+        return decode_png(payload)
     raise UnsupportedCodec(f"no stdlib decoder for {kind!r}")
 
 

@@ -485,24 +485,26 @@ def test_media_driver_queries_goldens(ray_session):
     )
 
     img = q_media_image_features("")
-    assert len(img) == 160
+    assert len(img) == 172
     by_id = img.set_index("media_id")
     assert by_id.loc[0, "phash"] == "85a17fb6691352e0"
     assert by_id.loc[0, ["width", "height", "channels"]].tolist() == [8, 6, 3]
     assert by_id.loc[0, "mean_intensity"] == 119.7847
-    assert by_id.loc[3, "phash"] == "964055e73ca111bc"  # GFIMG fixture row
-    # every 'poison' (PNG) row degrades to the sentinel, never crashes
+    assert by_id.loc[2, "phash"] == "b5d6d31656d0e3ea"   # real PNG row
+    assert by_id.loc[2, "mean_intensity"] == 110.3651
+    assert by_id.loc[4, "phash"] == "1266d0812cddb6a2"   # GFIMG fixture row
+    # every 'poison' (JPEG) row degrades to the sentinel, never crashes
     poison = img[img["kind"] == "poison"]
-    assert len(poison) == 40
+    assert len(poison) == 34
     assert (poison["width"] == -1).all() and (poison["phash"] == "").all()
 
     aud = q_media_audio_features("")
-    assert len(aud) == 80
+    assert len(aud) == 68
     a = aud.set_index("media_id")
-    assert a.loc[2, ["sample_rate", "n_samples"]].tolist() == [8000, 96]
-    assert a.loc[2, "rms"] == 0.492245
-    assert a.loc[4, "rms"] == 0.620871  # GFAUD fixture row
-    assert a.loc[2, "duration_sec"] == 0.012
+    assert a.loc[3, ["sample_rate", "n_samples"]].tolist() == [8000, 112]
+    assert a.loc[3, "rms"] == 0.544313
+    assert a.loc[5, "rms"] == 0.592427  # GFAUD fixture row
+    assert a.loc[3, "duration_sec"] == 0.014
 
 
 def test_brute_force_topk_distributed_merge(ray_session):
@@ -525,3 +527,86 @@ def test_brute_force_topk_distributed_merge(ray_session):
     dist = brute_force_topk(ds, queries, k=k, distributed_merge=True)
     assert len(dist) == nq * k
     pd.testing.assert_frame_equal(local, dist)
+
+
+def test_png_roundtrip_all_filters_and_colors():
+    """True roundtrips through the stdlib PNG codec: every scanline
+    filter type (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth) and every
+    supported color type must decode back to the exact pixels."""
+    from graphforge_ray.stages.codecs import decode_png, encode_png
+
+    rng = np.random.RandomState(3)
+    for c in (1, 2, 3, 4):
+        arr = rng.randint(0, 256, size=(9, 7, c), dtype=np.uint8)
+        for f in range(5):
+            got = decode_png(encode_png(arr, filter_type=f))
+            assert np.array_equal(got, arr), (c, f)
+
+
+def test_png_palette_and_error_paths():
+    import struct
+    import zlib
+
+    from graphforge_ray.stages.codecs import (
+        UnsupportedCodec,
+        decode_png,
+        encode_png,
+    )
+    from graphforge_ray.stages.codecs import _png_chunk, _PNG_SIG
+
+    # hand-built 2x2 palette PNG: indices [[0,1],[2,0]]
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raw = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([2, 0])
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    got = decode_png(png)
+    assert got.shape == (2, 2, 3)
+    assert got[0, 0].tolist() == [255, 0, 0]
+    assert got[0, 1].tolist() == [0, 255, 0]
+    assert got[1, 0].tolist() == [0, 0, 255]
+
+    arr = np.zeros((2, 2, 3), np.uint8)
+    ok = encode_png(arr)
+    # 16-bit depth → UnsupportedCodec
+    deep = bytearray(ok)
+    deep[8 + 8 + 8] = 16  # IHDR depth byte
+    with pytest.raises(UnsupportedCodec):
+        decode_png(bytes(deep))
+    # Adam7 interlace → UnsupportedCodec
+    inter = bytearray(ok)
+    inter[8 + 8 + 12] = 1  # IHDR interlace byte
+    with pytest.raises(UnsupportedCodec):
+        decode_png(bytes(inter))
+    # truncation → ValueError, never IndexError
+    with pytest.raises(ValueError):
+        decode_png(ok[:30])
+    # corrupt deflate stream → ValueError
+    bad = ok.replace(b"IDAT", b"IDAT")[:len(ok)]
+    with pytest.raises(ValueError):
+        from graphforge_ray.stages.codecs import _PNG_SIG as sig
+        import struct as _s
+        decode_png(
+            sig
+            + _png_chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+            + _png_chunk(b"IDAT", b"not-deflate")
+            + _png_chunk(b"IEND", b"")
+        )
+
+
+def test_image_decoder_stage_handles_png(ray_session):
+    """A real PNG payload flows through the ImageDecoder stage (the
+    compressed-codec seam is now a real decoder, not a poison path)."""
+    from graphforge_ray.stages.codecs import encode_png
+    from graphforge_ray.stages.multimodal import ImageDecoder
+
+    rng = np.random.RandomState(5)
+    arr = rng.randint(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    df = pd.DataFrame({"media_id": [1], "data": [encode_png(arr, 4)]})
+    out = ImageDecoder()(df)
+    assert out.loc[0, ["width", "height", "channels"]].tolist() == [8, 6, 3]
+    assert out.loc[0, "mean_intensity"] == round(float(arr.mean()), 4)
