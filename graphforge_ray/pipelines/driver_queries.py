@@ -905,6 +905,85 @@ WHERE source LIKE '%1%' AND regexp_matches(lang, '^(en|fr)$')
 """
 
 
+def q_sparql_values_bind(sf_dir: str):
+    """SPARQL VALUES inline data + BIND expression through the SELECT
+    compiler: restrict docs to two languages via a VALUES block
+    (broadcast-joined — never a shuffle) and BIND the source-string
+    length as a derived column."""
+    from ..query.sparql import run_select
+
+    triples = q_rml_documents_triples(sf_dir)
+    return run_select(
+        triples,
+        f"SELECT ?s ?src ?nlen WHERE {{ "
+        f"?s <{VOCAB_SOURCE}> ?src . ?s <{VOCAB_LANG}> ?l . "
+        f'VALUES ?l {{ "en" "fr" }} . '
+        f"BIND(STRLEN(?src) AS ?nlen) }}",
+    )
+
+
+SQL_SPARQL_VALUES_BIND = """
+SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS s, source AS src,
+       LENGTH(source) AS nlen
+FROM documents WHERE lang IN ('en', 'fr')
+"""
+
+
+def q_sparql_count_distinct(sf_dir: str):
+    """SPARQL COUNT(DISTINCT ?v) with GROUP BY through the compiler:
+    distinct languages per source. Distributed bucketed dedup of the
+    (src, lang) projection feeds a per-group Count — the distinct set
+    never lands on the driver."""
+    from ..query.sparql import run_select
+
+    triples = q_rml_documents_triples(sf_dir)
+    out = run_select(
+        triples,
+        f"SELECT ?src (COUNT(DISTINCT ?l) AS ?nlang) WHERE {{ "
+        f"?s <{VOCAB_SOURCE}> ?src . ?s <{VOCAB_LANG}> ?l }} "
+        f"GROUP BY ?src",
+    )
+    return out.sort_values("src").reset_index(drop=True)
+
+
+SQL_SPARQL_COUNT_DISTINCT = """
+SELECT source AS src, COUNT(DISTINCT lang) AS nlang
+FROM documents GROUP BY source
+"""
+
+VOCAB_INLANG = "http://graft.example/vocab#inLang"
+VOCAB_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+VOCAB_DOCCLASS = "http://graft.example/vocab#Document"
+
+
+def q_sparql_construct(sf_dir: str):
+    """SPARQL CONSTRUCT through the compiler: re-shape the documents
+    graph into (doc inLang lang) + (doc rdf:type Document) triples.
+    Fully distributed — template instantiation per batch, set semantics
+    via the bucketed pair-dedup shuffle; the driver only sees the final
+    Dataset."""
+    from ..query.sparql import run_construct
+
+    triples = q_rml_documents_triples(sf_dir)
+    return run_construct(
+        triples,
+        f"CONSTRUCT {{ ?s <{VOCAB_INLANG}> ?l . "
+        f"?s <{VOCAB_TYPE}> <{VOCAB_DOCCLASS}> }} "
+        f"WHERE {{ ?s <{VOCAB_LANG}> ?l }}",
+    )
+
+
+SQL_SPARQL_CONSTRUCT = f"""
+SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS subj,
+       '{VOCAB_INLANG}' AS pred, lang AS obj
+FROM documents
+UNION
+SELECT 'doc:' || CAST(doc_id AS VARCHAR), '{VOCAB_TYPE}',
+       '{VOCAB_DOCCLASS}'
+FROM documents
+"""
+
+
 def q_media_image_features(sf_dir: str):
     """Multimodal image path E2E (rows-only — decode is not
     SQL-expressible): the deterministic media fixture corpus
@@ -1122,6 +1201,9 @@ QUERIES = {
     "sparql_union_distinct": q_sparql_union_distinct,
     "sparql_group_agg": q_sparql_group_agg,
     "sparql_string_filter": q_sparql_string_filter,
+    "sparql_values_bind": q_sparql_values_bind,
+    "sparql_count_distinct": q_sparql_count_distinct,
+    "sparql_construct": q_sparql_construct,
     "docs_quality_filter": q_docs_quality_filter,
     "docs_hash_split": q_docs_hash_split,
     "media_image_features": q_media_image_features,
@@ -1162,6 +1244,9 @@ ORACLES = {
     "sparql_union_distinct": SQL_SPARQL_UNION_DISTINCT,
     "sparql_group_agg": SQL_SPARQL_GROUP_AGG,
     "sparql_string_filter": SQL_SPARQL_STRING_FILTER,
+    "sparql_values_bind": SQL_SPARQL_VALUES_BIND,
+    "sparql_count_distinct": SQL_SPARQL_COUNT_DISTINCT,
+    "sparql_construct": SQL_SPARQL_CONSTRUCT,
     "docs_quality_filter": SQL_DOCS_QUALITY_FILTER,
     "docs_hash_split": SQL_DOCS_HASH_SPLIT,
     "rml_customer_triples": SQL_RML_CUSTOMER_TRIPLES,

@@ -20,11 +20,27 @@ extended with the constructs the first real user query needs (the
 reference gets these from Comunica, document.js:951-953):
 
     SELECT [DISTINCT] ?v … | (COUNT|SUM|MIN|MAX|AVG(?v) AS ?alias) …
-    WHERE { pattern . pattern . OPTIONAL { pattern } FILTER (?v op x) }
+                           | (COUNT(DISTINCT ?v) AS ?alias)
+    WHERE { pattern . pattern . OPTIONAL { pattern } FILTER (?v op x)
+            VALUES ?v { … } | VALUES (?a ?b) { (…) (…) }
+            BIND(expr AS ?v) }
     WHERE { { group } UNION { group } [UNION { group } …] }
     with property-path alternation/star ``(p1|p2)*`` on the predicate
     position — the path pattern may now be JOINED with other patterns
     GROUP BY ?v [?w …] / ORDER BY [DESC(?v)] ?w … / LIMIT n
+
+``BIND`` expressions support ``+ - * /`` (left-associative chain, use
+parentheses to group), the string builtins ``STRLEN/UCASE/LCASE/STR/
+CONCAT``, and the numeric builtins ``ABS/ROUND/FLOOR/CEIL``; arithmetic
+coerces with ``to_numeric`` (unparseable → NaN, the P13 convention).
+``BIND``/``VALUES`` scope to the whole group (applied after the BGP and
+OPTIONAL joins, before top-level FILTERs — a positional-scoping subset).
+
+``run_ask`` answers ``ASK { … }`` as a boolean (rewrites to LIMIT-1
+SELECT); ``run_construct`` executes ``CONSTRUCT { template } WHERE
+{ … }`` fully distributed — bindings stay a Dataset, templates are
+instantiated per batch, and the triple set is deduped with the bucketed
+shuffle (never collected on the driver).
 
 FILTER supports ``= != < <= > >=`` against a number, a quoted string, or
 another variable, plus the string functions
@@ -49,7 +65,14 @@ import ray.data
 from .ops import bgp, limit as limit_op, match_pattern, optional_join
 from .ops import broadcast_lookup_join, property_path_closure
 
-__all__ = ["prepare_query", "compile_select", "run_select", "SelectQuery"]
+__all__ = [
+    "prepare_query",
+    "compile_select",
+    "run_select",
+    "run_ask",
+    "run_construct",
+    "SelectQuery",
+]
 
 RDF_TYPE_CURIE = "rdf:type"
 
@@ -87,6 +110,10 @@ class SelectQuery:
     distinct: bool = False
     union_groups: list[list[tuple]] = field(default_factory=list)
     prefixes: dict[str, str] = field(default_factory=dict)
+    values_groups: list[tuple] = field(default_factory=list)
+    # each: (var-name list, row-tuple list) from a VALUES block
+    binds: list[tuple] = field(default_factory=list)
+    # each: (target var, expression AST) from a BIND(expr AS ?v)
 
 
 @dataclass
@@ -102,7 +129,8 @@ _SELECT = re.compile(
     re.S | re.I,
 )
 _AGG = re.compile(
-    r"\(\s*(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(\?\w+)\s*\)\s+AS\s+(\?\w+)\s*\)",
+    r"\(\s*(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(DISTINCT\s+)?(\?\w+)\s*\)"
+    r"\s+AS\s+(\?\w+)\s*\)",
     re.I,
 )
 _GROUP_BY = re.compile(r"GROUP\s+BY((?:\s+\?\w+)+)", re.I)
@@ -126,6 +154,143 @@ _ORDER_BY = re.compile(
     r"ORDER\s+BY((?:\s+(?:DESC|ASC)?\s*\(?\s*\?\w+\s*\)?)+)", re.I
 )
 _ORDER_KEY = re.compile(r"(DESC|ASC)?\s*\(?\s*(\?\w+)\s*\)?", re.I)
+# VALUES ?v { … } / VALUES (?a ?b) { (…) (…) } — the row block contains
+# no nested braces, so [^{}]* is exact
+_VALUES = re.compile(
+    r"VALUES\s*(\(\s*(?:\?\w+\s*)+\)|\?\w+)\s*\{([^{}]*)\}", re.S | re.I
+)
+_VALUE_TOKEN = re.compile(r'"(?:[^"\\]|\\.)*"|<[^>]+>|[()]|[^\s()]+')
+_BIND = re.compile(r"BIND\s*\((?P<expr>.+?)\s+AS\s+(\?\w+)\s*\)", re.S | re.I)
+_ASK = re.compile(r"\bASK\s*\{(?P<body>.*)\}\s*$", re.S | re.I)
+_CONSTRUCT = re.compile(
+    r"\bCONSTRUCT\s*\{(?P<tmpl>.*?)\}\s*WHERE\s*\{(?P<body>.*)\}"
+    r"(?P<tail>[^}]*)$",
+    re.S | re.I,
+)
+
+# ---------------------------------------------------------------------------
+# BIND expression mini-parser: vectorized evaluation over a bindings frame
+# ---------------------------------------------------------------------------
+
+_EXPR_TOKEN = re.compile(
+    r'"(?:[^"\\]|\\.)*"|\?\w+|[A-Za-z_]\w*|\d+\.\d+|\d+|[(),+\-*/]'
+)
+_EXPR_FUNCS = {
+    "STRLEN", "UCASE", "LCASE", "STR", "CONCAT",
+    "ABS", "ROUND", "FLOOR", "CEIL",
+}
+
+
+def _parse_expr(text: str):
+    """Parse a BIND expression into an AST of tuples:
+    ('var', name) | ('num', float) | ('str', s) |
+    ('call', FUNC, [args]) | ('binop', op, lhs, rhs).
+    Arithmetic is a left-associative chain (no precedence — parenthesize
+    to group)."""
+    toks = _EXPR_TOKEN.findall(text)
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else None
+
+    def take():
+        t = peek()
+        if t is None:
+            raise ValueError(f"unexpected end of BIND expression: {text!r}")
+        pos[0] += 1
+        return t
+
+    def expect(t):
+        got = take()
+        if got != t:
+            raise ValueError(
+                f"expected {t!r} in BIND expression {text!r}, got {got!r}"
+            )
+
+    def term():
+        t = take()
+        if t == "(":
+            e = expr()
+            expect(")")
+            return e
+        if t.startswith("?"):
+            return ("var", t[1:])
+        if t.startswith('"'):
+            return ("str", t[1:-1].replace('\\"', '"').replace("\\\\", "\\"))
+        if re.fullmatch(r"\d+\.\d+|\d+", t):
+            return ("num", float(t))
+        fname = t.upper()
+        if fname in _EXPR_FUNCS:
+            expect("(")
+            args = [expr()]
+            while peek() == ",":
+                take()
+                args.append(expr())
+            expect(")")
+            return ("call", fname, args)
+        raise ValueError(f"unsupported token {t!r} in BIND expression")
+
+    def expr():
+        node = term()
+        while peek() in ("+", "-", "*", "/"):
+            op = take()
+            node = ("binop", op, node, term())
+        return node
+
+    ast = expr()
+    if peek() is not None:
+        raise ValueError(f"trailing tokens in BIND expression {text!r}")
+    return ast
+
+
+def _eval_expr(ast, df: pd.DataFrame) -> pd.Series:
+    kind = ast[0]
+    if kind == "var":
+        if ast[1] not in df.columns:
+            raise ValueError(f"BIND references unbound variable ?{ast[1]}")
+        return df[ast[1]]
+    if kind == "num":
+        return pd.Series(ast[1], index=df.index, dtype="float64")
+    if kind == "str":
+        return pd.Series(ast[1], index=df.index, dtype=object)
+    if kind == "call":
+        fname, args = ast[1], [_eval_expr(a, df) for a in ast[2]]
+        if fname == "STRLEN":
+            return args[0].astype(str).str.len().astype("int64")
+        if fname == "UCASE":
+            return args[0].astype(str).str.upper()
+        if fname == "LCASE":
+            return args[0].astype(str).str.lower()
+        if fname == "STR":
+            return args[0].astype(str)
+        if fname == "CONCAT":
+            out = args[0].astype(str)
+            for a in args[1:]:
+                out = out + a.astype(str)
+            return out
+        import numpy as np
+
+        n = pd.to_numeric(args[0], errors="coerce")
+        if fname == "ABS":
+            return n.abs()
+        if fname == "ROUND":
+            return pd.Series(np.round(n), index=df.index)
+        if fname == "FLOOR":
+            return pd.Series(np.floor(n), index=df.index)
+        return pd.Series(np.ceil(n), index=df.index)  # CEIL
+    # binop: numeric coercion, NaN where either side fails to parse
+    # (the P13 parseFloat convention); always float64 so block schemas
+    # stay consistent across batches
+    op, lhs, rhs = ast[1], _eval_expr(ast[2], df), _eval_expr(ast[3], df)
+    ln = pd.to_numeric(lhs, errors="coerce").astype("float64")
+    rn = pd.to_numeric(rhs, errors="coerce").astype("float64")
+    if op == "+":
+        return ln + rn
+    if op == "-":
+        return ln - rn
+    if op == "*":
+        return ln * rn
+    return ln / rn
 
 
 def _term(tok: str, prefixes: dict[str, str]):
@@ -229,12 +394,66 @@ def compile_select(
     distinct = bool(re.match(r"DISTINCT\s+", proj, re.I))
     proj = re.sub(r"^DISTINCT\s+", "", proj, flags=re.I)
 
-    aggregates = [
-        (m.group(1).upper(), m.group(2)[1:], m.group(3)[1:])
-        for m in _AGG.finditer(proj)
-    ]
+    aggregates = []
+    for m in _AGG.finditer(proj):
+        func = m.group(1).upper()
+        if m.group(2):
+            if func != "COUNT":
+                raise ValueError(
+                    f"DISTINCT is only supported inside COUNT, not {func}"
+                )
+            func = "COUNT_DISTINCT"
+        aggregates.append((func, m.group(3)[1:], m.group(4)[1:]))
     proj = _AGG.sub("", proj)
     variables = [v[1:] for v in re.findall(r"\?(?:\w+)", proj)]
+
+    # VALUES / BIND blocks are cut out FIRST: a VALUES row block contains
+    # braces that would confuse the UNION brace scan, and neither parses
+    # as a triple pattern
+    values_groups: list[tuple] = []
+    for m in _VALUES.finditer(body):
+        vars_ = re.findall(r"\?(\w+)", m.group(1))
+        toks = _VALUE_TOKEN.findall(m.group(2))
+        rows: list[tuple] = []
+        if len(vars_) == 1:
+            for t in toks:
+                if t in ("(", ")"):
+                    raise ValueError(
+                        "parenthesized rows require a (?a ?b) VALUES head"
+                    )
+                if t.upper() == "UNDEF":
+                    raise ValueError("UNDEF in VALUES is not supported")
+                rows.append((_term(t, decl),))
+        else:
+            i = 0
+            while i < len(toks):
+                if toks[i] != "(":
+                    raise ValueError(
+                        f"expected '(' starting a VALUES row, got {toks[i]!r}"
+                    )
+                j = i + 1
+                row = []
+                while j < len(toks) and toks[j] != ")":
+                    if toks[j].upper() == "UNDEF":
+                        raise ValueError("UNDEF in VALUES is not supported")
+                    row.append(_term(toks[j], decl))
+                    j += 1
+                if j == len(toks):
+                    raise ValueError("unterminated VALUES row")
+                if len(row) != len(vars_):
+                    raise ValueError(
+                        f"VALUES row arity {len(row)} != head arity "
+                        f"{len(vars_)}"
+                    )
+                rows.append(tuple(row))
+                i = j + 1
+        values_groups.append((vars_, rows))
+    body = _VALUES.sub("", body)
+
+    binds: list[tuple] = []
+    for m in _BIND.finditer(body):
+        binds.append((m.group(2)[1:], _parse_expr(m.group("expr"))))
+    body = _BIND.sub("", body)
 
     def extract_filters(text: str):
         fs = [
@@ -330,6 +549,8 @@ def compile_select(
         distinct=distinct,
         union_groups=union_groups,
         prefixes=decl,
+        values_groups=values_groups,
+        binds=binds,
     )
 
 
@@ -420,6 +641,33 @@ def _run_aggregates(bindings: "ray.data.Dataset", q: SelectQuery) -> pd.DataFram
     from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
     groups = q.group_by or (q.variables[:1] if q.variables else [])
+
+    if any(f == "COUNT_DISTINCT" for f, _, _ in q.aggregates):
+        # COUNT(DISTINCT ?v): distributed bucketed dedup of the
+        # (groups, v) projection, then a plain per-group Count — the
+        # distinct set itself never lands on the driver. Mixing with
+        # other aggregates would need a second pass + join; refuse.
+        if len(q.aggregates) > 1:
+            raise ValueError(
+                "COUNT(DISTINCT) cannot be combined with other aggregates"
+            )
+        from ..shuffle import dedup_pairs
+
+        _, v, alias = q.aggregates[0]
+        cols = [*groups, v] if v not in groups else list(groups)
+        for c in cols:
+            if c not in bindings.schema().names:
+                raise ValueError(f"aggregate/group variable ?{c} is unbound")
+        projected = bindings.map_batches(
+            lambda df, _c=tuple(cols): df[list(_c)], batch_format="pandas"
+        )
+        deduped = dedup_pairs(projected, cols=tuple(cols), num_buckets=16)
+        if not groups:
+            return pd.DataFrame({alias: [deduped.count()]})
+        key = groups if len(groups) > 1 else groups[0]
+        out = deduped.groupby(key).aggregate(Count(alias_name=alias))
+        return out.to_pandas()[[*groups, alias]]
+
     num_vars = sorted({v for f, v, _ in q.aggregates if f != "COUNT"})
     for v in num_vars + groups:
         if v not in bindings.schema().names:
@@ -490,16 +738,12 @@ def _order_dataset_topk(
     )
 
 
-def run_select(
-    triples: "ray.data.Dataset",
-    query: str,
-    prefixes: dict[str, str] | None = None,
-) -> pd.DataFrame:
-    """Compile + execute a SELECT query → pandas bindings table (the
-    reference renders bindings row by row; results are presentation-sized
-    per its LIMIT convention)."""
-    q = compile_select(query, prefixes)
-
+def _eval_where(
+    triples: "ray.data.Dataset", q: SelectQuery
+) -> "ray.data.Dataset":
+    """Evaluate the WHERE group of a compiled query → bindings Dataset:
+    UNION / BGP / property paths / OPTIONAL joins, then VALUES inline
+    data, BIND expressions, and top-level FILTERs — all distributed."""
     path_patterns = [p for p in q.patterns if isinstance(p[1], PathExpr)]
     plain_patterns = [p for p in q.patterns if not isinstance(p[1], PathExpr)]
 
@@ -588,11 +832,64 @@ def run_select(
         )
         bindings = optional_join(bindings, opt_b, on=shared)
 
+    # VALUES inline data: a small frame joined into the bindings —
+    # broadcast (ray.put once, local merge per batch), never a shuffle.
+    # Multiset semantics: duplicate VALUES rows multiply matches, so the
+    # frame is joined as written (no dedup).
+    for vars_, rows in q.values_groups:
+        frame = pd.DataFrame(rows, columns=vars_).astype(str)
+        if bindings is None:
+            bindings = ray.data.from_pandas(frame)
+            continue
+        shared = sorted(set(bindings.schema().names) & set(vars_))
+        if shared:
+            bindings = broadcast_lookup_join(
+                bindings, frame, on=shared, how="inner"
+            )
+        else:  # disjoint vars: SPARQL cross product, still broadcast
+            import ray as _ray
+
+            ref = _ray.put(frame)
+            bindings = bindings.map_batches(
+                lambda df, _r=ref: df.merge(_ray.get(_r), how="cross"),
+                batch_format="pandas",
+            )
+
+    if q.binds:
+        if bindings is None:
+            raise ValueError("BIND requires at least one pattern or VALUES")
+        binds = q.binds
+
+        def apply_binds(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            for var, ast in binds:
+                df[var] = _eval_expr(ast, df)
+            return df
+
+        bindings = bindings.map_batches(apply_binds, batch_format="pandas")
+
     if q.filters:
+        if bindings is None:
+            raise ValueError("FILTER requires at least one pattern or VALUES")
         filters = q.filters
         bindings = bindings.map_batches(
             lambda df: _apply_filters(df, filters), batch_format="pandas"
         )
+    if bindings is None:
+        raise ValueError("query has an empty WHERE group")
+    return bindings
+
+
+def run_select(
+    triples: "ray.data.Dataset",
+    query: str,
+    prefixes: dict[str, str] | None = None,
+) -> pd.DataFrame:
+    """Compile + execute a SELECT query → pandas bindings table (the
+    reference renders bindings row by row; results are presentation-sized
+    per its LIMIT convention)."""
+    q = compile_select(query, prefixes)
+    bindings = _eval_where(triples, q)
 
     if q.aggregates:
         out = _run_aggregates(bindings, q)
@@ -631,3 +928,108 @@ def run_select(
     if q.variables:
         out = out[[v for v in q.variables if v in out.columns]]
     return out.reset_index(drop=True)
+
+
+def run_ask(
+    triples: "ray.data.Dataset",
+    query: str,
+    prefixes: dict[str, str] | None = None,
+) -> bool:
+    """``ASK { … }`` → bool: rewritten to a LIMIT-1 SELECT over every
+    variable in the group (the limit stops the streaming executor after
+    the first surviving binding)."""
+    m = _ASK.search(query)
+    if not m:
+        raise ValueError("not an ASK query")
+    body = m.group("body")
+    vars_ = sorted(set(re.findall(r"\?(\w+)", body)))
+    if not vars_:
+        raise ValueError("ASK with no variables is not supported")
+    sel = (
+        query[: m.start()]
+        + "SELECT "
+        + " ".join("?" + v for v in vars_)
+        + " WHERE {"
+        + body
+        + "} LIMIT 1"
+    )
+    return len(run_select(triples, sel, prefixes)) > 0
+
+
+def run_construct(
+    triples: "ray.data.Dataset",
+    query: str,
+    prefixes: dict[str, str] | None = None,
+) -> "ray.data.Dataset":
+    """``CONSTRUCT { template } WHERE { … }`` → a (subj, pred, obj)
+    triples Dataset. Fully distributed: the WHERE group evaluates to a
+    bindings Dataset, each batch instantiates the template patterns
+    vectorized, rows with an unbound (NaN) template variable are dropped
+    (SPARQL semantics), and the result graph is deduped with the bucketed
+    pair shuffle — the triple set never lands on the driver."""
+    from ..shuffle import dedup_pairs
+
+    qtext = prepare_query(query, prefixes)
+    m = _CONSTRUCT.search(qtext)
+    if not m:
+        raise ValueError("not a CONSTRUCT query")
+    decl = dict(_PREFIX_DECL.findall(qtext))
+    template = _parse_patterns(m.group("tmpl"), decl)
+    for s, p, o in template:
+        if isinstance(p, PathExpr):
+            raise ValueError("property paths are not allowed in a "
+                             "CONSTRUCT template")
+    body = m.group("body")
+    tmpl_vars = sorted(
+        {
+            t[1:]
+            for pat in template
+            for t in pat
+            if isinstance(t, str) and t.startswith("?")
+        }
+    )
+    body_vars = set(re.findall(r"\?(\w+)", body))
+    missing = [v for v in tmpl_vars if v not in body_vars]
+    if missing:
+        raise ValueError(
+            f"CONSTRUCT template variable(s) {missing} never appear in the "
+            "WHERE group"
+        )
+    # constant-only template: still evaluate the WHERE group (it gates
+    # whether the constant triples are emitted) over its own variables
+    sel_vars = tmpl_vars or sorted(body_vars)
+    if not sel_vars:
+        raise ValueError("CONSTRUCT WHERE group binds no variables")
+    sel = (
+        qtext[: m.start()]
+        + "SELECT "
+        + " ".join("?" + v for v in sel_vars)
+        + " WHERE {"
+        + body
+        + "}"
+        + (m.group("tail") or "")
+    )
+    q = compile_select(sel)
+    bindings = _eval_where(triples, q)
+    tmpl = [tuple(t) for t in template]
+
+    def instantiate(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for s, p, o in tmpl:
+            cols = {}
+            mask = pd.Series(True, index=df.index)
+            for name, term in (("subj", s), ("pred", p), ("obj", o)):
+                if isinstance(term, str) and term.startswith("?"):
+                    col = df[term[1:]]
+                    mask &= col.notna()
+                    cols[name] = col
+                else:
+                    cols[name] = pd.Series(term, index=df.index,
+                                           dtype=object)
+            tri = pd.DataFrame(cols).loc[mask]
+            tri = tri.astype({"subj": str, "pred": str, "obj": str})
+            frames.append(tri)
+        return pd.concat(frames, ignore_index=True)
+
+    out = bindings.map_batches(instantiate, batch_format="pandas")
+    return dedup_pairs(out, cols=("subj", "pred", "obj"), num_buckets=16)

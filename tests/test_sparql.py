@@ -410,3 +410,185 @@ def test_escaped_quote_in_literal_does_not_missplit():
     parts = [p.strip() for p in _split_outside(body, ".")]
     assert parts == ['?s ?p "a\\"; b. c"', "?s ?q ?o"]
     assert _split_outside(body, ";")[0] == body  # ';' is inside the literal
+
+
+# ---------------------------------------------------------------------------
+# VALUES / BIND / COUNT DISTINCT / ASK / CONSTRUCT (round 3)
+# ---------------------------------------------------------------------------
+
+
+def test_values_single_var_restricts_bindings(score_triples):
+    out = run_select(
+        score_triples,
+        'SELECT ?s ?n WHERE { ?s <e/name> ?n . VALUES ?n { "alpha" "gamma" } }',
+    )
+    assert sorted(out["s"]) == ["e/A", "e/C"]
+
+
+def test_values_multi_var_rows(score_triples):
+    # two-column VALUES joined on ?n: only matching (n, tag) rows survive
+    out = run_select(
+        score_triples,
+        "SELECT ?s ?n ?tag WHERE { ?s <e/name> ?n . "
+        'VALUES (?n ?tag) { ("alpha" "t1") ("beta" "t2") } }',
+    )
+    got = sorted(zip(out["s"], out["tag"]))
+    assert got == [("e/A", "t1"), ("e/B", "t2")]
+
+
+def test_values_disjoint_cross_product(score_triples):
+    out = run_select(
+        score_triples,
+        'SELECT ?s ?x WHERE { ?s <e/name> ?n . VALUES ?x { "u" "v" } '
+        'FILTER (?n = "beta") }',
+    )
+    assert sorted(out["x"]) == ["u", "v"]
+    assert set(out["s"]) == {"e/B"}
+
+
+def test_values_duplicate_rows_multiply(score_triples):
+    # SPARQL join is multiset: a duplicated VALUES row duplicates matches
+    out = run_select(
+        score_triples,
+        'SELECT ?s WHERE { ?s <e/name> ?n . VALUES ?n { "beta" "beta" } }',
+    )
+    assert list(out["s"]) == ["e/B", "e/B"]
+
+
+def test_values_undef_rejected(score_triples):
+    with pytest.raises(ValueError, match="UNDEF"):
+        compile_select(
+            "SELECT ?s WHERE { ?s <e/name> ?n . VALUES ?n { UNDEF } }"
+        )
+
+
+def test_bind_strlen_and_filter(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT ?s ?n ?ln WHERE { ?s <e/name> ?n . "
+        "BIND(STRLEN(?n) AS ?ln) . FILTER (?ln = 5) }",
+    )
+    assert sorted(out["n"]) == ["alpha", "gamma"]
+    assert set(out["ln"]) == {5}
+
+
+def test_bind_arithmetic_and_concat(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT ?s ?double ?label WHERE { ?s <e/score> ?v . "
+        "BIND(?v * 2 AS ?double) . "
+        'BIND(CONCAT(?s, "#", ?v) AS ?label) . FILTER (?v > 8) }',
+    )
+    by_s = dict(zip(out["s"], out["double"]))
+    assert by_s == {"e/A": 20.0, "e/B": 50.0}
+    assert set(out["label"]) >= {"e/A#10", "e/B#25"}
+
+
+def test_bind_parenthesized_left_assoc(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT ?s ?r WHERE { ?s <e/score> ?v . "
+        'BIND((?v + 1) * 2 AS ?r) . FILTER (?s = "e/C") }',
+    )
+    assert list(out["r"]) == [16.0]
+
+
+def test_bind_ucase_lcase(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT ?n ?u WHERE { ?s <e/name> ?n . BIND(UCASE(?n) AS ?u) "
+        'FILTER (?n = "beta") }',
+    )
+    assert list(out["u"]) == ["BETA"]
+
+
+def test_count_distinct_grouped(score_triples):
+    # graph where predicates repeat per subject: count distinct objects
+    out = run_select(
+        score_triples,
+        "SELECT ?p (COUNT(DISTINCT ?o) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p",
+    )
+    got = dict(zip(out["p"], out["n"]))
+    assert got["e/childOf"] == 2          # e/B, e/C
+    assert got["e/name"] == 3
+    assert got["e/score"] == 4
+
+
+def test_count_distinct_global(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT (COUNT(DISTINCT ?p) AS ?n) WHERE { ?s ?p ?o }",
+    )
+    assert list(out.columns) == ["n"]
+    assert list(out["n"]) == [3]
+
+
+def test_count_distinct_mixed_rejected(score_triples):
+    with pytest.raises(ValueError, match="combined"):
+        run_select(
+            score_triples,
+            "SELECT ?p (COUNT(DISTINCT ?o) AS ?n) (COUNT(?o) AS ?m) "
+            "WHERE { ?s ?p ?o } GROUP BY ?p",
+        )
+
+
+def test_distinct_inside_sum_rejected(score_triples):
+    with pytest.raises(ValueError, match="only supported inside COUNT"):
+        compile_select(
+            "SELECT (SUM(DISTINCT ?o) AS ?n) WHERE { ?s ?p ?o }"
+        )
+
+
+def test_ask_true_false(score_triples):
+    from graphforge_ray.query.sparql import run_ask
+
+    assert run_ask(
+        score_triples, 'ASK { ?s <e/name> ?n . FILTER (?n = "beta") }'
+    )
+    assert not run_ask(
+        score_triples, 'ASK { ?s <e/name> ?n . FILTER (?n = "omega") }'
+    )
+
+
+def test_construct_basic_dedup(score_triples):
+    from graphforge_ray.query.sparql import run_construct
+
+    out = (
+        run_construct(
+            score_triples,
+            "CONSTRUCT { ?s <e/knows> ?o . ?s <e/tagged> <e/Node> } "
+            "WHERE { ?s <e/childOf> ?o }",
+        )
+        .to_pandas()
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    assert list(out.columns) == ["subj", "pred", "obj"]
+    got = set(map(tuple, out.values))
+    assert got == {
+        ("e/A", "e/knows", "e/B"),
+        ("e/B", "e/knows", "e/C"),
+        ("e/A", "e/tagged", "e/Node"),
+        ("e/B", "e/tagged", "e/Node"),
+    }
+
+
+def test_construct_is_a_set(score_triples):
+    # two WHERE matches instantiate the SAME constant triple → one row
+    from graphforge_ray.query.sparql import run_construct
+
+    out = run_construct(
+        score_triples,
+        "CONSTRUCT { <e/G> <e/hasChild> <e/yes> } WHERE { ?s <e/childOf> ?o }",
+    ).to_pandas()
+    assert len(out) == 1
+
+
+def test_construct_template_var_not_in_where_rejected(score_triples):
+    from graphforge_ray.query.sparql import run_construct
+
+    with pytest.raises(ValueError, match="never appear"):
+        run_construct(
+            score_triples,
+            "CONSTRUCT { ?s <e/p> ?missing } WHERE { ?s <e/childOf> ?o }",
+        )
