@@ -150,6 +150,8 @@ def bgp(
     """Basic graph pattern: join the per-pattern bindings on their shared
     variables (J1). Patterns sharing no variable cross-join via a dummy
     key (rare; keep patterns connected for scale)."""
+    from ..shuffle import bindings_join
+
     if not patterns:
         raise ValueError("empty BGP")
     acc = match_pattern(triples, *patterns[0])
@@ -160,7 +162,9 @@ def bgp(
         shared = sorted(acc_vars & nxt_vars)
         if not shared:
             raise ValueError("disconnected BGP patterns unsupported")
-        acc = _join(acc, nxt, on=shared, num_partitions=num_partitions)
+        # bindings_join, not Dataset.join: filtered pattern matches leave
+        # empty blocks whose stale schema kills the acero join (CLAUDE.md)
+        acc = bindings_join(acc, nxt, on=shared, num_buckets=num_partitions)
         acc_vars |= nxt_vars
     return acc
 
@@ -173,8 +177,10 @@ def optional_join(
 ) -> "ray.data.Dataset":
     """SPARQL OPTIONAL (J2): left outer join; unmatched rows keep nulls
     (reference conformance case: SPARQL.html:241-254)."""
-    return _join(required, optional, on=on, how="left_outer",
-                 num_partitions=num_partitions)
+    from ..shuffle import bindings_join
+
+    return bindings_join(required, optional, on=on, how="left_outer",
+                         num_buckets=num_partitions)
 
 
 def property_path_closure(

@@ -118,8 +118,25 @@ class SelectQuery:
 
 @dataclass
 class PathExpr:
+    """A predicate-position property path:
+
+    * ``op='alt'``  — ``(p1|p2)``: ONE hop over any listed predicate
+      (union of single-hop matches, fully distributed);
+    * ``op='plus'`` — ``(p)+`` / ``<p>+``: one-or-more transitive
+      closure (non-reflexive);
+    * ``op='star'`` — ``(p)*`` / ``<p>*``: reflexive-transitive closure.
+
+    Sequence ``p1/p2`` and inverse ``^p`` are compile-time rewrites in
+    ``_parse_patterns`` (fresh intermediate variables / swapped terms),
+    so they never reach execution as PathExpr ops.
+    """
+
     preds: list[str]
-    star: bool
+    op: str = "star"  # "alt" | "plus" | "star"
+
+    @property
+    def star(self) -> bool:
+        return self.op == "star"
 
 
 _PREFIX_DECL = re.compile(r"PREFIX\s+(\w+):\s*<([^>]+)>")
@@ -136,7 +153,8 @@ _AGG = re.compile(
 _GROUP_BY = re.compile(r"GROUP\s+BY((?:\s+\?\w+)+)", re.I)
 _LIMIT = re.compile(r"LIMIT\s+(\d+)", re.I)
 _OPTIONAL = re.compile(r"OPTIONAL\s*\{([^}]*)\}", re.S | re.I)
-_PATH = re.compile(r"^\(([^)]+)\)(\*?)$")
+_PATH = re.compile(r"^\(([^)]+)\)([*+]?)$")
+_PATH_BARE = re.compile(r"^(<[^>]+>|\w+:[\w-]+)([*+])$")
 _FILTER = re.compile(
     r"FILTER\s*\(\s*(\?\w+)\s*(!=|<=|>=|=|<|>)\s*"
     r"(\?\w+|\"[^\"]*\"|[-+]?\d+(?:\.\d+)?)\s*\)",
@@ -293,17 +311,26 @@ def _eval_expr(ast, df: pd.DataFrame) -> pd.Series:
     return ln / rn
 
 
-def _term(tok: str, prefixes: dict[str, str]):
+_PATH_OPS = {"": "alt", "*": "star", "+": "plus"}
+
+
+def _term(tok: str, prefixes: dict[str, str], allow_path: bool = False):
     if tok.startswith("?"):
         return tok
     if tok.startswith("<") and tok.endswith(">"):
         return tok[1:-1]
     if tok.startswith('"'):
         return tok.strip('"')
-    m = _PATH.match(tok)
-    if m:
-        preds = [_term(p.strip(), prefixes) for p in m.group(1).split("|")]
-        return PathExpr(preds=preds, star=bool(m.group(2)))
+    if allow_path:
+        m = _PATH.match(tok)
+        if m:
+            preds = [_term(p.strip(), prefixes) for p in m.group(1).split("|")]
+            return PathExpr(preds=preds, op=_PATH_OPS[m.group(2)])
+        m = _PATH_BARE.match(tok)
+        if m:
+            return PathExpr(
+                preds=[_term(m.group(1), prefixes)], op=_PATH_OPS[m.group(2)]
+            )
     if ":" in tok:
         pfx, local = tok.split(":", 1)
         if pfx in prefixes:
@@ -349,8 +376,59 @@ def _split_statements(body: str) -> list[str]:
     return [s.strip() for s in _split_outside(body, ".") if s.strip()]
 
 
+def _split_path_seq(tok: str) -> list[str]:
+    """Split a predicate token on '/' OUTSIDE ``<IRI>`` brackets and
+    parentheses — '/' inside an IRI is not a sequence separator."""
+    segs: list[str] = []
+    cur: list[str] = []
+    depth = 0
+    in_iri = False
+    for ch in tok:
+        if ch == "<":
+            in_iri = True
+        elif ch == ">":
+            in_iri = False
+        elif ch == "(" and not in_iri:
+            depth += 1
+        elif ch == ")" and not in_iri:
+            depth -= 1
+        if ch == "/" and not in_iri and depth == 0:
+            segs.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    segs.append("".join(cur))
+    return segs
+
+
 def _parse_patterns(body: str, prefixes: dict[str, str]) -> list[tuple]:
     patterns = []
+    seq_counter = [0]
+
+    def emit(s_tok: str, p_tok: str, o_tok: str):
+        # sequence path p1/p2/…: compile-time rewrite into chained hops
+        # through fresh intermediate variables (each hop may itself be an
+        # inverse ^p or a PathExpr); single-segment tokens fall through
+        segs = [s.strip() for s in _split_path_seq(p_tok)]
+        if any(not s for s in segs):
+            raise ValueError(f"empty segment in path {p_tok!r}")
+        nodes = [s_tok]
+        if len(segs) > 1:
+            n = seq_counter[0]
+            seq_counter[0] += 1
+            nodes += [f"?_seq{n}_{i}" for i in range(len(segs) - 1)]
+        nodes.append(o_tok)
+        for i, seg in enumerate(segs):
+            inverse = seg.startswith("^")
+            base = seg[1:] if inverse else seg
+            p = _term(base, prefixes, allow_path=True)
+            s_t, o_t = nodes[i], nodes[i + 1]
+            if inverse:
+                s_t, o_t = o_t, s_t
+            patterns.append(
+                (_term(s_t, prefixes), p, _term(o_t, prefixes))
+            )
+
     for stmt in _split_statements(body):
         # Turtle-style predicate lists: `?s p1 o1 ; p2 o2 ; …`
         segments = [seg.strip() for seg in _split_outside(stmt, ";")]
@@ -358,16 +436,14 @@ def _parse_patterns(body: str, prefixes: dict[str, str]) -> list[tuple]:
         if len(head) != 3:
             raise ValueError(f"unsupported pattern: {stmt!r}")
         subj_tok = head[0]
-        patterns.append(tuple(_term(t, prefixes) for t in head))
+        emit(*head)
         for seg in segments[1:]:
             if not seg:
                 continue
             toks = seg.split()
             if len(toks) != 2:
                 raise ValueError(f"unsupported predicate list: {seg!r}")
-            patterns.append(
-                tuple(_term(t, prefixes) for t in (subj_tok, *toks))
-            )
+            emit(subj_tok, *toks)
     return patterns
 
 
@@ -744,7 +820,14 @@ def _eval_where(
     """Evaluate the WHERE group of a compiled query → bindings Dataset:
     UNION / BGP / property paths / OPTIONAL joins, then VALUES inline
     data, BIND expressions, and top-level FILTERs — all distributed."""
-    path_patterns = [p for p in q.patterns if isinstance(p[1], PathExpr)]
+    path_patterns = [
+        p for p in q.patterns
+        if isinstance(p[1], PathExpr) and p[1].op != "alt"
+    ]
+    alt_patterns = [
+        p for p in q.patterns
+        if isinstance(p[1], PathExpr) and p[1].op == "alt"
+    ]
     plain_patterns = [p for p in q.patterns if not isinstance(p[1], PathExpr)]
 
     bindings: "ray.data.Dataset | None" = None
@@ -777,6 +860,28 @@ def _eval_where(
             bindings = match_pattern(triples, *plain_patterns[0])
         else:
             bindings = bgp(triples, plain_patterns)
+
+    # (p1|p2) alternation: ONE hop over any listed predicate — a union
+    # of single-hop pattern matches (fully distributed, duplicates kept:
+    # SPARQL alt-path solutions are a multiset), hash-joined into the
+    # bindings on shared variables
+    for s_t, path, o_t in alt_patterns:
+        parts = [match_pattern(triples, s_t, p, o_t) for p in path.preds]
+        part = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+        if bindings is None:
+            bindings = part
+            continue
+        shared = sorted(
+            set(bindings.schema().names) & set(part.schema().names)
+        )
+        if not shared:
+            raise ValueError(
+                "alternation path shares no variable with the other "
+                "patterns (disconnected groups are unsupported)"
+            )
+        from ..shuffle import bindings_join
+
+        bindings = bindings_join(bindings, part, on=shared)
 
     # property-path patterns → closure pair frames; joined into the
     # bindings via broadcast merge (closures are presentation-sized —

@@ -21,7 +21,13 @@ import pandas as pd
 
 import ray.data
 
-__all__ = ["bucket_tag", "kv_join", "bucket_groupby_min", "dedup_pairs"]
+__all__ = [
+    "bucket_tag",
+    "kv_join",
+    "bindings_join",
+    "bucket_groupby_min",
+    "dedup_pairs",
+]
 
 # fixed 16-byte key → deterministic across worker processes
 HASH_KEY = "graphforge-pairs"[:16].ljust(16, "0")
@@ -76,6 +82,74 @@ def kv_join(
         r = g.loc[g["_side"] == 1, ["k", "v"]].rename(columns={"v": "label"})
         out = l.merge(r, on="k", how="inner")
         return out[["node", "label"]]
+
+    return both.groupby("_bucket").map_groups(
+        bucket_merge, batch_format="pandas"
+    )
+
+
+def bindings_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: list[str],
+    how: str = "inner",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """General distributed hash join on arbitrary key columns via the
+    bucketed-groupby shuffle (``kv_join`` generalized to any schema).
+
+    Why not ``Dataset.join``: Ray's acero join dies with 'No match for
+    FieldRef' when an upstream empty block skipped its ``map_batches``
+    UDF and kept a stale schema (measured — see CLAUDE.md); the
+    sort-based groupby shuffle tolerates those blocks, so this is the
+    robust primitive for SPARQL bindings joins, whose filtered pattern
+    matches routinely leave empty blocks.
+
+    Shape: tag each side, normalize both to the union of their columns
+    (missing → NaN) so the union has ONE schema, bucket on the composite
+    key hash, and run one vectorized pandas merge per bucket. ``how`` is
+    'inner' or 'left' (left-outer). Non-key column overlap between the
+    sides is not supported (callers join on ALL shared variables)."""
+    on = list(on)
+    lcols = list(left.schema().names)
+    rcols = list(right.schema().names)
+    overlap = (set(lcols) & set(rcols)) - set(on)
+    if overlap:
+        raise ValueError(
+            f"non-key columns {sorted(overlap)} exist on both join sides"
+        )
+    all_cols = lcols + [c for c in rcols if c not in lcols]
+
+    def norm(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            for c in all_cols:
+                if c not in df.columns:
+                    # object dtype, not float64 NaN: keeps the block
+                    # schema stable (bindings columns are strings)
+                    df[c] = pd.Series(np.nan, index=df.index, dtype=object)
+            out = df[all_cols]
+            return out.assign(
+                _side=np.int8(side),
+                _bucket=pair_bucket_tag(out, on, num_buckets),
+            )
+
+        return fn
+
+    both = left.map_batches(norm(0), batch_format="pandas").union(
+        right.map_batches(norm(1), batch_format="pandas")
+    )
+    out_cols = list(all_cols)
+
+    def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["_side"] == 0, lcols]
+        r = g.loc[g["_side"] == 1, rcols]
+        merged = l.merge(r, on=on, how="left" if how == "left_outer" else how)
+        for c in out_cols:
+            if c not in merged.columns:
+                merged[c] = pd.Series(np.nan, index=merged.index,
+                                      dtype=object)
+        return merged[out_cols]
 
     return both.groupby("_bucket").map_groups(
         bucket_merge, batch_format="pandas"

@@ -592,3 +592,78 @@ def test_construct_template_var_not_in_where_rejected(score_triples):
             score_triples,
             "CONSTRUCT { ?s <e/p> ?missing } WHERE { ?s <e/childOf> ?o }",
         )
+
+
+# ---------------------------------------------------------------------------
+# Property-path grammar: alternation / plus / sequence / inverse (round 3)
+# ---------------------------------------------------------------------------
+
+
+def test_alt_path_is_single_hop(score_triples):
+    # (p1|p2) = ONE hop over either predicate — NOT a closure
+    out = run_select(
+        score_triples,
+        "SELECT ?s ?o WHERE { ?s (<e/childOf>|<e/name>) ?o }",
+    )
+    got = set(zip(out["s"], out["o"]))
+    assert ("e/A", "e/B") in got and ("e/A", "alpha") in got
+    assert ("e/A", "e/C") not in got  # two-hop pair must NOT appear
+
+
+def test_plus_path_excludes_reflexive(score_triples):
+    out = run_select(
+        score_triples,
+        'SELECT ?o WHERE { ?s (<e/childOf>)+ ?o . FILTER (?s = "e/A") }',
+    )
+    assert sorted(out["o"]) == ["e/B", "e/C"]  # no e/A (reflexive)
+
+
+def test_bare_iri_star_and_plus(score_triples):
+    star = run_select(
+        score_triples,
+        'SELECT ?o WHERE { ?s <e/childOf>* ?o . FILTER (?s = "e/A") }',
+    )
+    assert sorted(star["o"]) == ["e/A", "e/B", "e/C"]
+    plus = run_select(
+        score_triples,
+        'SELECT ?o WHERE { ?s <e/childOf>+ ?o . FILTER (?s = "e/A") }',
+    )
+    assert sorted(plus["o"]) == ["e/B", "e/C"]
+
+
+def test_sequence_path(score_triples):
+    # ?s childOf/name ?n : parent's name one hop away
+    out = run_select(
+        score_triples,
+        "SELECT ?s ?n WHERE { ?s <e/childOf>/<e/name> ?n }",
+    )
+    assert sorted(zip(out["s"], out["n"])) == [
+        ("e/A", "beta"), ("e/B", "gamma"),
+    ]
+
+
+def test_sequence_with_closure_segment(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT ?n WHERE { ?s (<e/childOf>)+/<e/name> ?n . "
+        'FILTER (?s = "e/A") }',
+    )
+    assert sorted(out["n"]) == ["beta", "gamma"]
+
+
+def test_inverse_path(score_triples):
+    out = run_select(
+        score_triples, "SELECT ?s ?o WHERE { ?s ^<e/childOf> ?o }"
+    )
+    # ?s ^childOf ?o  ≡  ?o childOf ?s
+    assert sorted(zip(out["s"], out["o"])) == [
+        ("e/B", "e/A"), ("e/C", "e/B"),
+    ]
+
+
+def test_sequence_iri_slash_not_split(score_triples):
+    # '/' INSIDE an IRI is not a sequence separator
+    out = run_select(
+        score_triples, 'SELECT ?s WHERE { ?s <e/name> ?n . FILTER (?n = "beta") }'
+    )
+    assert list(out["s"]) == ["e/B"]
