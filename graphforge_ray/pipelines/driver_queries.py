@@ -905,6 +905,28 @@ WHERE source LIKE '%1%' AND regexp_matches(lang, '^(en|fr)$')
 """
 
 
+def q_sparql_not_exists(sf_dir: str):
+    """SPARQL negation through the compiler: FILTER NOT EXISTS as a
+    distributed anti-join (shuffle.bindings_join how='anti') — leaf
+    parts of the derived hierarchy (no inbound childOf edge)."""
+    from ..query.sparql import run_select
+
+    return run_select(
+        _part_triples(sf_dir),
+        f"SELECT ?s ?n WHERE {{ ?s <{VOCAB_PNAME}> ?n . "
+        f"FILTER NOT EXISTS {{ ?y <{VOCAB_CHILDOF}> ?s }} }}",
+    )
+
+
+SQL_SPARQL_NOT_EXISTS = """
+SELECT 'part:' || CAST(p_partkey AS VARCHAR) AS s, p_name AS n
+FROM part
+WHERE p_partkey NOT IN (
+    SELECT p_partkey // 2 FROM part WHERE p_partkey > 1
+)
+"""
+
+
 def q_sparql_values_bind(sf_dir: str):
     """SPARQL VALUES inline data + BIND expression through the SELECT
     compiler: restrict docs to two languages via a VALUES block
@@ -1201,6 +1223,7 @@ QUERIES = {
     "sparql_union_distinct": q_sparql_union_distinct,
     "sparql_group_agg": q_sparql_group_agg,
     "sparql_string_filter": q_sparql_string_filter,
+    "sparql_not_exists": q_sparql_not_exists,
     "sparql_values_bind": q_sparql_values_bind,
     "sparql_count_distinct": q_sparql_count_distinct,
     "sparql_construct": q_sparql_construct,
@@ -1244,6 +1267,7 @@ ORACLES = {
     "sparql_union_distinct": SQL_SPARQL_UNION_DISTINCT,
     "sparql_group_agg": SQL_SPARQL_GROUP_AGG,
     "sparql_string_filter": SQL_SPARQL_STRING_FILTER,
+    "sparql_not_exists": SQL_SPARQL_NOT_EXISTS,
     "sparql_values_bind": SQL_SPARQL_VALUES_BIND,
     "sparql_count_distinct": SQL_SPARQL_COUNT_DISTINCT,
     "sparql_construct": SQL_SPARQL_CONSTRUCT,

@@ -114,6 +114,10 @@ class SelectQuery:
     # each: (var-name list, row-tuple list) from a VALUES block
     binds: list[tuple] = field(default_factory=list)
     # each: (target var, expression AST) from a BIND(expr AS ?v)
+    exists_filters: list[tuple] = field(default_factory=list)
+    # each: (patterns, negated) from FILTER [NOT] EXISTS { … }
+    minus_groups: list[list[tuple]] = field(default_factory=list)
+    # each: pattern list from MINUS { … }
 
 
 @dataclass
@@ -179,6 +183,10 @@ _VALUES = re.compile(
 )
 _VALUE_TOKEN = re.compile(r'"(?:[^"\\]|\\.)*"|<[^>]+>|[()]|[^\s()]+')
 _BIND = re.compile(r"BIND\s*\((?P<expr>.+?)\s+AS\s+(\?\w+)\s*\)", re.S | re.I)
+_EXISTS = re.compile(
+    r"FILTER\s+(NOT\s+)?EXISTS\s*\{([^{}]*)\}", re.S | re.I
+)
+_MINUS = re.compile(r"MINUS\s*\{([^{}]*)\}", re.S | re.I)
 _ASK = re.compile(r"\bASK\s*\{(?P<body>.*)\}\s*$", re.S | re.I)
 _CONSTRUCT = re.compile(
     r"\bCONSTRUCT\s*\{(?P<tmpl>.*?)\}\s*WHERE\s*\{(?P<body>.*)\}"
@@ -531,6 +539,29 @@ def compile_select(
         binds.append((m.group(2)[1:], _parse_expr(m.group("expr"))))
     body = _BIND.sub("", body)
 
+    # FILTER [NOT] EXISTS { … } / MINUS { … } — cut out before OPTIONAL
+    # (their groups also use braces) and before plain FILTER extraction
+    # (an EXISTS filter contains the FILTER token)
+    exists_filters: list[tuple] = []
+    for m in _EXISTS.finditer(body):
+        exists_filters.append(
+            (_parse_patterns(m.group(2), decl), bool(m.group(1)))
+        )
+    body = _EXISTS.sub("", body)
+    minus_groups: list[list[tuple]] = []
+    for m in _MINUS.finditer(body):
+        minus_groups.append(_parse_patterns(m.group(1), decl))
+    body = _MINUS.sub("", body)
+    if (exists_filters or minus_groups) and re.search(r"\bUNION\b", body,
+                                                     re.I):
+        # extraction above is body-global; inside a UNION branch it would
+        # silently hoist branch-scoped negation to all branches — refuse,
+        # like branch-scoped FILTERs
+        raise ValueError(
+            "FILTER EXISTS / MINUS cannot be combined with UNION in the "
+            "same group (branch scoping would be silently lost)"
+        )
+
     def extract_filters(text: str):
         fs = [
             (m.group(1)[1:], m.group(2), _parse_filter_rhs(m.group(3)))
@@ -627,6 +658,8 @@ def compile_select(
         prefixes=decl,
         values_groups=values_groups,
         binds=binds,
+        exists_filters=exists_filters,
+        minus_groups=minus_groups,
     )
 
 
@@ -980,6 +1013,55 @@ def _eval_where(
         bindings = bindings.map_batches(
             lambda df: _apply_filters(df, filters), batch_format="pandas"
         )
+
+    # FILTER [NOT] EXISTS / MINUS: the inner group evaluates to its own
+    # bindings Dataset, projected to the shared variables, then a
+    # distributed semi/anti join prunes the outer bindings. MINUS with
+    # disjoint variables removes nothing (SPARQL semantics) and is a
+    # no-op; a disjoint [NOT] EXISTS would need a scalar non-emptiness
+    # probe per row — unsupported, raise.
+    def _inner_group(patterns: list[tuple]) -> "ray.data.Dataset":
+        return (
+            match_pattern(triples, *patterns[0])
+            if len(patterns) == 1
+            else bgp(triples, patterns)
+        )
+
+    from ..shuffle import bindings_join
+
+    for inner_patterns, negated in q.exists_filters:
+        if bindings is None:
+            raise ValueError("FILTER EXISTS requires an outer pattern")
+        inner = _inner_group(inner_patterns)
+        shared = sorted(
+            set(bindings.schema().names) & set(inner.schema().names)
+        )
+        if not shared:
+            raise ValueError(
+                "FILTER [NOT] EXISTS group shares no variable with the "
+                "outer patterns (unbound existence probes are unsupported)"
+            )
+        inner = inner.map_batches(
+            lambda df, _s=tuple(shared): df[list(_s)], batch_format="pandas"
+        )
+        bindings = bindings_join(
+            bindings, inner, on=shared, how="anti" if negated else "semi"
+        )
+
+    for minus_patterns in q.minus_groups:
+        if bindings is None:
+            raise ValueError("MINUS requires an outer pattern")
+        inner = _inner_group(minus_patterns)
+        shared = sorted(
+            set(bindings.schema().names) & set(inner.schema().names)
+        )
+        if not shared:
+            continue  # MINUS over disjoint variables removes nothing
+        inner = inner.map_batches(
+            lambda df, _s=tuple(shared): df[list(_s)], batch_format="pandas"
+        )
+        bindings = bindings_join(bindings, inner, on=shared, how="anti")
+
     if bindings is None:
         raise ValueError("query has an empty WHERE group")
     return bindings

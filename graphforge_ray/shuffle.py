@@ -108,8 +108,10 @@ def bindings_join(
     Shape: tag each side, normalize both to the union of their columns
     (missing → NaN) so the union has ONE schema, bucket on the composite
     key hash, and run one vectorized pandas merge per bucket. ``how`` is
-    'inner' or 'left' (left-outer). Non-key column overlap between the
-    sides is not supported (callers join on ALL shared variables)."""
+    'inner', 'left_outer', 'semi' (keep left rows WITH a right match —
+    left columns only), or 'anti' (keep left rows WITHOUT a match).
+    Non-key column overlap between the sides is not supported (callers
+    join on ALL shared variables)."""
     on = list(on)
     lcols = list(left.schema().names)
     rcols = list(right.schema().names)
@@ -118,7 +120,10 @@ def bindings_join(
         raise ValueError(
             f"non-key columns {sorted(overlap)} exist on both join sides"
         )
-    all_cols = lcols + [c for c in rcols if c not in lcols]
+    if how in ("semi", "anti"):
+        all_cols = lcols  # right side contributes only its key presence
+    else:
+        all_cols = lcols + [c for c in rcols if c not in lcols]
 
     def norm(side: int):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -143,6 +148,12 @@ def bindings_join(
 
     def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
         l = g.loc[g["_side"] == 0, lcols]
+        if how in ("semi", "anti"):
+            keys = g.loc[g["_side"] == 1, on].drop_duplicates()
+            merged = l.merge(keys, on=on, how="left", indicator=True)
+            keep = merged["_merge"] == ("both" if how == "semi"
+                                        else "left_only")
+            return merged.loc[keep, lcols]
         r = g.loc[g["_side"] == 1, rcols]
         merged = l.merge(r, on=on, how="left" if how == "left_outer" else how)
         for c in out_cols:

@@ -667,3 +667,61 @@ def test_sequence_iri_slash_not_split(score_triples):
         score_triples, 'SELECT ?s WHERE { ?s <e/name> ?n . FILTER (?n = "beta") }'
     )
     assert list(out["s"]) == ["e/B"]
+
+
+# ---------------------------------------------------------------------------
+# Negation: FILTER [NOT] EXISTS / MINUS (round 3)
+# ---------------------------------------------------------------------------
+
+
+def test_filter_not_exists_anti_join(score_triples):
+    # subjects with a name but NO outgoing childOf edge
+    out = run_select(
+        score_triples,
+        "SELECT ?s WHERE { ?s <e/name> ?n . "
+        "FILTER NOT EXISTS { ?s <e/childOf> ?y } }",
+    )
+    assert sorted(out["s"]) == ["e/C"]
+
+
+def test_filter_exists_semi_join(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT ?s WHERE { ?s <e/name> ?n . "
+        "FILTER EXISTS { ?s <e/childOf> ?y } }",
+    )
+    assert sorted(out["s"]) == ["e/A", "e/B"]
+
+
+def test_minus_shared_vars(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT ?s WHERE { ?s <e/name> ?n . MINUS { ?s <e/childOf> ?y } }",
+    )
+    assert sorted(out["s"]) == ["e/C"]
+
+
+def test_minus_disjoint_is_noop(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT ?s WHERE { ?s <e/name> ?n . MINUS { ?a <e/childOf> ?b } }",
+    )
+    assert sorted(out["s"]) == ["e/A", "e/B", "e/C"]
+
+
+def test_exists_disjoint_rejected(score_triples):
+    with pytest.raises(ValueError, match="shares no variable"):
+        run_select(
+            score_triples,
+            "SELECT ?s WHERE { ?s <e/name> ?n . "
+            "FILTER EXISTS { ?a <e/childOf> ?b } }",
+        )
+
+
+def test_exists_with_union_rejected(score_triples):
+    with pytest.raises(ValueError, match="cannot be combined with UNION"):
+        compile_select(
+            "SELECT ?s WHERE { { ?s <e/name> ?n . "
+            "FILTER EXISTS { ?s <e/childOf> ?y } } UNION "
+            "{ ?s <e/score> ?v } }"
+        )
