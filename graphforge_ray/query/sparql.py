@@ -108,7 +108,8 @@ class SelectQuery:
     filters: list[tuple] = field(default_factory=list)   # (var, op, rhs)
     order_by: list[tuple] = field(default_factory=list)  # (var, descending)
     distinct: bool = False
-    union_groups: list[list[tuple]] = field(default_factory=list)
+    union_groups: list[tuple] = field(default_factory=list)
+    # each: (pattern list, [(optional-pattern list, filters)]) per branch
     prefixes: dict[str, str] = field(default_factory=dict)
     values_groups: list[tuple] = field(default_factory=list)
     # each: (var-name list, row-tuple list) from a VALUES block
@@ -463,6 +464,27 @@ def _parse_filter_rhs(rhs: str):
     return ("num", float(rhs))
 
 
+def _tail_order_by(tail: str, query: str) -> list[tuple]:
+    order_by: list[tuple] = []
+    om = _ORDER_BY.search(tail) or _ORDER_BY.search(query)
+    if om:
+        for dm in _ORDER_KEY.finditer(om.group(1)):
+            order_by.append(
+                (dm.group(2)[1:], (dm.group(1) or "ASC").upper() == "DESC")
+            )
+    return order_by
+
+
+def _tail_group_by(tail: str, query: str) -> list[str]:
+    gb = _GROUP_BY.search(tail) or _GROUP_BY.search(query)
+    return re.findall(r"\?(\w+)", gb.group(1)) if gb else []
+
+
+def _tail_limit(tail: str, query: str) -> int | None:
+    lim = _LIMIT.search(tail) or _LIMIT.search(query)
+    return int(lim.group(1)) if lim else None
+
+
 def compile_select(
     query: str, prefixes: dict[str, str] | None = None
 ) -> SelectQuery:
@@ -491,10 +513,90 @@ def compile_select(
     proj = _AGG.sub("", proj)
     variables = [v[1:] for v in re.findall(r"\?(?:\w+)", proj)]
 
-    # VALUES / BIND blocks are cut out FIRST: a VALUES row block contains
-    # braces that would confuse the UNION brace scan, and neither parses
-    # as a triple pattern
+    def extract_filters(text: str):
+        fs = [
+            (m.group(1)[1:], m.group(2), _parse_filter_rhs(m.group(3)))
+            for m in _FILTER.finditer(text)
+        ]
+        fs += [
+            (
+                m.group(3)[1:],
+                m.group(2).upper(),
+                ("strfn", (m.group(4), m.group(5) or "",
+                           m.group(1) == "!")),
+            )
+            for m in _STR_FILTER.finditer(text)
+        ]
+        return fs, _STR_FILTER.sub("", _FILTER.sub("", text))
+
     values_groups: list[tuple] = []
+    binds: list[tuple] = []
+    exists_filters: list[tuple] = []
+    minus_groups: list[list[tuple]] = []
+    optionals: list[tuple] = []
+    union_groups: list[tuple] = []
+    patterns: list[tuple] = []
+
+    if re.search(r"\bUNION\b", body, re.I):
+        # whole-body group union: { g1 } UNION { g2 } [UNION { g3 } …].
+        # Each branch is a BGP plus optional per-branch OPTIONAL groups
+        # (branch-scoped left joins). A FILTER AFTER the union's closing
+        # brace scopes to the unioned bindings (supported — extracted
+        # from the tail); FILTER / VALUES / BIND / EXISTS / MINUS written
+        # INSIDE a branch would be silently hoisted to every branch —
+        # refuse instead.
+        close = body.rfind("}")
+        tail_text = body[close + 1:] if close != -1 else ""
+        union_text = body[: close + 1] if close != -1 else body
+        filters, tail_text = extract_filters(tail_text)
+        if tail_text.strip():
+            raise ValueError(
+                f"unsupported tokens after UNION group: {tail_text.strip()!r}"
+            )
+        for rx, nm in (
+            (_VALUES, "VALUES"),
+            (_BIND, "BIND"),
+            (_MINUS, "MINUS"),
+            (_FILTER_TOKEN, "FILTER"),
+        ):
+            if rx.search(union_text):
+                raise ValueError(
+                    f"{nm} inside a UNION branch is not supported (branch "
+                    "scoping would be silently lost); move it outside the "
+                    "UNION"
+                )
+        alts = re.split(r"\}\s*UNION\s*\{", union_text.strip(), flags=re.I)
+        # strip exactly ONE outer brace (branches may end with a nested
+        # OPTIONAL group's brace — rstrip("}") would eat it too)
+        first = alts[0].lstrip()
+        alts[0] = first[1:] if first.startswith("{") else first
+        last = alts[-1].rstrip()
+        alts[-1] = last[:-1] if last.endswith("}") else last
+        for a in alts:
+            branch_opts = [
+                (_parse_patterns(m.group(1), decl), [])
+                for m in _OPTIONAL.finditer(a)
+            ]
+            union_groups.append(
+                (_parse_patterns(_OPTIONAL.sub("", a), decl), branch_opts)
+            )
+        return SelectQuery(
+            variables=variables,
+            aggregates=aggregates,
+            patterns=[],
+            optionals=[],
+            group_by=_tail_group_by(tail, query),
+            limit=_tail_limit(tail, query),
+            filters=filters,
+            order_by=_tail_order_by(tail, query),
+            distinct=distinct,
+            union_groups=union_groups,
+            prefixes=decl,
+        )
+
+    # VALUES / BIND blocks are cut out FIRST: a VALUES row block contains
+    # braces that would otherwise confuse brace scans, and neither parses
+    # as a triple pattern
     for m in _VALUES.finditer(body):
         vars_ = re.findall(r"\?(\w+)", m.group(1))
         toks = _VALUE_TOKEN.findall(m.group(2))
@@ -534,7 +636,6 @@ def compile_select(
         values_groups.append((vars_, rows))
     body = _VALUES.sub("", body)
 
-    binds: list[tuple] = []
     for m in _BIND.finditer(body):
         binds.append((m.group(2)[1:], _parse_expr(m.group("expr"))))
     body = _BIND.sub("", body)
@@ -542,41 +643,14 @@ def compile_select(
     # FILTER [NOT] EXISTS { … } / MINUS { … } — cut out before OPTIONAL
     # (their groups also use braces) and before plain FILTER extraction
     # (an EXISTS filter contains the FILTER token)
-    exists_filters: list[tuple] = []
     for m in _EXISTS.finditer(body):
         exists_filters.append(
             (_parse_patterns(m.group(2), decl), bool(m.group(1)))
         )
     body = _EXISTS.sub("", body)
-    minus_groups: list[list[tuple]] = []
     for m in _MINUS.finditer(body):
         minus_groups.append(_parse_patterns(m.group(1), decl))
     body = _MINUS.sub("", body)
-    if (exists_filters or minus_groups) and re.search(r"\bUNION\b", body,
-                                                     re.I):
-        # extraction above is body-global; inside a UNION branch it would
-        # silently hoist branch-scoped negation to all branches — refuse,
-        # like branch-scoped FILTERs
-        raise ValueError(
-            "FILTER EXISTS / MINUS cannot be combined with UNION in the "
-            "same group (branch scoping would be silently lost)"
-        )
-
-    def extract_filters(text: str):
-        fs = [
-            (m.group(1)[1:], m.group(2), _parse_filter_rhs(m.group(3)))
-            for m in _FILTER.finditer(text)
-        ]
-        fs += [
-            (
-                m.group(3)[1:],
-                m.group(2).upper(),
-                ("strfn", (m.group(4), m.group(5) or "",
-                           m.group(1) == "!")),
-            )
-            for m in _STR_FILTER.finditer(text)
-        ]
-        return fs, _STR_FILTER.sub("", _FILTER.sub("", text))
 
     # OPTIONAL groups are cut out BEFORE top-level FILTER extraction: a
     # FILTER inside an OPTIONAL scopes to the optional group (applied
@@ -602,57 +676,18 @@ def compile_select(
         optionals.append((opt_patterns, opt_filters))
     body = _OPTIONAL.sub("", body)
 
-    union_groups: list[list[tuple]] = []
-    patterns: list[tuple] = []
-    if re.search(r"\bUNION\b", body, re.I):
-        # whole-body group union: { g1 } UNION { g2 } [UNION { g3 } …].
-        # A FILTER AFTER the union's closing brace scopes to the unioned
-        # bindings (supported — extracted from the tail); a FILTER written
-        # INSIDE a branch scopes to that branch only, and hoisting it
-        # would silently apply it to every branch — refuse instead.
-        close = body.rfind("}")
-        tail_text = body[close + 1:] if close != -1 else ""
-        union_text = body[: close + 1] if close != -1 else body
-        filters, tail_text = extract_filters(tail_text)
-        if tail_text.strip():
-            raise ValueError(
-                f"unsupported tokens after UNION group: {tail_text.strip()!r}"
-            )
-        if _FILTER_TOKEN.search(union_text):
-            raise ValueError(
-                "FILTER inside a UNION branch is not supported (branch-"
-                "scoped filters would be silently hoisted to all "
-                "branches); move the FILTER outside the UNION"
-            )
-        alts = re.split(r"\}\s*UNION\s*\{", union_text.strip(), flags=re.I)
-        alts[0] = alts[0].lstrip().lstrip("{")
-        alts[-1] = alts[-1].rstrip().rstrip("}")
-        union_groups = [_parse_patterns(a, decl) for a in alts]
-    else:
-        filters, body = extract_filters(body)
-        patterns = _parse_patterns(body, decl)
+    filters, body = extract_filters(body)
+    patterns = _parse_patterns(body, decl)
 
-    order_by: list[tuple] = []
-    om = _ORDER_BY.search(tail) or _ORDER_BY.search(query)
-    if om:
-        for dm in _ORDER_KEY.finditer(om.group(1)):
-            order_by.append(
-                (dm.group(2)[1:], (dm.group(1) or "ASC").upper() == "DESC")
-            )
-
-    gb = _GROUP_BY.search(tail) or _GROUP_BY.search(query)
-    lim = _LIMIT.search(tail) or _LIMIT.search(query)
     return SelectQuery(
         variables=variables,
         aggregates=aggregates,
         patterns=patterns,
         optionals=optionals,
-        group_by=(
-            re.findall(r"\?(\w+)", gb.group(1)) if gb else []
-        ),
-        limit=int(lim.group(1)) if lim else None,
+        group_by=_tail_group_by(tail, query),
+        limit=_tail_limit(tail, query),
         filters=filters,
-        order_by=order_by,
+        order_by=_tail_order_by(tail, query),
         distinct=distinct,
         union_groups=union_groups,
         prefixes=decl,
@@ -865,27 +900,44 @@ def _eval_where(
 
     bindings: "ray.data.Dataset | None" = None
     if q.union_groups:
-        # { g } UNION { g }: each group is an independent BGP; bindings
-        # are unioned (SPARQL UNION keeps duplicates — DISTINCT dedups).
-        # Groups must bind the same variables (engine restriction).
+        # { g } UNION { g }: each group is an independent BGP plus its
+        # branch-scoped OPTIONAL left joins; bindings are unioned (SPARQL
+        # UNION keeps duplicates — DISTINCT dedups). Branches may bind
+        # DIFFERENT variables — rows from a branch that does not bind a
+        # variable leave it unbound (NaN), per SPARQL union semantics.
         var_sets = set()
         parts = []
-        for grp in q.union_groups:
+        for grp, grp_opts in q.union_groups:
             part = (
                 match_pattern(triples, *grp[0])
                 if len(grp) == 1
                 else bgp(triples, grp)
             )
+            for opt_patterns, _unused in grp_opts:
+                opt_b = (
+                    match_pattern(triples, *opt_patterns[0])
+                    if len(opt_patterns) == 1
+                    else bgp(triples, opt_patterns)
+                )
+                shared = sorted(
+                    set(part.schema().names) & set(opt_b.schema().names)
+                )
+                part = optional_join(part, opt_b, on=shared)
             parts.append(part)
             var_sets.add(tuple(sorted(part.schema().names)))
-        if len(var_sets) != 1:
-            raise ValueError("UNION groups must bind the same variables")
-        order = list(var_sets.pop())
+        import numpy as np
+
+        order = sorted(set().union(*(set(v) for v in var_sets)))
+
+        def norm_branch(df: pd.DataFrame, _o=tuple(order)) -> pd.DataFrame:
+            df = df.copy()
+            for c in _o:
+                if c not in df.columns:
+                    df[c] = pd.Series(np.nan, index=df.index, dtype=object)
+            return df[list(_o)]
+
         parts = [
-            p.map_batches(
-                lambda df, _o=order: df[list(_o)], batch_format="pandas"
-            )
-            for p in parts
+            p.map_batches(norm_branch, batch_format="pandas") for p in parts
         ]
         bindings = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
     elif plain_patterns:

@@ -229,12 +229,30 @@ def test_distinct_applies_to_projection(score_triples):
     assert sorted(out["s"]) == ["e/A", "e/B", "e/C", "e/D"]
 
 
-def test_union_mismatched_vars_raises(score_triples):
-    with pytest.raises(ValueError):
-        run_select(
-            score_triples,
-            "SELECT ?s WHERE { { ?s <e/childOf> ?o } UNION { ?x <e/name> ?n } }",
-        )
+def test_union_mismatched_vars_leaves_unbound(score_triples):
+    # branches binding DIFFERENT variables union with the missing ones
+    # unbound (NaN) — SPARQL union semantics (was an engine restriction)
+    out = run_select(
+        score_triples,
+        "SELECT ?s WHERE { { ?s <e/childOf> ?o } UNION { ?x <e/name> ?n } }",
+    )
+    assert len(out) == 5  # 2 childOf rows bind ?s, 3 name rows leave it
+    assert sorted(out["s"].dropna()) == ["e/A", "e/B"]
+    assert out["s"].isna().sum() == 3
+
+
+def test_optional_inside_union_branch(score_triples):
+    # branch-scoped OPTIONAL: the left join applies INSIDE its branch
+    out = run_select(
+        score_triples,
+        "SELECT ?s ?n WHERE { "
+        "{ ?s <e/childOf> ?y . OPTIONAL { ?s <e/name> ?n } } UNION "
+        "{ ?s <e/score> ?v . OPTIONAL { ?s <e/name> ?n } } }",
+    )
+    got = sorted(zip(out["s"], out["n"].fillna("NULL")))
+    # childOf branch: A→alpha, B→beta; score branch: A, B, C named, D not
+    assert ("e/D", "NULL") in got
+    assert ("e/A", "alpha") in got and ("e/B", "beta") in got
 
 
 def test_pure_path_distinct_and_count(score_triples):
@@ -719,7 +737,7 @@ def test_exists_disjoint_rejected(score_triples):
 
 
 def test_exists_with_union_rejected(score_triples):
-    with pytest.raises(ValueError, match="cannot be combined with UNION"):
+    with pytest.raises(ValueError, match="inside a UNION branch"):
         compile_select(
             "SELECT ?s WHERE { { ?s <e/name> ?n . "
             "FILTER EXISTS { ?s <e/childOf> ?y } } UNION "
