@@ -155,3 +155,84 @@ def test_transitive_closure_distributed_million_edges(ray_session):
     assert closure.count() == 2_966_272  # edges + depth-2/3 ancestor pairs
     anc = closure.filter(expr=f"s == {N + 31}").to_pandas()
     assert sorted(anc["o"]) == [30, 976, 31250]
+
+
+# ---------------------------------------------------------------------------
+# shuffle.bindings_join: the robust bindings-frame join (round 3)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def join_sides(ray_session):
+    import ray.data as rd
+
+    left = rd.from_pandas(
+        pd.DataFrame({"k": ["a", "b", "c", "c"], "lv": ["1", "2", "3", "4"]})
+    ).repartition(3)
+    right = rd.from_pandas(
+        pd.DataFrame({"k": ["b", "c", "d"], "rv": ["x", "y", "z"]})
+    ).repartition(2)
+    return left, right
+
+
+def test_bindings_join_inner(join_sides):
+    from graphforge_ray.shuffle import bindings_join
+
+    left, right = join_sides
+    out = bindings_join(left, right, on=["k"]).to_pandas()
+    got = sorted(zip(out["k"], out["lv"], out["rv"]))
+    assert got == [("b", "2", "x"), ("c", "3", "y"), ("c", "4", "y")]
+
+
+def test_bindings_join_left_outer(join_sides):
+    from graphforge_ray.shuffle import bindings_join
+
+    left, right = join_sides
+    out = bindings_join(left, right, on=["k"], how="left_outer").to_pandas()
+    assert len(out) == 4
+    a_row = out.loc[out["k"] == "a"].iloc[0]
+    assert pd.isna(a_row["rv"])
+
+
+def test_bindings_join_semi_anti(join_sides):
+    from graphforge_ray.shuffle import bindings_join
+
+    left, right = join_sides
+    semi = bindings_join(left, right, on=["k"], how="semi").to_pandas()
+    assert list(semi.columns) == ["k", "lv"]  # left columns only
+    assert sorted(semi["k"]) == ["b", "c", "c"]
+    anti = bindings_join(left, right, on=["k"], how="anti").to_pandas()
+    assert sorted(anti["k"]) == ["a"]
+
+
+def test_bindings_join_overlapping_nonkey_rejected(join_sides):
+    from graphforge_ray.shuffle import bindings_join
+
+    left, _ = join_sides
+    with pytest.raises(ValueError, match="non-key"):
+        bindings_join(left, left, on=["k"])
+
+
+def test_bindings_join_survives_stale_empty_blocks(ray_session):
+    """The acero-killer scenario: a filtered map_batches leaves an empty
+    block that SKIPPED the UDF and kept the pre-transform schema.
+    Dataset.join dies with 'No match for FieldRef'; bindings_join must
+    not (CLAUDE.md measured lesson)."""
+    import ray.data as rd
+
+    from graphforge_ray.shuffle import bindings_join
+
+    base = rd.from_pandas(
+        pd.DataFrame({"subj": ["s1", "s2"], "pred": ["p", "q"],
+                      "obj": ["o1", "o2"]})
+    ).repartition(4)  # several empty blocks
+
+    def project(df):
+        df = df[df["pred"] == "p"]
+        return df.rename(columns={"subj": "k"})[["k"]].assign(side="L")
+
+    left = base.map_batches(project, batch_format="pandas")
+    right = rd.from_pandas(pd.DataFrame({"k": ["s1"], "rv": ["hit"]}))
+    out = bindings_join(left, right, on=["k"]).to_pandas()
+    assert sorted(out.columns) == ["k", "rv", "side"]
+    assert list(out["k"]) == ["s1"]
