@@ -905,6 +905,52 @@ WHERE source LIKE '%1%' AND regexp_matches(lang, '^(en|fr)$')
 """
 
 
+def q_sparql_seq_path(sf_dir: str):
+    """SPARQL sequence property path through the compiler:
+    ``?s <childOf>/<pname> ?n`` (parent's name) — compile-time rewrite
+    into chained patterns through a fresh intermediate variable, executed
+    as a distributed BGP join."""
+    from ..query.sparql import run_select
+
+    return run_select(
+        _part_triples(sf_dir),
+        f"SELECT ?s ?n WHERE {{ ?s <{VOCAB_CHILDOF}>/<{VOCAB_PNAME}> ?n }}",
+    )
+
+
+SQL_SPARQL_SEQ_PATH = """
+SELECT 'part:' || CAST(c.p_partkey AS VARCHAR) AS s, p.p_name AS n
+FROM part c JOIN part p ON p.p_partkey = c.p_partkey // 2
+WHERE c.p_partkey > 1
+"""
+
+
+def q_sparql_having(sf_dir: str):
+    """SPARQL HAVING through the compiler: per-source SUM(n_chars) with
+    a post-aggregate HAVING filter. Floats FLOOR-truncated at 1e-4 on
+    both sides (the sparql_group_agg discipline)."""
+    from ..query.sparql import run_select
+
+    triples = q_rml_documents_triples(sf_dir)
+    out = run_select(
+        triples,
+        f"SELECT ?src (SUM(?n) AS ?total) WHERE {{ "
+        f"?s <{VOCAB_SOURCE}> ?src . ?s <{VOCAB_NCHARS}> ?n }} "
+        f"GROUP BY ?src HAVING (?total > 7400)",
+    )
+    out["total"] = np.floor(out["total"].astype(float) * 1e4) / 1e4
+    return out.sort_values("src").reset_index(drop=True)
+
+
+SQL_SPARQL_HAVING = """
+SELECT source AS src,
+       FLOOR(SUM(n_chars) * 10000.0) / 10000 AS total
+FROM documents
+GROUP BY source
+HAVING SUM(n_chars) > 7400
+"""
+
+
 def q_sparql_not_exists(sf_dir: str):
     """SPARQL negation through the compiler: FILTER NOT EXISTS as a
     distributed anti-join (shuffle.bindings_join how='anti') — leaf
@@ -1223,6 +1269,8 @@ QUERIES = {
     "sparql_union_distinct": q_sparql_union_distinct,
     "sparql_group_agg": q_sparql_group_agg,
     "sparql_string_filter": q_sparql_string_filter,
+    "sparql_seq_path": q_sparql_seq_path,
+    "sparql_having": q_sparql_having,
     "sparql_not_exists": q_sparql_not_exists,
     "sparql_values_bind": q_sparql_values_bind,
     "sparql_count_distinct": q_sparql_count_distinct,
@@ -1267,6 +1315,8 @@ ORACLES = {
     "sparql_union_distinct": SQL_SPARQL_UNION_DISTINCT,
     "sparql_group_agg": SQL_SPARQL_GROUP_AGG,
     "sparql_string_filter": SQL_SPARQL_STRING_FILTER,
+    "sparql_seq_path": SQL_SPARQL_SEQ_PATH,
+    "sparql_having": SQL_SPARQL_HAVING,
     "sparql_not_exists": SQL_SPARQL_NOT_EXISTS,
     "sparql_values_bind": SQL_SPARQL_VALUES_BIND,
     "sparql_count_distinct": SQL_SPARQL_COUNT_DISTINCT,

@@ -119,6 +119,8 @@ class SelectQuery:
     # each: (patterns, negated) from FILTER [NOT] EXISTS { … }
     minus_groups: list[list[tuple]] = field(default_factory=list)
     # each: pattern list from MINUS { … }
+    having: list[tuple] = field(default_factory=list)
+    # HAVING (?alias op x) — filter-shaped, applied post-aggregate
 
 
 @dataclass
@@ -485,6 +487,23 @@ def _tail_limit(tail: str, query: str) -> int | None:
     return int(lim.group(1)) if lim else None
 
 
+_HAVING = re.compile(
+    r"HAVING\s*\(\s*(\?\w+)\s*(!=|<=|>=|=|<|>)\s*"
+    r"(\?\w+|\"[^\"]*\"|[-+]?\d+(?:\.\d+)?)\s*\)",
+    re.I,
+)
+
+
+def _tail_having(tail: str, query: str) -> list[tuple]:
+    """HAVING (?alias op rhs) clauses — filter-shaped, evaluated against
+    the aggregate output frame."""
+    text = tail if _HAVING.search(tail) else query
+    return [
+        (m.group(1)[1:], m.group(2), _parse_filter_rhs(m.group(3)))
+        for m in _HAVING.finditer(text)
+    ]
+
+
 def compile_select(
     query: str, prefixes: dict[str, str] | None = None
 ) -> SelectQuery:
@@ -592,6 +611,7 @@ def compile_select(
             distinct=distinct,
             union_groups=union_groups,
             prefixes=decl,
+            having=_tail_having(tail, query),
         )
 
     # VALUES / BIND blocks are cut out FIRST: a VALUES row block contains
@@ -695,6 +715,7 @@ def compile_select(
         binds=binds,
         exists_filters=exists_filters,
         minus_groups=minus_groups,
+        having=_tail_having(tail, query),
     )
 
 
@@ -1132,6 +1153,8 @@ def run_select(
 
     if q.aggregates:
         out = _run_aggregates(bindings, q)
+        if q.having:
+            out = _apply_filters(out, q.having)
         if q.order_by:
             out = _order_frame(out, q.order_by)
         if q.limit is not None:

@@ -743,3 +743,24 @@ def test_exists_with_union_rejected(score_triples):
             "FILTER EXISTS { ?s <e/childOf> ?y } } UNION "
             "{ ?s <e/score> ?v } }"
         )
+
+
+def test_having_filters_aggregate_rows(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT ?p (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } "
+        "GROUP BY ?p HAVING (?n > 2)",
+    )
+    got = dict(zip(out["p"], out["n"]))
+    assert got == {"e/name": 3, "e/score": 4}  # childOf (2) filtered out
+
+
+def test_having_with_sum_and_order(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT ?p (SUM(?o) AS ?t) WHERE { ?s ?p ?o } "
+        "GROUP BY ?p HAVING (?t > 20) ORDER BY DESC(?t)",
+    )
+    # only e/score rows parse as numbers: 10+25+7 = 42
+    assert list(out["p"]) == ["e/score"]
+    assert list(out["t"]) == [42.0]
