@@ -121,6 +121,9 @@ class SelectQuery:
     # each: pattern list from MINUS { … }
     having: list[tuple] = field(default_factory=list)
     # HAVING (?alias op x) — filter-shaped, applied post-aggregate
+    agg_params: dict = field(default_factory=dict)
+    # per-alias aggregate parameters (GROUP_CONCAT separator)
+    offset: int = 0
 
 
 @dataclass
@@ -153,12 +156,14 @@ _SELECT = re.compile(
     re.S | re.I,
 )
 _AGG = re.compile(
-    r"\(\s*(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(DISTINCT\s+)?(\?\w+)\s*\)"
+    r"\(\s*(COUNT|SUM|MIN|MAX|AVG|GROUP_CONCAT|SAMPLE)\s*\(\s*"
+    r"(DISTINCT\s+)?(\?\w+)\s*(?:;\s*SEPARATOR\s*=\s*\"([^\"]*)\")?\s*\)"
     r"\s+AS\s+(\?\w+)\s*\)",
     re.I,
 )
 _GROUP_BY = re.compile(r"GROUP\s+BY((?:\s+\?\w+)+)", re.I)
 _LIMIT = re.compile(r"LIMIT\s+(\d+)", re.I)
+_OFFSET = re.compile(r"OFFSET\s+(\d+)", re.I)
 _OPTIONAL = re.compile(r"OPTIONAL\s*\{([^}]*)\}", re.S | re.I)
 _PATH = re.compile(r"^\(([^)]+)\)([*+]?)$")
 _PATH_BARE = re.compile(r"^(<[^>]+>|\w+:[\w-]+)([*+])$")
@@ -487,6 +492,11 @@ def _tail_limit(tail: str, query: str) -> int | None:
     return int(lim.group(1)) if lim else None
 
 
+def _tail_offset(tail: str, query: str) -> int:
+    off = _OFFSET.search(tail) or _OFFSET.search(query)
+    return int(off.group(1)) if off else 0
+
+
 _HAVING = re.compile(
     r"HAVING\s*\(\s*(\?\w+)\s*(!=|<=|>=|=|<|>)\s*"
     r"(\?\w+|\"[^\"]*\"|[-+]?\d+(?:\.\d+)?)\s*\)",
@@ -520,6 +530,7 @@ def compile_select(
     proj = re.sub(r"^DISTINCT\s+", "", proj, flags=re.I)
 
     aggregates = []
+    agg_params: dict[str, str] = {}
     for m in _AGG.finditer(proj):
         func = m.group(1).upper()
         if m.group(2):
@@ -528,7 +539,12 @@ def compile_select(
                     f"DISTINCT is only supported inside COUNT, not {func}"
                 )
             func = "COUNT_DISTINCT"
-        aggregates.append((func, m.group(3)[1:], m.group(4)[1:]))
+        alias = m.group(5)[1:]
+        if m.group(4) is not None:
+            if func != "GROUP_CONCAT":
+                raise ValueError("SEPARATOR is only valid in GROUP_CONCAT")
+            agg_params[alias] = m.group(4)
+        aggregates.append((func, m.group(3)[1:], alias))
     proj = _AGG.sub("", proj)
     variables = [v[1:] for v in re.findall(r"\?(?:\w+)", proj)]
 
@@ -612,6 +628,8 @@ def compile_select(
             union_groups=union_groups,
             prefixes=decl,
             having=_tail_having(tail, query),
+            agg_params=agg_params,
+            offset=_tail_offset(tail, query),
         )
 
     # VALUES / BIND blocks are cut out FIRST: a VALUES row block contains
@@ -716,6 +734,8 @@ def compile_select(
         exists_filters=exists_filters,
         minus_groups=minus_groups,
         having=_tail_having(tail, query),
+        agg_params=agg_params,
+        offset=_tail_offset(tail, query),
     )
 
 
@@ -831,6 +851,50 @@ def _run_aggregates(bindings: "ray.data.Dataset", q: SelectQuery) -> pd.DataFram
             return pd.DataFrame({alias: [deduped.count()]})
         key = groups if len(groups) > 1 else groups[0]
         out = deduped.groupby(key).aggregate(Count(alias_name=alias))
+        return out.to_pandas()[[*groups, alias]]
+
+    if any(f in ("GROUP_CONCAT", "SAMPLE") for f, _, _ in q.aggregates):
+        # GROUP_CONCAT / SAMPLE have no Ray-native aggregate: run ONE
+        # groupby().map_groups over the (groups, var) projection with a
+        # vectorized per-group kernel. Values are sorted first so both
+        # are DETERMINISTIC (SPARQL leaves the order / sample choice
+        # open; deterministic output is what the oracle contract needs —
+        # SAMPLE = min value). Mixing with other aggregates would need a
+        # second pass + join; refuse.
+        if len(q.aggregates) > 1:
+            raise ValueError(
+                "GROUP_CONCAT/SAMPLE cannot be combined with other "
+                "aggregates"
+            )
+        f, v, alias = q.aggregates[0]
+        sep = q.agg_params.get(alias, " ")
+        cols = [*groups, v] if v not in groups else list(groups)
+        for c in cols:
+            if c not in bindings.schema().names:
+                raise ValueError(f"aggregate/group variable ?{c} is unbound")
+        projected = bindings.map_batches(
+            lambda df, _c=tuple(cols): df[list(_c)], batch_format="pandas"
+        )
+        if not groups:
+            vals = sorted(projected.to_pandas()[v].astype(str))
+            out_val = sep.join(vals) if f == "GROUP_CONCAT" else (
+                vals[0] if vals else None
+            )
+            return pd.DataFrame({alias: [out_val]})
+
+        def per_group(g: pd.DataFrame) -> pd.DataFrame:
+            vals = sorted(g[v].astype(str))
+            head = {k: [g[k].iloc[0]] for k in groups}
+            if f == "GROUP_CONCAT":
+                head[alias] = [sep.join(vals)]
+            else:
+                head[alias] = [vals[0] if vals else None]
+            return pd.DataFrame(head)
+
+        key = groups if len(groups) > 1 else groups[0]
+        out = projected.groupby(key).map_groups(
+            per_group, batch_format="pandas"
+        )
         return out.to_pandas()[[*groups, alias]]
 
     num_vars = sorted({v for f, v, _ in q.aggregates if f != "COUNT"})
@@ -1157,6 +1221,8 @@ def run_select(
             out = _apply_filters(out, q.having)
         if q.order_by:
             out = _order_frame(out, q.order_by)
+        if q.offset:
+            out = out.iloc[q.offset:]
         if q.limit is not None:
             out = out.head(q.limit)
         return out.reset_index(drop=True)
@@ -1178,15 +1244,20 @@ def run_select(
             keep = bindings.schema().names
         cols = keep
         bindings = dedup_pairs(bindings, cols=tuple(cols), num_buckets=16)
-    if q.order_by and q.limit is not None:
+    # OFFSET composes with the distributed pushdowns by over-fetching
+    # limit+offset rows, then slicing the (presentation-sized) frame
+    eff_limit = None if q.limit is None else q.limit + q.offset
+    if q.order_by and eff_limit is not None:
         # distributed top-k: sort + limit push down to the Dataset
-        out = _order_dataset_topk(bindings, q.order_by, q.limit).to_pandas()
+        out = _order_dataset_topk(bindings, q.order_by, eff_limit).to_pandas()
     else:
-        if q.limit is not None and not q.order_by:
-            bindings = limit_op(bindings, q.limit)
+        if eff_limit is not None and not q.order_by:
+            bindings = limit_op(bindings, eff_limit)
         out = bindings.to_pandas()
         if q.order_by:
             out = _order_frame(out, q.order_by)
+    if q.offset:
+        out = out.iloc[q.offset:]
     if q.variables:
         out = out[[v for v in q.variables if v in out.columns]]
     return out.reset_index(drop=True)

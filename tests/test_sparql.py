@@ -764,3 +764,66 @@ def test_having_with_sum_and_order(score_triples):
     # only e/score rows parse as numbers: 10+25+7 = 42
     assert list(out["p"]) == ["e/score"]
     assert list(out["t"]) == [42.0]
+
+
+def test_group_concat_with_separator(score_triples):
+    out = run_select(
+        score_triples,
+        'SELECT ?s (GROUP_CONCAT(?o; SEPARATOR=",") AS ?objs) '
+        "WHERE { ?s <e/childOf> ?o } GROUP BY ?s",
+    )
+    got = dict(zip(out["s"], out["objs"]))
+    assert got == {"e/A": "e/B", "e/B": "e/C"}
+
+
+def test_group_concat_sorted_deterministic(score_triples):
+    out = run_select(
+        score_triples,
+        'SELECT ?p (GROUP_CONCAT(?s; SEPARATOR="|") AS ?subs) '
+        "WHERE { ?s ?p ?o } GROUP BY ?p",
+    )
+    got = dict(zip(out["p"], out["subs"]))
+    assert got["e/name"] == "e/A|e/B|e/C"  # sorted within group
+
+
+def test_sample_is_deterministic_min(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT ?p (SAMPLE(?s) AS ?one) WHERE { ?s ?p ?o } GROUP BY ?p",
+    )
+    got = dict(zip(out["p"], out["one"]))
+    assert got == {"e/childOf": "e/A", "e/name": "e/A", "e/score": "e/A"}
+
+
+def test_group_concat_mixed_rejected(score_triples):
+    with pytest.raises(ValueError, match="GROUP_CONCAT/SAMPLE"):
+        run_select(
+            score_triples,
+            'SELECT ?p (GROUP_CONCAT(?s) AS ?a) (COUNT(?s) AS ?b) '
+            "WHERE { ?s ?p ?o } GROUP BY ?p",
+        )
+
+
+def test_offset_with_order_and_limit(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT ?s ?v WHERE { ?s <e/score> ?v } "
+        "ORDER BY DESC(?v) LIMIT 2 OFFSET 1",
+    )
+    assert out.values.tolist() == [["e/A", "10"], ["e/C", "7"]]
+
+
+def test_offset_without_limit(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT ?s ?v WHERE { ?s <e/score> ?v } ORDER BY ?v OFFSET 3",
+    )
+    assert list(out["s"]) == ["e/D"]  # non-numeric sorts last
+
+
+def test_select_star_projects_all_bound_vars(score_triples):
+    out = run_select(
+        score_triples, "SELECT * WHERE { ?s <e/name> ?n }"
+    )
+    assert sorted(out.columns) == ["n", "s"]
+    assert len(out) == 3
