@@ -294,17 +294,20 @@ MEDIA_SCHEMA = pa.schema(
     ]
 )
 
-_MEDIA_KINDS = ["ppm", "pgm", "png", "wav", "gfimg", "gfaud", "poison"]
+_MEDIA_KINDS = ["ppm", "pgm", "png", "wav", "gfimg", "gfaud", "poison",
+                "gif"]
 
 
 def _media_bytes(i: int, seed: int) -> tuple[str, bytes]:
     """One deterministic media payload — pure function of (seed, i).
     Rotates real stdlib-decodable formats (binary PPM/PGM images, a real
     COMPRESSED PNG whose scanline filter type cycles 0-4 so every
-    unfilter branch runs in the contract, RIFF PCM-16 WAV), the
-    GFIMG/GFAUD fixture formats, and one POISON payload (a JPEG header —
-    no stdlib decompressor exists for it) so every corpus exercises the
-    quarantine row path."""
+    unfilter branch runs in the contract, a COMPRESSED GIF through the
+    from-scratch LZW codec, RIFF PCM-16 WAV), the GFIMG/GFAUD fixture
+    formats, and one POISON payload (a JPEG header — no stdlib
+    decompressor exists for it) so every corpus exercises the quarantine
+    row path. "gif" sits at the END of the rotation so ids 0-6 keep
+    their r3 kinds (pinned goldens stay valid)."""
     kind = _MEDIA_KINDS[i % len(_MEDIA_KINDS)]
     raw = hashlib.blake2b(f"media:{seed}:{i}".encode(), digest_size=32).digest()
     if kind == "png":
@@ -316,6 +319,15 @@ def _media_bytes(i: int, seed: int) -> tuple[str, bytes]:
             (raw * (n // len(raw) + 1))[:n], dtype=np.uint8
         ).reshape(h, w, 3)
         return kind, encode_png(pixels, filter_type=(i // 7) % 5)
+    if kind == "gif":
+        from .stages.codecs import encode_gif
+
+        w, h = 9 + i % 4, 7 + i % 3
+        n = w * h * 3
+        pixels = np.frombuffer(
+            (raw * (n // len(raw) + 1))[:n], dtype=np.uint8
+        ).reshape(h, w, 3)  # ≤ w*h distinct colors, well under 256
+        return kind, encode_gif(pixels)
     if kind in ("ppm", "pgm"):
         w, h = 8 + i % 5, 6 + i % 3
         c = 3 if kind == "ppm" else 1

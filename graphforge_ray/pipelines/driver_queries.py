@@ -1068,8 +1068,8 @@ def q_media_image_features(sf_dir: str):
     from ..stages.proc_cache import process_cached_stage
 
     media = media_dataset(240).map_batches(
-        lambda df: df[df["kind"].isin(["ppm", "pgm", "png", "gfimg",
-                                       "poison"])],
+        lambda df: df[df["kind"].isin(["ppm", "pgm", "png", "gif",
+                                       "gfimg", "poison"])],
         batch_format="pandas",
     )
     out = media.map_batches(

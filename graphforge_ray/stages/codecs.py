@@ -14,6 +14,11 @@ the multimodal stages' "real codec" path genuinely real for:
   RGBA) — a real COMPRESSED format: chunk walk + ``zlib`` inflate +
   scanline unfiltering (all five filter types incl. Paeth). 16-bit
   channels and Adam7 interlace raise ``UnsupportedCodec``.
+* **GIF** (87a/89a, first frame) — a second compressed format with a
+  from-scratch LZW codec: LSB-first variable-width codes, clear/end
+  handling, KwKwK case, 12-bit cap + table-reset, global/local color
+  tables, extension skip, interlace row reordering. Encoder included
+  (≤256-color quantization-free palette build).
 
 Codecs with no stdlib decompressor (JPEG/MP3/…) remain honestly
 unsupported and raise ``UnsupportedCodec`` — a poison row in the
@@ -31,7 +36,8 @@ import numpy as np
 
 __all__ = [
     "sniff_media", "decode_image", "encode_ppm", "decode_wav",
-    "decode_png", "encode_png", "UnsupportedCodec",
+    "decode_png", "encode_png", "decode_gif", "encode_gif",
+    "UnsupportedCodec",
 ]
 
 
@@ -53,6 +59,8 @@ def sniff_media(payload: bytes) -> str:
         return "wav"
     if head.startswith(b"\x89PNG"):
         return "png"
+    if head.startswith(b"GIF87a") or head.startswith(b"GIF89a"):
+        return "gif"
     if head.startswith(b"\xff\xd8\xff"):
         return "jpeg"
     return "unknown"
@@ -153,6 +161,222 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         px = px[::-1]
     # BGR(A) → RGB
     return np.ascontiguousarray(px[:, :, 2::-1])
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a: LZW decompression, palette expansion, interlace)
+# ---------------------------------------------------------------------------
+
+_GIF_MAX_CODE_SIZE = 12
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW: LSB-first bit packing, clear/end codes, code
+    width grows 1 bit whenever the next free code no longer fits
+    (canonical decoder rule), capped at 12 bits."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    nbits = len(data) * 8
+    bitpos = 0
+    out = bytearray()
+    code_size = min_code_size + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = end + 1
+    prev: bytes | None = None
+    while True:
+        if bitpos + code_size > nbits:
+            break
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i:byte_i + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == end:
+            break
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            if next_code < (1 << _GIF_MAX_CODE_SIZE):
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+        elif code == next_code:
+            entry = prev + prev[:1]  # the KwKwK case
+            if next_code < (1 << _GIF_MAX_CODE_SIZE):
+                table[next_code] = entry
+                next_code += 1
+        else:
+            raise ValueError(f"corrupt GIF LZW stream (code {code})")
+        out += entry
+        prev = entry
+        if (next_code >= (1 << code_size)
+                and code_size < _GIF_MAX_CODE_SIZE):
+            code_size += 1
+    return bytes(out)
+
+
+def _gif_interlace_rows(h: int) -> list[int]:
+    """GIF interlace pass order: rows 0,8,16… then 4,12… then 2,6… then
+    odd rows."""
+    return (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a → (h, w, 3) uint8 RGB of the FIRST frame (animation
+    frames beyond the first are ignored). Handles global/local color
+    tables, extensions, interlace, and the full LZW variant."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise UnsupportedCodec("not a GIF signature")
+    flags = payload[10]
+    palette = None
+    pos = 13
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        palette = np.frombuffer(
+            payload[pos:pos + 3 * n], np.uint8
+        ).reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:  # extension block: label byte + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += payload[pos] + 1
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            iw, ih = struct.unpack("<HH", payload[pos + 5:pos + 9])
+            iflags = payload[pos + 9]
+            pos += 10
+            if iflags & 0x80:  # local color table overrides global
+                n = 2 << (iflags & 0x07)
+                palette = np.frombuffer(
+                    payload[pos:pos + 3 * n], np.uint8
+                ).reshape(-1, 3)
+                pos += 3 * n
+            if palette is None:
+                raise UnsupportedCodec("GIF without a color table")
+            mcs = payload[pos]
+            pos += 1
+            blocks = []
+            while payload[pos] != 0:
+                ln = payload[pos]
+                blocks.append(payload[pos + 1:pos + 1 + ln])
+                pos += ln + 1
+            idx = np.frombuffer(
+                _gif_lzw_decode(b"".join(blocks), mcs), np.uint8
+            )
+            if len(idx) < iw * ih:
+                raise ValueError("truncated GIF image data")
+            idx = idx[: iw * ih].reshape(ih, iw)
+            if iflags & 0x40:  # interlaced: rows arrive in pass order
+                out = np.empty_like(idx)
+                out[_gif_interlace_rows(ih)] = idx
+                idx = out
+            if int(idx.max(initial=0)) >= len(palette):
+                raise ValueError("GIF pixel index outside color table")
+            return palette[idx]
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """LZW encode synchronized with the canonical decoder's code-width
+    rule (encoder bumps one add later: next_code == (1<<size)+1)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    cur = 0
+    curbits = 0
+    code_size = min_code_size + 1
+
+    def emit(code: int):
+        nonlocal cur, curbits
+        cur |= code << curbits
+        curbits += code_size
+        while curbits >= 8:
+            out.append(cur & 0xFF)
+            cur >>= 8
+            curbits -= 8
+
+    def flush():
+        nonlocal cur, curbits
+        if curbits:
+            out.append(cur & 0xFF)
+            cur = 0
+            curbits = 0
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear)
+    w = b""
+    for b in indices:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if next_code < (1 << _GIF_MAX_CODE_SIZE):
+            table[wc] = next_code
+            next_code += 1
+            if (next_code == (1 << code_size) + 1
+                    and code_size < _GIF_MAX_CODE_SIZE):
+                code_size += 1
+        else:  # table full: reset both sides with a clear code
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+        w = bytes([b])
+    if w:
+        emit(table[w])
+    emit(end)
+    flush()
+    return bytes(out)
+
+
+def encode_gif(arr: np.ndarray) -> bytes:
+    """(h, w[, 3]) uint8 → single-frame GIF89a (≤256 distinct colors;
+    grayscale input is expanded to RGB)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    h, w = arr.shape[:2]
+    colors, inverse = np.unique(
+        arr.reshape(-1, 3), axis=0, return_inverse=True
+    )
+    if len(colors) > 256:
+        raise ValueError(f"GIF supports ≤256 colors, got {len(colors)}")
+    # color-table size must be a power of two ≥ 2; mcs ≥ 2 per spec
+    bits = max(1, int(np.ceil(np.log2(max(2, len(colors))))))
+    table_n = 1 << bits
+    palette = np.zeros((table_n, 3), np.uint8)
+    palette[: len(colors)] = colors
+    mcs = max(2, bits)
+    lzw = _gif_lzw_encode(inverse.astype(np.uint8).tobytes(), mcs)
+    parts = [
+        b"GIF89a",
+        struct.pack("<HH", w, h),
+        bytes([0x80 | (bits - 1), 0, 0]),  # GCT present, size 2^bits
+        palette.tobytes(),
+        b"\x2C", struct.pack("<HHHH", 0, 0, w, h), b"\x00",
+        bytes([mcs]),
+    ]
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        parts.append(bytes([len(chunk)]) + chunk)
+    parts.append(b"\x00\x3B")
+    return b"".join(parts)
 
 
 # ---------------------------------------------------------------------------
@@ -333,6 +557,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if kind == "png":
         return decode_png(payload)
+    if kind == "gif":
+        return decode_gif(payload)
     raise UnsupportedCodec(f"no stdlib decoder for {kind!r}")
 
 

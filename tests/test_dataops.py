@@ -485,7 +485,7 @@ def test_media_driver_queries_goldens(ray_session):
     )
 
     img = q_media_image_features("")
-    assert len(img) == 172
+    assert len(img) == 180
     by_id = img.set_index("media_id")
     assert by_id.loc[0, "phash"] == "85a17fb6691352e0"
     assert by_id.loc[0, ["width", "height", "channels"]].tolist() == [8, 6, 3]
@@ -493,13 +493,17 @@ def test_media_driver_queries_goldens(ray_session):
     assert by_id.loc[2, "phash"] == "b5d6d31656d0e3ea"   # real PNG row
     assert by_id.loc[2, "mean_intensity"] == 110.3651
     assert by_id.loc[4, "phash"] == "1266d0812cddb6a2"   # GFIMG fixture row
+    assert by_id.loc[7, "kind"] == "gif"                 # real GIF (LZW) row
+    assert by_id.loc[7, "phash"] == "0ad465ce4fb0ea89"
+    assert by_id.loc[7, ["width", "height", "channels"]].tolist() == [12, 8, 3]
+    assert by_id.loc[7, "mean_intensity"] == 139.4062
     # every 'poison' (JPEG) row degrades to the sentinel, never crashes
     poison = img[img["kind"] == "poison"]
-    assert len(poison) == 34
+    assert len(poison) == 30
     assert (poison["width"] == -1).all() and (poison["phash"] == "").all()
 
     aud = q_media_audio_features("")
-    assert len(aud) == 68
+    assert len(aud) == 60
     a = aud.set_index("media_id")
     assert a.loc[3, ["sample_rate", "n_samples"]].tolist() == [8000, 112]
     assert a.loc[3, "rms"] == 0.544313
@@ -610,3 +614,64 @@ def test_image_decoder_stage_handles_png(ray_session):
     out = ImageDecoder()(df)
     assert out.loc[0, ["width", "height", "channels"]].tolist() == [8, 6, 3]
     assert out.loc[0, "mean_intensity"] == round(float(arr.mean()), 4)
+
+
+def test_gif_roundtrip_exact():
+    """From-scratch LZW: random palette image survives encode→decode
+    byte-exact, including the code-width growth past 8 bits (200-color
+    300×400 image forces codes through the full 9→12-bit range)."""
+    from graphforge_ray.stages.codecs import decode_gif, encode_gif, sniff_media
+
+    rng = np.random.RandomState(7)
+    pal = rng.randint(0, 256, (13, 3)).astype(np.uint8)
+    img = pal[rng.randint(0, 13, (37, 29))]
+    payload = encode_gif(img)
+    assert sniff_media(payload) == "gif"
+    assert np.array_equal(decode_gif(payload), img)
+
+    big_pal = rng.randint(0, 256, (200, 3)).astype(np.uint8)
+    big = big_pal[rng.randint(0, 200, (300, 400))]
+    assert np.array_equal(decode_gif(encode_gif(big)), big)
+
+
+def test_gif_grayscale_and_tiny():
+    from graphforge_ray.stages.codecs import decode_image, encode_gif
+
+    rng = np.random.RandomState(11)
+    gray = rng.randint(0, 256, (21, 18)).astype(np.uint8)
+    out = decode_image(encode_gif(gray))
+    assert np.array_equal(out, np.stack([gray] * 3, axis=-1))
+    tiny = np.array([[[0, 0, 0], [255, 255, 255]]], dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_gif(tiny)), tiny)
+
+
+def test_gif_interlaced_rows_reordered():
+    """Interlace: encode the rows pre-permuted into GIF pass order, set
+    the interlace flag in the image descriptor, and the decoder must
+    hand back the ORIGINAL row order."""
+    from graphforge_ray.stages.codecs import (
+        _gif_interlace_rows,
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(3)
+    pal = rng.randint(0, 256, (7, 3)).astype(np.uint8)
+    img = pal[rng.randint(0, 7, (16, 9))]
+    passes = _gif_interlace_rows(16)
+    payload = bytearray(encode_gif(img[passes]))
+    # image-descriptor flags byte: 13 header + 3*GCT + 1 sep + 8 geometry
+    table_n = 8  # 7 colors → 3 bits → table of 8
+    iflags_at = 13 + 3 * table_n + 9
+    assert payload[iflags_at] == 0
+    payload[iflags_at] = 0x40  # interlaced
+    assert np.array_equal(decode_gif(bytes(payload)), img)
+
+
+def test_gif_too_many_colors_rejected():
+    from graphforge_ray.stages.codecs import encode_gif
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (64, 64, 3)).astype(np.uint8)  # ~4k colors
+    with pytest.raises(ValueError, match="256"):
+        encode_gif(img)
