@@ -157,7 +157,8 @@ _SELECT = re.compile(
 )
 _AGG = re.compile(
     r"\(\s*(COUNT|SUM|MIN|MAX|AVG|GROUP_CONCAT|SAMPLE)\s*\(\s*"
-    r"(DISTINCT\s+)?(\?\w+)\s*(?:;\s*SEPARATOR\s*=\s*\"([^\"]*)\")?\s*\)"
+    r"(DISTINCT\s+)?(\?\w+)\s*"
+    r"(?:;\s*SEPARATOR\s*=\s*(?:\"([^\"]*)\"|'([^']*)'))?\s*\)"
     r"\s+AS\s+(\?\w+)\s*\)",
     re.I,
 )
@@ -473,7 +474,7 @@ def _parse_filter_rhs(rhs: str):
 
 def _tail_order_by(tail: str, query: str) -> list[tuple]:
     order_by: list[tuple] = []
-    om = _ORDER_BY.search(tail) or _ORDER_BY.search(query)
+    om = _ORDER_BY.search(tail)
     if om:
         for dm in _ORDER_KEY.finditer(om.group(1)):
             order_by.append(
@@ -483,17 +484,22 @@ def _tail_order_by(tail: str, query: str) -> list[tuple]:
 
 
 def _tail_group_by(tail: str, query: str) -> list[str]:
-    gb = _GROUP_BY.search(tail) or _GROUP_BY.search(query)
+    """Solution modifiers are parsed from the TAIL only (the text after
+    the WHERE group's closing brace) — scanning the whole query would
+    misread e.g. 'OFFSET 10' inside a FILTER string literal as a
+    modifier. ``query`` is kept in the signature for call-site symmetry
+    only."""
+    gb = _GROUP_BY.search(tail)
     return re.findall(r"\?(\w+)", gb.group(1)) if gb else []
 
 
 def _tail_limit(tail: str, query: str) -> int | None:
-    lim = _LIMIT.search(tail) or _LIMIT.search(query)
+    lim = _LIMIT.search(tail)
     return int(lim.group(1)) if lim else None
 
 
 def _tail_offset(tail: str, query: str) -> int:
-    off = _OFFSET.search(tail) or _OFFSET.search(query)
+    off = _OFFSET.search(tail)
     return int(off.group(1)) if off else 0
 
 
@@ -506,11 +512,10 @@ _HAVING = re.compile(
 
 def _tail_having(tail: str, query: str) -> list[tuple]:
     """HAVING (?alias op rhs) clauses — filter-shaped, evaluated against
-    the aggregate output frame."""
-    text = tail if _HAVING.search(tail) else query
+    the aggregate output frame. Tail-only, like the other modifiers."""
     return [
         (m.group(1)[1:], m.group(2), _parse_filter_rhs(m.group(3)))
-        for m in _HAVING.finditer(text)
+        for m in _HAVING.finditer(tail)
     ]
 
 
@@ -539,11 +544,12 @@ def compile_select(
                     f"DISTINCT is only supported inside COUNT, not {func}"
                 )
             func = "COUNT_DISTINCT"
-        alias = m.group(5)[1:]
-        if m.group(4) is not None:
+        alias = m.group(6)[1:]
+        sep = m.group(4) if m.group(4) is not None else m.group(5)
+        if sep is not None:
             if func != "GROUP_CONCAT":
                 raise ValueError("SEPARATOR is only valid in GROUP_CONCAT")
-            agg_params[alias] = m.group(4)
+            agg_params[alias] = sep
         aggregates.append((func, m.group(3)[1:], alias))
     proj = _AGG.sub("", proj)
     variables = [v[1:] for v in re.findall(r"\?(?:\w+)", proj)]
@@ -815,6 +821,27 @@ def _order_frame(df: pd.DataFrame, order_by: list[tuple]) -> pd.DataFrame:
     return df
 
 
+def _project_agg_cols(
+    bindings: "ray.data.Dataset", groups: list[str], v: str
+):
+    """Shared scaffolding for the single-aggregate branches
+    (COUNT DISTINCT / GROUP_CONCAT / SAMPLE): validate that every
+    referenced variable is bound, project the bindings down to just
+    (groups, v), and pick the Dataset.groupby key shape. Returns
+    (projected_dataset, cols, key); key is None when ungrouped."""
+    cols = [*groups, v] if v not in groups else list(groups)
+    for c in cols:
+        if c not in bindings.schema().names:
+            raise ValueError(f"aggregate/group variable ?{c} is unbound")
+    projected = bindings.map_batches(
+        lambda df, _c=tuple(cols): df[list(_c)], batch_format="pandas"
+    )
+    key = (
+        (groups if len(groups) > 1 else groups[0]) if groups else None
+    )
+    return projected, cols, key
+
+
 def _run_aggregates(bindings: "ray.data.Dataset", q: SelectQuery) -> pd.DataFrame:
     """GROUP BY + aggregate execution — a distributed Dataset
     groupby-aggregate (one global row when nothing groups). COUNT counts
@@ -839,17 +866,10 @@ def _run_aggregates(bindings: "ray.data.Dataset", q: SelectQuery) -> pd.DataFram
         from ..shuffle import dedup_pairs
 
         _, v, alias = q.aggregates[0]
-        cols = [*groups, v] if v not in groups else list(groups)
-        for c in cols:
-            if c not in bindings.schema().names:
-                raise ValueError(f"aggregate/group variable ?{c} is unbound")
-        projected = bindings.map_batches(
-            lambda df, _c=tuple(cols): df[list(_c)], batch_format="pandas"
-        )
+        projected, cols, key = _project_agg_cols(bindings, groups, v)
         deduped = dedup_pairs(projected, cols=tuple(cols), num_buckets=16)
         if not groups:
             return pd.DataFrame({alias: [deduped.count()]})
-        key = groups if len(groups) > 1 else groups[0]
         out = deduped.groupby(key).aggregate(Count(alias_name=alias))
         return out.to_pandas()[[*groups, alias]]
 
@@ -868,22 +888,19 @@ def _run_aggregates(bindings: "ray.data.Dataset", q: SelectQuery) -> pd.DataFram
             )
         f, v, alias = q.aggregates[0]
         sep = q.agg_params.get(alias, " ")
-        cols = [*groups, v] if v not in groups else list(groups)
-        for c in cols:
-            if c not in bindings.schema().names:
-                raise ValueError(f"aggregate/group variable ?{c} is unbound")
-        projected = bindings.map_batches(
-            lambda df, _c=tuple(cols): df[list(_c)], batch_format="pandas"
-        )
+        projected, _, key = _project_agg_cols(bindings, groups, v)
         if not groups:
-            vals = sorted(projected.to_pandas()[v].astype(str))
+            # dropna: unbound values from OPTIONAL arrive as NaN and must
+            # not serialize into the concat as the string 'nan' (the
+            # numeric aggregates drop non-values the same way)
+            vals = sorted(projected.to_pandas()[v].dropna().astype(str))
             out_val = sep.join(vals) if f == "GROUP_CONCAT" else (
                 vals[0] if vals else None
             )
             return pd.DataFrame({alias: [out_val]})
 
         def per_group(g: pd.DataFrame) -> pd.DataFrame:
-            vals = sorted(g[v].astype(str))
+            vals = sorted(g[v].dropna().astype(str))
             head = {k: [g[k].iloc[0]] for k in groups}
             if f == "GROUP_CONCAT":
                 head[alias] = [sep.join(vals)]
@@ -891,7 +908,6 @@ def _run_aggregates(bindings: "ray.data.Dataset", q: SelectQuery) -> pd.DataFram
                 head[alias] = [vals[0] if vals else None]
             return pd.DataFrame(head)
 
-        key = groups if len(groups) > 1 else groups[0]
         out = projected.groupby(key).map_groups(
             per_group, batch_format="pandas"
         )

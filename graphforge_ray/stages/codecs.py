@@ -235,7 +235,9 @@ def decode_gif(payload: bytes) -> np.ndarray:
     tables, extensions, interlace, and the full LZW variant."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise UnsupportedCodec("not a GIF signature")
+    sw, sh = struct.unpack("<HH", payload[6:10])
     flags = payload[10]
+    bg_index = payload[11]
     palette = None
     pos = 13
     if flags & 0x80:
@@ -252,7 +254,9 @@ def decode_gif(payload: bytes) -> np.ndarray:
                 pos += payload[pos] + 1
             pos += 1
         elif b0 == 0x2C:  # image descriptor
-            iw, ih = struct.unpack("<HH", payload[pos + 5:pos + 9])
+            left, top, iw, ih = struct.unpack(
+                "<HHHH", payload[pos + 1:pos + 9]
+            )
             iflags = payload[pos + 9]
             pos += 10
             if iflags & 0x80:  # local color table overrides global
@@ -282,7 +286,17 @@ def decode_gif(payload: bytes) -> np.ndarray:
                 idx = out
             if int(idx.max(initial=0)) >= len(palette):
                 raise ValueError("GIF pixel index outside color table")
-            return palette[idx]
+            if (left, top) == (0, 0) and (iw, ih) == (sw, sh):
+                return palette[idx]
+            # optimized GIFs describe a sub-rectangle of the logical
+            # screen: composite onto a background-color canvas so the
+            # returned dims are the IMAGE dims, not the frame's
+            if left + iw > sw or top + ih > sh:
+                raise ValueError("GIF frame outside the logical screen")
+            fill = bg_index if bg_index < len(palette) else 0
+            canvas = np.full((sh, sw), fill, np.uint8)
+            canvas[top:top + ih, left:left + iw] = idx
+            return palette[canvas]
         elif b0 == 0x3B:  # trailer
             break
         else:
@@ -351,6 +365,11 @@ def encode_gif(arr: np.ndarray) -> bytes:
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         arr = np.stack([arr] * 3, axis=-1)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(
+            f"encode_gif needs (h, w) gray or (h, w, 3) RGB, got "
+            f"shape {arr.shape}"
+        )
     h, w = arr.shape[:2]
     colors, inverse = np.unique(
         arr.reshape(-1, 3), axis=0, return_inverse=True
@@ -548,17 +567,24 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Real-format image decode (PPM/PGM/BMP/PNG); UnsupportedCodec for
-    formats with no stdlib decompressor (JPEG/…)."""
+    """Real-format image decode (PPM/PGM/BMP/PNG/GIF); UnsupportedCodec
+    for formats with no stdlib decompressor (JPEG/…). Low-level parse
+    errors from corrupt/truncated payloads (index/key/struct/zlib) are
+    normalized to ValueError so the pipeline's poison-row quarantine —
+    which catches ValueError, never bare IndexError — always applies."""
     kind = sniff_media(payload)
-    if kind == "ppm":
-        return decode_ppm(payload)
-    if kind == "bmp":
-        return decode_bmp(payload)
-    if kind == "png":
-        return decode_png(payload)
-    if kind == "gif":
-        return decode_gif(payload)
+    try:
+        if kind == "ppm":
+            return decode_ppm(payload)
+        if kind == "bmp":
+            return decode_bmp(payload)
+        if kind == "png":
+            return decode_png(payload)
+        if kind == "gif":
+            return decode_gif(payload)
+    except (IndexError, KeyError, struct.error, zlib.error,
+            OverflowError) as e:
+        raise ValueError(f"corrupt {kind} payload: {e!r}") from e
     raise UnsupportedCodec(f"no stdlib decoder for {kind!r}")
 
 

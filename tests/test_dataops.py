@@ -675,3 +675,57 @@ def test_gif_too_many_colors_rejected():
     img = rng.randint(0, 256, (64, 64, 3)).astype(np.uint8)  # ~4k colors
     with pytest.raises(ValueError, match="256"):
         encode_gif(img)
+
+
+def test_gif_bad_channel_count_rejected():
+    from graphforge_ray.stages.codecs import encode_gif
+
+    for shape in ((6, 4, 1), (6, 4, 4)):
+        with pytest.raises(ValueError, match="RGB"):
+            encode_gif(np.zeros(shape, np.uint8))
+
+
+def test_corrupt_image_payloads_raise_valueerror():
+    """Truncated/corrupt payloads must surface as ValueError from
+    decode_image (the quarantine contract) — never IndexError/KeyError/
+    struct.error, which would escape the poison-row except tuple and
+    crash the whole map_batches task."""
+    from graphforge_ray.stages.codecs import decode_image, encode_gif
+
+    rng = np.random.RandomState(2)
+    pal = rng.randint(0, 256, (5, 3)).astype(np.uint8)
+    good = encode_gif(pal[rng.randint(0, 5, (9, 7))])
+    corrupt = [
+        b"GIF89a",                      # header only → IndexError inside
+        good[:20],                      # truncated mid color table
+        good[:-5],                      # truncated LZW stream
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 8,  # truncated PNG
+        b"BM" + b"\x01" * 6,            # truncated BMP header
+    ]
+    for payload in corrupt:
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_image(payload)
+
+
+def test_gif_subrectangle_frame_composited_on_screen():
+    """Optimized GIFs place the first frame at (left, top) of a larger
+    logical screen; the decoder composites onto a background-color
+    canvas so the result has the IMAGE dims, not the frame dims."""
+    import struct as st
+
+    from graphforge_ray.stages.codecs import _gif_lzw_encode, decode_gif
+
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    lzw = _gif_lzw_encode(bytes([1, 2, 2, 1]), 2)
+    gif = (
+        b"GIF89a" + st.pack("<HH", 4, 4)
+        + bytes([0x80 | 1, 3, 0]) + pal       # GCT of 4, bg index 3
+        + b"\x2C" + st.pack("<HHHH", 1, 1, 2, 2) + b"\x00"
+        + bytes([2]) + bytes([len(lzw)]) + lzw + b"\x00" + b"\x3B"
+    )
+    arr = decode_gif(gif)
+    assert arr.shape == (4, 4, 3)
+    assert arr[0, 0].tolist() == [9, 9, 9]     # background fill
+    assert arr[1, 1].tolist() == [0, 255, 0]   # frame idx 1 at (1,1)
+    assert arr[1, 2].tolist() == [0, 0, 255]   # frame idx 2
+    assert arr[3, 3].tolist() == [9, 9, 9]

@@ -821,6 +821,63 @@ def test_offset_without_limit(score_triples):
     assert list(out["s"]) == ["e/D"]  # non-numeric sorts last
 
 
+def test_group_concat_single_quoted_separator(score_triples):
+    # SEPARATOR='…' (single quotes) is legal SPARQL and must parse as an
+    # aggregate — previously it silently fell through to a plain SELECT
+    q = compile_select(
+        "SELECT ?s (GROUP_CONCAT(?o; SEPARATOR=';') AS ?objs) "
+        "WHERE { ?s <e/childOf> ?o } GROUP BY ?s"
+    )
+    assert q.aggregates == [("GROUP_CONCAT", "o", "objs")]
+    assert q.agg_params == {"objs": ";"}
+    out = run_select(
+        score_triples,
+        "SELECT ?p (GROUP_CONCAT(?s; SEPARATOR=';') AS ?subs) "
+        "WHERE { ?s ?p ?o } GROUP BY ?p",
+    )
+    got = dict(zip(out["p"], out["subs"]))
+    assert got["e/name"] == "e/A;e/B;e/C"
+
+
+def test_group_concat_skips_unbound_optional(score_triples):
+    # rows where the OPTIONAL leaves ?c unbound carry NaN in the
+    # bindings frame; they must be dropped, not serialized as 'nan'
+    out = run_select(
+        score_triples,
+        "SELECT ?s (GROUP_CONCAT(?c) AS ?kids) WHERE "
+        "{ ?s <e/name> ?n OPTIONAL { ?s <e/childOf> ?c } } GROUP BY ?s",
+    )
+    got = dict(zip(out["s"], out["kids"]))
+    assert got == {"e/A": "e/B", "e/B": "e/C", "e/C": ""}
+
+
+def test_sample_skips_unbound_optional(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT ?s (SAMPLE(?c) AS ?one) WHERE "
+        "{ ?s <e/name> ?n OPTIONAL { ?s <e/childOf> ?c } } GROUP BY ?s",
+    )
+    got = dict(zip(out["s"], out["one"]))
+    assert got["e/A"] == "e/B" and got["e/B"] == "e/C"
+    assert got["e/C"] is None or got["e/C"] != got["e/C"]  # unbound
+
+
+def test_modifier_keywords_inside_string_literals_ignored(score_triples):
+    # 'OFFSET 1' / 'LIMIT 2' inside a FILTER string literal are data,
+    # not solution modifiers (tail-only modifier parsing)
+    q = compile_select(
+        'SELECT ?s WHERE { ?s <e/name> ?n '
+        'FILTER(!CONTAINS(?n, "OFFSET 1")) }'
+    )
+    assert q.offset == 0 and q.limit is None
+    out = run_select(
+        score_triples,
+        'SELECT ?s WHERE { ?s <e/name> ?n '
+        'FILTER(!CONTAINS(?n, "LIMIT 2")) }',
+    )
+    assert len(out) == 3  # nothing dropped
+
+
 def test_select_star_projects_all_bound_vars(score_triples):
     out = run_select(
         score_triples, "SELECT * WHERE { ?s <e/name> ?n }"
