@@ -405,6 +405,165 @@ SELECT s, o FROM r
 
 
 # ---------------------------------------------------------------------------
+# Graph analytics over the materialized graph (beyond-reference family) —
+# PageRank / triangles / components / degree stats, all SQL-expressible on
+# deterministic edge sets derived from the testdata tables
+# ---------------------------------------------------------------------------
+
+# Deterministic dense-enough test graph over part: every key k >= 1 gets
+# directed edges k -> k//2 and k -> k-1 (a binary-tree skeleton plus a
+# chain; odd k closes triangles {k//2, k-1, k}); node 0 is dangling.
+_PART_GRAPH_SQL = """
+    SELECT p_partkey AS s, p_partkey // 2 AS o FROM part WHERE p_partkey >= 1
+    UNION ALL
+    SELECT p_partkey AS s, p_partkey - 1 AS o FROM part WHERE p_partkey >= 1
+"""
+
+
+def _part_graph_edges(sf_dir: str):
+    part = _t(sf_dir, "part", ["p_partkey"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater_equal(batch["p_partkey"], pa.scalar(1)))
+        k = t["p_partkey"]
+        half = pc.divide(k, pa.scalar(2, pa.int64()))
+        prev = pc.subtract(k, pa.scalar(1, pa.int64()))
+        return pa.concat_tables(
+            [pa.table({"s": k, "o": half}), pa.table({"s": k, "o": prev})]
+        )
+
+    return part.map_batches(edges, batch_format="pyarrow")
+
+
+def q_graph_pagerank(sf_dir: str, num_iters: int = 3):
+    """Distributed PageRank (power iteration, dangling redistribution)
+    over the part-derived graph; exact vs an unrolled-iteration SQL
+    oracle (both sides round to 8 decimals — float parity rule)."""
+    from ..stages.graph import pagerank
+
+    ranks = pagerank(
+        _part_graph_edges(sf_dir), num_iters=num_iters, damping=0.85
+    )
+    df = ranks.to_pandas()
+    df["rank"] = df["rank"].round(8)
+    return df.sort_values("node").reset_index(drop=True)[["node", "rank"]]
+
+
+def _pagerank_sql(num_iters: int = 3) -> str:
+    """Unrolled power-iteration oracle: r_{i+1} = (1-d)/N +
+    d*(Σ_in r_i/deg + dangling_i/N), mirroring stages/graph.pagerank
+    term for term (same association order is NOT required — both sides
+    round to 8 decimals on ranks of magnitude ~1/N)."""
+    ctes = [
+        f"WITH e AS ({_PART_GRAPH_SQL}),",
+        "nodes AS (SELECT s AS node FROM e UNION SELECT o AS node FROM e),",
+        "deg AS (SELECT s AS node, COUNT(*) AS d FROM e GROUP BY s),",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),",
+    ]
+    for i in range(num_iters):
+        p, c = f"r{i}", f"r{i + 1}"
+        ctes.append(
+            f"dm{i} AS (SELECT COALESCE(SUM({p}.r), 0) AS dm FROM {p} "
+            f"LEFT JOIN deg USING (node) WHERE deg.d IS NULL),"
+        )
+        ctes.append(
+            f"i{i} AS (SELECT e.o AS node, SUM({p}.r / deg.d) AS m FROM e "
+            f"JOIN {p} ON {p}.node = e.s JOIN deg ON deg.node = e.s "
+            f"GROUP BY e.o),"
+        )
+        ctes.append(
+            f"{c} AS (SELECT nodes.node, (1 - 0.85) / (SELECT n FROM nn) "
+            f"+ 0.85 * (COALESCE(i{i}.m, 0) "
+            f"+ (SELECT dm FROM dm{i}) / (SELECT n FROM nn)) AS r "
+            f"FROM nodes LEFT JOIN i{i} ON i{i}.node = nodes.node),"
+        )
+    ctes[-1] = ctes[-1].rstrip(",")
+    return (
+        "\n".join(ctes)
+        + f"\nSELECT node, ROUND(r, 8) AS rank FROM r{num_iters} "
+        "ORDER BY node"
+    )
+
+
+SQL_GRAPH_PAGERANK = _pagerank_sql(3)
+
+
+def q_graph_triangles(sf_dir: str):
+    """Distributed triangle count (canonicalize → wedge join → closing
+    semi-join) vs a 3-way self-join SQL oracle."""
+    from ..stages.graph import triangle_count
+
+    n = triangle_count(_part_graph_edges(sf_dir))
+    return pd.DataFrame({"n_triangles": pd.array([n], dtype="int64")})
+
+
+SQL_GRAPH_TRIANGLES = f"""
+WITH raw AS ({_PART_GRAPH_SQL}),
+e AS (
+    SELECT DISTINCT LEAST(s, o) AS a, GREATEST(s, o) AS b
+    FROM raw WHERE s <> o
+)
+SELECT COUNT(*) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.a = e1.b
+JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+def q_graph_degree_hist(sf_dir: str):
+    """Out-degree histogram of the customer→order graph (orders per
+    customer): two-level distributed aggregate, tiny result."""
+    from ..stages.graph import degree_histogram
+
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+    edges = orders.map_batches(
+        lambda t: pa.table({"s": t["o_custkey"], "o": t["o_orderkey"]}),
+        batch_format="pyarrow",
+    )
+    return degree_histogram(edges)
+
+
+SQL_GRAPH_DEGREE_HIST = """
+WITH d AS (
+    SELECT o_custkey, COUNT(*) AS out_deg FROM orders GROUP BY o_custkey
+)
+SELECT out_deg, COUNT(*) AS n_nodes FROM d GROUP BY out_deg ORDER BY out_deg
+"""
+
+
+def q_graph_components(sf_dir: str):
+    """Connected components (distributed min-label propagation) over
+    chain segments of the part keys — every run of 10 consecutive keys
+    is one component, so the component label (= min member) is exactly
+    computable in SQL."""
+    from ..stages.dedup import connected_components
+
+    part = _t(sf_dir, "part", ["p_partkey"])
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["p_partkey"].to_numpy()
+        k = k[k % 10 != 0]
+        return pd.DataFrame({"id_a": k, "id_b": k - 1})
+
+    labels = connected_components(
+        part.map_batches(edges, batch_format="pandas")
+    )
+    df = labels.to_pandas()
+    return df.sort_values("node").reset_index(drop=True)[["node", "label"]]
+
+
+SQL_GRAPH_COMPONENTS = """
+WITH e AS (
+    SELECT p_partkey AS a, p_partkey - 1 AS b FROM part
+    WHERE p_partkey % 10 <> 0
+),
+n AS (SELECT a AS node FROM e UNION SELECT b AS node FROM e)
+SELECT node, node - (node % 10) AS label FROM n ORDER BY node
+"""
+
+
+# ---------------------------------------------------------------------------
 # KG mapping over documents (RML path, S2/P-family) — SQL-expressible
 # ---------------------------------------------------------------------------
 
@@ -1258,6 +1417,10 @@ QUERIES = {
     "user_sessions": q_user_sessions,
     "events_sliding": q_events_sliding,
     "part_hierarchy_closure": q_part_hierarchy_closure,
+    "graph_pagerank": q_graph_pagerank,
+    "graph_triangles": q_graph_triangles,
+    "graph_degree_hist": q_graph_degree_hist,
+    "graph_components": q_graph_components,
     "rml_documents_triples": q_rml_documents_triples,
     "triples_pred_counts": q_triples_pred_counts,
     "docs_exact_dedup": q_docs_exact_dedup,
@@ -1304,6 +1467,10 @@ ORACLES = {
     "user_sessions": SQL_USER_SESSIONS,
     "events_sliding": SQL_EVENTS_SLIDING,
     "part_hierarchy_closure": SQL_PART_HIERARCHY_CLOSURE,
+    "graph_pagerank": SQL_GRAPH_PAGERANK,
+    "graph_triangles": SQL_GRAPH_TRIANGLES,
+    "graph_degree_hist": SQL_GRAPH_DEGREE_HIST,
+    "graph_components": SQL_GRAPH_COMPONENTS,
     "rml_documents_triples": SQL_RML_DOCUMENTS_TRIPLES,
     "triples_pred_counts": SQL_TRIPLES_PRED_COUNTS,
     "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,

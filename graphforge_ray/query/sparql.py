@@ -43,8 +43,9 @@ instantiated per batch, and the triple set is deduped with the bucketed
 shuffle (never collected on the driver).
 
 FILTER supports ``= != < <= > >=`` against a number, a quoted string, or
-another variable, plus the string functions
-``[!]CONTAINS/STRSTARTS/STRENDS/REGEX(?v, "x"[, "i"])``. Numeric
+another variable, the string functions
+``[!]CONTAINS/STRSTARTS/STRENDS/REGEX(?v, "x"[, "i"])``, plus
+``[!]BOUND(?v)``, ``STRLEN(?v) <op> N`` and ``?v [NOT] IN (…)``. Numeric
 comparison (and SUM/MIN/MAX/AVG) coerces the lexical forms with
 ``to_numeric`` and DROPS rows that fail to parse — the reference's
 parseFloat row-skip convention (P13, queryManager.js preparePlotData).
@@ -181,6 +182,22 @@ _STR_FILTER = re.compile(
     re.I,
 )
 _FILTER_TOKEN = re.compile(r"\bFILTER\b", re.I)
+# FILTER([!]BOUND(?v)) — the OPTIONAL/left-join companion
+_BOUND_FILTER = re.compile(
+    r"FILTER\s*\(\s*(!?)\s*BOUND\s*\(\s*(\?\w+)\s*\)\s*\)", re.I
+)
+# FILTER(STRLEN(?v) <op> N)
+_STRLEN_FILTER = re.compile(
+    r"FILTER\s*\(\s*STRLEN\s*\(\s*(\?\w+)\s*\)\s*"
+    r"(!=|<=|>=|=|<|>)\s*(\d+)\s*\)",
+    re.I,
+)
+# FILTER(?v [NOT] IN (t1, t2, …)) — terms are IRIs / quoted strings /
+# plain tokens, comma-separated (commas INSIDE quoted literals are not
+# supported; use REGEX for those)
+_IN_FILTER = re.compile(
+    r"FILTER\s*\(\s*(\?\w+)\s+(NOT\s+)?IN\s*\(([^()]*)\)\s*\)", re.I
+)
 _ORDER_BY = re.compile(
     r"ORDER\s+BY((?:\s+(?:DESC|ASC)?\s*\(?\s*\?\w+\s*\)?)+)", re.I
 )
@@ -568,7 +585,26 @@ def compile_select(
             )
             for m in _STR_FILTER.finditer(text)
         ]
-        return fs, _STR_FILTER.sub("", _FILTER.sub("", text))
+        fs += [
+            (m.group(2)[1:], "BOUND", ("bound", m.group(1) == "!"))
+            for m in _BOUND_FILTER.finditer(text)
+        ]
+        fs += [
+            (m.group(1)[1:], m.group(2), ("strlen", int(m.group(3))))
+            for m in _STRLEN_FILTER.finditer(text)
+        ]
+        for m in _IN_FILTER.finditer(text):
+            vals = [
+                _term(t.strip(), decl) for t in m.group(3).split(",")
+                if t.strip()
+            ]
+            fs.append(
+                (m.group(1)[1:], "IN", ("in", (vals, bool(m.group(2)))))
+            )
+        for rx in (_BOUND_FILTER, _STRLEN_FILTER, _IN_FILTER,
+                   _STR_FILTER, _FILTER):
+            text = rx.sub("", text)
+        return fs, text
 
     values_groups: list[tuple] = []
     binds: list[tuple] = []
@@ -782,7 +818,22 @@ def _apply_filters(df: pd.DataFrame, filters: list[tuple]) -> pd.DataFrame:
                     )
             df = df.loc[~mask if negated else mask]
             continue
+        if kind == "bound":
+            # unbound OPTIONAL values are NaN in the bindings frame
+            mask = df[var].notna()
+            df = df.loc[~mask if val else mask]
+            continue
+        if kind == "in":
+            vals, negated = val
+            mask = df[var].isin(vals)
+            df = df.loc[~mask if negated else mask]
+            continue
         f = ops[op]
+        if kind == "strlen":
+            s = df[var]
+            mask = f(s.astype(str).str.len(), val) & s.notna()
+            df = df.loc[mask]
+            continue
         if kind == "num":
             col = pd.to_numeric(df[var], errors="coerce")
             mask = f(col, val) & col.notna()
@@ -1163,6 +1214,14 @@ def _eval_where(
         if bindings is None:
             raise ValueError("FILTER requires at least one pattern or VALUES")
         filters = q.filters
+        # validate at the driver so a typo'd variable is a ValueError
+        # here, not a RayTaskError from inside a map task
+        known = set(bindings.schema().names)
+        for var, _op, (kind, val) in filters:
+            if var not in known:
+                raise ValueError(f"FILTER variable ?{var} is unbound")
+            if kind == "var" and val not in known:
+                raise ValueError(f"FILTER variable ?{val} is unbound")
         bindings = bindings.map_batches(
             lambda df: _apply_filters(df, filters), batch_format="pandas"
         )

@@ -111,7 +111,16 @@ def bindings_join(
     'inner', 'left_outer', 'semi' (keep left rows WITH a right match —
     left columns only), or 'anti' (keep left rows WITHOUT a match).
     Non-key column overlap between the sides is not supported (callers
-    join on ALL shared variables)."""
+    join on ALL shared variables).
+
+    Dtype caveat: the side-normalization fills missing columns with
+    OBJECT-dtype NaN, so output dtypes can widen (int64 → object/float)
+    whenever a side lacked a column. Harmless for string bindings
+    (SPARQL), but numeric callers that feed the result into ANOTHER
+    hash-bucketed shuffle must cast back first — pandas
+    ``hash_array(object)`` != ``hash_array(int64)`` for equal values,
+    which would silently split equal keys across buckets (measured:
+    triangle wedge-close semi-join returned 1/4 matches)."""
     on = list(on)
     lcols = list(left.schema().names)
     rcols = list(right.schema().names)

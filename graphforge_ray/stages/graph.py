@@ -1,0 +1,348 @@
+"""Distributed graph analytics over (s, o) edge Datasets.
+
+Beyond-reference operator family: the reference materializes the KG's
+adjacency (docs/scripts/document.js builds the triple store) but ships
+no analytics over it; a KG-construction user immediately wants degree
+stats, PageRank-style centrality, triangle/community structure over the
+materialized graph. Everything here keeps the graph distributed — the
+driver only ever sees O(1) scalars (iteration counters, dangling mass,
+the triangle count) or an intentionally small histogram.
+
+Shuffle discipline (CLAUDE.md lessons): iterated rounds materialize +
+``repartition(num_partitions)`` each round so sort-shuffle block counts
+don't explode; joins use the tag-union-bucket pattern
+(``shuffle.bindings_join`` / bespoke single-shuffle kernels), never
+Ray's acero join (empty-block schema crash); per-key work is one
+vectorized pandas kernel per bucket, never a per-key Ray aggregate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..shuffle import bucket_tag, bindings_join, dedup_pairs
+
+__all__ = [
+    "out_degrees",
+    "degree_histogram",
+    "pagerank",
+    "triangle_count",
+]
+
+
+def _auto_partitions(n_edges: int) -> int:
+    """Bucket/block count scaled to edge volume — same policy as
+    ``dedup.connected_components``: tiny graphs get few buckets (shuffle
+    fixed cost per round grows with block count), web-scale edge sets
+    fan out wide."""
+    return max(8, min(256, n_edges // 50_000 + 8))
+
+
+def out_degrees(
+    edges: "ray.data.Dataset",
+    src: str = "s",
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-source-node out-degree of an (s, o) edge Dataset → Dataset
+    (node, out_deg). Multi-edges count individually (parallel edges are
+    distinct contributions, matching PageRank's per-edge semantics).
+
+    Map-side combiner (within-batch groupby-sum of partial counts) →
+    coarse bucket shuffle → one vectorized groupby-sum per bucket, so
+    the shuffle moves one row per (batch, node), not per edge."""
+    if num_buckets is None:
+        num_buckets = _auto_partitions(edges.count())
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(src, as_index=False)
+            .size()
+            .rename(columns={src: "node", "size": "out_deg"})
+        )
+        g["out_deg"] = g["out_deg"].astype(np.int64)
+        return g.assign(_bucket=bucket_tag(g, "node", num_buckets))
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False)["out_deg"].sum()
+        out["out_deg"] = out["out_deg"].astype(np.int64)
+        return out
+
+    return (
+        edges.map_batches(combine, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
+
+
+def degree_histogram(
+    edges: "ray.data.Dataset", src: str = "s"
+) -> pd.DataFrame:
+    """Out-degree histogram → small DataFrame (out_deg, n_nodes) sorted
+    by out_deg. The distinct-degree cardinality is tiny by construction
+    (power-law graphs have O(log n) distinct degrees at meaningful
+    mass), so the second aggregate's key space is driver-safe."""
+    from ray.data.aggregate import Count
+
+    deg = out_degrees(edges, src=src)
+    hist = deg.groupby("out_deg").aggregate(Count(alias_name="n_nodes"))
+    out = hist.to_pandas().sort_values("out_deg").reset_index(drop=True)
+    out["out_deg"] = out["out_deg"].astype(np.int64)
+    out["n_nodes"] = out["n_nodes"].astype(np.int64)
+    return out[["out_deg", "n_nodes"]]
+
+
+def pagerank(
+    edges: "ray.data.Dataset",
+    num_iters: int = 3,
+    damping: float = 0.85,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """PageRank by power iteration over an (s, o) edge Dataset →
+    Dataset (node, rank), exactly ``num_iters`` rounds (fixed rounds so
+    an SQL oracle can unroll the same computation; no early exit).
+
+    Semantics: rank⁰ = 1/N for the N distinct nodes incident to any
+    edge; each round every node sends rank/out_deg along each out-edge
+    (parallel edges contribute individually), dangling nodes (out_deg
+    0) spread their whole rank uniformly, and
+    rank' = (1-d)/N + d·(Σ incoming + dangling_mass/N).
+
+    Scale shape — per round exactly TWO all-to-all shuffles plus one
+    O(nodes) scan for the dangling-mass scalar:
+
+    1. scatter (bucket on SOURCE node): edge rows and state rows meet in
+       one tag-union-bucket groupby; each bucket merges w = rank/out_deg
+       onto its edges and emits (dst, contrib) rows, PLUS one
+       (dst=node, contrib=0, deg=out_deg) carrier row per node so every
+       node — including in-degree-0 ones — survives into the gather and
+       the static out_deg rides along instead of needing a third join.
+    2. gather (bucket on DEST node): per-bucket vectorized groupby-sum →
+       rank' for every node; repartition + materialize bounds block
+       growth across rounds (iterated-groupby lesson, CLAUDE.md).
+
+    The driver sees only N (a count) and the per-round dangling mass (a
+    one-row aggregate of the materialized state); ranks never leave the
+    cluster."""
+    edges = edges.materialize()
+    if num_partitions is None:
+        num_partitions = _auto_partitions(edges.count())
+    edges = edges.repartition(num_partitions).materialize()
+
+    # state = (node, out_deg, rank) for every node incident to an edge:
+    # scatter (node=s, d=1) and (node=o, d=0) with a within-batch
+    # combiner, then one bucket groupby-sum
+    def seed(df: pd.DataFrame) -> pd.DataFrame:
+        both = pd.DataFrame(
+            {
+                "node": pd.concat([df["s"], df["o"]], ignore_index=True),
+                "d": np.concatenate(
+                    [np.ones(len(df), np.int64), np.zeros(len(df), np.int64)]
+                ),
+            }
+        )
+        g = both.groupby("node", as_index=False)["d"].sum()
+        return g.assign(_bucket=bucket_tag(g, "node", num_partitions))
+
+    def seed_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False)["d"].sum()
+        return out.rename(columns={"d": "out_deg"})
+
+    state = (
+        edges.map_batches(seed, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(seed_reduce, batch_format="pandas")
+        .repartition(num_partitions)
+        .materialize()
+    )
+    n_nodes = state.count()
+    if n_nodes == 0:
+        return state.map_batches(
+            lambda df: pd.DataFrame({"node": [], "rank": []}),
+            batch_format="pandas",
+        )
+    init = 1.0 / n_nodes
+    state = state.map_batches(
+        lambda df, _r=init: df.assign(rank=np.float64(_r)),
+        batch_format="pandas",
+    ).materialize()
+
+    base = (1.0 - damping) / n_nodes
+
+    def dangling_mass(st: "ray.data.Dataset") -> float:
+        """Σ rank over out_deg==0 nodes — per-block partial sums, tiny
+        driver reduce (one float per block)."""
+        def h(df: pd.DataFrame) -> pd.DataFrame:
+            m = df.loc[df["out_deg"] == 0, "rank"].to_numpy()
+            return pd.DataFrame({"m": [float(m.sum())]})
+
+        return float(
+            sum(r["m"] for r in st.map_batches(h, batch_format="pandas")
+                .take_all())
+        )
+
+    edge_cols = ("k", "dst", "w", "deg")
+
+    def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "k": df["s"],
+                "dst": df["o"],
+                "w": np.float64(0.0),
+                "deg": np.int64(0),
+                "_side": np.int8(0),
+            }
+        )
+        return out.assign(_bucket=bucket_tag(out, "k", num_partitions))
+
+    def scatter_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        el = g.loc[g["_side"] == 0, ["k", "dst"]]
+        st = g.loc[g["_side"] == 1, ["k", "w", "deg"]]
+        sent = el.merge(st[["k", "w"]], on="k", how="inner")
+        return pd.concat(
+            [
+                pd.DataFrame(
+                    {
+                        "dst": sent["dst"],
+                        "contrib": sent["w"],
+                        "deg": np.int64(0),
+                    }
+                ),
+                # carrier row: keeps in-degree-0 nodes alive and ships
+                # the static out_deg into the gather
+                pd.DataFrame(
+                    {
+                        "dst": st["k"],
+                        "contrib": np.float64(0.0),
+                        "deg": st["deg"],
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+
+    for _ in range(num_iters):
+        dm = dangling_mass(state)
+        extra = damping * dm / n_nodes
+
+        def tag_state(df: pd.DataFrame) -> pd.DataFrame:
+            deg = df["out_deg"].to_numpy()
+            rank = df["rank"].to_numpy()
+            w = np.divide(
+                rank, deg, out=np.zeros_like(rank), where=deg > 0
+            )
+            out = pd.DataFrame(
+                {
+                    "k": df["node"],
+                    "dst": df["node"],  # placeholder, unused on side 1
+                    "w": w,
+                    "deg": df["out_deg"].astype(np.int64),
+                    "_side": np.int8(1),
+                }
+            )
+            return out.assign(_bucket=bucket_tag(out, "k", num_partitions))
+
+        scattered = (
+            edges.map_batches(tag_edges, batch_format="pandas")
+            .union(state.map_batches(tag_state, batch_format="pandas"))
+            .groupby("_bucket")
+            .map_groups(scatter_bucket, batch_format="pandas")
+        )
+
+        def gather_tag(df: pd.DataFrame) -> pd.DataFrame:
+            # within-batch combiner before the dst shuffle
+            g = df.groupby("dst", as_index=False).agg(
+                contrib=("contrib", "sum"), deg=("deg", "max")
+            )
+            return g.assign(_bucket=bucket_tag(g, "dst", num_partitions))
+
+        def gather_bucket(
+            g: pd.DataFrame, _base=base, _extra=extra
+        ) -> pd.DataFrame:
+            out = g.groupby("dst", as_index=False).agg(
+                contrib=("contrib", "sum"), deg=("deg", "max")
+            )
+            return pd.DataFrame(
+                {
+                    "node": out["dst"],
+                    "out_deg": out["deg"].astype(np.int64),
+                    "rank": _base + damping * out["contrib"] + _extra,
+                }
+            )
+
+        state = (
+            scattered.map_batches(gather_tag, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(gather_bucket, batch_format="pandas")
+            .repartition(num_partitions)
+            .materialize()
+        )
+
+    return state.map_batches(
+        lambda df: df[["node", "rank"]], batch_format="pandas"
+    )
+
+
+def triangle_count(
+    edges: "ray.data.Dataset", num_buckets: int | None = None
+) -> int:
+    """Exact triangle count of the UNDIRECTED simple graph induced by an
+    (s, o) edge Dataset (direction dropped, self-loops and parallel
+    edges collapsed). Classic distributed wedge-close:
+
+    1. canonicalize each edge to (a, b) with a < b, distributed dedup
+       (``shuffle.dedup_pairs`` — never on the driver);
+    2. wedges: e₁(a,b) ⋈ e₂(b,c) on b → (a,b,c) with a < b < c, so each
+       triangle is generated exactly once from its ordered vertex
+       triple;
+    3. close: semi-join wedges against the edge set on (a,c); count.
+
+    Both joins run through ``shuffle.bindings_join`` (tag-union-bucket;
+    skew note: the wedge join buckets on the MIDDLE vertex b, so a hub
+    node of degree h produces an O(h²) bucket — acceptable until h² ≫
+    edges/bucket; for hub-heavy graphs pre-split hot b keys before the
+    join)."""
+    if num_buckets is None:
+        num_buckets = _auto_partitions(edges.count())
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["s"].to_numpy()
+        o = df["o"].to_numpy()
+        keep = s != o
+        s, o = s[keep], o[keep]
+        return pd.DataFrame(
+            {"id_a": np.minimum(s, o), "id_b": np.maximum(s, o)}
+        ).drop_duplicates()
+
+    e = dedup_pairs(
+        edges.map_batches(canon, batch_format="pandas"),
+        num_buckets=num_buckets,
+    ).materialize()
+
+    left = e.map_batches(
+        lambda df: df.rename(columns={"id_a": "a", "id_b": "b"}),
+        batch_format="pandas",
+    )
+    right = e.map_batches(
+        lambda df: df.rename(columns={"id_a": "b", "id_b": "c"}),
+        batch_format="pandas",
+    )
+    wedges = bindings_join(
+        left, right, on=["b"], num_buckets=num_buckets
+    ).map_batches(
+        # bindings_join's side-normalization (missing columns filled with
+        # object NaN) widens the output dtypes; the closing semi-join
+        # buckets by key HASH, and pandas hash_array(object) !=
+        # hash_array(int64) for equal values — restore int64 so both
+        # join sides bucket identically
+        lambda df: df.astype(np.int64),
+        batch_format="pandas",
+    )
+    closing = e.map_batches(
+        lambda df: df.rename(columns={"id_a": "a", "id_b": "c"}),
+        batch_format="pandas",
+    )
+    closed = bindings_join(
+        wedges, closing, on=["a", "c"], how="semi", num_buckets=num_buckets
+    )
+    return closed.count()

@@ -1,0 +1,116 @@
+"""Graph analytics: out-degrees, degree histogram, PageRank, triangles.
+
+Local oracles are straight numpy/pure-Python recomputations of the same
+definitions (power iteration with dangling redistribution; brute-force
+triangle enumeration) — independent of the distributed kernels.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from graphforge_ray.stages.graph import (
+    degree_histogram,
+    out_degrees,
+    pagerank,
+    triangle_count,
+)
+
+
+def _edges_ds(pairs, num_blocks=3):
+    df = pd.DataFrame(pairs, columns=["s", "o"]).astype(np.int64)
+    return rd.from_pandas(df).repartition(num_blocks)
+
+
+def _pagerank_oracle(pairs, num_iters, damping=0.85):
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for s, _ in pairs:
+        deg[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(num_iters):
+        dm = r[deg == 0].sum()
+        incoming = np.zeros(n)
+        for s, o in pairs:
+            incoming[idx[o]] += r[idx[s]] / deg[idx[s]]
+        r = (1 - damping) / n + damping * (incoming + dm / n)
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+CHAIN_WITH_HUB = [
+    (1, 2), (2, 3), (3, 4), (4, 5),
+    (5, 1),                       # cycle back
+    (6, 1), (6, 2), (6, 3),       # hub fan-out
+    (7, 6),                       # feeds the hub
+    (8, 8),                       # self loop (counts as an out-edge)
+    (9, 1), (9, 1),               # parallel edges
+]  # node 8 only self-loops; no dangling yet
+
+
+def test_out_degrees_and_histogram():
+    ds = _edges_ds(CHAIN_WITH_HUB)
+    deg = out_degrees(ds).to_pandas().set_index("node")["out_deg"]
+    assert deg[6] == 3 and deg[9] == 2 and deg[1] == 1 and deg[8] == 1
+    hist = degree_histogram(ds)
+    assert list(hist.columns) == ["out_deg", "n_nodes"]
+    got = dict(zip(hist["out_deg"], hist["n_nodes"]))
+    # sources: 1,2,3,4,5 deg1; 7 deg1; 8 deg1; 9 deg2; 6 deg3
+    assert got == {1: 7, 2: 1, 3: 1}
+
+
+def test_pagerank_matches_oracle_with_dangling():
+    pairs = CHAIN_WITH_HUB + [(3, 10)]  # node 10 is dangling
+    ds = _edges_ds(pairs)
+    got = pagerank(ds, num_iters=4).to_pandas()
+    exp = _pagerank_oracle(pairs, num_iters=4)
+    assert len(got) == len(exp)
+    for _, row in got.iterrows():
+        assert row["rank"] == pytest.approx(exp[row["node"]], rel=1e-12)
+    # total mass conserved (dangling redistribution, not lost)
+    assert got["rank"].sum() == pytest.approx(1.0, rel=1e-9)
+
+
+def test_pagerank_fixed_iterations_deterministic():
+    ds = _edges_ds(CHAIN_WITH_HUB, num_blocks=5)
+    a = pagerank(ds, num_iters=3).to_pandas().sort_values("node")
+    b = pagerank(ds, num_iters=3).to_pandas().sort_values("node")
+    assert np.allclose(a["rank"].to_numpy(), b["rank"].to_numpy(),
+                       rtol=0, atol=5e-16)
+
+
+def _triangle_oracle(pairs):
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    count = 0
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            if c > b:  # a < b < c exactly once
+                count += 1
+    return count
+
+
+def test_triangle_count():
+    # K4 on {1..4} (4 triangles) + a pendant + noise (dups, self-loop,
+    # reversed direction)
+    pairs = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (4, 5), (5, 5), (2, 1), (3, 1),
+    ]
+    assert _triangle_oracle(pairs) == 4
+    assert triangle_count(_edges_ds(pairs)) == 4
+
+
+def test_triangle_count_none():
+    pairs = [(1, 2), (2, 3), (3, 4)]  # path: no triangles
+    assert triangle_count(_edges_ds(pairs)) == 0
+
+
+def test_pagerank_empty_graph():
+    ds = _edges_ds([])
+    assert pagerank(ds, num_iters=2).count() == 0

@@ -884,3 +884,61 @@ def test_select_star_projects_all_bound_vars(score_triples):
     )
     assert sorted(out.columns) == ["n", "s"]
     assert len(out) == 3
+
+
+def test_filter_bound_and_not_bound(score_triples):
+    # BOUND after an OPTIONAL: keep rows where the left join matched
+    out = run_select(
+        score_triples,
+        "SELECT ?s WHERE { ?s <e/name> ?n "
+        "OPTIONAL { ?s <e/childOf> ?c } FILTER(BOUND(?c)) }",
+    )
+    assert sorted(out["s"]) == ["e/A", "e/B"]
+    # !BOUND = the classic left-anti-join idiom
+    out = run_select(
+        score_triples,
+        "SELECT ?s WHERE { ?s <e/name> ?n "
+        "OPTIONAL { ?s <e/childOf> ?c } FILTER(!BOUND(?c)) }",
+    )
+    assert list(out["s"]) == ["e/C"]
+
+
+def test_filter_strlen(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT ?n WHERE { ?s <e/name> ?n FILTER(STRLEN(?n) >= 5) }",
+    )
+    assert sorted(out["n"]) == ["alpha", "gamma"]
+    out = run_select(
+        score_triples,
+        "SELECT ?n WHERE { ?s <e/name> ?n FILTER(STRLEN(?n) = 4) }",
+    )
+    assert list(out["n"]) == ["beta"]
+
+
+def test_filter_in_and_not_in(score_triples):
+    out = run_select(
+        score_triples,
+        'SELECT ?s WHERE { ?s <e/name> ?n FILTER(?n IN ("alpha", "beta")) }',
+    )
+    assert sorted(out["s"]) == ["e/A", "e/B"]
+    out = run_select(
+        score_triples,
+        'SELECT ?s WHERE { ?s <e/name> ?n '
+        'FILTER(?n NOT IN ("alpha", "beta")) }',
+    )
+    assert list(out["s"]) == ["e/C"]
+    # IRI terms resolve through _term like any pattern term
+    out = run_select(
+        score_triples,
+        "SELECT ?n WHERE { ?s <e/name> ?n FILTER(?s IN (<e/C>)) }",
+    )
+    assert list(out["n"]) == ["gamma"]
+
+
+def test_filter_bound_unknown_variable_raises(score_triples):
+    with pytest.raises(ValueError, match="unbound"):
+        run_select(
+            score_triples,
+            "SELECT ?s WHERE { ?s <e/name> ?n FILTER(BOUND(?zzz)) }",
+        )
