@@ -1325,6 +1325,133 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus curation (beyond-reference family, stages/curation.py) —
+# Gopher-style repetition filters, benchmark decontamination,
+# per-source (per-domain) quota sampling
+# ---------------------------------------------------------------------------
+
+def q_docs_repetition(sf_dir: str):
+    """Gopher/MassiveText repetition signals, word-level: duplicate-word
+    fraction and most-frequent-bigram character coverage, fully
+    vectorized (explode + groupby, no per-document loop). Oracle:
+    DuckDB recomputes both from a parallel-unnest word/position table;
+    ratios round to 6 decimals on both sides."""
+    from ..stages.curation import repetition_stats_batch
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        repetition_stats_batch, batch_format="pandas"
+    ).map_batches(
+        lambda df: df[
+            ["doc_id", "n_words", "dup_word_frac", "top_bigram_char_frac"]
+        ],
+        batch_format="pandas",
+    )
+
+
+SQL_DOCS_REPETITION = r"""
+WITH split AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'),
+                       w -> w <> '') AS ws
+    FROM documents
+),
+words AS (
+    SELECT doc_id, unnest(ws) AS w,
+           unnest(range(1, len(ws) + 1)) AS ord
+    FROM split
+),
+per_doc AS (
+    SELECT doc_id, COUNT(*) AS n_words,
+           COUNT(DISTINCT w) AS n_uniq,
+           SUM(length(w)) AS word_chars
+    FROM words GROUP BY doc_id
+),
+grams AS (
+    SELECT a.doc_id, a.w || ' ' || b.w AS g, COUNT(*) AS cnt
+    FROM words a
+    JOIN words b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+    GROUP BY a.doc_id, g
+),
+top AS (
+    SELECT doc_id, g, cnt,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY cnt DESC, g ASC) AS rn
+    FROM grams
+)
+SELECT d.doc_id,
+       COALESCE(p.n_words, 0) AS n_words,
+       ROUND(COALESCE(1.0 - p.n_uniq * 1.0 / p.n_words, 0), 6)
+           AS dup_word_frac,
+       ROUND(COALESCE(t.cnt * (length(t.g) - 1) * 1.0 / p.word_chars, 0),
+             6) AS top_bigram_char_frac
+FROM documents d
+LEFT JOIN per_doc p USING (doc_id)
+LEFT JOIN top t ON t.doc_id = d.doc_id AND t.rn = 1
+"""
+
+
+def q_docs_decontaminate(sf_dir: str):
+    """Benchmark decontamination: deterministic probe set (the first 48
+    chars of every doc_id % 50 == 0 document — a stand-in eval set),
+    broadcast once via ray.put, vectorized substring scan per batch →
+    (doc_id, contaminated). Oracle: correlated EXISTS over the same
+    probe CTE."""
+    from ..stages.curation import contamination_flags
+
+    probe_df = (
+        _t(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(
+            lambda df: df[df["doc_id"] % 50 == 0], batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    probes = [t[:48] for t in probe_df["text"].fillna("")]
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return contamination_flags(ds, probes).map_batches(
+        lambda df: df[["doc_id", "contaminated"]], batch_format="pandas"
+    )
+
+
+SQL_DOCS_DECONTAMINATE = """
+WITH probes AS (
+    SELECT substr(text, 1, 48) AS p FROM documents WHERE doc_id % 50 = 0
+)
+SELECT d.doc_id,
+       CAST(EXISTS (SELECT 1 FROM probes WHERE contains(d.text, probes.p))
+            AS BIGINT) AS contaminated
+FROM documents d
+"""
+
+
+def q_docs_source_quota(sf_dir: str):
+    """Per-source quota sampling (the Common-Crawl per-domain cap):
+    keep at most 5 docs per source by smallest md5(doc_id:salt) —
+    deterministic and reshard-stable. Map-side partial top-k combiner,
+    then one per-source bucket shuffle. Oracle: the same md5 rank as a
+    window function."""
+    from ..stages.curation import per_source_quota
+
+    ds = _t(sf_dir, "documents", ["doc_id", "source"])
+    return per_source_quota(ds, k=5).map_batches(
+        lambda df: df[["doc_id", "source"]], batch_format="pandas"
+    )
+
+
+SQL_DOCS_SOURCE_QUOTA = """
+SELECT doc_id, source FROM (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':graft-quota'),
+                        doc_id
+           ) AS rn
+    FROM documents
+) WHERE rn <= 5
+"""
+
+
 def q_rml_customer_triples(sf_dir: str):
     """Generic RML mapping-spec engine (extract.jsonmap.map_table) over a
     TPC-H tabular table: customer rows → name/nation/segment triples.
@@ -1440,6 +1567,9 @@ QUERIES = {
     "sparql_construct": q_sparql_construct,
     "docs_quality_filter": q_docs_quality_filter,
     "docs_hash_split": q_docs_hash_split,
+    "docs_repetition": q_docs_repetition,
+    "docs_decontaminate": q_docs_decontaminate,
+    "docs_source_quota": q_docs_source_quota,
     "media_image_features": q_media_image_features,
     "media_audio_features": q_media_audio_features,
     "rml_customer_triples": q_rml_customer_triples,
@@ -1490,6 +1620,9 @@ ORACLES = {
     "sparql_construct": SQL_SPARQL_CONSTRUCT,
     "docs_quality_filter": SQL_DOCS_QUALITY_FILTER,
     "docs_hash_split": SQL_DOCS_HASH_SPLIT,
+    "docs_repetition": SQL_DOCS_REPETITION,
+    "docs_decontaminate": SQL_DOCS_DECONTAMINATE,
+    "docs_source_quota": SQL_DOCS_SOURCE_QUOTA,
     "rml_customer_triples": SQL_RML_CUSTOMER_TRIPLES,
     "docs_ngram_jaccard": SQL_DOCS_NGRAM_JACCARD,
     "docs_minhash_dedup": SQL_DOCS_MINHASH_DEDUP,

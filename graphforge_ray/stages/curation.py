@@ -1,0 +1,177 @@
+"""Corpus-curation stages for LLM training-data pipelines.
+
+Beyond-reference family (the reference constructs a KG from documents;
+a 100-TB web corpus additionally needs curation before any KG/training
+use — public recipes: Gopher/MassiveText repetition filters, benchmark
+decontamination, per-domain quotas as in Common-Crawl pipelines).
+
+All three operators are scale-shaped:
+
+- repetition stats are a pure map (vectorized pandas explode/groupby —
+  no per-document Python loop);
+- decontamination broadcasts the (small, bounded) benchmark probe list
+  once via ``ray.put`` and scans each batch vectorized — never a
+  shuffle, never per-batch reshipping;
+- per-source quotas use a map-side partial top-k combiner before the
+  per-source shuffle, so the exchange moves at most k rows per
+  (batch, source), never the corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+__all__ = [
+    "repetition_stats_batch",
+    "contamination_flags",
+    "per_source_quota",
+]
+
+
+def repetition_stats_batch(
+    df: pd.DataFrame, text_col: str = "text"
+) -> pd.DataFrame:
+    """Gopher/MassiveText-style repetition signals, word-level (the
+    fixture corpus is single-line, so the line-level variants are
+    degenerate here; the word/bigram forms are the load-bearing ones):
+
+    - ``n_words``: whitespace-token count
+    - ``dup_word_frac``: 1 − distinct_words / n_words (0 when empty)
+    - ``top_bigram_char_frac``: characters covered by the most frequent
+      word bigram — count × (len(w1)+len(w2)) over total word chars;
+      ties break to the lexicographically smallest bigram; 0 when
+      n_words < 2
+
+    Entirely vectorized: one explode + three groupbys per batch, no
+    per-document Python loop. Ratios rounded to 6 decimals (float
+    parity rule for the SQL oracle)."""
+    out = df.copy()
+    words = df[text_col].fillna("").str.findall(r"\S+")
+    n_words = words.str.len().astype("int64")
+    out["n_words"] = n_words
+
+    ex = words.explode().dropna()
+    if ex.empty:
+        out["dup_word_frac"] = np.float64(0.0)
+        out["top_bigram_char_frac"] = np.float64(0.0)
+        return out
+    w = pd.DataFrame({"row": ex.index, "w": ex.to_numpy()})
+
+    nuniq = w.groupby("row")["w"].nunique()
+    dup = 1.0 - nuniq / n_words.reindex(nuniq.index)
+    out["dup_word_frac"] = (
+        dup.reindex(df.index, fill_value=0.0).astype("float64").round(6)
+    )
+
+    # bigrams: pair each word with the next word OF THE SAME ROW
+    nxt = w["w"].shift(-1)
+    same = w["row"].to_numpy() == np.roll(w["row"].to_numpy(), -1)
+    same[-1] = False
+    bg = pd.DataFrame(
+        {
+            "row": w.loc[same, "row"],
+            "g": w.loc[same, "w"] + " " + nxt[same],
+        }
+    )
+    word_chars = w.assign(n=w["w"].str.len()).groupby("row")["n"].sum()
+    if bg.empty:
+        out["top_bigram_char_frac"] = np.float64(0.0)
+        return out
+    cnt = bg.groupby(["row", "g"], as_index=False).size()
+    # max count, tie → smallest gram: sort then first per row
+    cnt = cnt.sort_values(
+        ["row", "size", "g"], ascending=[True, False, True]
+    ).drop_duplicates("row")
+    frac = (
+        cnt["size"].to_numpy()
+        * (cnt["g"].str.len().to_numpy() - 1)
+        / word_chars.reindex(cnt["row"]).to_numpy()
+    )
+    top = pd.Series(frac, index=cnt["row"].to_numpy())
+    out["top_bigram_char_frac"] = (
+        top.reindex(df.index, fill_value=0.0).astype("float64").round(6)
+    )
+    return out
+
+
+def contamination_flags(
+    docs: "ray.data.Dataset",
+    probes: list[str],
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Benchmark decontamination: flag documents containing any probe
+    string as a substring → adds ``contaminated`` (int64 0/1).
+
+    The probe list (a benchmark/eval set — small and bounded by
+    construction) is broadcast ONCE via ``ray.put`` and read inside
+    each task; each batch is scanned with vectorized non-regex
+    ``str.contains`` per probe (O(probes) vectorized passes). For very
+    large probe sets, swap the scan for an Aho-Corasick automaton built
+    once per actor — the broadcast/plumbing shape stays the same."""
+    import ray as _ray
+
+    ref = _ray.put([p for p in probes if p])
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        ps: list[str] = _ray.get(ref)
+        text = df[text_col].fillna("")
+        mask = np.zeros(len(df), dtype=bool)
+        for p in ps:
+            mask |= text.str.contains(p, regex=False).to_numpy()
+        out = df.copy()
+        out["contaminated"] = mask.astype(np.int64)
+        return out
+
+    return docs.map_batches(scan, batch_format="pandas")
+
+
+def per_source_quota(
+    docs: "ray.data.Dataset",
+    k: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "graft-quota",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Per-source document quota: keep at most ``k`` documents per
+    source, chosen by smallest ``md5(id:salt)`` (deterministic,
+    reshard-stable — the Common-Crawl per-domain cap). Ties on the
+    (improbable) equal digest break by id.
+
+    Scale shape: a map-side combiner keeps the k smallest per
+    (batch, source) so the shuffle moves ≤ k rows per batch per source;
+    the per-source reduce is one vectorized sort+head per bucket. The
+    md5 rank matches SQL ``md5(CAST(id AS VARCHAR) || ':salt')`` for
+    oracle parity."""
+    from ..shuffle import bucket_tag
+
+    def rank_hash(ids: pd.Series) -> list[str]:
+        return [
+            hashlib.md5(f"{i}:{salt}".encode()).hexdigest() for i in ids
+        ]
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(_h=rank_hash(df[id_col]))
+        df = (
+            df.sort_values(["_h", id_col])
+            .groupby(source_col, as_index=False, sort=False)
+            .head(k)
+        )
+        return df.assign(_bucket=bucket_tag(df, source_col, num_buckets))
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.sort_values(["_h", id_col])
+            .groupby(source_col, as_index=False, sort=False)
+            .head(k)
+        )
+        return g.drop(columns=["_h", "_bucket"])
+
+    return (
+        docs.map_batches(combine, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )

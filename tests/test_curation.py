@@ -1,0 +1,137 @@
+"""Curation stages: repetition stats, decontamination, source quotas.
+
+Oracles are brute-force pure-Python recomputations of the same
+definitions (Counter-based bigram stats, substring scans, md5 ranks) —
+independent of the vectorized/distributed kernels.
+"""
+
+import hashlib
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from graphforge_ray.stages.curation import (
+    contamination_flags,
+    per_source_quota,
+    repetition_stats_batch,
+)
+
+
+def _rep_oracle(text):
+    ws = text.split()
+    n = len(ws)
+    if n == 0:
+        return 0, 0.0, 0.0
+    dup = round(1.0 - len(set(ws)) / n, 6)
+    if n < 2:
+        return n, dup, 0.0
+    grams = Counter(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+    top_g = min(g for g, c in grams.items() if c == max(grams.values()))
+    frac = round(
+        grams[top_g] * (len(top_g) - 1) / sum(len(w) for w in ws), 6
+    )
+    return n, dup, frac
+
+
+TEXTS = [
+    "the cat sat on the cat mat the cat",     # repeated words + bigram
+    "a b a b a b a b",                        # heavy bigram repetition
+    "unique words only here now",             # no repetition
+    "",                                       # empty
+    "solo",                                   # single word
+    "x y z x y z x y",                        # tie between 'x y' and 'y z'
+    None,                                     # null text
+]
+
+
+def test_repetition_stats_matches_oracle():
+    df = pd.DataFrame({"doc_id": range(len(TEXTS)), "text": TEXTS})
+    out = repetition_stats_batch(df)
+    for i, t in enumerate(TEXTS):
+        n, dup, frac = _rep_oracle(t or "")
+        row = out.iloc[i]
+        assert row["n_words"] == n, (i, t)
+        assert row["dup_word_frac"] == pytest.approx(dup, abs=1e-9), (i, t)
+        assert row["top_bigram_char_frac"] == pytest.approx(
+            frac, abs=1e-9
+        ), (i, t)
+
+
+def test_repetition_tie_breaks_to_smallest_bigram():
+    # 'aa b' and 'b c' both occur twice; the tie must go to the
+    # lexicographically smaller 'aa b' (char mass 2×3), not 'b c'
+    # (2×2) — same rule as the SQL oracle's ORDER BY cnt DESC, g ASC
+    df = pd.DataFrame({"text": ["aa b c aa b c"]})
+    out = repetition_stats_batch(df)
+    assert out["top_bigram_char_frac"].iloc[0] == pytest.approx(
+        round(2 * 3 / 8, 6)
+    )
+
+
+def test_repetition_all_empty_batch():
+    df = pd.DataFrame({"text": ["", None, "  "]})
+    out = repetition_stats_batch(df)
+    assert (out["n_words"] == 0).all()
+    assert (out["dup_word_frac"] == 0.0).all()
+    assert (out["top_bigram_char_frac"] == 0.0).all()
+
+
+def test_contamination_flags():
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "the quick brown fox",
+                "a clean document here",
+                "contains the quick brown fox verbatim",
+                None,
+            ],
+        }
+    )
+    ds = rd.from_pandas(docs).repartition(2)
+    out = (
+        contamination_flags(ds, ["quick brown", "zebra"])
+        .to_pandas()
+        .set_index("doc_id")["contaminated"]
+    )
+    assert out[1] == 1 and out[3] == 1
+    assert out[2] == 0 and out[4] == 0
+    # empty / all-blank probe list: nothing flagged
+    out2 = contamination_flags(ds, ["", ""]).to_pandas()
+    assert (out2["contaminated"] == 0).all()
+
+
+def _quota_oracle(df, k, salt="graft-quota"):
+    df = df.assign(
+        _h=[
+            hashlib.md5(f"{i}:{salt}".encode()).hexdigest()
+            for i in df["doc_id"]
+        ]
+    )
+    keep = (
+        df.sort_values(["_h", "doc_id"]).groupby("source").head(k)
+    )
+    return set(keep["doc_id"])
+
+
+def test_per_source_quota():
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(200),
+            "source": [f"s{i}" for i in rng.integers(0, 7, 200)],
+        }
+    )
+    ds = rd.from_pandas(df).repartition(5)
+    out = per_source_quota(ds, k=4).to_pandas()
+    assert set(out["doc_id"]) == _quota_oracle(df, 4)
+    assert out.groupby("source").size().max() <= 4
+
+
+def test_per_source_quota_under_k_keeps_all():
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "source": ["a", "a", "b"]})
+    out = per_source_quota(rd.from_pandas(df), k=10).to_pandas()
+    assert set(out["doc_id"]) == {1, 2, 3}
