@@ -1110,6 +1110,36 @@ HAVING SUM(n_chars) > 7400
 """
 
 
+def q_sparql_subselect(sf_dir: str):
+    """'{ SELECT … }' subquery through the compiler: an aggregate
+    subselect (per-source SUM of chars) joins back onto the outer BGP,
+    and the outer FILTER sees the subselect's alias — every document in
+    a source whose total chars exceed the threshold. Only string/int
+    columns projected (the float aggregate stays internal)."""
+    from ..query.sparql import run_select
+
+    triples = q_rml_documents_triples(sf_dir)
+    out = run_select(
+        triples,
+        f"SELECT ?s ?src WHERE {{ "
+        f"{{ SELECT ?src (SUM(?n) AS ?total) WHERE {{ "
+        f"?d <{VOCAB_SOURCE}> ?src . ?d <{VOCAB_NCHARS}> ?n }} "
+        f"GROUP BY ?src }} "
+        f"?s <{VOCAB_SOURCE}> ?src FILTER(?total > 7400) }}",
+    )
+    return out.sort_values("s").reset_index(drop=True)
+
+
+SQL_SPARQL_SUBSELECT = """
+WITH agg AS (
+    SELECT source, SUM(n_chars) AS total FROM documents GROUP BY source
+)
+SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS s, source AS src
+FROM documents JOIN agg USING (source)
+WHERE agg.total > 7400
+"""
+
+
 def q_sparql_not_exists(sf_dir: str):
     """SPARQL negation through the compiler: FILTER NOT EXISTS as a
     distributed anti-join (shuffle.bindings_join how='anti') — leaf
@@ -1561,6 +1591,7 @@ QUERIES = {
     "sparql_string_filter": q_sparql_string_filter,
     "sparql_seq_path": q_sparql_seq_path,
     "sparql_having": q_sparql_having,
+    "sparql_subselect": q_sparql_subselect,
     "sparql_not_exists": q_sparql_not_exists,
     "sparql_values_bind": q_sparql_values_bind,
     "sparql_count_distinct": q_sparql_count_distinct,
@@ -1614,6 +1645,7 @@ ORACLES = {
     "sparql_string_filter": SQL_SPARQL_STRING_FILTER,
     "sparql_seq_path": SQL_SPARQL_SEQ_PATH,
     "sparql_having": SQL_SPARQL_HAVING,
+    "sparql_subselect": SQL_SPARQL_SUBSELECT,
     "sparql_not_exists": SQL_SPARQL_NOT_EXISTS,
     "sparql_values_bind": SQL_SPARQL_VALUES_BIND,
     "sparql_count_distinct": SQL_SPARQL_COUNT_DISTINCT,

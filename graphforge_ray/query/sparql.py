@@ -125,6 +125,8 @@ class SelectQuery:
     agg_params: dict = field(default_factory=dict)
     # per-alias aggregate parameters (GROUP_CONCAT separator)
     offset: int = 0
+    subselects: list[str] = field(default_factory=list)
+    # raw '{ SELECT … }' group texts, compiled+evaluated recursively
 
 
 @dataclass
@@ -489,6 +491,40 @@ def _parse_filter_rhs(rhs: str):
     return ("num", float(rhs))
 
 
+def _extract_subselects(body: str) -> tuple[list[str], str]:
+    """Cut '{ SELECT … }' subquery groups out of a WHERE body (brace
+    scan — a subselect contains its own nested WHERE braces, which the
+    flat regexes must never see). Returns (subquery texts, remaining
+    body). Braces inside string literals are not handled (same
+    limitation as the rest of the splitter; use REGEX filters for
+    brace-bearing literals)."""
+    subs: list[str] = []
+    out: list[str] = []
+    i, n = 0, len(body)
+    while i < n:
+        c = body[i]
+        if c == "{":
+            j = i + 1
+            while j < n and body[j].isspace():
+                j += 1
+            if re.match(r"SELECT\b", body[j:], re.I):
+                depth, k = 1, i + 1
+                while k < n and depth:
+                    if body[k] == "{":
+                        depth += 1
+                    elif body[k] == "}":
+                        depth -= 1
+                    k += 1
+                if depth:
+                    raise ValueError("unbalanced braces in subselect group")
+                subs.append(body[i + 1 : k - 1].strip())
+                i = k
+                continue
+        out.append(c)
+        i += 1
+    return subs, "".join(out)
+
+
 def _tail_order_by(tail: str, query: str) -> list[tuple]:
     order_by: list[tuple] = []
     om = _ORDER_BY.search(tail)
@@ -614,7 +650,17 @@ def compile_select(
     union_groups: list[tuple] = []
     patterns: list[tuple] = []
 
+    # '{ SELECT … }' subquery groups come out FIRST: they contain nested
+    # WHERE braces and their own modifiers, which every flat regex below
+    # would misparse
+    subselects, body = _extract_subselects(body)
+
     if re.search(r"\bUNION\b", body, re.I):
+        if subselects:
+            raise ValueError(
+                "a subselect alongside/inside UNION is not supported; "
+                "restructure so the subquery joins outside the UNION"
+            )
         # whole-body group union: { g1 } UNION { g2 } [UNION { g3 } …].
         # Each branch is a BGP plus optional per-branch OPTIONAL groups
         # (branch-scoped left joins). A FILTER AFTER the union's closing
@@ -778,6 +824,7 @@ def compile_select(
         having=_tail_having(tail, query),
         agg_params=agg_params,
         offset=_tail_offset(tail, query),
+        subselects=subselects,
     )
 
 
@@ -965,7 +1012,8 @@ def _run_aggregates(bindings: "ray.data.Dataset", q: SelectQuery) -> pd.DataFram
         return out.to_pandas()[[*groups, alias]]
 
     num_vars = sorted({v for f, v, _ in q.aggregates if f != "COUNT"})
-    for v in num_vars + groups:
+    count_vars = sorted({v for f, v, _ in q.aggregates if f == "COUNT"})
+    for v in num_vars + count_vars + groups:
         if v not in bindings.schema().names:
             raise ValueError(f"aggregate/group variable ?{v} is unbound")
     if num_vars:
@@ -983,7 +1031,13 @@ def _run_aggregates(bindings: "ray.data.Dataset", q: SelectQuery) -> pd.DataFram
     aggs = []
     for f, v, alias in q.aggregates:
         if f == "COUNT":
-            aggs.append(Count(alias_name=alias))
+            # on=v, not a bare row count: SPARQL COUNT(?v) counts BOUND
+            # values (NaN from OPTIONAL excluded) — and Ray 2.49's
+            # column-less Count returns 0 over pyarrow-format blocks
+            # (measured: ungrouped .aggregate(Count()) after any
+            # batch_format="pyarrow" map_batches), so the column form is
+            # also the correctness workaround
+            aggs.append(Count(on=v, alias_name=alias))
         elif f == "SUM":
             aggs.append(Sum("_num_" + v, alias_name=alias))
         elif f == "AVG":
@@ -1155,6 +1209,39 @@ def _eval_where(
         if not shared:
             raise ValueError("path pattern shares no variable with BGP")
         bindings = broadcast_lookup_join(bindings, frame, on=shared, how="inner")
+
+    # '{ SELECT … }' subqueries: each evaluates recursively to its
+    # PROJECTED bindings (SPARQL scoping — only projected variables are
+    # visible outside), then joins into the group. Subselect results
+    # follow the reference's presentation-sized convention (aggregates /
+    # LIMIT), so the join is a broadcast merge, never a shuffle.
+    for sub_text in q.subselects:
+        sub_frame = run_select(triples, sub_text, prefixes=q.prefixes)
+        if sub_frame.shape[1] == 0:
+            raise ValueError(
+                "subselect produced no projectable columns (every "
+                "projected variable unbound)"
+            )
+        if bindings is None:
+            import ray.data as rd
+
+            bindings = rd.from_pandas(sub_frame)
+            continue
+        shared = sorted(
+            set(bindings.schema().names) & set(sub_frame.columns)
+        )
+        if shared:
+            bindings = broadcast_lookup_join(
+                bindings, sub_frame, on=shared, how="inner"
+            )
+        else:  # disjoint vars: SPARQL cross product, still broadcast
+            import ray as _ray
+
+            ref = _ray.put(sub_frame)
+            bindings = bindings.map_batches(
+                lambda df, _r=ref: df.merge(_ray.get(_r), how="cross"),
+                batch_format="pandas",
+            )
 
     for opt_patterns, opt_filters in q.optionals:
         opt_b = (

@@ -942,3 +942,93 @@ def test_filter_bound_unknown_variable_raises(score_triples):
             score_triples,
             "SELECT ?s WHERE { ?s <e/name> ?n FILTER(BOUND(?zzz)) }",
         )
+
+
+# ---------------------------------------------------------------------------
+# '{ SELECT … }' subqueries
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def kin_triples(ray_session):
+    import ray.data as rd
+
+    rows = [
+        ("e/A", "e/childOf", "e/B"), ("e/A", "e/childOf", "e/C"),
+        ("e/B", "e/childOf", "e/C"), ("e/D", "e/childOf", "e/C"),
+        ("e/A", "e/name", "alpha"), ("e/B", "e/name", "beta"),
+        ("e/C", "e/name", "gamma"), ("e/D", "e/name", "delta"),
+    ]
+    return rd.from_pandas(
+        pd.DataFrame(rows, columns=["subj", "pred", "obj"])
+    )
+
+
+def test_subselect_aggregate_joins_outer(kin_triples):
+    # children per parent: C has 3 (A, B, D), B has 1 (A); the outer
+    # pattern attaches the parent's name; the outer FILTER sees the
+    # subselect's aggregate alias
+    out = run_select(
+        kin_triples,
+        "SELECT ?nm ?n WHERE { "
+        "{ SELECT ?p (COUNT(?c) AS ?n) WHERE { ?c <e/childOf> ?p } "
+        "GROUP BY ?p } "
+        "?p <e/name> ?nm FILTER(?n >= 2) }",
+    )
+    assert len(out) == 1
+    assert out.iloc[0]["nm"] == "gamma" and int(out.iloc[0]["n"]) == 3
+
+
+def test_subselect_projection_scoping(kin_triples):
+    # ?c is NOT projected by the subselect — it must not leak into (or
+    # constrain) the outer group, which binds its own ?c via e/name
+    out = run_select(
+        kin_triples,
+        "SELECT ?p ?c WHERE { "
+        "{ SELECT ?p WHERE { ?c <e/childOf> ?p } } "
+        "?p <e/name> ?c }",
+    )
+    # subselect keeps duplicates (no DISTINCT): C appears 3x, B once
+    assert sorted(out["c"]) == ["beta", "gamma", "gamma", "gamma"]
+
+
+def test_subselect_limit_order(kin_triples):
+    # top-1 parent by child count via subselect ORDER BY/LIMIT
+    out = run_select(
+        kin_triples,
+        "SELECT ?nm WHERE { "
+        "{ SELECT ?p (COUNT(?c) AS ?n) WHERE { ?c <e/childOf> ?p } "
+        "GROUP BY ?p ORDER BY DESC(?n) LIMIT 1 } "
+        "?p <e/name> ?nm }",
+    )
+    assert list(out["nm"]) == ["gamma"]
+
+
+def test_subselect_only_body(kin_triples):
+    out = run_select(
+        kin_triples,
+        "SELECT ?p ?n WHERE { "
+        "{ SELECT ?p (COUNT(?c) AS ?n) WHERE { ?c <e/childOf> ?p } "
+        "GROUP BY ?p } } ORDER BY ?p",
+    )
+    assert list(out["p"]) == ["e/B", "e/C"]
+    assert [int(x) for x in out["n"]] == [1, 3]
+
+
+def test_subselect_disjoint_cross_product(kin_triples):
+    out = run_select(
+        kin_triples,
+        "SELECT ?nm ?total WHERE { "
+        "{ SELECT (COUNT(?c) AS ?total) WHERE { ?c <e/childOf> ?p } } "
+        "?x <e/name> ?nm }",
+    )
+    assert len(out) == 4  # 4 names × 1 aggregate row
+    assert set(int(t) for t in out["total"]) == {4}
+
+
+def test_subselect_inside_union_raises(kin_triples):
+    with pytest.raises(ValueError, match="UNION"):
+        run_select(
+            kin_triples,
+            "SELECT ?p WHERE { { ?p <e/name> ?nm } UNION "
+            "{ { SELECT ?p WHERE { ?c <e/childOf> ?p } } } }",
+        )
