@@ -295,21 +295,43 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 _MEDIA_KINDS = ["ppm", "pgm", "png", "wav", "gfimg", "gfaud", "poison",
-                "gif"]
+                "gif", "jpeg"]
 
 
 def _media_bytes(i: int, seed: int) -> tuple[str, bytes]:
     """One deterministic media payload — pure function of (seed, i).
-    Rotates real stdlib-decodable formats (binary PPM/PGM images, a real
+    Rotates real decodable formats (binary PPM/PGM images, a real
     COMPRESSED PNG whose scanline filter type cycles 0-4 so every
     unfilter branch runs in the contract, a COMPRESSED GIF through the
-    from-scratch LZW codec, RIFF PCM-16 WAV), the GFIMG/GFAUD fixture
-    formats, and one POISON payload (a JPEG header — no stdlib
-    decompressor exists for it) so every corpus exercises the quarantine
-    row path. "gif" sits at the END of the rotation so ids 0-6 keep
-    their r3 kinds (pinned goldens stay valid)."""
+    from-scratch LZW codec, a baseline JPEG cycling 4:4:4/4:2:0/4:2:2
+    chroma and restart intervals, RIFF PCM-16 WAV), the GFIMG/GFAUD
+    fixture formats, and one POISON payload (a TRUNCATED JPEG — valid
+    SOI/APP0 markers, garbage after — whose parse failure exercises the
+    quarantine row path). New kinds append at the END of the rotation so
+    lower ids keep their earlier kinds (pinned goldens stay valid)."""
     kind = _MEDIA_KINDS[i % len(_MEDIA_KINDS)]
     raw = hashlib.blake2b(f"media:{seed}:{i}".encode(), digest_size=32).digest()
+    if kind == "jpeg":
+        from .stages.codecs import encode_jpeg
+
+        w, h = 18 + i % 5, 14 + i % 3
+        # smooth gradient + payload-derived low-amplitude texture (JPEG
+        # is lossy; smooth content keeps the decode deterministic-ish,
+        # and the golden pins the EXACT decoded hash anyway)
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (yy * 9 + xx * 5) % 256
+        tex = np.frombuffer(
+            (raw * (w * h * 3 // len(raw) + 1))[: w * h * 3], dtype=np.uint8
+        ).reshape(h, w, 3) % 16
+        pixels = np.clip(base[..., None] + tex, 0, 255).astype(np.uint8)
+        # i // 9 (the jpeg ordinal), not i: every jpeg id is ≡ 8 mod 9,
+        # so i % 3 would pin one constant layout for the whole corpus
+        return kind, encode_jpeg(
+            pixels,
+            quality=90,
+            subsampling=("444", "420", "422")[(i // 9) % 3],
+            restart_interval=(i // 9) % 3,
+        )
     if kind == "png":
         from .stages.codecs import encode_png
 
@@ -356,7 +378,8 @@ def _media_bytes(i: int, seed: int) -> tuple[str, bytes]:
         from .stages.multimodal import fake_audio_bytes
 
         return kind, fake_audio_bytes(seed * 1_000_003 + i)
-    return kind, b"\xff\xd8\xff\xe0" + raw  # JPEG → UnsupportedCodec
+    # truncated JPEG: real SOI/APP0, garbage after → corrupt-parse poison
+    return kind, b"\xff\xd8\xff\xe0" + raw
 
 
 def gen_media_table(n: int, seed: int = SEED, start: int = 0) -> pa.Table:

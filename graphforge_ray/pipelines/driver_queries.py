@@ -1245,11 +1245,11 @@ def q_media_image_features(sf_dir: str):
     """Multimodal image path E2E (rows-only — decode is not
     SQL-expressible): the deterministic media fixture corpus
     (fixtures.gen_media_table — testdata ships no media column) through
-    the ImageDecoder stage. Covers the real stdlib codecs (binary
-    PPM/PGM and COMPRESSED PNG, scanline filters 0-4), the GFIMG fixture
-    format, AND the poison path: 'poison' rows are JPEG payloads (no
-    stdlib decompressor) that must come out as (-1,-1,-1,-1.0,'')
-    sentinel rows, never a crash.
+    the ImageDecoder stage. Covers the real from-scratch codecs (binary
+    PPM/PGM, COMPRESSED PNG with scanline filters 0-4, GIF/LZW, baseline
+    JPEG over 4:4:4/4:2:0/4:2:2 + restart intervals), the GFIMG fixture
+    format, AND the poison path: 'poison' rows are TRUNCATED JPEGs that
+    must come out as (-1,-1,-1,-1.0,'') sentinel rows, never a crash.
     Exact phash/mean values are pinned by pytest goldens
     (tests/test_dataops.py)."""
     from ..fixtures import media_dataset
@@ -1258,7 +1258,7 @@ def q_media_image_features(sf_dir: str):
 
     media = media_dataset(240).map_batches(
         lambda df: df[df["kind"].isin(["ppm", "pgm", "png", "gif",
-                                       "gfimg", "poison"])],
+                                       "jpeg", "gfimg", "poison"])],
         batch_format="pandas",
     )
     out = media.map_batches(

@@ -20,7 +20,13 @@ the multimodal stages' "real codec" path genuinely real for:
   tables, extension skip, interlace row reordering. Encoder included
   (≤256-color quantization-free palette build).
 
-Codecs with no stdlib decompressor (JPEG/MP3/…) remain honestly
+* **JPEG** (baseline sequential DCT, JFIF) — a third compressed format,
+  entirely from scratch: Annex K quantization + Huffman tables,
+  vectorized 8x8 DCT/IDCT, canonical Huffman coding, byte stuffing,
+  restart markers, 4:4:4/4:2:0/4:2:2 chroma. Progressive/arithmetic/
+  12-bit raise ``UnsupportedCodec``.
+
+Codecs with no practical pure-Python path (MP3/H.264/…) remain honestly
 unsupported and raise ``UnsupportedCodec`` — a poison row in the
 pipeline, never a crash.
 """
@@ -37,7 +43,7 @@ import numpy as np
 __all__ = [
     "sniff_media", "decode_image", "encode_ppm", "decode_wav",
     "decode_png", "encode_png", "decode_gif", "encode_gif",
-    "UnsupportedCodec",
+    "decode_jpeg", "encode_jpeg", "UnsupportedCodec",
 ]
 
 
@@ -582,6 +588,8 @@ def decode_image(payload: bytes) -> np.ndarray:
             return decode_png(payload)
         if kind == "gif":
             return decode_gif(payload)
+        if kind == "jpeg":
+            return decode_jpeg(payload)
     except (IndexError, KeyError, struct.error, zlib.error,
             OverflowError) as e:
         raise ValueError(f"corrupt {kind} payload: {e!r}") from e
@@ -616,3 +624,556 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         arr = arr[: (len(arr) // channels) * channels]
         arr = arr.reshape(-1, channels).mean(axis=1)
     return rate, arr
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT, ITU T.81; JFIF container)
+#
+# A third compressed format, from scratch: standard Annex K quantization
+# and Huffman tables (public spec constants), vectorized 8x8 DCT/IDCT
+# (orthonormal matrix form, one einsum over all blocks), canonical
+# Huffman coding, byte stuffing, restart markers, 4:4:4 / 4:2:0 / 4:2:2
+# chroma layouts (any h,v in {1,2}). Progressive (SOF2), arithmetic,
+# 12-bit and hierarchical modes raise UnsupportedCodec. The entropy
+# coder is per-block Python (inherently sequential bit I/O) — media
+# payloads run inside map_batches tasks, so per-payload cost
+# parallelizes across the pool.
+# ---------------------------------------------------------------------------
+
+def _zigzag_order() -> np.ndarray:
+    """Flat block indices in zigzag scan order (generated, not
+    transcribed): anti-diagonals, even diagonals walked bottom-left to
+    top-right."""
+    order = []
+    for s in range(15):
+        diag = [(i, s - i) for i in range(8) if 0 <= s - i < 8]
+        if s % 2 == 0:
+            diag = diag[::-1]
+        order.extend(diag)
+    return np.array([r * 8 + c for r, c in order], dtype=np.int64)
+
+
+_JPEG_ZZ = _zigzag_order()
+
+_JPEG_QL = np.array([  # Annex K.1 luminance
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64).reshape(8, 8)
+
+_JPEG_QC = np.array([  # Annex K.2 chrominance
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.float64).reshape(8, 8)
+
+# Annex K.3-K.6 Huffman specs: (BITS[1..16], HUFFVAL)
+_HUFF_DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+              list(range(12)))
+_HUFF_DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+              list(range(12)))
+_HUFF_AC_L = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+_HUFF_AC_C = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    n = np.arange(8)
+    d = np.sqrt(2.0 / 8.0) * np.cos((2 * n[None, :] + 1) * n[:, None]
+                                    * np.pi / 16.0)
+    d[0] /= np.sqrt(2.0)
+    return d
+
+
+_JPEG_DCT = _dct_matrix()
+
+
+def _huff_canonical(bits: list[int], vals: list[int]):
+    """Canonical JPEG Huffman codes → list of (symbol, code, length)."""
+    out = []
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out.append((vals[k], code, length))
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def align(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+
+    def marker(self, m: int) -> None:
+        """Byte-align and emit a raw marker (RSTn) into the stream."""
+        self.align()
+        self.buf += bytes([0xFF, m])
+
+    def flush(self) -> bytes:
+        self.align()
+        return bytes(self.buf)
+
+
+def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality convention (public): 5000/Q below 50, else
+    200-2Q percent."""
+    quality = min(100, max(1, int(quality)))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip(np.floor((q * s + 50) / 100), 1, 255)
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """(size, code) of a DC/AC magnitude per T.81 F.1.2.1: negatives
+    code as v + 2^size - 1."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    code = v if v > 0 else v + (1 << size) - 1
+    return size, code
+
+
+_JPEG_SAMPLING = {"444": (1, 1), "420": (2, 2), "422": (2, 1)}
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF encoder: uint8 HxW (grayscale, 1 component) or
+    HxWx3 RGB (YCbCr). Standard Annex K tables scaled by ``quality``;
+    DCT vectorized over all blocks. ``subsampling`` picks the chroma
+    layout ('444'/'420'/'422' — luma carries the max factors, chroma is
+    box-average downsampled); ``restart_interval`` > 0 emits DRI + RSTn
+    markers every that many MCUs (exercises the decoder's resync)."""
+    arr = np.asarray(arr)
+    if arr.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects uint8")
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError("encode_jpeg expects HxW or HxWx3")
+    if subsampling not in _JPEG_SAMPLING:
+        raise ValueError(f"unknown subsampling {subsampling!r}")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+
+    if gray:
+        planes = [arr.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        ly = _JPEG_SAMPLING[subsampling]
+        samp = [ly, (1, 1), (1, 1)]
+    ncomp = len(planes)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    ql = _quality_scale(_JPEG_QL, quality)
+    qc = _quality_scale(_JPEG_QC, quality)
+    qtabs = [ql] if gray else [ql, qc]
+    zz = _JPEG_ZZ
+
+    comp_coefs = []
+    for ci, plane in enumerate(planes):
+        ch, cv = samp[ci]
+        fy, fx = vmax // cv, hmax // ch
+        if fy > 1 or fx > 1:  # box-average chroma downsample
+            p = np.pad(
+                plane,
+                ((0, -plane.shape[0] % fy), (0, -plane.shape[1] % fx)),
+                mode="edge",
+            )
+            plane = p.reshape(
+                p.shape[0] // fy, fy, p.shape[1] // fx, fx
+            ).mean(axis=(1, 3))
+        th, tw = mcuy * cv * 8, mcux * ch * 8  # block-grid-aligned dims
+        p = np.pad(
+            plane,
+            ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+            mode="edge",
+        ) - 128.0
+        bh, bw = th // 8, tw // 8
+        blocks = p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ij,xyjk,lk->xyil", _JPEG_DCT, blocks, _JPEG_DCT)
+        q = qtabs[min(ci, 1)]
+        comp_coefs.append(np.round(coef / q).astype(np.int64))
+
+    dc_specs = [_HUFF_DC_L] if gray else [_HUFF_DC_L, _HUFF_DC_C]
+    ac_specs = [_HUFF_AC_L] if gray else [_HUFF_AC_L, _HUFF_AC_C]
+    dc_enc = [{s: (c, l) for s, c, l in _huff_canonical(*spec)}
+              for spec in dc_specs]
+    ac_enc = [{s: (c, l) for s, c, l in _huff_canonical(*spec)}
+              for spec in ac_specs]
+
+    def write_block(bw_, ti: int, block: np.ndarray, pred: list, ci: int):
+        diff = int(block[0]) - pred[ci]
+        pred[ci] = int(block[0])
+        size, code = _mag_bits(diff)
+        hc, hl = dc_enc[ti][size]
+        bw_.write(hc, hl)
+        if size:
+            bw_.write(code, size)
+        run = 0
+        last = 63
+        while last > 0 and block[last] == 0:
+            last -= 1
+        for k in range(1, last + 1):
+            v = int(block[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                zc, zl = ac_enc[ti][0xF0]  # ZRL
+                bw_.write(zc, zl)
+                run -= 16
+            size, code = _mag_bits(v)
+            hc, hl = ac_enc[ti][(run << 4) | size]
+            bw_.write(hc, hl)
+            bw_.write(code, size)
+            run = 0
+        if last < 63:
+            ec, el = ac_enc[ti][0x00]  # EOB
+            bw_.write(ec, el)
+
+    bw_ = _BitWriter()
+    pred = [0] * ncomp
+    n_mcu = mcux * mcuy
+    rst = 0
+    for mi in range(n_mcu):
+        if restart_interval and mi and mi % restart_interval == 0:
+            bw_.marker(0xD0 + rst)
+            rst = (rst + 1) % 8
+            pred = [0] * ncomp
+        my, mx = divmod(mi, mcux)
+        for ci in range(ncomp):
+            ch, cv = samp[ci]
+            for by in range(cv):
+                for bx in range(ch):
+                    block = comp_coefs[ci][
+                        my * cv + by, mx * ch + bx
+                    ].reshape(64)[zz]
+                    write_block(bw_, min(ci, 1), block, pred, ci)
+    entropy = bw_.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = [b"\xff\xd8"]  # SOI
+    out.append(seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"))
+    for ti, q in enumerate(qtabs):
+        zzq = q.reshape(64)[zz].astype(np.uint8).tobytes()
+        out.append(seg(0xFFDB, bytes([ti]) + zzq))
+    comp_spec = b"".join(
+        bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], min(ci, 1)])
+        for ci in range(ncomp)
+    )
+    out.append(seg(0xFFC0, struct.pack(">BHHB", 8, h, w, ncomp) + comp_spec))
+    for cls, specs in ((0, dc_specs), (1, ac_specs)):
+        for ti, (bits, vals) in enumerate(specs):
+            out.append(seg(
+                0xFFC4,
+                bytes([(cls << 4) | ti]) + bytes(bits) + bytes(vals),
+            ))
+    if restart_interval:
+        out.append(seg(0xFFDD, struct.pack(">H", restart_interval)))
+    scan = b"".join(
+        bytes([ci + 1, (min(ci, 1) << 4) | min(ci, 1)])
+        for ci in range(ncomp)
+    )
+    out.append(seg(0xFFDA, bytes([ncomp]) + scan + b"\x00\x3f\x00"))
+    out.append(entropy)
+    out.append(b"\xff\xd9")  # EOI
+    return b"".join(out)
+
+
+class _BitReader:
+    """Entropy-segment bit reader: 0xFF00 unstuffing; any other marker
+    ends the segment (restart markers are consumed by the scan loop via
+    ``restart()``)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise ValueError("unexpected restart marker mid-block")
+            else:
+                raise ValueError("marker inside entropy data")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker; reset bit state."""
+        self.acc = 0
+        self.nbits = 0
+        if not (self.data[self.pos] == 0xFF
+                and 0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            raise ValueError("expected restart marker")
+        self.pos += 2
+
+
+def _huff_decoder(bits: list[int], vals: list[int]) -> dict:
+    return {(l, c): s for s, c, l in _huff_canonical(bits, vals)}
+
+
+def _huff_decode(reader: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline sequential JPEG → uint8 HxW (grayscale) or HxWx3 RGB.
+    Handles 4:4:4 / 4:2:0 / 4:2:2 (h,v ∈ {1,2}), restart intervals,
+    byte stuffing. Progressive/arithmetic/12-bit → UnsupportedCodec."""
+    if not payload.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    comps: list[dict] = []
+    h = w = 0
+    restart_interval = 0
+    scan_order: list[dict] = []
+
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            raise ValueError("no scan data")
+        (seg_len,) = struct.unpack(">H", payload[pos:pos + 2])
+        body = payload[pos + 2:pos + seg_len]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise UnsupportedCodec("16-bit quant tables")
+                tab = np.zeros(64, dtype=np.float64)
+                tab[_JPEG_ZZ] = np.frombuffer(
+                    body[i + 1:i + 65], dtype=np.uint8
+                )
+                qtabs[tq] = tab.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                cls, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1:i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17:i + 17 + n])
+                (dc_tabs if cls == 0 else ac_tabs)[th] = _huff_decoder(
+                    bits, vals
+                )
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline-ish)
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise UnsupportedCodec(f"{prec}-bit JPEG")
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
+                ch, cv = hv >> 4, hv & 0xF
+                if ch not in (1, 2) or cv not in (1, 2):
+                    raise UnsupportedCodec(f"sampling {ch}x{cv}")
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise UnsupportedCodec("non-baseline JPEG (progressive/"
+                                   "arithmetic/hierarchical)")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            for si in range(ns):
+                cid, tt = body[1 + 2 * si], body[2 + 2 * si]
+                comp = next(c for c in comps if c["id"] == cid)
+                scan_order.append(
+                    {**comp, "dc": tt >> 4, "ac": tt & 0xF}
+                )
+            pos += seg_len
+            break
+        pos += seg_len
+    if not scan_order or not h:
+        raise ValueError("missing SOF/SOS")
+    if len(scan_order) not in (1, 3):
+        raise UnsupportedCodec(f"{len(scan_order)}-component JPEG")
+
+    hmax = max(c["h"] for c in scan_order)
+    vmax = max(c["v"] for c in scan_order)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in scan_order:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.float64)
+
+    reader = _BitReader(payload, pos)
+    pred = [0] * len(scan_order)
+    n_mcu = mcux * mcuy
+    for mi in range(n_mcu):
+        if restart_interval and mi and mi % restart_interval == 0:
+            reader.restart()
+            pred = [0] * len(scan_order)
+        my, mx = divmod(mi, mcux)
+        for ci, c in enumerate(scan_order):
+            dct = dc_tabs[c["dc"]]
+            act = ac_tabs[c["ac"]]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    blk = np.zeros(64, dtype=np.float64)
+                    size = _huff_decode(reader, dct)
+                    diff = _extend(reader.receive(size), size) if size else 0
+                    pred[ci] += diff
+                    blk[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(reader, act)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:
+                                k += 16  # ZRL
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC run overflow")
+                        blk[k] = _extend(reader.receive(s), s)
+                        k += 1
+                    row = my * c["v"] + by
+                    col = mx * c["h"] + bx
+                    c["coef"][row * c["bw"] + col] = blk
+
+    planes = []
+    for c in scan_order:
+        q = qtabs[c["tq"]]
+        de = np.zeros((c["coef"].shape[0], 64), dtype=np.float64)
+        de[:, _JPEG_ZZ] = c["coef"]  # inverse zigzag
+        blocks = de.reshape(-1, 8, 8) * q
+        pix = np.einsum("ji,xjk,kl->xil", _JPEG_DCT, blocks, _JPEG_DCT)
+        pix = pix.reshape(c["bh"], c["bw"], 8, 8).transpose(0, 2, 1, 3)
+        plane = pix.reshape(c["bh"] * 8, c["bw"] * 8) + 128.0
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    cb = cb - 128.0
+    cr = cr - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr,
+         y - 0.344136 * cb - 0.714136 * cr,
+         y + 1.772 * cb],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -485,7 +485,7 @@ def test_media_driver_queries_goldens(ray_session):
     )
 
     img = q_media_image_features("")
-    assert len(img) == 180
+    assert len(img) == 186
     by_id = img.set_index("media_id")
     assert by_id.loc[0, "phash"] == "85a17fb6691352e0"
     assert by_id.loc[0, ["width", "height", "channels"]].tolist() == [8, 6, 3]
@@ -497,13 +497,21 @@ def test_media_driver_queries_goldens(ray_session):
     assert by_id.loc[7, "phash"] == "0ad465ce4fb0ea89"
     assert by_id.loc[7, ["width", "height", "channels"]].tolist() == [12, 8, 3]
     assert by_id.loc[7, "mean_intensity"] == 139.4062
-    # every 'poison' (JPEG) row degrades to the sentinel, never crashes
+    assert by_id.loc[8, "kind"] == "jpeg"                # real baseline JPEG
+    assert by_id.loc[8, "phash"] == "89fdcf9ad6c2f9ca"   # 4:4:4, no DRI
+    assert by_id.loc[8, ["width", "height", "channels"]].tolist() == [21, 16, 3]
+    assert by_id.loc[8, "mean_intensity"] == 124.3185
+    assert by_id.loc[17, "phash"] == "38027d3d81482d54"  # 4:2:0, DRI=1
+    assert by_id.loc[26, "phash"] == "700fd7fb7c15802d"  # 4:2:2, DRI=2
+    jpeg = img[img["kind"] == "jpeg"]
+    assert len(jpeg) == 26 and (jpeg["width"] > 0).all()
+    # every 'poison' (truncated JPEG) row degrades to the sentinel
     poison = img[img["kind"] == "poison"]
-    assert len(poison) == 30
+    assert len(poison) == 26
     assert (poison["width"] == -1).all() and (poison["phash"] == "").all()
 
     aud = q_media_audio_features("")
-    assert len(aud) == 60
+    assert len(aud) == 54
     a = aud.set_index("media_id")
     assert a.loc[3, ["sample_rate", "n_samples"]].tolist() == [8000, 112]
     assert a.loc[3, "rms"] == 0.544313
@@ -729,3 +737,64 @@ def test_gif_subrectangle_frame_composited_on_screen():
     assert arr[1, 1].tolist() == [0, 255, 0]   # frame idx 1 at (1,1)
     assert arr[1, 2].tolist() == [0, 0, 255]   # frame idx 2
     assert arr[3, 3].tolist() == [9, 9, 9]
+
+
+def test_jpeg_roundtrip_layouts_and_restarts():
+    """Baseline JPEG from-scratch codec: every chroma layout and restart
+    interval roundtrips within lossy tolerance; flat blocks are exact."""
+    from graphforge_ray.stages.codecs import decode_jpeg, encode_jpeg
+
+    rgb = np.zeros((50, 42, 3), np.uint8)
+    rgb[..., 0] = np.linspace(0, 255, 42)[None, :]
+    rgb[..., 1] = np.linspace(255, 0, 50)[:, None]
+    rgb[..., 2] = np.clip(
+        np.add.outer(np.linspace(0, 120, 50), np.linspace(0, 120, 42)),
+        0, 255,
+    )
+    for sub in ("444", "420", "422"):
+        for ri in (0, 3):
+            dec = decode_jpeg(
+                encode_jpeg(rgb, quality=90, subsampling=sub,
+                            restart_interval=ri)
+            )
+            assert dec.shape == rgb.shape
+            err = np.abs(dec.astype(int) - rgb.astype(int))
+            assert err.max() <= 12 and err.mean() < 3.0, (sub, ri)
+
+    # grayscale, non-multiple-of-8 dims
+    x = np.linspace(0, 255, 64)
+    gray = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)[:37, :29]
+    dg = decode_jpeg(encode_jpeg(gray, quality=95))
+    assert dg.shape == (37, 29)
+    assert np.abs(dg.astype(int) - gray.astype(int)).max() <= 10
+
+    # flat image is exactly recoverable (DC only, quantizes losslessly)
+    flat = np.full((16, 16), 77, np.uint8)
+    assert (decode_jpeg(encode_jpeg(flat, quality=90)) == 77).all()
+
+
+def test_jpeg_error_paths():
+    from graphforge_ray.stages.codecs import (
+        UnsupportedCodec,
+        decode_image,
+        decode_jpeg,
+        encode_jpeg,
+        sniff_media,
+    )
+
+    enc = encode_jpeg(np.full((8, 8), 10, np.uint8))
+    assert sniff_media(enc) == "jpeg"
+    assert decode_image(enc).shape == (8, 8)  # dispatch wired
+
+    # progressive SOF2 → UnsupportedCodec (not a poison-row ValueError)
+    prog = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(UnsupportedCodec):
+        decode_jpeg(prog)
+
+    # truncated entropy segment → normalized poison-path error
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_image(enc[: len(enc) // 2])
+
+    # garbage after SOI (the fixture 'poison' payload shape)
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x99" * 40)
