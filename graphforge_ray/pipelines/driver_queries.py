@@ -567,6 +567,86 @@ SELECT node, node - (node % 10) AS label FROM n ORDER BY node
 # KG mapping over documents (RML path, S2/P-family) — SQL-expressible
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Temporal as-of join (beyond-reference family, stages/asof.py)
+# ---------------------------------------------------------------------------
+
+def q_events_asof_click(sf_dir: str):
+    """As-of join: every purchase event attached to the user's most
+    recent click at-or-before it (the 'state at event time' join,
+    stages/asof.asof_join — one bucket shuffle on user, one vectorized
+    merge_asof per bucket). The click side is deduped to the min
+    event_id per (user, ts) on BOTH sides so the tie winner is defined;
+    oracle is DuckDB's native ASOF LEFT JOIN over the same CTE.
+    Timestamps compare as epoch microseconds; unmatched → -1."""
+    from ..shuffle import bucket_tag
+    from ..stages.asof import asof_join
+
+    ev = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    purchases = ev.map_batches(
+        lambda df: df.loc[df["event_type"] == "purchase",
+                          ["event_id", "user_id", "ts"]],
+        batch_format="pandas",
+    )
+
+    def click_combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.loc[df["event_type"] == "click",
+                   ["user_id", "ts", "event_id"]]
+            .groupby(["user_id", "ts"], as_index=False)["event_id"].min()
+        )
+        return g.assign(_bucket=bucket_tag(g, "user_id", 32))
+
+    clicks = (
+        ev.map_batches(click_combine, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: g.groupby(["user_id", "ts"], as_index=False)[
+                "event_id"
+            ].min(),
+            batch_format="pandas",
+        )
+    )
+    joined = asof_join(purchases, clicks, by="user_id", on="ts")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+                "click_event_id": df["event_id_r"]
+                .fillna(-1).astype("int64"),
+                "click_ts_us": df["ts_r"]
+                .astype("datetime64[us]").astype("int64")
+                .where(df["ts_r"].notna(), -1),
+            }
+        )
+        return out
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+SQL_EVENTS_ASOF_CLICK = """
+WITH clicks AS (
+    SELECT user_id, ts, MIN(event_id) AS click_event_id
+    FROM events WHERE event_type = 'click'
+    GROUP BY user_id, ts
+),
+p AS (
+    SELECT event_id, user_id, ts FROM events
+    WHERE event_type = 'purchase'
+)
+SELECT p.event_id,
+       p.user_id,
+       CAST(epoch_us(p.ts) AS BIGINT) AS ts_us,
+       COALESCE(c.click_event_id, -1) AS click_event_id,
+       COALESCE(CAST(epoch_us(c.ts) AS BIGINT), -1) AS click_ts_us
+FROM p ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 def q_rml_documents_triples(sf_dir: str):
     """RML-style column-to-triple mapping over the documents table."""
     docs = _t(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
@@ -1573,6 +1653,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "user_sessions": q_user_sessions,
     "events_sliding": q_events_sliding,
+    "events_asof_click": q_events_asof_click,
     "part_hierarchy_closure": q_part_hierarchy_closure,
     "graph_pagerank": q_graph_pagerank,
     "graph_triangles": q_graph_triangles,
@@ -1627,6 +1708,7 @@ ORACLES = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "user_sessions": SQL_USER_SESSIONS,
     "events_sliding": SQL_EVENTS_SLIDING,
+    "events_asof_click": SQL_EVENTS_ASOF_CLICK,
     "part_hierarchy_closure": SQL_PART_HIERARCHY_CLOSURE,
     "graph_pagerank": SQL_GRAPH_PAGERANK,
     "graph_triangles": SQL_GRAPH_TRIANGLES,
