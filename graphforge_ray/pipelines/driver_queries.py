@@ -568,8 +568,77 @@ SELECT node, node - (node % 10) AS label FROM n ORDER BY node
 # ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
-# Temporal as-of join (beyond-reference family, stages/asof.py)
+# Temporal as-of / interval joins (beyond-reference family, stages/asof.py)
 # ---------------------------------------------------------------------------
+
+def q_events_session_join(sf_dir: str):
+    """Interval (range) join: every event attached to its containing
+    session window (stages/asof.interval_join — bucket shuffle on user,
+    vectorized merge_asof-on-start + end-containment mask per bucket;
+    sessions are non-overlapping per user by construction). Oracle:
+    gaps-and-islands session CTE + BETWEEN join. Every event falls in
+    exactly one of its own sessions, so inner join row count = events."""
+    from ..stages.asof import interval_join
+    from ..stages.windows import session_window
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    sessions = session_window(ev, gap_us=1_800_000_000).map_batches(
+        lambda df: df[["user_id", "session_start_us", "session_end_us"]],
+        batch_format="pandas",
+    )
+    points = ev.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "event_id": df["event_id"],
+                "user_id": df["user_id"],
+                "us": df["ts"].astype("datetime64[us]").astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    joined = interval_join(
+        points, sessions, by="user_id", on="us",
+        start="session_start_us", end="session_end_us",
+    )
+    return joined.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "ts_us": df["us"].astype("int64"),
+                "session_start_us": df["session_start_us_r"]
+                .astype("int64"),
+                "session_end_us": df["session_end_us_r"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+SQL_EVENTS_SESSION_JOIN = """
+WITH t AS (
+    SELECT user_id, event_id, epoch_us(ts) AS us,
+           CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+), s AS (
+    SELECT user_id, event_id, us,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM t
+), sess AS (
+    SELECT user_id, sid, MIN(us) AS session_start_us,
+           MAX(us) AS session_end_us
+    FROM s GROUP BY user_id, sid
+)
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+       sess.session_start_us, sess.session_end_us
+FROM events e JOIN sess
+  ON e.user_id = sess.user_id
+ AND epoch_us(e.ts) BETWEEN sess.session_start_us AND sess.session_end_us
+"""
 
 def q_events_asof_click(sf_dir: str):
     """As-of join: every purchase event attached to the user's most
@@ -1654,6 +1723,7 @@ QUERIES = {
     "user_sessions": q_user_sessions,
     "events_sliding": q_events_sliding,
     "events_asof_click": q_events_asof_click,
+    "events_session_join": q_events_session_join,
     "part_hierarchy_closure": q_part_hierarchy_closure,
     "graph_pagerank": q_graph_pagerank,
     "graph_triangles": q_graph_triangles,
@@ -1709,6 +1779,7 @@ ORACLES = {
     "user_sessions": SQL_USER_SESSIONS,
     "events_sliding": SQL_EVENTS_SLIDING,
     "events_asof_click": SQL_EVENTS_ASOF_CLICK,
+    "events_session_join": SQL_EVENTS_SESSION_JOIN,
     "part_hierarchy_closure": SQL_PART_HIERARCHY_CLOSURE,
     "graph_pagerank": SQL_GRAPH_PAGERANK,
     "graph_triangles": SQL_GRAPH_TRIANGLES,

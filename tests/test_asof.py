@@ -102,3 +102,69 @@ def test_asof_rejects_bad_args():
         asof_join(l, r, by="u", on="ts", direction="sideways")
     with pytest.raises(ValueError, match="missing"):
         asof_join(l, r, by="nope", on="ts")
+
+
+# ---------------------------------------------------------------------------
+# interval (range) join
+# ---------------------------------------------------------------------------
+
+def test_interval_join_inner_and_left():
+    from graphforge_ray.stages.asof import interval_join
+
+    pts = pd.DataFrame(
+        {"u": [1, 1, 1, 2, 3], "ts": [5, 15, 99, 7, 1],
+         "ev": ["a", "b", "c", "d", "e"]}
+    )
+    iv = pd.DataFrame(
+        {"u": [1, 1, 2], "start": [0, 10, 0], "end": [9, 20, 50],
+         "sid": [100, 101, 200]}
+    )
+    inner = (
+        interval_join(
+            rd.from_pandas(pts).repartition(2),
+            rd.from_pandas(iv).repartition(2),
+            by="u", on="ts",
+        )
+        .to_pandas().set_index("ev")
+    )
+    assert inner.loc["a", "sid_r"] == 100
+    assert inner.loc["b", "sid_r"] == 101
+    assert inner.loc["d", "sid_r"] == 200
+    assert "c" not in inner.index and "e" not in inner.index
+
+    left = (
+        interval_join(
+            rd.from_pandas(pts), rd.from_pandas(iv),
+            by="u", on="ts", how="left_outer",
+        )
+        .to_pandas().set_index("ev")
+    )
+    assert len(left) == 5
+    assert pd.isna(left.loc["c", "sid_r"]) and pd.isna(left.loc["e", "sid_r"])
+    assert left.loc["a", "sid_r"] == 100
+
+
+def test_interval_join_boundaries_inclusive():
+    from graphforge_ray.stages.asof import interval_join
+
+    pts = pd.DataFrame({"u": [1, 1], "ts": [10, 20], "ev": ["lo", "hi"]})
+    iv = pd.DataFrame({"u": [1], "start": [10], "end": [20], "sid": [7]})
+    out = (
+        interval_join(rd.from_pandas(pts), rd.from_pandas(iv),
+                      by="u", on="ts")
+        .to_pandas()
+    )
+    assert sorted(out["ev"]) == ["hi", "lo"]  # both endpoints contained
+
+
+def test_interval_join_overlap_raises():
+    from graphforge_ray.stages.asof import interval_join
+
+    pts = pd.DataFrame({"u": [1], "ts": [5], "ev": ["a"]})
+    iv = pd.DataFrame(
+        {"u": [1, 1], "start": [0, 5], "end": [9, 20], "sid": [1, 2]}
+    )
+    with pytest.raises(Exception, match="overlap"):
+        interval_join(
+            rd.from_pandas(pts), rd.from_pandas(iv), by="u", on="ts"
+        ).to_pandas()
