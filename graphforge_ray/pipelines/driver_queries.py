@@ -1510,6 +1510,42 @@ FROM documents
 # per-source (per-domain) quota sampling
 # ---------------------------------------------------------------------------
 
+def q_docs_length_quantiles(sf_dir: str):
+    """Exact per-language length quantiles (percentile_disc semantics)
+    via the distributed counting-sort histogram (stages/stats) — the
+    shuffle moves (lang, n_chars, count) rows, never documents. Oracle:
+    DuckDB quantile_disc lists unnested."""
+    from ..stages.stats import group_quantiles
+
+    ds = _t(sf_dir, "documents", ["lang", "n_chars"])
+    out = group_quantiles(
+        ds, key="lang", col="n_chars", qs=(0.25, 0.5, 0.75, 0.9)
+    )
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "lang": df["lang"],
+                "q_pct": df["q_pct"].astype("int64"),
+                "value": df["value"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+SQL_DOCS_LENGTH_QUANTILES = """
+WITH a AS (
+    SELECT lang,
+           quantile_disc(n_chars, [0.25, 0.5, 0.75, 0.9]) AS vs
+    FROM documents GROUP BY lang
+)
+SELECT lang,
+       unnest([25, 50, 75, 90]) AS q_pct,
+       unnest(vs) AS value
+FROM a
+"""
+
+
 def q_docs_repetition(sf_dir: str):
     """Gopher/MassiveText repetition signals, word-level: duplicate-word
     fraction and most-frequent-bigram character coverage, fully
@@ -1749,6 +1785,7 @@ QUERIES = {
     "sparql_construct": q_sparql_construct,
     "docs_quality_filter": q_docs_quality_filter,
     "docs_hash_split": q_docs_hash_split,
+    "docs_length_quantiles": q_docs_length_quantiles,
     "docs_repetition": q_docs_repetition,
     "docs_decontaminate": q_docs_decontaminate,
     "docs_source_quota": q_docs_source_quota,
@@ -1805,6 +1842,7 @@ ORACLES = {
     "sparql_construct": SQL_SPARQL_CONSTRUCT,
     "docs_quality_filter": SQL_DOCS_QUALITY_FILTER,
     "docs_hash_split": SQL_DOCS_HASH_SPLIT,
+    "docs_length_quantiles": SQL_DOCS_LENGTH_QUANTILES,
     "docs_repetition": SQL_DOCS_REPETITION,
     "docs_decontaminate": SQL_DOCS_DECONTAMINATE,
     "docs_source_quota": SQL_DOCS_SOURCE_QUOTA,

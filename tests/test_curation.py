@@ -135,3 +135,46 @@ def test_per_source_quota_under_k_keeps_all():
     df = pd.DataFrame({"doc_id": [1, 2, 3], "source": ["a", "a", "b"]})
     out = per_source_quota(rd.from_pandas(df), k=10).to_pandas()
     assert set(out["doc_id"]) == {1, 2, 3}
+
+
+# ---------------------------------------------------------------------------
+# exact distributed quantiles (stages/stats)
+# ---------------------------------------------------------------------------
+
+def test_group_quantiles_exact_percentile_disc():
+    import math
+
+    from graphforge_ray.stages.stats import group_quantiles
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], 500),
+            "v": rng.integers(0, 40, 500).astype("int64"),
+        }
+    )
+    # sprinkle nulls — must be excluded like SQL aggregates do
+    df.loc[df.index[:10], "v"] = pd.NA
+    df["v"] = df["v"].astype("Int64")
+    qs = (0.25, 0.5, 0.75, 0.9, 1.0)
+    out = (
+        group_quantiles(rd.from_pandas(df).repartition(4), "k", "v", qs)
+        .to_pandas()
+        .set_index(["k", "q_pct"])["value"]
+    )
+
+    for k, grp in df.dropna().groupby("k"):
+        vals = np.sort(grp["v"].astype("int64").to_numpy())
+        for q in qs:
+            expect = vals[math.ceil(q * len(vals)) - 1]  # percentile_disc
+            assert out.loc[(k, int(q * 100))] == expect, (k, q)
+
+
+def test_group_quantiles_rejects_bad_q():
+    from graphforge_ray.stages.stats import group_quantiles
+
+    ds = rd.from_pandas(pd.DataFrame({"k": ["a"], "v": [1]}))
+    with pytest.raises(ValueError):
+        group_quantiles(ds, "k", "v", qs=(0.0,))
+    with pytest.raises(ValueError):
+        group_quantiles(ds, "k", "v", qs=())
