@@ -1640,6 +1640,57 @@ FROM documents d
 """
 
 
+def q_docs_tfidf(sf_dir: str):
+    """Top-3 TF-IDF terms per document (stages/curation.tfidf_topk):
+    explode → (doc, term, tf); df via a term-bucketed shuffle; the df
+    join runs through bindings_join so the vocabulary never lands on
+    the driver; per-doc top-k via the partial-top-k combiner. Ties rank
+    (score desc, term asc); scores FLOOR-truncated at 1e-6 on both
+    sides."""
+    from ..stages.curation import tfidf_topk
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = tfidf_topk(ds, k=3)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "rank": df["rank"].astype("int64"),
+                "term": df["term"],
+                "score": df["score"].astype("float64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+SQL_DOCS_TFIDF = r"""
+WITH split AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'),
+                       w -> w <> '') AS ws
+    FROM documents
+),
+words AS (SELECT doc_id, unnest(ws) AS w FROM split),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY doc_id, w),
+df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY w),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.w AS term,
+           FLOOR(tf.tf * ln((SELECT n FROM nn) / df.df) * 1e6) / 1e6
+               AS score
+    FROM tf JOIN df ON df.w = tf.w
+),
+ranked AS (
+    SELECT doc_id, term, score,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, term ASC) AS rank
+    FROM scored
+)
+SELECT doc_id, rank, term, score FROM ranked WHERE rank <= 3
+"""
+
+
 def q_docs_source_quota(sf_dir: str):
     """Per-source quota sampling (the Common-Crawl per-domain cap):
     keep at most 5 docs per source by smallest md5(doc_id:salt) —
@@ -1789,6 +1840,7 @@ QUERIES = {
     "docs_repetition": q_docs_repetition,
     "docs_decontaminate": q_docs_decontaminate,
     "docs_source_quota": q_docs_source_quota,
+    "docs_tfidf": q_docs_tfidf,
     "media_image_features": q_media_image_features,
     "media_audio_features": q_media_audio_features,
     "rml_customer_triples": q_rml_customer_triples,
@@ -1846,6 +1898,7 @@ ORACLES = {
     "docs_repetition": SQL_DOCS_REPETITION,
     "docs_decontaminate": SQL_DOCS_DECONTAMINATE,
     "docs_source_quota": SQL_DOCS_SOURCE_QUOTA,
+    "docs_tfidf": SQL_DOCS_TFIDF,
     "rml_customer_triples": SQL_RML_CUSTOMER_TRIPLES,
     "docs_ngram_jaccard": SQL_DOCS_NGRAM_JACCARD,
     "docs_minhash_dedup": SQL_DOCS_MINHASH_DEDUP,

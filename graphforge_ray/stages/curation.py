@@ -28,6 +28,7 @@ __all__ = [
     "repetition_stats_batch",
     "contamination_flags",
     "per_source_quota",
+    "tfidf_topk",
 ]
 
 
@@ -174,4 +175,107 @@ def per_source_quota(
         docs.map_batches(combine, batch_format="pandas")
         .groupby("_bucket")
         .map_groups(reduce_bucket, batch_format="pandas")
+    )
+
+
+def tfidf_topk(
+    docs: "ray.data.Dataset",
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Top-k TF-IDF terms per document → Dataset (id, rank, term,
+    score). tf = term count in the doc; idf = ln(N / df) with N = total
+    documents and df = documents containing the term; ties rank by
+    (score desc, term asc) — fully deterministic, so an SQL oracle can
+    replay it exactly.
+
+    Everything stays distributed and vectorized:
+    1. (doc, term, tf) via one explode + groupby per batch — each doc
+       lives in one batch, so per-batch counts are already final;
+    2. df via a term-bucketed count shuffle (map-side combiner);
+    3. df joins back onto the term rows with the acero-safe
+       ``bindings_join`` (term-hash buckets) — no vocabulary table ever
+       lands on the driver, so web-scale vocabularies are fine;
+    4. per-doc top-k with the same partial-top-k combiner as
+       ``per_source_quota``: the final shuffle moves ≤ k rows per
+       (batch, doc).
+
+    Scores are FLOOR-truncated at 1e-6 (ROUND half-even vs half-away
+    differs at boundaries; identical doubles floor identically)."""
+    from ..shuffle import bindings_join, bucket_tag
+
+    n_docs = float(docs.count())
+
+    def doc_terms(df: pd.DataFrame) -> pd.DataFrame:
+        words = df[text_col].fillna("").str.findall(r"\S+")
+        ids = df[id_col]
+        ex = words.explode().dropna()
+        if ex.empty:
+            return pd.DataFrame({id_col: [], "term": [], "tf": []})
+        out = (
+            pd.DataFrame(
+                {id_col: ids.reindex(ex.index), "term": ex.to_numpy()}
+            )
+            .groupby([id_col, "term"], as_index=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+        out["tf"] = out["tf"].astype(np.int64)
+        return out
+
+    terms = docs.map_batches(doc_terms, batch_format="pandas")
+
+    def df_combine(t: pd.DataFrame) -> pd.DataFrame:
+        g = t.groupby("term", as_index=False).size().rename(
+            columns={"size": "df"}
+        )
+        g["df"] = g["df"].astype(np.int64)
+        return g.assign(_bucket=bucket_tag(g, "term", num_buckets))
+
+    doc_freq = (
+        terms.map_batches(df_combine, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: g.groupby("term", as_index=False)["df"].sum(),
+            batch_format="pandas",
+        )
+    )
+
+    joined = bindings_join(terms, doc_freq, on=["term"],
+                           num_buckets=num_buckets)
+
+    def score_and_partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        # bindings_join widens int dtypes on the filled side — restore
+        tf = df["tf"].astype(np.int64)
+        dfreq = df["df"].astype(np.float64)
+        df["score"] = np.floor(
+            tf.to_numpy() * np.log(n_docs / dfreq.to_numpy()) * 1e6
+        ) / 1e6
+        df = (
+            df.sort_values(["score", "term"], ascending=[False, True])
+            .groupby(id_col, sort=False)
+            .head(k)[[id_col, "term", "score"]]
+        )
+        return df.assign(_bucket=bucket_tag(df, id_col, num_buckets))
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.sort_values(["score", "term"], ascending=[False, True])
+            .groupby(id_col, sort=False)
+            .head(k)
+            .sort_values([id_col, "score", "term"],
+                         ascending=[True, False, True])
+        )
+        g = g.copy()
+        g["rank"] = g.groupby(id_col, sort=False).cumcount() + 1
+        g["rank"] = g["rank"].astype(np.int64)
+        return g[[id_col, "rank", "term", "score"]]
+
+    return (
+        joined.map_batches(score_and_partial_topk, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(final_topk, batch_format="pandas")
     )

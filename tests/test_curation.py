@@ -178,3 +178,45 @@ def test_group_quantiles_rejects_bad_q():
         group_quantiles(ds, "k", "v", qs=(0.0,))
     with pytest.raises(ValueError):
         group_quantiles(ds, "k", "v", qs=())
+
+
+def test_tfidf_topk_matches_brute_force():
+    import math
+    from collections import Counter
+
+    from graphforge_ray.stages.curation import tfidf_topk
+
+    texts = [
+        "apple banana apple cherry",
+        "banana banana date",
+        "cherry date apple",
+        "",                       # empty doc still counts toward N
+        "eel eel eel eel",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = (
+        tfidf_topk(rd.from_pandas(df).repartition(3), k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+    n = float(len(texts))
+    dfreq = Counter()
+    for t in texts:
+        dfreq.update(set(t.split()))
+    for doc_id, t in enumerate(texts):
+        tf = Counter(t.split())
+        scored = sorted(
+            (
+                (math.floor(c * math.log(n / dfreq[w]) * 1e6) / 1e6, w)
+                for w, c in tf.items()
+            ),
+            key=lambda sw: (-sw[0], sw[1]),
+        )[:2]
+        got = out[out["doc_id"] == doc_id]
+        assert len(got) == len(scored), doc_id
+        for (escore, eterm), (_, row) in zip(scored, got.iterrows()):
+            assert row["term"] == eterm, (doc_id, eterm)
+            assert row["score"] == pytest.approx(escore, abs=1e-9)
+    assert len(out[out["doc_id"] == 3]) == 0  # empty doc → no terms
