@@ -1640,6 +1640,32 @@ FROM documents d
 """
 
 
+def q_docs_shuffle_shards(sf_dir: str):
+    """Reproducible global shuffle + shard assignment
+    (stages/sampling.deterministic_shuffle): rank = position in the
+    md5(id:salt) total order, shard = rank % 8 — computed with an
+    order-preserving bucket histogram (tiny driver frame) + per-bucket
+    offset ranking, never a driver sort. Oracle: ROW_NUMBER over the
+    same md5 order."""
+    from ..stages.sampling import deterministic_shuffle
+
+    ds = _t(sf_dir, "documents", ["doc_id"])
+    return deterministic_shuffle(ds, num_shards=8)
+
+
+SQL_DOCS_SHUFFLE_SHARDS = """
+WITH r AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':graft-shuffle'),
+                        doc_id
+           ) - 1 AS rank
+    FROM documents
+)
+SELECT doc_id, rank, rank % 8 AS shard FROM r
+"""
+
+
 def q_docs_tfidf(sf_dir: str):
     """Top-3 TF-IDF terms per document (stages/curation.tfidf_topk):
     explode → (doc, term, tf); df via a term-bucketed shuffle; the df
@@ -1841,6 +1867,7 @@ QUERIES = {
     "docs_decontaminate": q_docs_decontaminate,
     "docs_source_quota": q_docs_source_quota,
     "docs_tfidf": q_docs_tfidf,
+    "docs_shuffle_shards": q_docs_shuffle_shards,
     "media_image_features": q_media_image_features,
     "media_audio_features": q_media_audio_features,
     "rml_customer_triples": q_rml_customer_triples,
@@ -1899,6 +1926,7 @@ ORACLES = {
     "docs_decontaminate": SQL_DOCS_DECONTAMINATE,
     "docs_source_quota": SQL_DOCS_SOURCE_QUOTA,
     "docs_tfidf": SQL_DOCS_TFIDF,
+    "docs_shuffle_shards": SQL_DOCS_SHUFFLE_SHARDS,
     "rml_customer_triples": SQL_RML_CUSTOMER_TRIPLES,
     "docs_ngram_jaccard": SQL_DOCS_NGRAM_JACCARD,
     "docs_minhash_dedup": SQL_DOCS_MINHASH_DEDUP,

@@ -26,7 +26,7 @@ import pandas as pd
 
 import ray.data
 
-__all__ = ["hash_split_column", "hash_split"]
+__all__ = ["hash_split_column", "hash_split", "deterministic_shuffle"]
 
 
 def _threshold_hex(test_pct: float) -> str:
@@ -68,4 +68,87 @@ def hash_split(
     return ds.map_batches(
         lambda df: hash_split_column(df, key_col, test_pct, salt),
         batch_format="pandas",
+    )
+
+
+def deterministic_shuffle(
+    ds: "ray.data.Dataset",
+    key_col: str = "doc_id",
+    salt: str = "graft-shuffle",
+    num_shards: int | None = None,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Reproducible global shuffle → Dataset (key, rank[, shard]):
+    every row's ``rank`` is its position in the total order of
+    ``md5(key:salt)`` (ties broken by key), and ``shard = rank %
+    num_shards`` when requested — the training-data shuffle+shard
+    assignment that must be REPRODUCIBLE across runs, resumes and
+    cluster sizes (``random_shuffle`` is none of those).
+
+    Distributed rank without a global sort barrier on the driver:
+
+    1. map-side: per-batch row counts per ORDER-PRESERVING bucket (the
+       first hex chars of the md5 key — lexicographic bucket order IS
+       key order, and md5 uniformity balances buckets);
+    2. driver: fold the tiny (bucket → count) histogram into prefix
+       offsets, broadcast via ``ray.put``;
+    3. one bucket shuffle; per bucket, sort its rows and add the
+       bucket's offset — rank = offset + local position.
+
+    The histogram is ≤ ``num_buckets`` rows regardless of corpus size;
+    no row data ever lands on the driver."""
+    import math
+
+    import numpy as np
+
+    import ray as _ray
+
+    from ..shuffle import bucket_tag  # noqa: F401  (module convention)
+
+    hex_chars = max(1, math.ceil(math.log(num_buckets, 16)))
+    n_buckets = 16 ** hex_chars
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        ks = [
+            hashlib.md5(f"{k}:{salt}".encode()).hexdigest()
+            for k in df[key_col]
+        ]
+        return pd.DataFrame(
+            {
+                key_col: df[key_col].to_numpy(),
+                "_h": ks,
+                "_bucket": [int(h[:hex_chars], 16) for h in ks],
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pandas").materialize()
+
+    hist_parts = keyed_ds.map_batches(
+        lambda df: df.groupby("_bucket", as_index=False).size(),
+        batch_format="pandas",
+    ).to_pandas()
+    hist = (
+        hist_parts.groupby("_bucket")["size"].sum()
+        .reindex(range(n_buckets), fill_value=0)
+    )
+    offsets = hist.cumsum().shift(fill_value=0).astype("int64")
+    ref = _ray.put(offsets.to_dict())
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        offs = _ray.get(ref)
+        g = g.sort_values(["_h", key_col], kind="mergesort")
+        base = int(offs[int(g["_bucket"].iloc[0])])
+        out = pd.DataFrame(
+            {
+                key_col: g[key_col].to_numpy(),
+                "rank": base + np.arange(len(g), dtype=np.int64),
+            }
+        )
+        if num_shards:
+            out["shard"] = (out["rank"] % num_shards).astype(np.int64)
+        return out
+
+    return (
+        keyed_ds.groupby("_bucket")
+        .map_groups(rank_bucket, batch_format="pandas")
     )

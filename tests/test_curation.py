@@ -220,3 +220,32 @@ def test_tfidf_topk_matches_brute_force():
             assert row["term"] == eterm, (doc_id, eterm)
             assert row["score"] == pytest.approx(escore, abs=1e-9)
     assert len(out[out["doc_id"] == 3]) == 0  # empty doc → no terms
+
+
+def test_deterministic_shuffle_rank_is_total_md5_order():
+    from graphforge_ray.stages.sampling import deterministic_shuffle
+
+    ids = np.arange(300)
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids})).repartition(5)
+    out = (
+        deterministic_shuffle(ds, num_shards=4)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    expect = sorted(
+        ids, key=lambda i: (hashlib.md5(f"{i}:graft-shuffle".encode())
+                            .hexdigest(), i)
+    )
+    assert out["doc_id"].tolist() == expect
+    assert out["rank"].tolist() == list(range(300))  # dense, 0-based
+    assert (out["shard"] == out["rank"] % 4).all()
+    # reproducible across a re-run and a different block layout
+    out2 = (
+        deterministic_shuffle(
+            rd.from_pandas(pd.DataFrame({"doc_id": ids})).repartition(11),
+            num_shards=4,
+        )
+        .to_pandas().sort_values("rank").reset_index(drop=True)
+    )
+    assert out2["doc_id"].tolist() == expect
