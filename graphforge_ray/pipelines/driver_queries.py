@@ -1666,6 +1666,82 @@ SELECT doc_id, rank, rank % 8 AS shard FROM r
 """
 
 
+def q_docs_pack_sequences(sf_dir: str):
+    """Training-sequence packing E2E: reproducible shuffle+shard
+    (md5 order), whitespace token counts joined on via the distributed
+    bindings join, then greedy non-straddling packing per shard
+    (stages/sampling.pack_sequences, capacity 120 tokens). Oracle: a
+    recursive CTE replaying the same greedy walk row by row."""
+    from ..shuffle import bindings_join
+    from ..stages.sampling import deterministic_shuffle, pack_sequences
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    toks = docs.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": df["text"].fillna("")
+                .str.count(r"\S+").astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    sharded = deterministic_shuffle(docs, num_shards=8)
+    joined = bindings_join(sharded, toks, on=["doc_id"]).map_batches(
+        lambda df: df.astype("int64"),  # bindings_join widens filled cols
+        batch_format="pandas",
+    )
+    packed = pack_sequences(joined, capacity=120)
+    return packed.map_batches(
+        lambda df: df.astype(
+            {"doc_id": "int64", "shard": "int64",
+             "seq_id": "int64", "offset": "int64"}
+        ),
+        batch_format="pandas",
+    )
+
+
+SQL_DOCS_PACK_SEQUENCES = r"""
+WITH RECURSIVE toks AS (
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\s+'),
+                           w -> w <> '')) AS n_tokens
+    FROM documents
+),
+sharded AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':graft-shuffle'),
+                        doc_id
+           ) - 1 AS rank
+    FROM documents
+),
+ordered AS (
+    SELECT s.doc_id, s.rank % 8 AS shard, t.n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY s.rank % 8
+                              ORDER BY s.rank) AS pos
+    FROM sharded s JOIN toks t USING (doc_id)
+),
+pack AS (
+    SELECT shard, doc_id, n_tokens, pos,
+           CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS "offset",
+           n_tokens AS fill
+    FROM ordered WHERE pos = 1
+    UNION ALL
+    SELECT o.shard, o.doc_id, o.n_tokens, o.pos,
+           CASE WHEN p.fill > 0 AND p.fill + o.n_tokens > 120
+                THEN p.seq_id + 1 ELSE p.seq_id END,
+           CASE WHEN p.fill > 0 AND p.fill + o.n_tokens > 120
+                THEN 0 ELSE p.fill END,
+           CASE WHEN p.fill > 0 AND p.fill + o.n_tokens > 120
+                THEN o.n_tokens ELSE p.fill + o.n_tokens END
+    FROM pack p JOIN ordered o
+      ON o.shard = p.shard AND o.pos = p.pos + 1
+)
+SELECT doc_id, shard, seq_id, "offset" FROM pack
+"""
+
+
 def q_docs_tfidf(sf_dir: str):
     """Top-3 TF-IDF terms per document (stages/curation.tfidf_topk):
     explode → (doc, term, tf); df via a term-bucketed shuffle; the df
@@ -1868,6 +1944,7 @@ QUERIES = {
     "docs_source_quota": q_docs_source_quota,
     "docs_tfidf": q_docs_tfidf,
     "docs_shuffle_shards": q_docs_shuffle_shards,
+    "docs_pack_sequences": q_docs_pack_sequences,
     "media_image_features": q_media_image_features,
     "media_audio_features": q_media_audio_features,
     "rml_customer_triples": q_rml_customer_triples,
@@ -1927,6 +2004,7 @@ ORACLES = {
     "docs_source_quota": SQL_DOCS_SOURCE_QUOTA,
     "docs_tfidf": SQL_DOCS_TFIDF,
     "docs_shuffle_shards": SQL_DOCS_SHUFFLE_SHARDS,
+    "docs_pack_sequences": SQL_DOCS_PACK_SEQUENCES,
     "rml_customer_triples": SQL_RML_CUSTOMER_TRIPLES,
     "docs_ngram_jaccard": SQL_DOCS_NGRAM_JACCARD,
     "docs_minhash_dedup": SQL_DOCS_MINHASH_DEDUP,

@@ -26,7 +26,8 @@ import pandas as pd
 
 import ray.data
 
-__all__ = ["hash_split_column", "hash_split", "deterministic_shuffle"]
+__all__ = ["hash_split_column", "hash_split", "deterministic_shuffle",
+           "pack_sequences"]
 
 
 def _threshold_hex(test_pct: float) -> str:
@@ -151,4 +152,77 @@ def deterministic_shuffle(
     return (
         keyed_ds.groupby("_bucket")
         .map_groups(rank_bucket, batch_format="pandas")
+    )
+
+
+def pack_sequences(
+    ds: "ray.data.Dataset",
+    capacity: int,
+    shard_col: str = "shard",
+    order_col: str = "rank",
+    size_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Greedy non-straddling sequence packing → Dataset (id, shard,
+    seq_id, offset): walking each shard's documents in ``order_col``
+    order, a document joins the current sequence if its ``size_col``
+    still fits within ``capacity``, else it opens the next sequence
+    (an oversized document gets a sequence alone). The packing step for
+    fixed-length LM training batches — deterministic given the
+    (reproducible) order, so shards can be re-packed identically after
+    a resume.
+
+    Shape: one bucket shuffle on the shard id, then one kernel per
+    shard. The per-shard walk is inherently sequential (each placement
+    depends on the running fill — no closed-form cumsum), but shards
+    are many and individually bounded (a shard ≈ one training file), so
+    the sequential unit parallelizes across the cluster exactly like
+    the training job that consumes it."""
+    import numpy as np
+
+    from ..shuffle import bucket_tag
+
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive: {capacity}")
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[id_col, shard_col, order_col, size_col]].copy()
+        return out.assign(_bucket=bucket_tag(out, shard_col, 64))
+
+    def pack_shard(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for shard, grp in g.groupby(shard_col, sort=False):
+            grp = grp.sort_values(order_col, kind="mergesort")
+            sizes = grp[size_col].to_numpy()
+            seq = np.empty(len(grp), dtype=np.int64)
+            off = np.empty(len(grp), dtype=np.int64)
+            cur, fill = 0, 0
+            for i, s in enumerate(sizes):
+                s = int(s)
+                if fill and fill + s > capacity:
+                    cur += 1
+                    fill = 0
+                seq[i] = cur
+                off[i] = fill
+                fill += s
+            frames.append(
+                pd.DataFrame(
+                    {
+                        id_col: grp[id_col].to_numpy(),
+                        shard_col: shard,
+                        "seq_id": seq,
+                        "offset": off,
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {id_col: [], shard_col: [], "seq_id": [], "offset": []}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(pack_shard, batch_format="pandas")
     )

@@ -249,3 +249,63 @@ def test_deterministic_shuffle_rank_is_total_md5_order():
         .to_pandas().sort_values("rank").reset_index(drop=True)
     )
     assert out2["doc_id"].tolist() == expect
+
+
+def test_pack_sequences_greedy_invariants():
+    from graphforge_ray.stages.sampling import pack_sequences
+
+    rng = np.random.default_rng(21)
+    n = 120
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n),
+            "shard": rng.integers(0, 3, n),
+            "rank": np.arange(n),
+            "n_tokens": rng.integers(1, 60, n).astype("int64"),
+        }
+    )
+    # one oversized doc: must get a sequence alone
+    df.loc[7, "n_tokens"] = 500
+    cap = 100
+    out = (
+        pack_sequences(rd.from_pandas(df).repartition(4), capacity=cap)
+        .to_pandas()
+        .merge(df[["doc_id", "n_tokens", "rank"]], on="doc_id")
+        .sort_values(["shard", "rank"])
+    )
+    assert len(out) == n
+    for shard, g in out.groupby("shard"):
+        # offsets restart at 0 per sequence and accumulate sizes
+        for _, seq in g.groupby("seq_id"):
+            sizes = seq["n_tokens"].to_numpy()
+            offs = seq["offset"].to_numpy()
+            assert offs[0] == 0
+            assert (offs[1:] == np.cumsum(sizes)[:-1]).all()
+            if len(seq) > 1:  # multi-doc sequences fit the capacity
+                assert sizes.sum() <= cap
+        # seq ids are dense and increase along the rank order
+        sid = g["seq_id"].to_numpy()
+        assert sid[0] == 0 and ((sid[1:] - sid[:-1]) <= 1).all()
+        assert ((sid[1:] - sid[:-1]) >= 0).all()
+        # greedy: a new sequence only opens when the doc did NOT fit
+        fill = 0
+        for _, row in g.iterrows():
+            s = int(row["n_tokens"])
+            if fill and fill + s > cap:
+                assert row["offset"] == 0
+                fill = 0
+            assert row["offset"] == fill
+            fill += s
+    big = out[out["doc_id"] == 7]
+    assert (out[(out["shard"] == big["shard"].iloc[0])
+                & (out["seq_id"] == big["seq_id"].iloc[0])].shape[0] == 1)
+
+
+def test_pack_sequences_rejects_bad_capacity():
+    from graphforge_ray.stages.sampling import pack_sequences
+
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [1], "shard": [0], "rank": [0], "n_tokens": [5]}
+    ))
+    with pytest.raises(ValueError):
+        pack_sequences(ds, capacity=0)
