@@ -1259,6 +1259,29 @@ HAVING SUM(n_chars) > 7400
 """
 
 
+def q_sparql_expr_filter(sf_dir: str):
+    """General-expression FILTER through the compiler: arithmetic over
+    a bound variable with the P13 parseFloat row-drop coercion —
+    FILTER(?n * 2 - 100 > 800) over the mapped document triples."""
+    from ..query.sparql import run_select
+
+    triples = q_rml_documents_triples(sf_dir)
+    out = run_select(
+        triples,
+        f"SELECT ?s ?n WHERE {{ ?s <{VOCAB_NCHARS}> ?n "
+        f"FILTER(?n * 2 - 100 > 800) }}",
+    )
+    return out.sort_values("s").reset_index(drop=True)
+
+
+SQL_SPARQL_EXPR_FILTER = """
+SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS s,
+       CAST(n_chars AS VARCHAR) AS n
+FROM documents
+WHERE n_chars * 2 - 100 > 800
+"""
+
+
 def q_sparql_subselect(sf_dir: str):
     """'{ SELECT … }' subquery through the compiler: an aggregate
     subselect (per-source SUM of chars) joins back onto the outer BGP,
@@ -1932,6 +1955,7 @@ QUERIES = {
     "sparql_seq_path": q_sparql_seq_path,
     "sparql_having": q_sparql_having,
     "sparql_subselect": q_sparql_subselect,
+    "sparql_expr_filter": q_sparql_expr_filter,
     "sparql_not_exists": q_sparql_not_exists,
     "sparql_values_bind": q_sparql_values_bind,
     "sparql_count_distinct": q_sparql_count_distinct,
@@ -1992,6 +2016,7 @@ ORACLES = {
     "sparql_seq_path": SQL_SPARQL_SEQ_PATH,
     "sparql_having": SQL_SPARQL_HAVING,
     "sparql_subselect": SQL_SPARQL_SUBSELECT,
+    "sparql_expr_filter": SQL_SPARQL_EXPR_FILTER,
     "sparql_not_exists": SQL_SPARQL_NOT_EXISTS,
     "sparql_values_bind": SQL_SPARQL_VALUES_BIND,
     "sparql_count_distinct": SQL_SPARQL_COUNT_DISTINCT,

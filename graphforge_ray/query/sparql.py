@@ -44,8 +44,11 @@ shuffle (never collected on the driver).
 
 FILTER supports ``= != < <= > >=`` against a number, a quoted string, or
 another variable, the string functions
-``[!]CONTAINS/STRSTARTS/STRENDS/REGEX(?v, "x"[, "i"])``, plus
-``[!]BOUND(?v)``, ``STRLEN(?v) <op> N`` and ``?v [NOT] IN (…)``. Numeric
+``[!]CONTAINS/STRSTARTS/STRENDS/REGEX(?v, "x"[, "i"])``,
+``[!]BOUND(?v)``, ``STRLEN(?v) <op> N``, ``?v [NOT] IN (…)``, and
+general expression comparisons through the BIND expression grammar —
+``FILTER(?a + ?b > 10)``, ``FILTER(LCASE(?x) = "y")`` (left-associative
+arithmetic, no precedence; parenthesize to group). Numeric
 comparison (and SUM/MIN/MAX/AVG) coerces the lexical forms with
 ``to_numeric`` and DROPS rows that fail to parse — the reference's
 parseFloat row-skip convention (P13, queryManager.js preparePlotData).
@@ -347,6 +350,72 @@ def _eval_expr(ast, df: pd.DataFrame) -> pd.Series:
     return ln / rn
 
 
+def _expr_vars(ast) -> set[str]:
+    """Variable names referenced anywhere in an expression AST."""
+    kind = ast[0]
+    if kind == "var":
+        return {ast[1]}
+    if kind == "call":
+        return set().union(*(_expr_vars(a) for a in ast[2])) if ast[2] else set()
+    if kind == "binop":
+        return _expr_vars(ast[2]) | _expr_vars(ast[3])
+    return set()
+
+
+_CMP_OPS = ("!=", "<=", ">=", "=", "<", ">")
+
+
+def _general_filter_groups(text: str):
+    """Yield (span, inner) for each remaining FILTER(...) group —
+    balanced-paren scan (the specialized regexes have already been
+    substituted out, so whatever is left is a general expression)."""
+    for m in re.finditer(r"\bFILTER\s*\(", text, re.I):
+        depth, i = 1, m.end()
+        while i < len(text) and depth:
+            if text[i] == "(":
+                depth += 1
+            elif text[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise ValueError(f"unbalanced parens in FILTER: {text!r}")
+        yield (m.start(), i), text[m.end():i - 1]
+
+
+def _parse_general_filter(inner: str) -> tuple:
+    """'expr OP expr' with the comparison found at paren depth 0 and
+    outside string literals → ('', OP, ('expr2', (lhs_ast, rhs_ast)))."""
+    depth = 0
+    in_str = False
+    i = 0
+    while i < len(inner):
+        c = inner[i]
+        if in_str:
+            if c == "\\":
+                i += 2
+                continue
+            if c == '"':
+                in_str = False
+        elif c == '"':
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            for op in _CMP_OPS:
+                if inner.startswith(op, i):
+                    lhs = _parse_expr(inner[:i])
+                    rhs = _parse_expr(inner[i + len(op):])
+                    return ("", op, ("expr2", (lhs, rhs)))
+            # '!' only as part of '!=' at top level; '<'/'>' handled above
+        i += 1
+    raise ValueError(
+        f"unsupported FILTER expression (no top-level comparison): "
+        f"{inner!r}"
+    )
+
+
 _PATH_OPS = {"": "alt", "*": "star", "+": "plus"}
 
 
@@ -640,6 +709,14 @@ def compile_select(
         for rx in (_BOUND_FILTER, _STRLEN_FILTER, _IN_FILTER,
                    _STR_FILTER, _FILTER):
             text = rx.sub("", text)
+        # whatever FILTER groups remain are general expressions:
+        # FILTER(?a + ?b > 10), FILTER(LCASE(?x) = "y"), …
+        spans = []
+        for (s0, s1), inner in _general_filter_groups(text):
+            fs.append(_parse_general_filter(inner))
+            spans.append((s0, s1))
+        for s0, s1 in reversed(spans):
+            text = text[:s0] + text[s1:]
         return fs, text
 
     values_groups: list[tuple] = []
@@ -791,7 +868,10 @@ def compile_select(
             if isinstance(t, str) and t.startswith("?")
         }
         for var, _op, rhs in opt_filters:
-            refs = {var} | ({rhs[1]} if rhs[0] == "var" else set())
+            if rhs[0] == "expr2":
+                refs = _expr_vars(rhs[1][0]) | _expr_vars(rhs[1][1])
+            else:
+                refs = {var} | ({rhs[1]} if rhs[0] == "var" else set())
             if not refs <= bound:
                 raise ValueError(
                     "unsupported: FILTER inside OPTIONAL references "
@@ -839,6 +919,22 @@ def _apply_filters(df: pd.DataFrame, filters: list[tuple]) -> pd.DataFrame:
         "<=": operator.le, ">": operator.gt, ">=": operator.ge,
     }
     for var, op, (kind, val) in filters:
+        if kind == "expr2":  # general expression — no single lead var
+            lhs, rhs = val
+            f = ops[op]
+            le = _eval_expr(lhs, df)
+            re_ = _eval_expr(rhs, df)
+            if op in ("=", "!=") and (
+                le.dtype == object or re_.dtype == object
+            ):
+                mask = f(le.astype(str), re_.astype(str))
+            else:
+                ln = pd.to_numeric(le, errors="coerce")
+                rn = pd.to_numeric(re_, errors="coerce")
+                # P13 parseFloat convention: unparseable rows drop
+                mask = f(ln, rn) & ln.notna() & rn.notna()
+            df = df.loc[mask]
+            continue
         if var not in df.columns:
             raise ValueError(f"FILTER variable ?{var} is unbound")
         if kind == "strfn":
@@ -1305,6 +1401,15 @@ def _eval_where(
         # here, not a RayTaskError from inside a map task
         known = set(bindings.schema().names)
         for var, _op, (kind, val) in filters:
+            if kind == "expr2":
+                refs = _expr_vars(val[0]) | _expr_vars(val[1])
+                missing = refs - known
+                if missing:
+                    raise ValueError(
+                        "FILTER expression references unbound variable(s) "
+                        f"{sorted(missing)}"
+                    )
+                continue
             if var not in known:
                 raise ValueError(f"FILTER variable ?{var} is unbound")
             if kind == "var" and val not in known:

@@ -1032,3 +1032,57 @@ def test_subselect_inside_union_raises(kin_triples):
             "SELECT ?p WHERE { { ?p <e/name> ?nm } UNION "
             "{ { SELECT ?p WHERE { ?c <e/childOf> ?p } } } }",
         )
+
+
+def test_filter_general_arithmetic_expression(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT ?s WHERE { ?s <e/score> ?v FILTER(?v * 2 > 18) }",
+    )
+    assert sorted(out["s"]) == ["e/A", "e/B"]  # 10*2, 25*2; 7*2=14 drops
+    # unparseable values row-drop (P13): e/D 'not-a-number' never matches
+    out = run_select(
+        score_triples,
+        "SELECT ?s WHERE { ?s <e/score> ?v FILTER(?v - 7 >= 0) }",
+    )
+    assert sorted(out["s"]) == ["e/A", "e/B", "e/C"]
+
+
+def test_filter_general_string_function_equality(score_triples):
+    out = run_select(
+        score_triples,
+        'SELECT ?s WHERE { ?s <e/name> ?n FILTER(UCASE(?n) = "BETA") }',
+    )
+    assert list(out["s"]) == ["e/B"]
+    out = run_select(
+        score_triples,
+        'SELECT ?s WHERE { ?s <e/name> ?n '
+        'FILTER(CONCAT(?n, "!") != "alpha!") }',
+    )
+    assert sorted(out["s"]) == ["e/B", "e/C"]
+
+
+def test_filter_general_two_sided_expression(score_triples):
+    # expression on BOTH sides of the comparison
+    out = run_select(
+        score_triples,
+        "SELECT ?s WHERE { ?s <e/score> ?v "
+        "FILTER(?v + 5 < ?v * 2) }",  # v > 5
+    )
+    assert sorted(out["s"]) == ["e/A", "e/B", "e/C"]
+
+
+def test_filter_general_unbound_variable_raises(score_triples):
+    with pytest.raises(ValueError, match="unbound"):
+        run_select(
+            score_triples,
+            "SELECT ?s WHERE { ?s <e/score> ?v FILTER(?zz + 1 > 0) }",
+        )
+
+
+def test_filter_general_no_comparison_raises(score_triples):
+    with pytest.raises(ValueError, match="comparison"):
+        run_select(
+            score_triples,
+            "SELECT ?s WHERE { ?s <e/score> ?v FILTER(BOUND(?v) && ?v) }",
+        )
