@@ -1765,6 +1765,68 @@ SELECT doc_id, shard, seq_id, "offset" FROM pack
 """
 
 
+def q_docs_lm_score(sf_dir: str):
+    """Corpus-trained bigram-LM quality scoring (CCNet-style,
+    stages/lm.bigram_logprob_scores): two distributed passes, three
+    bucket shuffles, add-1 smoothing, per-doc mean log-probability —
+    no model table on the driver. Oracle: the same counts/joins/ln in
+    SQL; scores FLOOR-truncated at 1e-4 on both sides."""
+    from ..stages.lm import bigram_logprob_scores
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = bigram_logprob_scores(ds)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "lm_score": df["lm_score"].astype("float64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+SQL_DOCS_LM_SCORE = r"""
+WITH split AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'),
+                       w -> w <> '') AS ws
+    FROM documents
+),
+words AS (
+    SELECT doc_id, unnest(ws) AS w,
+           unnest(range(1, len(ws) + 1)) AS ord
+    FROM split
+),
+uni AS (SELECT w, COUNT(*) AS c1 FROM words GROUP BY w),
+vv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+bi AS (
+    SELECT a.w AS w1, b.w AS w2, COUNT(*) AS c2
+    FROM words a JOIN words b
+      ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+    GROUP BY a.w, b.w
+),
+docbi AS (
+    SELECT a.doc_id, a.w AS w1, b.w AS w2
+    FROM words a JOIN words b
+      ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+),
+lp AS (
+    SELECT d.doc_id,
+           ln((bi.c2 + 1.0) / (uni.c1 + (SELECT v FROM vv))) AS lp
+    FROM docbi d
+    JOIN bi ON bi.w1 = d.w1 AND bi.w2 = d.w2
+    JOIN uni ON uni.w = d.w1
+),
+means AS (
+    SELECT doc_id, FLOOR(AVG(lp) * 1e4) / 1e4 AS lm_score
+    FROM lp GROUP BY doc_id
+)
+SELECT doc_id, COALESCE(m.lm_score, 0.0) AS lm_score
+FROM documents LEFT JOIN means m USING (doc_id)
+"""
+
+
 def q_docs_tfidf(sf_dir: str):
     """Top-3 TF-IDF terms per document (stages/curation.tfidf_topk):
     explode → (doc, term, tf); df via a term-bucketed shuffle; the df
@@ -1969,6 +2031,7 @@ QUERIES = {
     "docs_tfidf": q_docs_tfidf,
     "docs_shuffle_shards": q_docs_shuffle_shards,
     "docs_pack_sequences": q_docs_pack_sequences,
+    "docs_lm_score": q_docs_lm_score,
     "media_image_features": q_media_image_features,
     "media_audio_features": q_media_audio_features,
     "rml_customer_triples": q_rml_customer_triples,
@@ -2030,6 +2093,7 @@ ORACLES = {
     "docs_tfidf": SQL_DOCS_TFIDF,
     "docs_shuffle_shards": SQL_DOCS_SHUFFLE_SHARDS,
     "docs_pack_sequences": SQL_DOCS_PACK_SEQUENCES,
+    "docs_lm_score": SQL_DOCS_LM_SCORE,
     "rml_customer_triples": SQL_RML_CUSTOMER_TRIPLES,
     "docs_ngram_jaccard": SQL_DOCS_NGRAM_JACCARD,
     "docs_minhash_dedup": SQL_DOCS_MINHASH_DEDUP,

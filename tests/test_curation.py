@@ -309,3 +309,44 @@ def test_pack_sequences_rejects_bad_capacity():
     ))
     with pytest.raises(ValueError):
         pack_sequences(ds, capacity=0)
+
+
+def test_bigram_lm_scores_match_brute_force():
+    import math
+    from collections import Counter
+
+    from graphforge_ray.stages.lm import bigram_logprob_scores
+
+    texts = [
+        "the cat sat",
+        "the cat ran",
+        "dog",              # single word → no bigrams → 0.0
+        "the cat sat on the mat",
+        "",                 # empty → 0.0
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = (
+        bigram_logprob_scores(rd.from_pandas(df).repartition(3))
+        .to_pandas()
+        .set_index("doc_id")["lm_score"]
+    )
+    assert len(out) == len(texts)
+
+    uni = Counter(w for t in texts for w in t.split())
+    bi = Counter(
+        (a, b) for t in texts for a, b in zip(t.split(), t.split()[1:])
+    )
+    v = float(len(uni))
+    for i, t in enumerate(texts):
+        ws = t.split()
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            assert out[i] == 0.0
+            continue
+        lp = sum(
+            math.log((bi[p] + 1.0) / (uni[p[0]] + v)) for p in pairs
+        ) / len(pairs)
+        assert out[i] == pytest.approx(math.floor(lp * 1e4) / 1e4,
+                                       abs=1e-12), i
+    # more in-corpus-typical docs score higher than rare sequences
+    assert out[0] > out[2] - 10  # sanity: scores are finite/ordered
