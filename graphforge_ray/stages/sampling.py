@@ -124,12 +124,23 @@ def deterministic_shuffle(
 
     keyed_ds = ds.map_batches(keyed, batch_format="pandas").materialize()
 
-    hist_parts = keyed_ds.map_batches(
-        lambda df: df.groupby("_bucket", as_index=False).size(),
-        batch_format="pandas",
-    ).to_pandas()
+    # per-batch partials are REDUCED distributed before the driver sees
+    # them: a million-block corpus would otherwise ship blocks×buckets
+    # partial rows to the driver — after the groupby it is ≤ n_buckets
+    # rows no matter the corpus size
+    from ray.data.aggregate import Sum
+
+    hist_parts = (
+        keyed_ds.map_batches(
+            lambda df: df.groupby("_bucket", as_index=False).size(),
+            batch_format="pandas",
+        )
+        .groupby("_bucket")
+        .aggregate(Sum("size", alias_name="size"))
+        .to_pandas()
+    )
     hist = (
-        hist_parts.groupby("_bucket")["size"].sum()
+        hist_parts.set_index("_bucket")["size"]
         .reindex(range(n_buckets), fill_value=0)
     )
     offsets = hist.cumsum().shift(fill_value=0).astype("int64")
