@@ -350,6 +350,25 @@ def _eval_expr(ast, df: pd.DataFrame) -> pd.Series:
     return ln / rn
 
 
+_STR_FUNCS = {"UCASE", "LCASE", "STR", "CONCAT"}
+
+
+def _expr_static_type(ast) -> str:
+    """'str' | 'num' | 'unknown' — static result type of an expression
+    AST. Comparisons string-compare only when a side is STATICALLY
+    string-typed; bare variables default to the numeric parseFloat
+    row-drop path (P13), matching the simple-filter behavior where the
+    rhs literal's form picks the comparison kind."""
+    kind = ast[0]
+    if kind == "str":
+        return "str"
+    if kind == "num" or kind == "binop":
+        return "num"
+    if kind == "call":
+        return "str" if ast[1] in _STR_FUNCS else "num"
+    return "unknown"  # var
+
+
 def _expr_vars(ast) -> set[str]:
     """Variable names referenced anywhere in an expression AST."""
     kind = ast[0]
@@ -382,9 +401,43 @@ def _general_filter_groups(text: str):
         yield (m.start(), i), text[m.end():i - 1]
 
 
-def _parse_general_filter(inner: str) -> tuple:
+def _split_top_level(inner: str, seps: tuple[str, ...]) -> list[str]:
+    """Split on any of ``seps`` found at paren depth 0 outside string
+    literals (used for '&&'/'||' connectives and comparison search)."""
+    parts = []
+    depth = 0
+    in_str = False
+    start = 0
+    i = 0
+    while i < len(inner):
+        c = inner[i]
+        if in_str:
+            if c == "\\":
+                i += 2
+                continue
+            if c == '"':
+                in_str = False
+        elif c == '"':
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            for s in seps:
+                if inner.startswith(s, i):
+                    parts.append(inner[start:i])
+                    start = i + len(s)
+                    i += len(s) - 1
+                    break
+        i += 1
+    parts.append(inner[start:])
+    return parts
+
+
+def _parse_comparison(inner: str) -> tuple:
     """'expr OP expr' with the comparison found at paren depth 0 and
-    outside string literals → ('', OP, ('expr2', (lhs_ast, rhs_ast)))."""
+    outside string literals → ('expr2', (lhs_ast, OP, rhs_ast))."""
     depth = 0
     in_str = False
     i = 0
@@ -407,13 +460,33 @@ def _parse_general_filter(inner: str) -> tuple:
                 if inner.startswith(op, i):
                     lhs = _parse_expr(inner[:i])
                     rhs = _parse_expr(inner[i + len(op):])
-                    return ("", op, ("expr2", (lhs, rhs)))
+                    return ("expr2", (lhs, op, rhs))
             # '!' only as part of '!=' at top level; '<'/'>' handled above
         i += 1
     raise ValueError(
         f"unsupported FILTER expression (no top-level comparison): "
         f"{inner!r}"
     )
+
+
+def _parse_general_filter(inner: str) -> tuple:
+    """A general FILTER group: comparisons of BIND-grammar expressions,
+    optionally joined by '&&' or '||' (one connective kind per group —
+    mixing them needs parentheses, which the flat splitter refuses
+    rather than mis-scoping)."""
+    has_and = len(_split_top_level(inner, ("&&",))) > 1
+    has_or = len(_split_top_level(inner, ("||",))) > 1
+    if has_and and has_or:
+        raise ValueError(
+            "mixed '&&' and '||' in one FILTER are not supported "
+            f"(split into separate FILTERs or restructure): {inner!r}"
+        )
+    if has_and or has_or:
+        sep = ("&&",) if has_and else ("||",)
+        cmps = [_parse_comparison(p) for p in _split_top_level(inner, sep)]
+        return ("", "BOOL", ("bool", ("and" if has_and else "or", cmps)))
+    kind, (lhs, op, rhs) = _parse_comparison(inner)
+    return ("", op, (kind, (lhs, rhs)))
 
 
 _PATH_OPS = {"": "alt", "*": "star", "+": "plus"}
@@ -870,6 +943,11 @@ def compile_select(
         for var, _op, rhs in opt_filters:
             if rhs[0] == "expr2":
                 refs = _expr_vars(rhs[1][0]) | _expr_vars(rhs[1][1])
+            elif rhs[0] == "bool":
+                refs = set().union(
+                    *(_expr_vars(l) | _expr_vars(r)
+                      for _, (l, _o2, r) in rhs[1][1])
+                )
             else:
                 refs = {var} | ({rhs[1]} if rhs[0] == "var" else set())
             if not refs <= bound:
@@ -918,21 +996,29 @@ def _apply_filters(df: pd.DataFrame, filters: list[tuple]) -> pd.DataFrame:
         "=": operator.eq, "!=": operator.ne, "<": operator.lt,
         "<=": operator.le, ">": operator.gt, ">=": operator.ge,
     }
+    def expr2_mask(lhs, cmp_op, rhs):
+        f = ops[cmp_op]
+        le = _eval_expr(lhs, df)
+        re_ = _eval_expr(rhs, df)
+        if cmp_op in ("=", "!=") and "str" in (
+            _expr_static_type(lhs), _expr_static_type(rhs)
+        ):
+            return f(le.astype(str), re_.astype(str))
+        ln = pd.to_numeric(le, errors="coerce")
+        rn = pd.to_numeric(re_, errors="coerce")
+        # P13 parseFloat convention: unparseable rows drop
+        return f(ln, rn) & ln.notna() & rn.notna()
+
     for var, op, (kind, val) in filters:
         if kind == "expr2":  # general expression — no single lead var
-            lhs, rhs = val
-            f = ops[op]
-            le = _eval_expr(lhs, df)
-            re_ = _eval_expr(rhs, df)
-            if op in ("=", "!=") and (
-                le.dtype == object or re_.dtype == object
-            ):
-                mask = f(le.astype(str), re_.astype(str))
-            else:
-                ln = pd.to_numeric(le, errors="coerce")
-                rn = pd.to_numeric(re_, errors="coerce")
-                # P13 parseFloat convention: unparseable rows drop
-                mask = f(ln, rn) & ln.notna() & rn.notna()
+            df = df.loc[expr2_mask(val[0], op, val[1])]
+            continue
+        if kind == "bool":  # cmp (&&|cmp)* / cmp (||cmp)*
+            conn, cmps = val
+            masks = [expr2_mask(l, o, r) for _, (l, o, r) in cmps]
+            mask = masks[0]
+            for m in masks[1:]:
+                mask = (mask & m) if conn == "and" else (mask | m)
             df = df.loc[mask]
             continue
         if var not in df.columns:
@@ -1401,8 +1487,14 @@ def _eval_where(
         # here, not a RayTaskError from inside a map task
         known = set(bindings.schema().names)
         for var, _op, (kind, val) in filters:
-            if kind == "expr2":
-                refs = _expr_vars(val[0]) | _expr_vars(val[1])
+            if kind in ("expr2", "bool"):
+                if kind == "expr2":
+                    refs = _expr_vars(val[0]) | _expr_vars(val[1])
+                else:
+                    refs = set().union(
+                        *(_expr_vars(l) | _expr_vars(r)
+                          for _, (l, _o, r) in val[1])
+                    )
                 missing = refs - known
                 if missing:
                     raise ValueError(

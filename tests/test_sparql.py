@@ -1086,3 +1086,34 @@ def test_filter_general_no_comparison_raises(score_triples):
             score_triples,
             "SELECT ?s WHERE { ?s <e/score> ?v FILTER(BOUND(?v) && ?v) }",
         )
+
+
+def test_filter_boolean_connectives(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT ?s WHERE { ?s <e/score> ?v "
+        "FILTER(?v > 8 && ?v < 20) }",
+    )
+    assert list(out["s"]) == ["e/A"]  # 10 only (25 fails <20, 7 fails >8)
+    out = run_select(
+        score_triples,
+        "SELECT ?s WHERE { ?s <e/score> ?v "
+        "FILTER(?v < 8 || ?v > 20) }",
+    )
+    assert sorted(out["s"]) == ["e/B", "e/C"]  # 25 and 7
+    # three-way OR with an expression side
+    out = run_select(
+        score_triples,
+        "SELECT ?s WHERE { ?s <e/score> ?v "
+        "FILTER(?v = 7 || ?v = 10 || ?v + 0 = 25) }",
+    )
+    assert sorted(out["s"]) == ["e/A", "e/B", "e/C"]
+
+
+def test_filter_mixed_connectives_raise(score_triples):
+    with pytest.raises(ValueError, match="mixed"):
+        run_select(
+            score_triples,
+            "SELECT ?s WHERE { ?s <e/score> ?v "
+            "FILTER(?v > 1 && ?v < 9 || ?v = 25) }",
+        )
