@@ -1117,3 +1117,23 @@ def test_filter_mixed_connectives_raise(score_triples):
             "SELECT ?s WHERE { ?s <e/score> ?v "
             "FILTER(?v > 1 && ?v < 9 || ?v = 25) }",
         )
+
+
+def test_optional_scoped_expression_filter(score_triples):
+    # expr FILTER inside OPTIONAL scopes to the optional group (applied
+    # BEFORE the left join): non-matching rows stay, with ?v unbound
+    out = run_select(
+        score_triples,
+        "SELECT ?s ?v WHERE { ?s <e/name> ?n "
+        "OPTIONAL { ?s <e/score> ?v FILTER(?v * 1 > 8) } }",
+    ).set_index("s")
+    assert out.loc["e/A", "v"] == "10"
+    assert out.loc["e/B", "v"] == "25"
+    assert pd.isna(out.loc["e/C", "v"])  # 7 filtered pre-join → unbound
+    # referencing an outer variable inside the OPTIONAL filter raises
+    with pytest.raises(ValueError, match="not bound by the optional"):
+        run_select(
+            score_triples,
+            "SELECT ?s WHERE { ?s <e/name> ?n "
+            "OPTIONAL { ?s <e/score> ?v FILTER(?v > 1 && ?n = \"x\") } }",
+        )
