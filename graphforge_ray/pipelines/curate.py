@@ -119,7 +119,11 @@ def run_curation_pipeline(
         joined.write_parquet(tmp_dir)
         return -1, {}
 
-    runner.run("signals", input_paths, build_signals)
+    # stage params ride into the checkpoint fingerprint: re-running with
+    # a changed threshold against the same out dir must RE-RUN the stage,
+    # not silently return the stale output (parameter-blind checkpoints)
+    runner.run("signals", input_paths, build_signals,
+               params={"probes": sorted(probes or [])})
 
     # -- stage 2: filter + dedup + quota → kept ids -------------------
     def build_kept(tmp_dir):
@@ -186,7 +190,16 @@ def run_curation_pipeline(
         final_ids.write_parquet(tmp_dir)
         return -1, {}
 
-    runner.run("kept", stage_files("signals"), build_kept)
+    runner.run(
+        "kept", stage_files("signals"), build_kept,
+        params={
+            "quality_min": quality_min,
+            "max_dup_word_frac": max_dup_word_frac,
+            "lm_min": lm_min,
+            "per_source_cap": per_source_cap,
+            "minhash_threshold": minhash_threshold,
+        },
+    )
 
     # -- stage 3: shuffle + shard + pack ------------------------------
     def build_shards(tmp_dir):
@@ -212,7 +225,9 @@ def run_curation_pipeline(
         return -1, {}
 
     runner.run("shards", stage_files("kept") + stage_files("signals"),
-               build_shards)
+               build_shards,
+               params={"num_shards": num_shards,
+                       "pack_capacity": pack_capacity})
 
     # -- stage 4: final packed corpus, hive-partitioned by shard ------
     def build_corpus(tmp_dir):
@@ -230,5 +245,6 @@ def run_curation_pipeline(
         final.write_parquet(tmp_dir, partition_cols=["shard"])
         return n, {"docs_out": n, "num_shards": num_shards}
 
-    runner.run("corpus", stage_files("shards"), build_corpus)
+    runner.run("corpus", stage_files("shards"), build_corpus,
+               params={"num_shards": num_shards})
     return runner

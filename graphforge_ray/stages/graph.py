@@ -327,17 +327,32 @@ def triangle_count(
         lambda df: df.rename(columns={"id_a": "b", "id_b": "c"}),
         batch_format="pandas",
     )
+    # bindings_join's side-normalization (missing columns filled with
+    # object NaN) widens the output dtypes; the closing semi-join
+    # buckets by key HASH, and pandas hash_array(object) !=
+    # hash_array(int64) for equal values — restore the INPUT edge dtype
+    # (int64 for numeric node ids; string/IRI ids are already object on
+    # both sides, so no cast) so both join sides bucket identically
+    import pyarrow as _pa
+
+    sch = e.schema()
+    id_type = dict(zip(sch.names, sch.types)).get("id_a")
+    if isinstance(id_type, _pa.DataType):
+        is_int = _pa.types.is_integer(id_type)
+        is_float = _pa.types.is_floating(id_type)
+    else:  # pandas-block schema: numpy dtypes / object
+        is_int = id_type is not None and np.issubdtype(id_type, np.integer)
+        is_float = (
+            id_type is not None and np.issubdtype(id_type, np.floating)
+        )
+    restore = np.int64 if is_int else (np.float64 if is_float else None)
+
+    def fix_dtypes(df: pd.DataFrame, _r=restore) -> pd.DataFrame:
+        return df.astype(_r) if _r is not None else df
+
     wedges = bindings_join(
         left, right, on=["b"], num_buckets=num_buckets
-    ).map_batches(
-        # bindings_join's side-normalization (missing columns filled with
-        # object NaN) widens the output dtypes; the closing semi-join
-        # buckets by key HASH, and pandas hash_array(object) !=
-        # hash_array(int64) for equal values — restore int64 so both
-        # join sides bucket identically
-        lambda df: df.astype(np.int64),
-        batch_format="pandas",
-    )
+    ).map_batches(fix_dtypes, batch_format="pandas")
     closing = e.map_batches(
         lambda df: df.rename(columns={"id_a": "a", "id_b": "c"}),
         batch_format="pandas",

@@ -33,9 +33,16 @@ __all__ = ["StageManifest", "fingerprint_paths", "StageRunner"]
 MANIFEST_NAME = "MANIFEST.json"
 
 
-def fingerprint_paths(paths: list[str]) -> str:
+def fingerprint_paths(paths: list[str], params: dict | None = None) -> str:
     """Deterministic fingerprint of a set of input files: sorted
-    (path, size, mtime_ns) — the reference's mtime check, hardened."""
+    (path, size, mtime_ns) — the reference's mtime check, hardened.
+
+    ``params`` mixes the stage's BEHAVIORAL parameters (thresholds,
+    shard counts, probe lists) into the fingerprint: a checkpoint that
+    only fingerprints inputs is parameter-blind — re-running with a
+    changed threshold against the same out dir would silently return
+    the stale output with exit 0. Canonical JSON (sorted keys) so dict
+    ordering can't perturb the hash."""
     h = hashlib.blake2b(digest_size=16)
     for p in sorted(paths):
         try:
@@ -43,6 +50,11 @@ def fingerprint_paths(paths: list[str]) -> str:
             h.update(f"{p}|{st.st_size}|{st.st_mtime_ns}\n".encode())
         except FileNotFoundError:
             h.update(f"{p}|missing\n".encode())
+    if params:
+        h.update(b"params|")
+        h.update(
+            json.dumps(params, sort_keys=True, default=str).encode()
+        )
     return h.hexdigest()
 
 
@@ -94,19 +106,27 @@ class StageRunner:
     def stage_dir(self, stage: str) -> str:
         return os.path.join(self.out_dir, stage)
 
-    def is_done(self, stage: str, input_paths: list[str]) -> bool:
+    def is_done(
+        self, stage: str, input_paths: list[str],
+        params: dict | None = None,
+    ) -> bool:
         m = StageManifest.read(self.stage_dir(stage))
         return (
             m is not None
             and m.status == "done"
-            and m.input_fingerprint == fingerprint_paths(input_paths)
+            and m.input_fingerprint == fingerprint_paths(input_paths, params)
         )
 
-    def run(self, stage: str, input_paths: list[str], build) -> str:
+    def run(
+        self, stage: str, input_paths: list[str], build,
+        params: dict | None = None,
+    ) -> str:
         """Execute ``build(tmp_dir) -> (rows_out, extra)`` unless the stage
-        is already done for these inputs. Returns the stage dir."""
+        is already done for these inputs AND parameters (``params`` = the
+        stage's behavioral knobs; changing one invalidates the
+        checkpoint). Returns the stage dir."""
         final_dir = self.stage_dir(stage)
-        if self.is_done(stage, input_paths):
+        if self.is_done(stage, input_paths, params):
             self.log.append(f"skip {stage} (checkpoint hit)")
             return final_dir
         tmp_dir = final_dir + ".tmp"
@@ -142,7 +162,7 @@ class StageRunner:
         )
         StageManifest(
             stage=stage,
-            input_fingerprint=fingerprint_paths(input_paths),
+            input_fingerprint=fingerprint_paths(input_paths, params),
             rows_out=int(rows_out),
             wall_sec=time.perf_counter() - t0,
             output_files=[os.path.relpath(p, final_dir) for p in outputs],

@@ -36,6 +36,27 @@ def test_pipeline_stages_complete_and_resume(curated, ray_session):
     assert all(l.startswith("skip") for l in r2.log), r2.log
 
 
+def test_stage_runner_params_invalidate_checkpoint(tmp_path):
+    # the checkpoint fingerprint mixes in the stage's behavioral params:
+    # same inputs + changed threshold must RE-RUN, not silently skip
+    from graphforge_ray.state.manifest import StageRunner
+
+    inp = tmp_path / "in.txt"
+    inp.write_text("data")
+    runner = StageRunner(str(tmp_path / "out"))
+    calls = []
+
+    def build(tmp_dir):
+        calls.append(1)
+        return 1, {}
+
+    runner.run("s", [str(inp)], build, params={"threshold": 0.5})
+    runner.run("s", [str(inp)], build, params={"threshold": 0.5})
+    assert len(calls) == 1  # identical params → checkpoint hit
+    runner.run("s", [str(inp)], build, params={"threshold": 0.9})
+    assert len(calls) == 2  # changed param → stage re-ran
+
+
 def test_kept_respects_filters_and_dedup(curated):
     out, _ = curated
     con = duckdb.connect()
@@ -93,3 +114,22 @@ def test_corpus_shards_and_packing(curated):
             assert sizes.sum() <= 200
     # text rides along into the packed corpus
     assert corpus["text"].str.len().gt(0).all()
+
+
+def test_param_change_reruns_downstream_stages(curated, ray_session):
+    # KEEP LAST: re-runs the pipeline into the shared out dir with a
+    # changed per_source_cap — 'signals' (params unchanged) must skip,
+    # 'kept' and everything downstream must re-run (r3 ADVICE:
+    # parameter-blind checkpoints returned the stale corpus with exit 0)
+    out, _ = curated
+    r = run_curation_pipeline(
+        f"{SF_DIR}/documents.parquet", out,
+        per_source_cap=20, num_shards=4, pack_capacity=200,
+    )
+    steps = {l.split()[1].rstrip(":"): l.split()[0] for l in r.log}
+    assert steps["signals"] == "skip"
+    assert steps["kept"] == "ran"
+    assert steps["shards"] == "ran"
+    assert steps["corpus"] == "ran"
+    kept = pd.read_parquet(f"{out}/kept")
+    assert kept.groupby("source").size().max() <= 20

@@ -111,6 +111,20 @@ def test_triangle_count_none():
     assert triangle_count(_edges_ds(pairs)) == 0
 
 
+def test_triangle_count_string_ids():
+    # IRI-string node ids — the materialized-KG case the module
+    # docstring advertises (r3 ADVICE: the int64 dtype restore raised
+    # ValueError on any non-integer ids)
+    pairs = [
+        ("n1", "n2"), ("n1", "n3"), ("n1", "n4"),
+        ("n2", "n3"), ("n2", "n4"), ("n3", "n4"),
+        ("n4", "n5"), ("n2", "n1"),
+    ]
+    assert _triangle_oracle(pairs) == 4
+    df = pd.DataFrame(pairs, columns=["s", "o"])
+    assert triangle_count(rd.from_pandas(df).repartition(3)) == 4
+
+
 def test_pagerank_empty_graph():
     ds = _edges_ds([])
     assert pagerank(ds, num_iters=2).count() == 0
