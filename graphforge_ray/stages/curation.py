@@ -19,8 +19,6 @@ All three operators are scale-shaped:
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 
@@ -149,10 +147,10 @@ def per_source_quota(
     oracle parity."""
     from ..shuffle import bucket_tag
 
-    def rank_hash(ids: pd.Series) -> list[str]:
-        return [
-            hashlib.md5(f"{i}:{salt}".encode()).hexdigest() for i in ids
-        ]
+    def rank_hash(ids: pd.Series):
+        from .fasthash import md5_hex_keyed
+
+        return md5_hex_keyed(ids, salt)  # vectorized (duckdb/numpy)
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(_h=rank_hash(df[id_col]))

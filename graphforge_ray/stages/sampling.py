@@ -20,11 +20,12 @@ that breaks the 4-char lexicographic compare).
 
 from __future__ import annotations
 
-import hashlib
-
+import numpy as np
 import pandas as pd
 
 import ray.data
+
+from .fasthash import hex_prefix_int, md5_hex_keyed
 
 __all__ = ["hash_split_column", "hash_split", "deterministic_shuffle",
            "pack_sequences"]
@@ -48,14 +49,15 @@ def hash_split_column(
     test_pct: float = 10.0,
     salt: str = "graft-split",
 ) -> pd.DataFrame:
-    """map_batches body: adds a ``split`` column ('train' | 'test')."""
+    """map_batches body: adds a ``split`` column ('train' | 'test').
+    Vectorized md5 (fasthash); the 'U4' cast is a C-speed first-4-chars
+    slice, compared lexicographically against the hex threshold —
+    exactly the SQL ``substr(md5(...), 1, 4) < thresh`` rule."""
     thresh = _threshold_hex(test_pct)
-    buckets = [
-        hashlib.md5(f"{k}:{salt}".encode()).hexdigest()[:4]
-        for k in df[key_col]
-    ]
+    hx = md5_hex_keyed(df[key_col], salt)
+    test = np.asarray(hx, dtype="U4") < thresh
     out = df.copy()
-    out["split"] = ["test" if b < thresh else "train" for b in buckets]
+    out["split"] = np.where(test, "test", "train")
     return out
 
 
@@ -110,15 +112,12 @@ def deterministic_shuffle(
     n_buckets = 16 ** hex_chars
 
     def keyed(df: pd.DataFrame) -> pd.DataFrame:
-        ks = [
-            hashlib.md5(f"{k}:{salt}".encode()).hexdigest()
-            for k in df[key_col]
-        ]
+        ks = md5_hex_keyed(df[key_col], salt)  # vectorized (fasthash)
         return pd.DataFrame(
             {
                 key_col: df[key_col].to_numpy(),
                 "_h": ks,
-                "_bucket": [int(h[:hex_chars], 16) for h in ks],
+                "_bucket": hex_prefix_int(ks, hex_chars),
             }
         )
 

@@ -168,10 +168,31 @@ def fingerprint_batch(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def content_hash_batch(df: pd.DataFrame, column: str = "text") -> pd.DataFrame:
-    """md5 content hash (matches SQL ``md5(text)`` for oracle parity)."""
+    """md5 content hash (matches SQL ``md5(text)`` for oracle parity).
+    Vectorized via the DuckDB md5 kernel (fasthash); hashlib fallback."""
     out = df.copy()
-    out["content_hash"] = [
-        hashlib.md5((t or "").encode("utf-8")).hexdigest()
-        for t in df[column]
-    ]
+    try:
+        out["content_hash"] = _md5_hex_duckdb_plain(df[column])
+    except Exception:
+        out["content_hash"] = [
+            hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            for t in df[column]
+        ]
     return out
+
+
+def _md5_hex_duckdb_plain(texts: pd.Series):
+    """md5(text) over one Arrow column — no salt (SQL: md5(text))."""
+    import pyarrow as pa
+
+    from .fasthash import _duck_con
+
+    con = _duck_con()
+    tbl = pa.table({"t": pa.array(texts.fillna("").astype(str))})
+    con.register("_fasthash_txt", tbl)
+    try:
+        return con.execute(
+            "SELECT md5(t) AS h FROM _fasthash_txt"
+        ).fetchnumpy()["h"]
+    finally:
+        con.unregister("_fasthash_txt")
