@@ -1981,13 +1981,269 @@ def q_forge_pages(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# r4 SPARQL extensions: typed literals / quads / new path forms /
+# Dataset-returning SELECT (VERDICT r3 next-round items 1-3, 5)
+# ---------------------------------------------------------------------------
+
+VOCAB_LABEL = "http://graft.example/vocab#label"
+VOCAB_INNATION = "http://graft.example/vocab#inNation"
+XSD_INTEGER = "http://www.w3.org/2001/XMLSchema#integer"
+
+
+def _lang_triples(sf_dir: str):
+    """documents → typed-literal triples: a label literal carrying the
+    document's language tag, and an nChars literal typed xsd:integer on
+    even doc_ids (odd ids stay plain) — the LANG()/DATATYPE() fixture."""
+    docs = _t(sf_dir, "documents", ["doc_id", "source", "lang", "n_chars"])
+
+    def to_tri(df: pd.DataFrame) -> pd.DataFrame:
+        subj = "doc:" + df["doc_id"].astype(str)
+        labels = pd.DataFrame(
+            {
+                "subj": subj,
+                "pred": VOCAB_LABEL,
+                "obj": df["source"].astype(str),
+                "obj_is_iri": False,
+                "obj_lang": df["lang"].astype(str),
+                "obj_datatype": "",
+            }
+        )
+        typed = pd.DataFrame(
+            {
+                "subj": subj,
+                "pred": VOCAB_NCHARS,
+                "obj": df["n_chars"].astype(str),
+                "obj_is_iri": False,
+                "obj_lang": "",
+                "obj_datatype": np.where(
+                    df["doc_id"] % 2 == 0, XSD_INTEGER, ""
+                ),
+            }
+        )
+        return pd.concat([labels, typed], ignore_index=True)
+
+    return docs.map_batches(to_tri, batch_format="pandas")
+
+
+def q_sparql_lang_filter(sf_dir: str):
+    """FILTER(LANG(?v) = "en") — typed-literal metadata rides from the
+    match layer into the filter (reference parity: N3.js preserves
+    langs, document.js:702-717)."""
+    from ..query.sparql import run_select
+
+    return run_select(
+        _lang_triples(sf_dir),
+        f'SELECT ?s ?v WHERE {{ ?s <{VOCAB_LABEL}> ?v . '
+        'FILTER(LANG(?v) = "en") }',
+    )
+
+
+SQL_SPARQL_LANG_FILTER = """
+SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS s, source AS v
+FROM documents WHERE lang = 'en'
+"""
+
+
+def q_sparql_datatype_filter(sf_dir: str):
+    """FILTER(DATATYPE(?v) = xsd:integer) over the typed nChars
+    literals (even doc_ids carry the datatype)."""
+    from ..query.sparql import run_select
+
+    return run_select(
+        _lang_triples(sf_dir),
+        f"SELECT ?s ?v WHERE {{ ?s <{VOCAB_NCHARS}> ?v . "
+        f"FILTER(DATATYPE(?v) = <{XSD_INTEGER}>) }}",
+    )
+
+
+SQL_SPARQL_DATATYPE_FILTER = """
+SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS s,
+       CAST(n_chars AS VARCHAR) AS v
+FROM documents WHERE doc_id % 2 = 0
+"""
+
+
+def _customer_quads(sf_dir: str):
+    """customer → (subj, pred, obj, graph) quads: one NAMED graph per
+    market segment (the multi-project-corpus shape of SURVEY §1.3 —
+    the reference's store is quads, document.js:736-740)."""
+    cust = _t(sf_dir, "customer",
+              ["c_custkey", "c_nationkey", "c_mktsegment"])
+
+    def to_quads(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "subj": "cust:" + df["c_custkey"].astype(str),
+                "pred": VOCAB_INNATION,
+                "obj": "nation:" + df["c_nationkey"].astype(str),
+                "graph": "graph:" + df["c_mktsegment"].astype(str),
+            }
+        )
+
+    return cust.map_batches(to_quads, batch_format="pandas")
+
+
+def q_sparql_graph_var(sf_dir: str):
+    """GRAPH ?g { … }: the graph term binds like any variable, scoped
+    to named graphs."""
+    from ..query.sparql import run_select
+
+    return run_select(
+        _customer_quads(sf_dir),
+        f"SELECT ?g ?s ?o WHERE {{ GRAPH ?g {{ ?s <{VOCAB_INNATION}> ?o "
+        "} }",
+    )
+
+
+SQL_SPARQL_GRAPH_VAR = """
+SELECT 'graph:' || c_mktsegment AS g,
+       'cust:' || CAST(c_custkey AS VARCHAR) AS s,
+       'nation:' || CAST(c_nationkey AS VARCHAR) AS o
+FROM customer
+"""
+
+
+def q_sparql_graph_const(sf_dir: str):
+    """GRAPH <iri> { … }: constant named-graph scoping."""
+    from ..query.sparql import run_select
+
+    return run_select(
+        _customer_quads(sf_dir),
+        "SELECT ?s ?o WHERE { GRAPH <graph:BUILDING> { "
+        f"?s <{VOCAB_INNATION}> ?o }} }}",
+    )
+
+
+SQL_SPARQL_GRAPH_CONST = """
+SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS s,
+       'nation:' || CAST(c_nationkey AS VARCHAR) AS o
+FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+def q_sparql_zeroone_path(sf_dir: str):
+    """Zero-or-one path ``childOf?``: single hops ∪ reflexive pairs over
+    the nodes incident to childOf edges (set semantics)."""
+    from ..query.sparql import run_select
+
+    return run_select(
+        _part_triples(sf_dir),
+        f"SELECT ?s ?o WHERE {{ ?s <{VOCAB_CHILDOF}>? ?o }}",
+    )
+
+
+SQL_SPARQL_ZEROONE_PATH = """
+WITH e AS (
+    SELECT p_partkey AS s, p_partkey // 2 AS o FROM part WHERE p_partkey > 1
+), nodes AS (
+    SELECT s AS k FROM e UNION SELECT o FROM e
+)
+SELECT 'part:' || CAST(s AS VARCHAR) AS s,
+       'part:' || CAST(o AS VARCHAR) AS o FROM e
+UNION
+SELECT 'part:' || CAST(k AS VARCHAR), 'part:' || CAST(k AS VARCHAR)
+FROM nodes
+"""
+
+
+def q_sparql_neg_path(sf_dir: str):
+    """Negated property set ``!(childOf)``: one hop over any OTHER
+    predicate — here exactly the pname label edges."""
+    from ..query.sparql import run_select
+
+    return run_select(
+        _part_triples(sf_dir),
+        f"SELECT ?s ?o WHERE {{ ?s !(<{VOCAB_CHILDOF}>) ?o }}",
+    )
+
+
+SQL_SPARQL_NEG_PATH = """
+SELECT 'part:' || CAST(p_partkey AS VARCHAR) AS s, p_name AS o FROM part
+"""
+
+
+def q_sparql_optional_path(sf_dir: str):
+    """OPTIONAL { ?s childOf+ ?a }: a property path inside an OPTIONAL
+    group (left join against the closure; roots keep an unbound ?a,
+    serialized 'none' on both sides for the hash compare)."""
+    from ..query.sparql import run_select
+
+    out = run_select(
+        _part_triples(sf_dir),
+        f"SELECT ?s ?a WHERE {{ ?s <{VOCAB_PNAME}> ?n . "
+        f"OPTIONAL {{ ?s <{VOCAB_CHILDOF}>+ ?a }} }}",
+    )
+    out = out.copy()
+    out["a"] = out["a"].fillna("none")
+    return out
+
+
+SQL_SPARQL_OPTIONAL_PATH = """
+WITH RECURSIVE e AS (
+    SELECT p_partkey AS s, p_partkey // 2 AS o FROM part WHERE p_partkey > 1
+), r(s, o) AS (
+    SELECT s, o FROM e
+    UNION
+    SELECT r.s, e.o FROM r JOIN e ON r.o = e.s
+)
+SELECT 'part:' || CAST(p.p_partkey AS VARCHAR) AS s,
+       COALESCE('part:' || CAST(r.o AS VARCHAR), 'none') AS a
+FROM part p LEFT JOIN r ON r.s = p.p_partkey
+"""
+
+
+def q_sparql_select_dataset(sf_dir: str):
+    """Dataset-returning SELECT (collect=False): the closure-sized
+    binding set stays distributed — no ``to_pandas`` inside the
+    operator (r3 verdict item #1); the driver materializes only for
+    the compare."""
+    from ..query.sparql import run_select
+
+    return run_select(
+        _part_triples(sf_dir),
+        f"SELECT ?s ?o WHERE {{ ?s <{VOCAB_CHILDOF}>+ ?o }}",
+        collect=False,
+    )
+
+
+SQL_SPARQL_SELECT_DATASET = """
+WITH RECURSIVE e AS (
+    SELECT p_partkey AS s, p_partkey // 2 AS o FROM part WHERE p_partkey > 1
+), r(s, o) AS (
+    SELECT s, o FROM e
+    UNION
+    SELECT r.s, e.o FROM r JOIN e ON r.o = e.s
+)
+SELECT 'part:' || CAST(s AS VARCHAR) AS s,
+       'part:' || CAST(o AS VARCHAR) AS o
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
+# Ordering contract: every SQL-ORACLED query sits BEFORE the rows-only
+# tail, and the near-dup family sits in the first 10 — the r3 driver
+# artifact recorded only the first 50 registry entries, silently
+# skipping three oracled dedup queries that happened to be last
+# (VERDICT r3 bookkeeping note / next-round item 4).
 QUERIES = {
     "count_by_event_type": q_count_by_event_type,
     "lineitem_agg": q_lineitem_agg,
     "top_parts_by_qty": q_top_parts_by_qty,
+    "docs_minhash_dedup": q_docs_minhash_dedup,
+    "docs_ngram_jaccard": q_docs_ngram_jaccard,
+    "embedding_neardup": q_embedding_neardup,
+    "sparql_lang_filter": q_sparql_lang_filter,
+    "sparql_datatype_filter": q_sparql_datatype_filter,
+    "sparql_graph_var": q_sparql_graph_var,
+    "sparql_graph_const": q_sparql_graph_const,
+    "sparql_zeroone_path": q_sparql_zeroone_path,
+    "sparql_neg_path": q_sparql_neg_path,
+    "sparql_optional_path": q_sparql_optional_path,
+    "sparql_select_dataset": q_sparql_select_dataset,
     "customer_order_counts": q_customer_order_counts,
     "orders_limit": q_orders_limit,
     "distinct_flags": q_distinct_flags,
@@ -2032,21 +2288,27 @@ QUERIES = {
     "docs_shuffle_shards": q_docs_shuffle_shards,
     "docs_pack_sequences": q_docs_pack_sequences,
     "docs_lm_score": q_docs_lm_score,
+    "rml_customer_triples": q_rml_customer_triples,
+    # ---- rows-only tail (genuinely non-SQL ops) ----
     "media_image_features": q_media_image_features,
     "media_audio_features": q_media_audio_features,
-    "rml_customer_triples": q_rml_customer_triples,
     "docs_langid": q_docs_langid,
-    "docs_minhash_dedup": q_docs_minhash_dedup,
     "docs_simhash": q_docs_simhash,
     "docs_fingerprint": q_docs_fingerprint,
-    "docs_ngram_jaccard": q_docs_ngram_jaccard,
-    "embedding_neardup": q_embedding_neardup,
     "ann_ivf": q_ann_ivf,
     "sparql_pred_counts": q_sparql_pred_counts,
     "forge_pages": q_forge_pages,
 }
 
 ORACLES = {
+    "sparql_lang_filter": SQL_SPARQL_LANG_FILTER,
+    "sparql_datatype_filter": SQL_SPARQL_DATATYPE_FILTER,
+    "sparql_graph_var": SQL_SPARQL_GRAPH_VAR,
+    "sparql_graph_const": SQL_SPARQL_GRAPH_CONST,
+    "sparql_zeroone_path": SQL_SPARQL_ZEROONE_PATH,
+    "sparql_neg_path": SQL_SPARQL_NEG_PATH,
+    "sparql_optional_path": SQL_SPARQL_OPTIONAL_PATH,
+    "sparql_select_dataset": SQL_SPARQL_SELECT_DATASET,
     "count_by_event_type": SQL_COUNT_BY_EVENT_TYPE,
     "lineitem_agg": SQL_LINEITEM_AGG,
     "top_parts_by_qty": SQL_TOP_PARTS_BY_QTY,

@@ -66,8 +66,8 @@ import pandas as pd
 
 import ray.data
 
-from .ops import bgp, limit as limit_op, match_pattern, optional_join
-from .ops import broadcast_lookup_join, property_path_closure
+from .ops import limit as limit_op, match_pattern, optional_join
+from .ops import broadcast_lookup_join, property_path_closure_ds
 
 __all__ = [
     "prepare_query",
@@ -106,7 +106,8 @@ class SelectQuery:
     variables: list[str]
     aggregates: list[tuple]        # (FUNC, var, alias): COUNT/SUM/MIN/MAX/AVG
     patterns: list[tuple]          # (s, p, o) terms; p may be PathExpr
-    optionals: list[tuple]            # (patterns, group-scoped filters)
+    optionals: list[tuple]         # (patterns, filters, nested) — nested
+    # is a list of the same 3-tuple shape (nested OPTIONAL groups)
     group_by: list[str]
     limit: int | None
     filters: list[tuple] = field(default_factory=list)   # (var, op, rhs)
@@ -130,6 +131,8 @@ class SelectQuery:
     offset: int = 0
     subselects: list[str] = field(default_factory=list)
     # raw '{ SELECT … }' group texts, compiled+evaluated recursively
+    graph_groups: list[tuple] = field(default_factory=list)
+    # each: (graph term — '?var' or IRI, pattern list) from GRAPH { … }
 
 
 @dataclass
@@ -140,7 +143,14 @@ class PathExpr:
       (union of single-hop matches, fully distributed);
     * ``op='plus'`` — ``(p)+`` / ``<p>+``: one-or-more transitive
       closure (non-reflexive);
-    * ``op='star'`` — ``(p)*`` / ``<p>*``: reflexive-transitive closure.
+    * ``op='star'`` — ``(p)*`` / ``<p>*``: reflexive-transitive closure;
+    * ``op='opt'``  — ``(p)?`` / ``<p>?``: zero-or-one — single hops ∪
+      reflexive pairs over the nodes incident to the pred-filtered
+      edges (the same reflexive domain as ``star``; strict SPARQL's
+      zero-length path ranges over every graph term — documented
+      narrowing, consistent across both reflexive ops);
+    * ``op='neg'``  — ``!(p1|p2)`` / ``!<p>``: negated property set —
+      ONE hop over any predicate NOT listed.
 
     Sequence ``p1/p2`` and inverse ``^p`` are compile-time rewrites in
     ``_parse_patterns`` (fresh intermediate variables / swapped terms),
@@ -148,7 +158,7 @@ class PathExpr:
     """
 
     preds: list[str]
-    op: str = "star"  # "alt" | "plus" | "star"
+    op: str = "star"  # "alt" | "plus" | "star" | "opt" | "neg"
 
     @property
     def star(self) -> bool:
@@ -172,8 +182,9 @@ _GROUP_BY = re.compile(r"GROUP\s+BY((?:\s+\?\w+)+)", re.I)
 _LIMIT = re.compile(r"LIMIT\s+(\d+)", re.I)
 _OFFSET = re.compile(r"OFFSET\s+(\d+)", re.I)
 _OPTIONAL = re.compile(r"OPTIONAL\s*\{([^}]*)\}", re.S | re.I)
-_PATH = re.compile(r"^\(([^)]+)\)([*+]?)$")
-_PATH_BARE = re.compile(r"^(<[^>]+>|\w+:[\w-]+)([*+])$")
+_PATH = re.compile(r"^(!?)\(([^)]+)\)([*+?]?)$")
+_PATH_BARE = re.compile(r"^(<[^>]+>|\w+:[\w-]+)([*+?])$")
+_PATH_NEG_BARE = re.compile(r"^!(<[^>]+>|\w+:[\w-]+)$")
 _FILTER = re.compile(
     r"FILTER\s*\(\s*(\?\w+)\s*(!=|<=|>=|=|<|>)\s*"
     r"(\?\w+|\"[^\"]*\"|[-+]?\d+(?:\.\d+)?)\s*\)",
@@ -195,6 +206,18 @@ _BOUND_FILTER = re.compile(
 _STRLEN_FILTER = re.compile(
     r"FILTER\s*\(\s*STRLEN\s*\(\s*(\?\w+)\s*\)\s*"
     r"(!=|<=|>=|=|<|>)\s*(\d+)\s*\)",
+    re.I,
+)
+# FILTER(LANG(?v) = "en") / FILTER(DATATYPE(?v) = <iri>|curie) — typed-
+# literal metadata filters; the match layer must emit _lang_/_dt_
+# columns for ?v (meta_vars plumbing)
+_LANG_FILTER = re.compile(
+    r"FILTER\s*\(\s*LANG\s*\(\s*(\?\w+)\s*\)\s*(!=|=)\s*\"([^\"]*)\"\s*\)",
+    re.I,
+)
+_DT_FILTER = re.compile(
+    r"FILTER\s*\(\s*DATATYPE\s*\(\s*(\?\w+)\s*\)\s*(!=|=)\s*"
+    r"(<[^>]+>|\w+:[\w-]+)\s*\)",
     re.I,
 )
 # FILTER(?v [NOT] IN (t1, t2, …)) — terms are IRIs / quoted strings /
@@ -489,11 +512,11 @@ def _parse_general_filter(inner: str) -> tuple:
     return ("", op, (kind, (lhs, rhs)))
 
 
-_PATH_OPS = {"": "alt", "*": "star", "+": "plus"}
+_PATH_OPS = {"": "alt", "*": "star", "+": "plus", "?": "opt"}
 
 
 def _term(tok: str, prefixes: dict[str, str], allow_path: bool = False):
-    if tok.startswith("?"):
+    if tok.startswith("?") and len(tok) > 1:
         return tok
     if tok.startswith("<") and tok.endswith(">"):
         return tok[1:-1]
@@ -502,13 +525,23 @@ def _term(tok: str, prefixes: dict[str, str], allow_path: bool = False):
     if allow_path:
         m = _PATH.match(tok)
         if m:
-            preds = [_term(p.strip(), prefixes) for p in m.group(1).split("|")]
-            return PathExpr(preds=preds, op=_PATH_OPS[m.group(2)])
+            preds = [_term(p.strip(), prefixes) for p in m.group(2).split("|")]
+            if m.group(1):  # !(p1|p2) — negated property set
+                if m.group(3):
+                    raise ValueError(
+                        f"a negated property set cannot take a path "
+                        f"modifier: {tok!r}"
+                    )
+                return PathExpr(preds=preds, op="neg")
+            return PathExpr(preds=preds, op=_PATH_OPS[m.group(3)])
         m = _PATH_BARE.match(tok)
         if m:
             return PathExpr(
                 preds=[_term(m.group(1), prefixes)], op=_PATH_OPS[m.group(2)]
             )
+        m = _PATH_NEG_BARE.match(tok)
+        if m:
+            return PathExpr(preds=[_term(m.group(1), prefixes)], op="neg")
     if ":" in tok:
         pfx, local = tok.split(":", 1)
         if pfx in prefixes:
@@ -631,6 +664,116 @@ def _parse_filter_rhs(rhs: str):
     if rhs.startswith('"'):
         return ("str", rhs.strip('"'))
     return ("num", float(rhs))
+
+
+_OPTIONAL_KW = re.compile(r"OPTIONAL\s*\{", re.I)
+_GRAPH_KW = re.compile(r"GRAPH\s+(\?\w+|<[^>]+>|\w+:[\w-]+)\s*\{", re.I)
+
+
+def _cut_keyword_groups(
+    body: str, keyword_rx: "re.Pattern"
+) -> tuple[list[tuple], str]:
+    """Cut ``KEYWORD … { balanced }`` groups out of a WHERE body (brace
+    scan, so groups may NEST — the flat ``[^}]*`` regexes cannot).
+    ``keyword_rx`` must consume through the opening brace. Returns
+    ``([(match, inner_text)], remaining_body)``. Braces inside string
+    literals are not handled (same limitation as the rest of the
+    splitter)."""
+    groups: list[tuple] = []
+    out: list[str] = []
+    i, n = 0, len(body)
+    while i < n:
+        m = keyword_rx.match(body, i)
+        if m:
+            depth, k = 1, m.end()
+            while k < n and depth:
+                if body[k] == "{":
+                    depth += 1
+                elif body[k] == "}":
+                    depth -= 1
+                k += 1
+            if depth:
+                raise ValueError(
+                    f"unbalanced braces after {m.group(0)!r}"
+                )
+            groups.append((m, body[m.end() : k - 1]))
+            i = k
+            continue
+        out.append(body[i])
+        i += 1
+    return groups, "".join(out)
+
+
+# constructs whose OPTIONAL-scoped semantics we don't implement: raise
+# instead of silently hoisting them to the outer group (r3 ADVICE —
+# the old flat extraction changed scoping without error)
+_OPT_FORBIDDEN = (
+    ("VALUES", _VALUES),
+    ("BIND", _BIND),
+    ("FILTER EXISTS", re.compile(r"\bEXISTS\s*\{", re.I)),
+    ("MINUS", _MINUS),
+    ("UNION", re.compile(r"\}\s*UNION\s*\{", re.I)),
+    ("GRAPH", _GRAPH_KW),
+)
+
+
+def _filter_refs(var: str, _op: str, rhs: tuple) -> set[str]:
+    """Variables referenced by one parsed filter entry."""
+    if rhs[0] == "expr2":
+        return _expr_vars(rhs[1][0]) | _expr_vars(rhs[1][1])
+    if rhs[0] == "bool":
+        return set().union(
+            *(_expr_vars(l) | _expr_vars(r)
+              for _, (l, _o2, r) in rhs[1][1])
+        )
+    return {var} | ({rhs[1]} if rhs[0] == "var" else set())
+
+
+def _parse_optional_group(
+    text: str, decl: dict[str, str], extract_filters
+) -> tuple:
+    """One OPTIONAL group body → (patterns, filters, nested) with
+    nested OPTIONAL groups parsed recursively. Group-scoped FILTERs may
+    reference only variables bound inside the group (outer-variable
+    LeftJoin expressions are not implemented — loud refusal)."""
+    nested_raw, text = _cut_keyword_groups(text, _OPTIONAL_KW)
+    for name, rx in _OPT_FORBIDDEN:
+        if rx.search(text):
+            raise ValueError(
+                f"{name} inside an OPTIONAL group is not supported "
+                "(group scoping would be silently lost); move it "
+                "outside the OPTIONAL"
+            )
+    filters, text = extract_filters(text)
+    patterns = _parse_patterns(text, decl)
+    nested = [
+        _parse_optional_group(t, decl, extract_filters)
+        for (_m, t) in nested_raw
+    ]
+    bound = {
+        t[1:] for pat in patterns for t in pat
+        if isinstance(t, str) and t.startswith("?")
+    }
+
+    def add_nested_vars(groups):
+        for ps, _f, nn in groups:
+            for pat in ps:
+                for t in pat:
+                    if isinstance(t, str) and t.startswith("?"):
+                        bound.add(t[1:])
+            add_nested_vars(nn)
+
+    add_nested_vars(nested)
+    for var, _op, rhs in filters:
+        refs = _filter_refs(var, _op, rhs)
+        if not refs <= bound:
+            raise ValueError(
+                "unsupported: FILTER inside OPTIONAL references "
+                f"variable(s) {sorted(refs - bound)} not bound by the "
+                "optional group (outer-variable LeftJoin expressions "
+                "are not implemented)"
+            )
+    return (patterns, filters, nested)
 
 
 def _extract_subselects(body: str) -> tuple[list[str], str]:
@@ -779,8 +922,16 @@ def compile_select(
             fs.append(
                 (m.group(1)[1:], "IN", ("in", (vals, bool(m.group(2)))))
             )
-        for rx in (_BOUND_FILTER, _STRLEN_FILTER, _IN_FILTER,
-                   _STR_FILTER, _FILTER):
+        fs += [
+            (m.group(1)[1:], m.group(2), ("lang", m.group(3)))
+            for m in _LANG_FILTER.finditer(text)
+        ]
+        fs += [
+            (m.group(1)[1:], m.group(2), ("datatype", _term(m.group(3), decl)))
+            for m in _DT_FILTER.finditer(text)
+        ]
+        for rx in (_LANG_FILTER, _DT_FILTER, _BOUND_FILTER,
+                   _STRLEN_FILTER, _IN_FILTER, _STR_FILTER, _FILTER):
             text = rx.sub("", text)
         # whatever FILTER groups remain are general expressions:
         # FILTER(?a + ?b > 10), FILTER(LCASE(?x) = "y"), …
@@ -870,9 +1021,33 @@ def compile_select(
             offset=_tail_offset(tail, query),
         )
 
-    # VALUES / BIND blocks are cut out FIRST: a VALUES row block contains
-    # braces that would otherwise confuse brace scans, and neither parses
-    # as a triple pattern
+    # GRAPH groups (quad scoping): brace-scan cut first — the group
+    # contains triple patterns only (FILTER/OPTIONAL inside GRAPH are
+    # refused, not hoisted)
+    graph_groups_parsed: list[tuple] = []
+    graph_raw, body = _cut_keyword_groups(body, _GRAPH_KW)
+    for gm, inner in graph_raw:
+        if _FILTER_TOKEN.search(inner) or _OPTIONAL_KW.search(inner):
+            raise ValueError(
+                "only triple patterns are supported inside GRAPH { }; "
+                "move FILTER / OPTIONAL outside the GRAPH group"
+            )
+        gtok = gm.group(1)
+        gterm = gtok if gtok.startswith("?") else _term(gtok, decl)
+        graph_groups_parsed.append((gterm, _parse_patterns(inner, decl)))
+
+    # OPTIONAL groups: brace scan (nesting supported), cut BEFORE the
+    # VALUES/BIND/EXISTS/MINUS extraction so a group-scoped construct
+    # raises instead of being silently hoisted to top level (r3 ADVICE)
+    opt_raw, body = _cut_keyword_groups(body, _OPTIONAL_KW)
+    optionals = [
+        _parse_optional_group(t, decl, extract_filters)
+        for _m, t in opt_raw
+    ]
+
+    # VALUES / BIND blocks next: a VALUES row block contains braces that
+    # would otherwise confuse brace scans, and neither parses as a
+    # triple pattern
     for m in _VALUES.finditer(body):
         vars_ = re.findall(r"\?(\w+)", m.group(1))
         toks = _VALUE_TOKEN.findall(m.group(2))
@@ -928,38 +1103,6 @@ def compile_select(
         minus_groups.append(_parse_patterns(m.group(1), decl))
     body = _MINUS.sub("", body)
 
-    # OPTIONAL groups are cut out BEFORE top-level FILTER extraction: a
-    # FILTER inside an OPTIONAL scopes to the optional group (applied
-    # before the left join) — hoisting it would filter the JOINED rows
-    # and silently turn left-join semantics into an inner join.
-    optionals = []
-    for m in _OPTIONAL.finditer(body):
-        opt_filters, opt_body = extract_filters(m.group(1))
-        opt_patterns = _parse_patterns(opt_body, decl)
-        bound = {
-            t[1:] for pat in opt_patterns for t in pat
-            if isinstance(t, str) and t.startswith("?")
-        }
-        for var, _op, rhs in opt_filters:
-            if rhs[0] == "expr2":
-                refs = _expr_vars(rhs[1][0]) | _expr_vars(rhs[1][1])
-            elif rhs[0] == "bool":
-                refs = set().union(
-                    *(_expr_vars(l) | _expr_vars(r)
-                      for _, (l, _o2, r) in rhs[1][1])
-                )
-            else:
-                refs = {var} | ({rhs[1]} if rhs[0] == "var" else set())
-            if not refs <= bound:
-                raise ValueError(
-                    "unsupported: FILTER inside OPTIONAL references "
-                    f"variable(s) {sorted(refs - bound)} not bound by the "
-                    "optional group (outer-variable LeftJoin expressions "
-                    "are not implemented)"
-                )
-        optionals.append((opt_patterns, opt_filters))
-    body = _OPTIONAL.sub("", body)
-
     filters, body = extract_filters(body)
     patterns = _parse_patterns(body, decl)
 
@@ -983,6 +1126,7 @@ def compile_select(
         agg_params=agg_params,
         offset=_tail_offset(tail, query),
         subselects=subselects,
+        graph_groups=graph_groups_parsed,
     )
 
 
@@ -1023,6 +1167,21 @@ def _apply_filters(df: pd.DataFrame, filters: list[tuple]) -> pd.DataFrame:
             continue
         if var not in df.columns:
             raise ValueError(f"FILTER variable ?{var} is unbound")
+        if kind in ("lang", "datatype"):
+            # metadata columns emitted by match_pattern(meta_vars=…);
+            # NaN = IRI-valued row (LANG/DATATYPE of an IRI is a type
+            # error → the row drops, for both '=' and '!=')
+            col = ("_lang_" if kind == "lang" else "_dt_") + var
+            if col not in df.columns:
+                raise ValueError(
+                    f"{kind.upper()}(?{var}) has no metadata column — "
+                    "the variable must be bound at a literal object "
+                    "position of a metadata-carrying triples source"
+                )
+            s = df[col]
+            mask = (s == val) if op == "=" else (s != val)
+            df = df.loc[mask & s.notna()]
+            continue
         if kind == "strfn":
             pattern, flags, negated = val
             s = df[var].astype(str)
@@ -1045,7 +1204,11 @@ def _apply_filters(df: pd.DataFrame, filters: list[tuple]) -> pd.DataFrame:
                         regex=True,
                         flags=_re.I if "i" in flags.lower() else 0,
                     )
-            df = df.loc[~mask if negated else mask]
+            # unbound OPTIONAL values are NaN; astype(str) would turn
+            # them into the literal 'nan' and let CONTAINS/REGEX match
+            # spuriously. SPARQL drops such rows (type error on unbound)
+            # for BOTH the plain and negated forms — error is not false.
+            df = df.loc[(~mask if negated else mask) & df[var].notna()]
             continue
         if kind == "bound":
             # unbound OPTIONAL values are NaN in the bindings frame
@@ -1270,21 +1433,278 @@ def _order_dataset_topk(
     )
 
 
+def _meta_vars_of(q: SelectQuery) -> frozenset:
+    """Variables needing _lang_/_dt_ metadata columns: referenced by a
+    LANG()/DATATYPE() filter anywhere in the query (top level or inside
+    an OPTIONAL group, any nesting depth)."""
+    vars_: set[str] = set()
+
+    def scan(filters):
+        for var, _op, (kind, _val) in filters:
+            if kind in ("lang", "datatype"):
+                vars_.add(var)
+
+    scan(q.filters)
+
+    def scan_opts(groups):
+        for _p, fs, nested in groups:
+            scan(fs)
+            scan_opts(nested)
+
+    scan_opts(q.optionals)
+    return frozenset(vars_)
+
+
+def _bind_pairs(
+    pairs: "ray.data.Dataset", s_t: str, o_t: str
+) -> "ray.data.Dataset":
+    """Bind an (s, o) pair Dataset to pattern terms: constants filter,
+    variables rename, a repeated variable adds an equality filter —
+    ``match_pattern`` over a two-column relation."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    s_var = str(s_t).startswith("?")
+    o_var = str(o_t).startswith("?")
+    if not s_var and not o_var:
+        raise ValueError(
+            "a property path with two constant endpoints is unsupported"
+        )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mask = None
+        if not s_var:
+            mask = pc.equal(batch["s"], pa.scalar(s_t))
+        if not o_var:
+            m = pc.equal(batch["o"], pa.scalar(o_t))
+            mask = m if mask is None else pc.and_(mask, m)
+        if s_var and o_var and s_t == o_t:
+            m = pc.equal(batch["s"], batch["o"])
+            mask = m if mask is None else pc.and_(mask, m)
+        if mask is not None:
+            batch = batch.filter(mask)
+        cols, names = [], []
+        if s_var:
+            cols.append(batch["s"])
+            names.append(s_t[1:])
+        if o_var and not (s_var and s_t == o_t):
+            cols.append(batch["o"])
+            names.append(o_t[1:])
+        return pa.Table.from_arrays(cols, names=names)
+
+    return pairs.map_batches(fn, batch_format="pyarrow")
+
+
+def _path_pairs_single_hop(
+    triples: "ray.data.Dataset", preds: list[str], reflexive: bool
+) -> "ray.data.Dataset":
+    """(s, o) pairs of the single-hop relation over ``preds``; with
+    ``reflexive`` adds (n, n) for every node incident to those edges
+    (zero-or-one path). Set semantics (deduped), consistent with the
+    star closure."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..shuffle import dedup_pairs
+
+    pred_set = pa.array(preds)
+
+    def edges_only(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_in(batch["pred"], value_set=pred_set))
+        return pa.Table.from_arrays([t["subj"], t["obj"]], names=["s", "o"])
+
+    edges = triples.map_batches(edges_only, batch_format="pyarrow")
+    if reflexive:
+        def nodes(df: pd.DataFrame) -> pd.DataFrame:
+            n = pd.unique(
+                pd.concat([df["s"], df["o"]], ignore_index=True)
+            )
+            return pd.DataFrame({"s": n, "o": n})
+
+        edges = edges.union(
+            edges.map_batches(nodes, batch_format="pandas")
+        )
+    return dedup_pairs(edges, cols=("s", "o"))
+
+
+# closure edge-relation size above which property paths stay a Dataset
+# end-to-end (distributed join) instead of a driver frame + broadcast;
+# module-level so tests can force the distributed path
+PATH_DISTRIBUTED_THRESHOLD = 200_000
+
+
+def _eval_patterns(
+    triples: "ray.data.Dataset",
+    patterns: list[tuple],
+    meta_vars: frozenset = frozenset(),
+    graph_term: str | None = None,
+    path_threshold: int | None = None,
+) -> "ray.data.Dataset | None":
+    """Evaluate a pattern group (plain triples + property paths) →
+    bindings Dataset (None when the group is empty). Shared by the main
+    WHERE body, UNION branches, OPTIONAL groups (so paths work inside
+    OPTIONAL), GRAPH groups, and EXISTS/MINUS inner groups.
+
+    Joins run through ``shuffle.bindings_join`` (acero-safe). Closure
+    paths whose edge relation is small come back as a driver frame and
+    broadcast-join (no shuffle); big closures stay a DATASET end-to-end
+    and join distributed — no driver ceiling (r3 verdict #1/#3)."""
+    from ..shuffle import bindings_join
+
+    if path_threshold is None:
+        path_threshold = PATH_DISTRIBUTED_THRESHOLD
+
+    plain = [p for p in patterns if not isinstance(p[1], PathExpr)]
+    hops = [      # single-hop path forms: alternation / negated set
+        p for p in patterns
+        if isinstance(p[1], PathExpr) and p[1].op in ("alt", "neg")
+    ]
+    zero_or_one = [
+        p for p in patterns
+        if isinstance(p[1], PathExpr) and p[1].op == "opt"
+    ]
+    closures = [
+        p for p in patterns
+        if isinstance(p[1], PathExpr) and p[1].op in ("star", "plus")
+    ]
+    if graph_term is not None and (hops or zero_or_one or closures):
+        # only the single-hop forms thread a graph filter today; the
+        # closure machinery is graph-oblivious — refuse loudly
+        if zero_or_one or closures:
+            raise ValueError(
+                "property paths with */+/? inside GRAPH { } are not "
+                "supported"
+            )
+
+    def pattern_vars(pat) -> set[str]:
+        vs = {
+            t[1:] for t in pat if isinstance(t, str) and t.startswith("?")
+        }
+        if graph_term is not None and graph_term.startswith("?"):
+            vs.add(graph_term[1:])
+        return vs
+
+    bindings: "ray.data.Dataset | None" = None
+    bound_vars: set[str] = set()
+    emitted_meta: set[str] = set()
+
+    def join_part(part, part_vars: set[str], what: str):
+        nonlocal bindings, bound_vars
+        if bindings is None:
+            bindings = part
+            bound_vars = set(part_vars)
+            return
+        shared = sorted(bound_vars & part_vars)
+        if not shared:
+            raise ValueError(
+                f"{what} shares no variable with the other patterns "
+                "(disconnected groups are unsupported)"
+            )
+        bindings = bindings_join(bindings, part, on=shared)
+        bound_vars |= part_vars
+
+    for pat in plain:
+        s_t, p_t, o_t = pat
+        obj_var = o_t[1:] if str(o_t).startswith("?") else None
+        mv = ()
+        if obj_var and obj_var in meta_vars and obj_var not in emitted_meta:
+            mv = (obj_var,)
+            emitted_meta.add(obj_var)
+        part = match_pattern(
+            triples, s_t, p_t, o_t, graph=graph_term, meta_vars=mv
+        )
+        join_part(part, pattern_vars(pat), "pattern")
+
+    # (p1|p2) alternation / !(p1|p2) negated set: ONE hop — a union of
+    # single-hop matches (alternation keeps duplicates: SPARQL alt-path
+    # solutions are a multiset), hash-joined on shared variables
+    for s_t, path, o_t in hops:
+        for t in (s_t, o_t):
+            v = t[1:] if str(t).startswith("?") else None
+            if v and v in meta_vars:
+                raise ValueError(
+                    f"LANG()/DATATYPE() over path-bound ?{v} is "
+                    "unsupported"
+                )
+        if path.op == "neg":
+            from .ops import NotPreds
+
+            part = match_pattern(
+                triples, s_t, NotPreds(path.preds), o_t, graph=graph_term
+            )
+        else:
+            parts = [
+                match_pattern(triples, s_t, p, o_t, graph=graph_term)
+                for p in path.preds
+            ]
+            part = (
+                parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+            )
+        join_part(part, pattern_vars((s_t, None, o_t)),
+                  "alternation/negated path")
+
+    # (p)? zero-or-one: hop ∪ reflexive pairs, set semantics
+    for s_t, path, o_t in zero_or_one:
+        pairs = _path_pairs_single_hop(triples, path.preds, reflexive=True)
+        part = _bind_pairs(pairs, str(s_t), str(o_t))
+        join_part(part, pattern_vars((s_t, None, o_t)), "zero-or-one path")
+
+    # (p)* / (p)+ closure paths
+    for s_t, path, o_t in closures:
+        closure_ds, frame = property_path_closure_ds(
+            triples, path.preds, include_reflexive=path.star,
+            distributed_threshold=path_threshold,
+        )
+        if frame is not None:
+            # small closure: broadcast merge — no shuffle
+            cols = {}
+            if str(s_t).startswith("?"):
+                cols["s"] = s_t[1:]
+            else:
+                frame = frame[frame["s"] == s_t]
+            if str(o_t).startswith("?"):
+                cols["o"] = o_t[1:]
+            else:
+                frame = frame[frame["o"] == o_t]
+            if not cols:
+                raise ValueError(
+                    "a property path with two constant endpoints is "
+                    "unsupported"
+                )
+            frame = (
+                frame.rename(columns=cols)[list(cols.values())]
+                .drop_duplicates()
+                .reset_index(drop=True)
+            )
+            if bindings is None:
+                import ray.data as rd
+
+                bindings = rd.from_pandas(frame)
+                bound_vars = set(frame.columns)
+                continue
+            shared = sorted(bound_vars & set(frame.columns))
+            if not shared:
+                raise ValueError("path pattern shares no variable with BGP")
+            bindings = broadcast_lookup_join(
+                bindings, frame, on=shared, how="inner"
+            )
+            bound_vars |= set(frame.columns)
+        else:
+            # big closure: stays a Dataset, joins distributed
+            part = _bind_pairs(closure_ds, str(s_t), str(o_t))
+            join_part(part, pattern_vars((s_t, None, o_t)), "path pattern")
+
+    return bindings
+
+
 def _eval_where(
     triples: "ray.data.Dataset", q: SelectQuery
 ) -> "ray.data.Dataset":
     """Evaluate the WHERE group of a compiled query → bindings Dataset:
-    UNION / BGP / property paths / OPTIONAL joins, then VALUES inline
-    data, BIND expressions, and top-level FILTERs — all distributed."""
-    path_patterns = [
-        p for p in q.patterns
-        if isinstance(p[1], PathExpr) and p[1].op != "alt"
-    ]
-    alt_patterns = [
-        p for p in q.patterns
-        if isinstance(p[1], PathExpr) and p[1].op == "alt"
-    ]
-    plain_patterns = [p for p in q.patterns if not isinstance(p[1], PathExpr)]
+    UNION / BGP / property paths / GRAPH groups / OPTIONAL joins, then
+    VALUES inline data, BIND expressions, and top-level FILTERs — all
+    distributed."""
+    meta_vars = _meta_vars_of(q)
 
     bindings: "ray.data.Dataset | None" = None
     if q.union_groups:
@@ -1296,17 +1716,9 @@ def _eval_where(
         var_sets = set()
         parts = []
         for grp, grp_opts in q.union_groups:
-            part = (
-                match_pattern(triples, *grp[0])
-                if len(grp) == 1
-                else bgp(triples, grp)
-            )
+            part = _eval_patterns(triples, grp, meta_vars)
             for opt_patterns, _unused in grp_opts:
-                opt_b = (
-                    match_pattern(triples, *opt_patterns[0])
-                    if len(opt_patterns) == 1
-                    else bgp(triples, opt_patterns)
-                )
+                opt_b = _eval_patterns(triples, opt_patterns, meta_vars)
                 shared = sorted(
                     set(part.schema().names) & set(opt_b.schema().names)
                 )
@@ -1328,19 +1740,20 @@ def _eval_where(
             p.map_batches(norm_branch, batch_format="pandas") for p in parts
         ]
         bindings = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
-    elif plain_patterns:
-        if len(plain_patterns) == 1:
-            bindings = match_pattern(triples, *plain_patterns[0])
-        else:
-            bindings = bgp(triples, plain_patterns)
+    elif q.patterns:
+        bindings = _eval_patterns(triples, q.patterns, meta_vars)
 
-    # (p1|p2) alternation: ONE hop over any listed predicate — a union
-    # of single-hop pattern matches (fully distributed, duplicates kept:
-    # SPARQL alt-path solutions are a multiset), hash-joined into the
-    # bindings on shared variables
-    for s_t, path, o_t in alt_patterns:
-        parts = [match_pattern(triples, s_t, p, o_t) for p in path.preds]
-        part = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    # GRAPH <g> { … } / GRAPH ?g { … } groups: quad-scoped BGPs, joined
+    # into the outer bindings on shared variables (a variable graph
+    # term binds the graph column like any other variable)
+    from ..shuffle import bindings_join as _bjoin
+
+    for gterm, gpatterns in q.graph_groups:
+        part = _eval_patterns(
+            triples, gpatterns, meta_vars, graph_term=gterm
+        )
+        if part is None:
+            raise ValueError("empty GRAPH group")
         if bindings is None:
             bindings = part
             continue
@@ -1349,48 +1762,10 @@ def _eval_where(
         )
         if not shared:
             raise ValueError(
-                "alternation path shares no variable with the other "
-                "patterns (disconnected groups are unsupported)"
+                "GRAPH group shares no variable with the other patterns "
+                "(disconnected groups are unsupported)"
             )
-        from ..shuffle import bindings_join
-
-        bindings = bindings_join(bindings, part, on=shared)
-
-    # property-path patterns → closure pair frames; joined into the
-    # bindings via broadcast merge (closures are presentation-sized —
-    # ops.transitive_closure_distributed is the API for big closures)
-    path_frames: list[pd.DataFrame] = []
-    for s_t, path, o_t in path_patterns:
-        closure = property_path_closure(
-            triples, path.preds, include_reflexive=path.star
-        )
-        cols = {}
-        if str(s_t).startswith("?"):
-            cols["s"] = s_t[1:]
-        else:
-            closure = closure[closure["s"] == s_t]
-        if str(o_t).startswith("?"):
-            cols["o"] = o_t[1:]
-        else:
-            closure = closure[closure["o"] == o_t]
-        frame = closure.rename(columns=cols)[list(cols.values())]
-        path_frames.append(frame.drop_duplicates().reset_index(drop=True))
-
-    for frame in path_frames:
-        if bindings is None:
-            # pure path (or first of several paths): the frame becomes
-            # the bindings Dataset so DISTINCT / COUNT / GROUP BY /
-            # FILTER all flow through the standard machinery below
-            import ray.data as rd
-
-            bindings = rd.from_pandas(frame)
-            continue
-        shared = sorted(
-            set(bindings.schema().names) & set(frame.columns)
-        )
-        if not shared:
-            raise ValueError("path pattern shares no variable with BGP")
-        bindings = broadcast_lookup_join(bindings, frame, on=shared, how="inner")
+        bindings = _bjoin(bindings, part, on=shared)
 
     # '{ SELECT … }' subqueries: each evaluates recursively to its
     # PROJECTED bindings (SPARQL scoping — only projected variables are
@@ -1425,18 +1800,31 @@ def _eval_where(
                 batch_format="pandas",
             )
 
-    for opt_patterns, opt_filters in q.optionals:
-        opt_b = (
-            match_pattern(triples, *opt_patterns[0])
-            if len(opt_patterns) == 1
-            else bgp(triples, opt_patterns)
-        )
-        if opt_filters:  # group-scoped: filter BEFORE the left join
+    def eval_optional(group) -> "ray.data.Dataset":
+        """One OPTIONAL group (patterns, filters, nested) → its bindings:
+        paths are allowed (shared _eval_patterns), nested OPTIONALs
+        left-join INSIDE the group, group-scoped filters apply before
+        the group joins its parent."""
+        opt_patterns, opt_filters, nested = group
+        opt_b = _eval_patterns(triples, opt_patterns, meta_vars)
+        if opt_b is None:
+            raise ValueError("empty OPTIONAL group")
+        for sub in nested:
+            sub_b = eval_optional(sub)
+            shared = sorted(
+                set(opt_b.schema().names) & set(sub_b.schema().names)
+            )
+            opt_b = optional_join(opt_b, sub_b, on=shared)
+        if opt_filters:  # group-scoped: filter BEFORE the outer left join
             _of = opt_filters
             opt_b = opt_b.map_batches(
                 lambda df, _f=tuple(_of): _apply_filters(df, list(_f)),
                 batch_format="pandas",
             )
+        return opt_b
+
+    for group in q.optionals:
+        opt_b = eval_optional(group)
         shared = sorted(
             set(c for c in bindings.schema().names)
             & set(opt_b.schema().names)
@@ -1517,11 +1905,10 @@ def _eval_where(
     # no-op; a disjoint [NOT] EXISTS would need a scalar non-emptiness
     # probe per row — unsupported, raise.
     def _inner_group(patterns: list[tuple]) -> "ray.data.Dataset":
-        return (
-            match_pattern(triples, *patterns[0])
-            if len(patterns) == 1
-            else bgp(triples, patterns)
-        )
+        inner = _eval_patterns(triples, patterns, meta_vars)
+        if inner is None:
+            raise ValueError("empty EXISTS/MINUS group")
+        return inner
 
     from ..shuffle import bindings_join
 
@@ -1567,12 +1954,29 @@ def run_select(
     triples: "ray.data.Dataset",
     query: str,
     prefixes: dict[str, str] | None = None,
-) -> pd.DataFrame:
-    """Compile + execute a SELECT query → pandas bindings table (the
-    reference renders bindings row by row; results are presentation-sized
-    per its LIMIT convention)."""
+    collect: bool = True,
+) -> "pd.DataFrame | ray.data.Dataset":
+    """Compile + execute a SELECT query.
+
+    ``collect=True`` (default) → pandas bindings table (the reference
+    renders bindings row by row; results are presentation-sized per its
+    LIMIT convention).
+
+    ``collect=False`` → the bindings as a ray.data.Dataset — SELECT
+    results that are themselves corpus-sized never land on the driver
+    (the one operator family that was driver-bound in r3). Supported
+    for the plain / DISTINCT / LIMIT paths; aggregates, ORDER BY and
+    OFFSET return presentation-sized frames by design — use
+    ``collect=True`` for those (loud refusal otherwise)."""
     q = compile_select(query, prefixes)
     bindings = _eval_where(triples, q)
+
+    if not collect and (q.aggregates or q.order_by or q.offset):
+        raise ValueError(
+            "collect=False supports plain SELECT (with DISTINCT/LIMIT) "
+            "only; aggregate / ORDER BY / OFFSET results are "
+            "presentation-sized — call with collect=True"
+        )
 
     if q.aggregates:
         out = _run_aggregates(bindings, q)
@@ -1600,9 +2004,33 @@ def run_select(
                 batch_format="pandas",
             )
         else:
-            keep = bindings.schema().names
+            keep = [
+                c for c in bindings.schema().names
+                if not c.startswith(("_lang_", "_dt_"))
+            ]
+            if keep != list(bindings.schema().names):
+                bindings = bindings.map_batches(
+                    lambda df, _k=tuple(keep): df[list(_k)],
+                    batch_format="pandas",
+                )
         cols = keep
         bindings = dedup_pairs(bindings, cols=tuple(cols), num_buckets=16)
+    if not collect:
+        if q.limit is not None:
+            bindings = limit_op(bindings, q.limit)
+        names = bindings.schema().names
+        if q.variables:
+            keep = [v for v in q.variables if v in names]
+        else:  # SELECT *: everything except internal metadata columns
+            keep = [
+                c for c in names if not c.startswith(("_lang_", "_dt_"))
+            ]
+        if keep != list(names):
+            bindings = bindings.map_batches(
+                lambda df, _k=tuple(keep): df[list(_k)],
+                batch_format="pandas",
+            )
+        return bindings
     # OFFSET composes with the distributed pushdowns by over-fetching
     # limit+offset rows, then slicing the (presentation-sized) frame
     eff_limit = None if q.limit is None else q.limit + q.offset
@@ -1619,6 +2047,10 @@ def run_select(
         out = out.iloc[q.offset:]
     if q.variables:
         out = out[[v for v in q.variables if v in out.columns]]
+    else:  # SELECT *: drop the internal _lang_/_dt_ metadata columns
+        out = out[
+            [c for c in out.columns if not c.startswith(("_lang_", "_dt_"))]
+        ]
     return out.reset_index(drop=True)
 
 

@@ -86,6 +86,25 @@ def test_select_optional(triples_ds):
     assert vals[f"{EX}b"] == "opt-b" and pd.isna(vals[f"{EX}a"])
 
 
+def test_strfn_filter_drops_unbound_optional(triples_ds):
+    # astype(str) turns unbound NaN into the literal 'nan'; SPARQL
+    # semantics: a string function over an unbound var is a type error
+    # and the row DROPS — for both plain and negated forms (r3 ADVICE:
+    # CONTAINS(?v, "na") spuriously matched unbound rows)
+    base = (
+        "PREFIX ex: <http://ex.org/>\n"
+        "SELECT ?s ?v WHERE { ?s a ex:B . "
+        "OPTIONAL { ?s ex:optionalProp ?v } %s }"
+    )
+    out = run_select(triples_ds, base % 'FILTER(CONTAINS(?v, "na"))')
+    assert len(out) == 0  # 'nan' must not match; only b binds ?v='opt-b'
+    out = run_select(triples_ds, base % 'FILTER(CONTAINS(?v, "opt"))')
+    assert list(out["s"]) == [f"{EX}b"]
+    # negated form: unbound is an error, not "not containing"
+    out = run_select(triples_ds, base % 'FILTER(!CONTAINS(?v, "zzz"))')
+    assert list(out["s"]) == [f"{EX}b"]
+
+
 def test_select_group_count(triples_ds):
     out = run_select(
         triples_ds,
@@ -1137,3 +1156,273 @@ def test_optional_scoped_expression_filter(score_triples):
             "SELECT ?s WHERE { ?s <e/name> ?n "
             "OPTIONAL { ?s <e/score> ?v FILTER(?v > 1 && ?n = \"x\") } }",
         )
+
+
+# -- r4 extensions: nested OPTIONAL / paths in OPTIONAL / zero-or-one /
+# negated sets / LANG-DATATYPE / GRAPH / collect=False --------------------
+
+
+def test_zero_or_one_path(score_triples):
+    out = run_select(
+        score_triples, "SELECT ?s ?o WHERE { ?s <e/childOf>? ?o }"
+    )
+    pairs = set(zip(out["s"], out["o"]))
+    # reflexive over nodes incident to childOf edges + the single hops
+    assert pairs == {
+        ("e/A", "e/A"), ("e/B", "e/B"), ("e/C", "e/C"),
+        ("e/A", "e/B"), ("e/B", "e/C"),
+    }
+
+
+def test_zero_or_one_path_with_constant(score_triples):
+    out = run_select(
+        score_triples, 'SELECT ?o WHERE { ?s <e/childOf>? ?o . '
+        'FILTER(?s = "e/B") }'
+    )
+    assert sorted(out["o"]) == ["e/B", "e/C"]
+
+
+def test_negated_property_set(score_triples):
+    out = run_select(
+        score_triples, "SELECT ?s ?o WHERE { ?s !(<e/childOf>) ?o }"
+    )
+    # everything except the 2 childOf edges: 4 names + 4 scores? no —
+    # 3 names + 4 scores = 7 rows
+    assert len(out) == 7
+    assert "e/B" not in set(
+        out.loc[out["s"] == "e/A", "o"]
+    )  # A's childOf edge excluded
+
+
+def test_negated_property_set_bare(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT ?s ?o WHERE { ?s !<e/name> ?o . ?s <e/name> ?n }",
+    )
+    # joined with a BGP pattern: childOf + score rows of named nodes
+    got = set(zip(out["s"], out["o"]))
+    assert ("e/A", "e/B") in got and ("e/A", "10") in got
+    assert ("e/A", "alpha") not in got
+
+
+def test_nested_optional(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT ?s ?c ?cn WHERE { ?s <e/name> ?n . "
+        "OPTIONAL { ?s <e/childOf> ?c . OPTIONAL { ?c <e/name> ?cn } } }",
+    ).set_index("s")
+    assert out.loc["e/A", "c"] == "e/B" and out.loc["e/A", "cn"] == "beta"
+    assert out.loc["e/B", "c"] == "e/C" and out.loc["e/B", "cn"] == "gamma"
+    assert pd.isna(out.loc["e/C", "c"]) and pd.isna(out.loc["e/C", "cn"])
+
+
+def test_optional_with_path_pattern(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT ?s ?a WHERE { ?s <e/name> ?n . "
+        "OPTIONAL { ?s <e/childOf>+ ?a } }",
+    )
+    got = {(s, a if isinstance(a, str) else None)
+           for s, a in zip(out["s"], out["a"])}
+    assert got == {
+        ("e/A", "e/B"), ("e/A", "e/C"), ("e/B", "e/C"), ("e/C", None),
+    }
+
+
+def test_optional_scoped_constructs_refused(score_triples):
+    for inner in (
+        'VALUES ?v { "x" }',
+        'BIND(1 AS ?z)',
+        "FILTER EXISTS { ?s <e/score> ?w }",
+        "MINUS { ?s <e/score> ?w }",
+    ):
+        with pytest.raises(ValueError, match="inside an OPTIONAL"):
+            run_select(
+                score_triples,
+                "SELECT ?s WHERE { ?s <e/name> ?n . "
+                "OPTIONAL { ?s <e/childOf> ?c . " + inner + " } }",
+            )
+
+
+@pytest.fixture(scope="module")
+def lang_triples(ray_session):
+    import ray.data as rd
+
+    rows = [
+        # (subj, pred, obj, is_iri, lang, datatype)
+        ("e/a", "e/label", "cat", False, "en", ""),
+        ("e/b", "e/label", "chat", False, "fr", ""),
+        ("e/c", "e/label", "gato", False, "es", ""),
+        ("e/d", "e/label", "plain", False, "", ""),
+        ("e/e", "e/label", "e/thing", True, "", ""),   # IRI object
+        ("e/a", "e/size", "5", False, "",
+         "http://www.w3.org/2001/XMLSchema#integer"),
+        ("e/b", "e/size", "seven", False, "", ""),
+    ]
+    return rd.from_pandas(
+        pd.DataFrame(
+            rows,
+            columns=["subj", "pred", "obj", "obj_is_iri", "obj_lang",
+                     "obj_datatype"],
+        ).assign(graph="")
+    )
+
+
+def test_lang_filter(lang_triples):
+    out = run_select(
+        lang_triples,
+        'SELECT ?s ?v WHERE { ?s <e/label> ?v . FILTER(LANG(?v) = "en") }',
+    )
+    assert list(out["s"]) == ["e/a"] and list(out["v"]) == ["cat"]
+    # != drops the matching lang AND the IRI row (type error), keeps
+    # the untagged literal (LANG = "")
+    out = run_select(
+        lang_triples,
+        'SELECT ?s WHERE { ?s <e/label> ?v . FILTER(LANG(?v) != "en") }',
+    )
+    assert sorted(out["s"]) == ["e/b", "e/c", "e/d"]
+
+
+def test_datatype_filter(lang_triples):
+    out = run_select(
+        lang_triples,
+        "SELECT ?s ?v WHERE { ?s <e/size> ?v . "
+        "FILTER(DATATYPE(?v) = <http://www.w3.org/2001/XMLSchema#integer>)"
+        " }",
+    )
+    assert list(out["s"]) == ["e/a"]
+    # untyped literal defaults to xsd:string; lang-tagged → langString
+    out = run_select(
+        lang_triples,
+        "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n"
+        "SELECT ?s WHERE { ?s <e/label> ?v . "
+        "FILTER(DATATYPE(?v) = xsd:string) }",
+    )
+    assert sorted(out["s"]) == ["e/d"]
+    out = run_select(
+        lang_triples,
+        "SELECT ?s WHERE { ?s <e/label> ?v . FILTER(DATATYPE(?v) = "
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#langString>) }",
+    )
+    assert sorted(out["s"]) == ["e/a", "e/b", "e/c"]
+
+
+def test_lang_filter_requires_metadata(score_triples):
+    with pytest.raises(Exception, match="metadata"):
+        run_select(
+            score_triples,
+            'SELECT ?s WHERE { ?s <e/name> ?v . FILTER(LANG(?v) = "en") }',
+        )
+
+
+def test_meta_columns_not_leaked(lang_triples):
+    out = run_select(
+        lang_triples,
+        'SELECT * WHERE { ?s <e/label> ?v . FILTER(LANG(?v) = "en") }',
+    )
+    assert sorted(out.columns) == ["s", "v"]
+
+
+@pytest.fixture(scope="module")
+def quad_triples(ray_session):
+    import ray.data as rd
+
+    rows = [
+        ("e/a", "e/p", "1", "g/one"),
+        ("e/b", "e/p", "2", "g/one"),
+        ("e/a", "e/p", "3", "g/two"),
+        ("e/c", "e/q", "4", "g/two"),
+        ("e/d", "e/p", "5", ""),      # default graph
+    ]
+    return rd.from_pandas(
+        pd.DataFrame(rows, columns=["subj", "pred", "obj", "graph"])
+    )
+
+
+def test_graph_variable_binding(quad_triples):
+    out = run_select(
+        quad_triples,
+        "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s <e/p> ?o } }",
+    )
+    got = set(zip(out["g"], out["s"], out["o"]))
+    # GRAPH ?g ranges over NAMED graphs only (SPARQL semantics): the
+    # default-graph row (graph="") must NOT appear
+    assert got == {("g/one", "e/a", "1"), ("g/one", "e/b", "2"),
+                   ("g/two", "e/a", "3")}
+
+
+def test_graph_constant(quad_triples):
+    out = run_select(
+        quad_triples,
+        "SELECT ?s ?o WHERE { GRAPH <g/one> { ?s <e/p> ?o } }",
+    )
+    assert set(zip(out["s"], out["o"])) == {("e/a", "1"), ("e/b", "2")}
+
+
+def test_graph_joined_with_outer_pattern(quad_triples):
+    out = run_select(
+        quad_triples,
+        "SELECT ?s ?o ?x WHERE { GRAPH <g/two> { ?s ?p ?x } . "
+        "?s <e/p> ?o . FILTER(?o = \"1\") }",
+    )
+    assert set(zip(out["s"], out["o"], out["x"])) == {("e/a", "1", "3")}
+
+
+def test_graph_group_refuses_filters(quad_triples):
+    with pytest.raises(ValueError, match="GRAPH"):
+        run_select(
+            quad_triples,
+            'SELECT ?s WHERE { GRAPH ?g { ?s <e/p> ?o . '
+            'FILTER(?o = "1") } }',
+        )
+
+
+def test_collect_false_returns_dataset(score_triples):
+    import ray.data
+
+    ds = run_select(
+        score_triples,
+        "SELECT ?s ?o WHERE { ?s <e/childOf>+ ?o }",
+        collect=False,
+    )
+    assert isinstance(ds, ray.data.Dataset)
+    got = ds.to_pandas()
+    exp = run_select(
+        score_triples, "SELECT ?s ?o WHERE { ?s <e/childOf>+ ?o }"
+    )
+    key = lambda df: sorted(map(tuple, df[["s", "o"]].to_numpy()))
+    assert key(got) == key(exp)
+    assert list(got.columns) == ["s", "o"]
+
+
+def test_collect_false_distinct_and_limit(score_triples):
+    ds = run_select(
+        score_triples,
+        "SELECT DISTINCT ?s WHERE { ?s <e/childOf>? ?o } LIMIT 2",
+        collect=False,
+    )
+    assert ds.count() == 2
+
+
+def test_collect_false_refuses_presentation_paths(score_triples):
+    for q in (
+        "SELECT (COUNT(?s) AS ?n) WHERE { ?s <e/name> ?o }",
+        "SELECT ?s WHERE { ?s <e/name> ?o } ORDER BY ?s",
+        "SELECT ?s WHERE { ?s <e/name> ?o } LIMIT 5 OFFSET 2",
+    ):
+        with pytest.raises(ValueError, match="collect"):
+            run_select(score_triples, q, collect=False)
+
+
+def test_path_distributed_threshold_same_result(score_triples, monkeypatch):
+    # force the Dataset-join closure path (no broadcast frame) and
+    # check it binds identically to the small-frame fast path
+    import graphforge_ray.query.sparql as sq
+
+    q = ('SELECT ?s ?n WHERE { ?s <e/childOf>* ?o . ?o <e/name> ?n . '
+         'FILTER (?o = "e/C") }')
+    exp = run_select(score_triples, q)
+    monkeypatch.setattr(sq, "PATH_DISTRIBUTED_THRESHOLD", 0)
+    got = run_select(score_triples, q)
+    key = lambda df: sorted(map(tuple, df.to_numpy()))
+    assert key(got) == key(exp)
