@@ -74,6 +74,7 @@ def run_bench() -> dict:
 
     queries: dict[str, float] = {}
     rep_times: dict[str, list[float]] = {}
+    rep_loads: dict[str, list[list[float]]] = {}
     detail: dict = {}
     reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
     max_reps = int(os.environ.get("GRAFT_BENCH_MAX_REPS", "4"))
@@ -86,13 +87,16 @@ def run_bench() -> dict:
         # (max/min > 1.4), extra reps run (up to max_reps) so one noisy
         # window can't double the headline number — the r2 driver
         # snapshot regressed ~2× on every query simultaneously purely
-        # from ambient load.
+        # from ambient load. Per-REP load-avg is recorded so a single
+        # noisy rep is attributable in the artifact (r3 verdict #10).
         times: list[float] = []
+        loads: list[list[float]] = []
         out = None
         while True:
             t0 = time.perf_counter()
             out = fn()
             times.append(time.perf_counter() - t0)
+            loads.append([round(x, 2) for x in os.getloadavg()])
             if len(times) >= reps and (
                 len(times) >= max_reps
                 or max(times) / min(times) <= 1.4
@@ -100,6 +104,7 @@ def run_bench() -> dict:
                 break
         queries[name] = round(min(times), 3)
         rep_times[name] = [round(t, 3) for t in times]
+        rep_loads[name] = loads
         return out
 
     # untimed warm-up (worker spawn + imports)
@@ -150,6 +155,33 @@ def run_bench() -> dict:
     # 4. similarity search
     timed("ann_topk", lambda: dq.q_ann_topk(sf_dir))
 
+    # 5. multimodal decode throughput (pure-Python from-scratch codecs:
+    # PNG inflate+filters / GIF LZW / baseline JPEG — the PIL-less
+    # constraint of this container; the number exists so the next
+    # round has a target to improve against, r3 verdict #9)
+    n_media = int(os.environ.get("GRAFT_BENCH_MEDIA", "1200"))
+    from graphforge_ray.fixtures import media_dataset
+    from graphforge_ray.stages.multimodal import ImageDecoder
+    from graphforge_ray.stages.proc_cache import process_cached_stage
+
+    image_kinds = ["ppm", "pgm", "png", "gif", "jpeg", "gfimg"]
+
+    def media_decode():
+        media = media_dataset(n_media).map_batches(
+            lambda df, _k=tuple(image_kinds): df[df["kind"].isin(_k)],
+            batch_format="pandas",
+        )
+        return media.map_batches(
+            process_cached_stage(ImageDecoder, data_col="payload"),
+            batch_format="pandas",
+        ).count()
+
+    n_decoded = timed("media_decode", media_decode)
+    detail["media_decode"] = {
+        "images": int(n_decoded),
+        "images_per_sec": round(n_decoded / queries["media_decode"], 1),
+    }
+
     total = round(sum(queries.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -164,6 +196,7 @@ def run_bench() -> dict:
             "end": [round(x, 2) for x in os.getloadavg()],
         },
         "rep_times": rep_times,
+        "rep_loads": rep_loads,
         **detail,
     }
     ray.shutdown()

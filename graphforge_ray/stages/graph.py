@@ -21,7 +21,12 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ..shuffle import bucket_tag, bindings_join, dedup_pairs
+from ..shuffle import (
+    bindings_join,
+    bucket_tag,
+    dedup_pairs,
+    pair_bucket_tag,
+)
 
 __all__ = [
     "out_degrees",
@@ -284,7 +289,10 @@ def pagerank(
 
 
 def triangle_count(
-    edges: "ray.data.Dataset", num_buckets: int | None = None
+    edges: "ray.data.Dataset",
+    num_buckets: int | None = None,
+    hub_threshold: int = 1_000_000,
+    max_salts: int = 64,
 ) -> int:
     """Exact triangle count of the UNDIRECTED simple graph induced by an
     (s, o) edge Dataset (direction dropped, self-loops and parallel
@@ -297,11 +305,17 @@ def triangle_count(
        triple;
     3. close: semi-join wedges against the edge set on (a,c); count.
 
-    Both joins run through ``shuffle.bindings_join`` (tag-union-bucket;
-    skew note: the wedge join buckets on the MIDDLE vertex b, so a hub
-    node of degree h produces an O(h²) bucket — acceptable until h² ≫
-    edges/bucket; for hub-heavy graphs pre-split hot b keys before the
-    join)."""
+    Hub-skew pre-split (the r3 documented seam, now closed): the wedge
+    join keys on the MIDDLE vertex b, so a hub of left-degree l and
+    right-degree r concentrates l·r wedge work in one bucket. A tiny
+    degree census finds nodes with l·r > ``hub_threshold``; each hot
+    b's LEFT rows are salted into R = ceil(l·r / threshold) (≤
+    ``max_salts``) groups by hash(a) and its RIGHT rows replicate to
+    every salt, so no single task builds more than ~threshold wedges.
+    The census reduces distributed; the driver sees ONLY the hot keys
+    (hubs are few by definition). Splits are counted in the
+    ``triangle_hub_splits`` metric (no-silent-caps rule — replication
+    is extra work, never missing work)."""
     if num_buckets is None:
         num_buckets = _auto_partitions(edges.count())
 
@@ -314,25 +328,18 @@ def triangle_count(
             {"id_a": np.minimum(s, o), "id_b": np.maximum(s, o)}
         ).drop_duplicates()
 
+    import ray as _ray
+
     e = dedup_pairs(
         edges.map_batches(canon, batch_format="pandas"),
         num_buckets=num_buckets,
     ).materialize()
 
-    left = e.map_batches(
-        lambda df: df.rename(columns={"id_a": "a", "id_b": "b"}),
-        batch_format="pandas",
-    )
-    right = e.map_batches(
-        lambda df: df.rename(columns={"id_a": "b", "id_b": "c"}),
-        batch_format="pandas",
-    )
-    # bindings_join's side-normalization (missing columns filled with
-    # object NaN) widens the output dtypes; the closing semi-join
-    # buckets by key HASH, and pandas hash_array(object) !=
-    # hash_array(int64) for equal values — restore the INPUT edge dtype
-    # (int64 for numeric node ids; string/IRI ids are already object on
-    # both sides, so no cast) so both join sides bucket identically
+    # the union shuffle fills the missing side column with object NaN,
+    # widening dtypes; the closing semi-join buckets by key HASH, and
+    # pandas hash_array(object) != hash_array(int64) for equal values —
+    # restore the INPUT edge dtype (int64/float64 for numeric node ids;
+    # string/IRI ids are already object on both sides, so no cast)
     import pyarrow as _pa
 
     sch = e.schema()
@@ -347,12 +354,100 @@ def triangle_count(
         )
     restore = np.int64 if is_int else (np.float64 if is_float else None)
 
-    def fix_dtypes(df: pd.DataFrame, _r=restore) -> pd.DataFrame:
-        return df.astype(_r) if _r is not None else df
+    # -- degree census → hot middle vertices (driver sees ONLY these) --
+    def deg_combine(df: pd.DataFrame) -> pd.DataFrame:
+        l = df.groupby("id_b", as_index=False).size().rename(
+            columns={"id_b": "node", "size": "l"}
+        ).assign(r=np.int64(0))
+        r = df.groupby("id_a", as_index=False).size().rename(
+            columns={"id_a": "node", "size": "r"}
+        ).assign(l=np.int64(0))
+        g = pd.concat([l, r], ignore_index=True)
+        g = g.groupby("node", as_index=False)[["l", "r"]].sum()
+        return g.assign(_bucket=bucket_tag(g, "node", num_buckets))
 
-    wedges = bindings_join(
-        left, right, on=["b"], num_buckets=num_buckets
-    ).map_batches(fix_dtypes, batch_format="pandas")
+    def deg_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False)[["l", "r"]].sum()
+        out = out.loc[out["l"] * out["r"] > hub_threshold]
+        return out[["node", "l", "r"]]
+
+    hot = (
+        e.map_batches(deg_combine, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(deg_reduce, batch_format="pandas")
+        .to_pandas()
+    )
+    salts = {
+        row["node"]: int(
+            min(max_salts,
+                -(-(row["l"] * row["r"]) // hub_threshold))
+        )
+        for _, row in hot.iterrows()
+    }
+    if salts:
+        from .. import metrics
+
+        metrics.incr("triangle_hub_splits", len(salts))
+    salts_ref = _ray.put(salts)
+
+    # -- salted wedge shuffle: left rows pick ONE salt by hash(a); hot
+    # right rows replicate to every salt of their b — bucket on (b,
+    # salt) so no task builds more than ~hub_threshold wedges
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        s_map = _ray.get(salts_ref)
+        out = pd.DataFrame(
+            {"a": df["id_a"], "b": df["id_b"], "c": df["id_a"],
+             "_side": np.int8(0)}
+        )
+        if s_map:
+            r = out["b"].map(s_map).fillna(1).astype(np.int64)
+            h = pd.util.hash_array(
+                out["a"].to_numpy(dtype=object)
+                if out["a"].dtype == object else out["a"].to_numpy(),
+                hash_key="graphforge-salts",  # 16 bytes, fixed seed
+            )
+            out["_salt"] = (h % r.to_numpy().astype(np.uint64)).astype(
+                np.int64
+            )
+        else:
+            out["_salt"] = np.int64(0)
+        out["_bucket"] = pair_bucket_tag(out, ["b", "_salt"], num_buckets)
+        return out
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        s_map = _ray.get(salts_ref)
+        out = pd.DataFrame(
+            {"a": df["id_a"], "b": df["id_a"], "c": df["id_b"],
+             "_side": np.int8(1)}
+        )
+        if s_map:
+            r = out["b"].map(s_map).fillna(1).astype(np.int64).to_numpy()
+            idx = np.repeat(np.arange(len(out)), r)
+            out = out.iloc[idx].reset_index(drop=True)
+            out["_salt"] = np.concatenate(
+                [np.arange(k, dtype=np.int64) for k in r]
+            ) if len(r) else np.array([], dtype=np.int64)
+        else:
+            out["_salt"] = np.int64(0)
+        out["_bucket"] = pair_bucket_tag(out, ["b", "_salt"], num_buckets)
+        return out
+
+    def wedge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["_side"] == 0, ["a", "b", "_salt"]]
+        r = g.loc[g["_side"] == 1, ["b", "c", "_salt"]]
+        w = l.merge(r, on=["b", "_salt"], how="inner")
+        return w[["a", "b", "c"]]
+
+    wedges = (
+        e.map_batches(tag_left, batch_format="pandas")
+        .union(e.map_batches(tag_right, batch_format="pandas"))
+        .groupby("_bucket")
+        .map_groups(wedge_bucket, batch_format="pandas")
+    )
+    if restore is not None:
+        wedges = wedges.map_batches(
+            lambda df, _r=restore: df.astype(_r), batch_format="pandas"
+        )
     closing = e.map_batches(
         lambda df: df.rename(columns={"id_a": "a", "id_b": "c"}),
         batch_format="pandas",

@@ -128,3 +128,30 @@ def test_triangle_count_string_ids():
 def test_pagerank_empty_graph():
     ds = _edges_ds([])
     assert pagerank(ds, num_iters=2).count() == 0
+
+
+def test_triangle_count_hub_presplit():
+    # one hub (node 0) of degree 2k, plus a rim edge (2i-1, 2i) for each
+    # spoke pair → exactly k triangles through the hub. With a low
+    # hub_threshold the hub's wedge work MUST salt-split across tasks
+    # (metric increments) and the count must stay exact.
+    import ray
+
+    from graphforge_ray import metrics
+
+    # the hub must sit in the MIDDLE of the a<b<c ordering to skew the
+    # wedge join: spokes below (1..499) and above (501..1000) give it
+    # left-degree 499 × right-degree 500 ≈ 250k wedges on one key
+    hub, k = 500, 60
+    pairs = [(i, hub) for i in range(1, hub)]
+    pairs += [(hub, hub + i) for i in range(1, hub + 1)]
+    pairs += [(i, hub + i) for i in range(1, k + 1)]  # rim closures
+    assert _triangle_oracle(pairs) == k
+    before = metrics.snapshot().get("triangle_hub_splits", 0)
+    got = triangle_count(_edges_ds(pairs, num_blocks=4),
+                         hub_threshold=500)
+    assert got == k
+    after = metrics.snapshot().get("triangle_hub_splits", 0)
+    assert after > before  # the hub was detected and split
+    # default threshold: same result, no split
+    assert triangle_count(_edges_ds(pairs, num_blocks=4)) == k
