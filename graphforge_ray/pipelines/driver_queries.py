@@ -2192,6 +2192,35 @@ FROM part p LEFT JOIN r ON r.s = p.p_partkey
 """
 
 
+def q_sparql_grouped_path(sf_dir: str):
+    """Grouped sequence path ``(childOf/childOf)+``: the closure of the
+    COMPOSED two-hop relation — ancestors at even distance (kv_join hop
+    composition feeding closure_of_edges_ds)."""
+    from ..query.sparql import run_select
+
+    return run_select(
+        _part_triples(sf_dir),
+        f"SELECT ?s ?o WHERE {{ ?s (<{VOCAB_CHILDOF}>/<{VOCAB_CHILDOF}>)+"
+        " ?o }",
+    )
+
+
+SQL_SPARQL_GROUPED_PATH = """
+WITH RECURSIVE e AS (
+    SELECT p_partkey AS s, p_partkey // 2 AS o FROM part WHERE p_partkey > 1
+), e2 AS (
+    SELECT a.s, b.o FROM e a JOIN e b ON a.o = b.s
+), r(s, o) AS (
+    SELECT s, o FROM e2
+    UNION
+    SELECT r.s, e2.o FROM r JOIN e2 ON r.o = e2.s
+)
+SELECT 'part:' || CAST(s AS VARCHAR) AS s,
+       'part:' || CAST(o AS VARCHAR) AS o
+FROM r
+"""
+
+
 def q_sparql_select_dataset(sf_dir: str):
     """Dataset-returning SELECT (collect=False): the closure-sized
     binding set stays distributed — no ``to_pandas`` inside the
@@ -2243,6 +2272,7 @@ QUERIES = {
     "sparql_zeroone_path": q_sparql_zeroone_path,
     "sparql_neg_path": q_sparql_neg_path,
     "sparql_optional_path": q_sparql_optional_path,
+    "sparql_grouped_path": q_sparql_grouped_path,
     "sparql_select_dataset": q_sparql_select_dataset,
     "customer_order_counts": q_customer_order_counts,
     "orders_limit": q_orders_limit,
@@ -2308,6 +2338,7 @@ ORACLES = {
     "sparql_zeroone_path": SQL_SPARQL_ZEROONE_PATH,
     "sparql_neg_path": SQL_SPARQL_NEG_PATH,
     "sparql_optional_path": SQL_SPARQL_OPTIONAL_PATH,
+    "sparql_grouped_path": SQL_SPARQL_GROUPED_PATH,
     "sparql_select_dataset": SQL_SPARQL_SELECT_DATASET,
     "count_by_event_type": SQL_COUNT_BY_EVENT_TYPE,
     "lineitem_agg": SQL_LINEITEM_AGG,

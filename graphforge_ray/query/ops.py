@@ -36,7 +36,7 @@ import ray.data
 
 __all__ = [
     "match_pattern", "bgp", "optional_join", "property_path_closure",
-    "property_path_closure_ds",
+    "property_path_closure_ds", "closure_of_edges_ds",
     "transitive_closure", "transitive_closure_distributed",
     "count_by", "limit", "top_k", "NotPreds",
 ]
@@ -357,15 +357,34 @@ def property_path_closure_ds(
         t = batch.filter(m)
         return pa.Table.from_arrays([t["subj"], t["obj"]], names=["s", "o"])
 
+    return closure_of_edges_ds(
+        triples.map_batches(edges_only, batch_format="pyarrow"),
+        max_iterations=max_iterations,
+        include_reflexive=include_reflexive,
+        distributed_threshold=distributed_threshold,
+    )
+
+
+def closure_of_edges_ds(
+    edges: "ray.data.Dataset",
+    max_iterations: int = 25,
+    include_reflexive: bool = True,
+    distributed_threshold: int = 200_000,
+) -> tuple["ray.data.Dataset", pd.DataFrame | None]:
+    """Transitive closure of an arbitrary (s, o) pair Dataset with the
+    same small/large hybrid as ``property_path_closure_ds`` — the edge
+    relation may itself be COMPOSED (grouped sequence paths like
+    ``(p1/p2)+`` feed their two-hop pairs in here)."""
+    import ray.data as rd
+
     from ..shuffle import dedup_pairs
 
-    edges_ds = dedup_pairs(
-        triples.map_batches(edges_only, batch_format="pyarrow"),
-        cols=("s", "o"),
-    ).materialize()
+    edges_ds = dedup_pairs(edges, cols=("s", "o")).materialize()
     if edges_ds.count() <= distributed_threshold:
-        edges = edges_ds.to_pandas().drop_duplicates()
-        frame = transitive_closure(edges, max_iterations, include_reflexive)
+        frame = transitive_closure(
+            edges_ds.to_pandas().drop_duplicates(),
+            max_iterations, include_reflexive,
+        )
         return rd.from_pandas(frame), frame
     closure = transitive_closure_distributed(
         edges_ds, include_reflexive=include_reflexive

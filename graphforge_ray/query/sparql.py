@@ -525,14 +525,44 @@ def _term(tok: str, prefixes: dict[str, str], allow_path: bool = False):
     if allow_path:
         m = _PATH.match(tok)
         if m:
-            preds = [_term(p.strip(), prefixes) for p in m.group(2).split("|")]
+            # each '|' alternative may itself be a SEQUENCE p1/p2/… with
+            # per-segment inverse ^p — grouped paths like (p1/p2)+ or
+            # (p|q/^r)*; a multi-segment alternative is stored as a list
+            # of (pred, inverse) tuples, a simple one as a plain string
+            preds: list = []
+            for alt in m.group(2).split("|"):
+                segs = [s.strip() for s in _split_path_seq(alt.strip())]
+                if any(not s for s in segs):
+                    raise ValueError(f"empty segment in path {tok!r}")
+                if len(segs) == 1 and not segs[0].startswith("^"):
+                    preds.append(_term(segs[0], prefixes))
+                else:
+                    preds.append(
+                        [
+                            (_term(s.lstrip("^"), prefixes),
+                             s.startswith("^"))
+                            for s in segs
+                        ]
+                    )
             if m.group(1):  # !(p1|p2) — negated property set
                 if m.group(3):
                     raise ValueError(
                         f"a negated property set cannot take a path "
                         f"modifier: {tok!r}"
                     )
+                if any(not isinstance(p, str) for p in preds):
+                    raise ValueError(
+                        f"sequences inside a negated property set are "
+                        f"not supported: {tok!r}"
+                    )
                 return PathExpr(preds=preds, op="neg")
+            if m.group(3) == "" and any(
+                not isinstance(p, str) for p in preds
+            ):
+                raise ValueError(
+                    f"a grouped sequence path needs a */+/? modifier "
+                    f"(write the bare sequence without parens): {tok!r}"
+                )
             return PathExpr(preds=preds, op=_PATH_OPS[m.group(3)])
         m = _PATH_BARE.match(tok)
         if m:
@@ -1495,25 +1525,74 @@ def _bind_pairs(
     return pairs.map_batches(fn, batch_format="pyarrow")
 
 
+def _path_alt_edges(
+    triples: "ray.data.Dataset", preds: list
+) -> "ray.data.Dataset":
+    """(s, o) pair Dataset of ONE application of a path alternation
+    whose alternatives are simple predicates (str) or sequences
+    (list of (pred, inverse) segments — grouped paths like (p1/^p2)).
+    Sequences compose hop relations with the acero-safe ``kv_join``
+    (one bucket shuffle per extra segment)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..shuffle import kv_join
+
+    simple = [p for p in preds if isinstance(p, str)]
+    seqs = [p for p in preds if not isinstance(p, str)]
+    parts = []
+    if simple:
+        pred_set = pa.array(simple)
+
+        def edges_only(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.is_in(batch["pred"], value_set=pred_set))
+            return pa.Table.from_arrays(
+                [t["subj"], t["obj"]], names=["s", "o"]
+            )
+
+        parts.append(triples.map_batches(edges_only, batch_format="pyarrow"))
+
+    def hop(seg: tuple) -> "ray.data.Dataset":
+        pred, inv = seg
+
+        def fn(batch: pa.Table, _p=pred, _i=inv) -> pa.Table:
+            t = batch.filter(pc.equal(batch["pred"], pa.scalar(_p)))
+            s, o = (t["obj"], t["subj"]) if _i else (t["subj"], t["obj"])
+            return pa.Table.from_arrays([s, o], names=["s", "o"])
+
+        return triples.map_batches(fn, batch_format="pyarrow")
+
+    for seq in seqs:
+        cur = hop(seq[0])
+        for seg in seq[1:]:
+            nxt = hop(seg)
+            cur = kv_join(
+                cur.map_batches(
+                    lambda df: pd.DataFrame({"k": df["o"], "v": df["s"]}),
+                    batch_format="pandas",
+                ),
+                nxt.map_batches(
+                    lambda df: pd.DataFrame({"k": df["s"], "v": df["o"]}),
+                    batch_format="pandas",
+                ),
+            ).map_batches(
+                lambda df: pd.DataFrame({"s": df["node"], "o": df["label"]}),
+                batch_format="pandas",
+            )
+        parts.append(cur)
+    return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
+
 def _path_pairs_single_hop(
-    triples: "ray.data.Dataset", preds: list[str], reflexive: bool
+    triples: "ray.data.Dataset", preds: list, reflexive: bool
 ) -> "ray.data.Dataset":
     """(s, o) pairs of the single-hop relation over ``preds``; with
     ``reflexive`` adds (n, n) for every node incident to those edges
     (zero-or-one path). Set semantics (deduped), consistent with the
     star closure."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
     from ..shuffle import dedup_pairs
 
-    pred_set = pa.array(preds)
-
-    def edges_only(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pc.is_in(batch["pred"], value_set=pred_set))
-        return pa.Table.from_arrays([t["subj"], t["obj"]], names=["s", "o"])
-
-    edges = triples.map_batches(edges_only, batch_format="pyarrow")
+    edges = _path_alt_edges(triples, preds)
     if reflexive:
         def nodes(df: pd.DataFrame) -> pd.DataFrame:
             n = pd.unique(
@@ -1649,12 +1728,22 @@ def _eval_patterns(
         part = _bind_pairs(pairs, str(s_t), str(o_t))
         join_part(part, pattern_vars((s_t, None, o_t)), "zero-or-one path")
 
-    # (p)* / (p)+ closure paths
+    # (p)* / (p)+ closure paths; grouped sequence alternatives
+    # ((p1/p2)+ …) pre-compose their edge relation with kv_join hops
     for s_t, path, o_t in closures:
-        closure_ds, frame = property_path_closure_ds(
-            triples, path.preds, include_reflexive=path.star,
-            distributed_threshold=path_threshold,
-        )
+        if any(not isinstance(p, str) for p in path.preds):
+            from .ops import closure_of_edges_ds
+
+            closure_ds, frame = closure_of_edges_ds(
+                _path_alt_edges(triples, path.preds),
+                include_reflexive=path.star,
+                distributed_threshold=path_threshold,
+            )
+        else:
+            closure_ds, frame = property_path_closure_ds(
+                triples, path.preds, include_reflexive=path.star,
+                distributed_threshold=path_threshold,
+            )
         if frame is not None:
             # small closure: broadcast merge — no shuffle
             cols = {}

@@ -109,3 +109,63 @@ def test_incremental_ingest_union(ray_session, tmp_path):
     s1 = set(map(tuple, first[key].to_numpy()))
     s2 = set(map(tuple, second[key].to_numpy()))
     assert s1 <= s2 and len(s2) > len(s1)
+
+
+def test_lang_datatype_graph_roundtrip_queryable(ray_session, tmp_path):
+    """Quarantine-free round trip (r3 verdict item #2 'Done' criterion):
+    lang-tagged / datatype-typed / named-graph triples survive
+    write_ntriples → read_ntriples byte-exactly AND stay queryable —
+    LANG()/DATATYPE() filters and GRAPH scoping run over the RELOADED
+    dataset and return the original rows."""
+    import pandas as pd
+    import ray.data as rd
+
+    from graphforge_ray.query.sparql import run_select
+    from graphforge_ray.sinks.ntriples_sink import write_ntriples
+    from graphforge_ray.sources.files import read_ntriples
+
+    rows = [
+        ("http://x/a", "http://x/label", "cat", False, "en", "", ""),
+        ("http://x/b", "http://x/label", "chat", False, "fr", "", ""),
+        ("http://x/c", "http://x/label", "plain", False, "", "", ""),
+        ("http://x/a", "http://x/size", "5", False, "",
+         "http://www.w3.org/2001/XMLSchema#integer", ""),
+        ("http://x/a", "http://x/in", "http://x/g1thing", True, "", "",
+         "http://x/graph1"),
+        ("http://x/b", "http://x/in", "http://x/g2thing", True, "", "",
+         "http://x/graph2"),
+    ]
+    df = pd.DataFrame(
+        rows,
+        columns=["subj", "pred", "obj", "obj_is_iri", "obj_lang",
+                 "obj_datatype", "graph"],
+    )
+    out = str(tmp_path / "nt")
+    stats = write_ntriples(rd.from_pandas(df).repartition(2), out)
+    assert stats["lines"] == len(rows)
+
+    reloaded = read_ntriples(out)
+    assert reloaded.count() == len(rows)  # nothing quarantined/dropped
+
+    got = run_select(
+        reloaded,
+        'SELECT ?s ?v WHERE { ?s <http://x/label> ?v . '
+        'FILTER(LANG(?v) = "en") }',
+    )
+    assert list(got["s"]) == ["http://x/a"] and list(got["v"]) == ["cat"]
+
+    got = run_select(
+        reloaded,
+        "SELECT ?s WHERE { ?s <http://x/size> ?v . FILTER(DATATYPE(?v) "
+        "= <http://www.w3.org/2001/XMLSchema#integer>) }",
+    )
+    assert list(got["s"]) == ["http://x/a"]
+
+    got = run_select(
+        reloaded,
+        "SELECT ?g ?s WHERE { GRAPH ?g { ?s <http://x/in> ?o } }",
+    )
+    assert set(zip(got["g"], got["s"])) == {
+        ("http://x/graph1", "http://x/a"),
+        ("http://x/graph2", "http://x/b"),
+    }

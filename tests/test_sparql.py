@@ -1426,3 +1426,56 @@ def test_path_distributed_threshold_same_result(score_triples, monkeypatch):
     got = run_select(score_triples, q)
     key = lambda df: sorted(map(tuple, df.to_numpy()))
     assert key(got) == key(exp)
+
+
+def test_grouped_sequence_path_closure(score_triples):
+    # (childOf/childOf)+ = ancestors at even distance ≥ 2: A→C only
+    out = run_select(
+        score_triples,
+        "SELECT ?s ?o WHERE { ?s (<e/childOf>/<e/childOf>)+ ?o }",
+    )
+    assert set(zip(out["s"], out["o"])) == {("e/A", "e/C")}
+
+
+def test_grouped_sequence_path_star(score_triples):
+    # (childOf/childOf)* adds reflexive pairs over the 2-hop nodes
+    out = run_select(
+        score_triples,
+        "SELECT ?s ?o WHERE { ?s (<e/childOf>/<e/childOf>)* ?o }",
+    )
+    assert set(zip(out["s"], out["o"])) == {
+        ("e/A", "e/C"), ("e/A", "e/A"), ("e/C", "e/C"),
+    }
+
+
+def test_grouped_inverse_path(score_triples):
+    # (^childOf)+ = descendants: inverse edges closed transitively
+    out = run_select(
+        score_triples,
+        "SELECT ?s ?o WHERE { ?s (^<e/childOf>)+ ?o }",
+    )
+    assert set(zip(out["s"], out["o"])) == {
+        ("e/B", "e/A"), ("e/C", "e/B"), ("e/C", "e/A"),
+    }
+
+
+def test_grouped_mixed_alt_seq_path(score_triples):
+    # (name|childOf/name)? — zero-or-one over a mixed alternation: a
+    # simple pred alternative plus a 2-hop sequence alternative
+    out = run_select(
+        score_triples,
+        "SELECT ?s ?o WHERE { ?s (<e/name>|<e/childOf>/<e/name>)? ?o }",
+    )
+    got = set(zip(out["s"], out["o"]))
+    assert ("e/A", "alpha") in got          # direct name
+    assert ("e/A", "beta") in got           # childOf/name
+    assert ("e/A", "e/A") in got            # reflexive
+    assert ("alpha", "alpha") in got        # object nodes reflexive too
+
+
+def test_bare_grouped_sequence_without_modifier_raises(score_triples):
+    with pytest.raises(ValueError, match="modifier"):
+        run_select(
+            score_triples,
+            "SELECT ?s ?o WHERE { ?s (<e/childOf>/<e/name>) ?o }",
+        )
