@@ -1663,6 +1663,54 @@ FROM documents d
 """
 
 
+def q_docs_span_dedup(sf_dir: str):
+    """Cross-document duplicate-span removal (C4/RefinedWeb line-dedup
+    generalized to 3-token spans — the fixture corpus is single-line):
+    spans hashed per batch (vectorized shifted concat + numpy md5),
+    duplicate marks via a digest-bucketed distinct-doc count, marks
+    joined back with bindings_join, per-doc rollup. Oracle: DuckDB
+    replays the same span grouping with string_agg + a distinct-doc
+    window."""
+    from ..stages.curation import span_dedup
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return span_dedup(ds, window=3)
+
+
+SQL_DOCS_SPAN_DEDUP = r"""
+WITH split AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'),
+                       w -> w <> '') AS ws
+    FROM documents
+),
+words AS (
+    SELECT doc_id, unnest(ws) AS w,
+           unnest(range(1, len(ws) + 1)) AS ord
+    FROM split
+),
+spans AS (
+    SELECT doc_id, CAST(floor((ord - 1) / 3) AS BIGINT) AS si,
+           string_agg(w, ' ' ORDER BY ord) AS span
+    FROM words GROUP BY doc_id, si
+),
+marks AS (
+    SELECT span, COUNT(DISTINCT doc_id) >= 2 AS dup
+    FROM spans GROUP BY span
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN m.dup THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_spans,
+       CAST(COALESCE(SUM(CASE WHEN NOT m.dup THEN length(s.span) END), 0)
+            + GREATEST(COUNT(*)
+                       - SUM(CASE WHEN m.dup THEN 1 ELSE 0 END) - 1, 0)
+            AS BIGINT) AS kept_chars
+FROM spans s JOIN marks m USING (span)
+GROUP BY s.doc_id
+"""
+
+
 def q_docs_shuffle_shards(sf_dir: str):
     """Reproducible global shuffle + shard assignment
     (stages/sampling.deterministic_shuffle): rank = position in the
@@ -2265,6 +2313,7 @@ QUERIES = {
     "docs_minhash_dedup": q_docs_minhash_dedup,
     "docs_ngram_jaccard": q_docs_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
+    "docs_span_dedup": q_docs_span_dedup,
     "sparql_lang_filter": q_sparql_lang_filter,
     "sparql_datatype_filter": q_sparql_datatype_filter,
     "sparql_graph_var": q_sparql_graph_var,
@@ -2331,6 +2380,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_span_dedup": SQL_DOCS_SPAN_DEDUP,
     "sparql_lang_filter": SQL_SPARQL_LANG_FILTER,
     "sparql_datatype_filter": SQL_SPARQL_DATATYPE_FILTER,
     "sparql_graph_var": SQL_SPARQL_GRAPH_VAR,

@@ -27,6 +27,7 @@ __all__ = [
     "contamination_flags",
     "per_source_quota",
     "tfidf_topk",
+    "span_dedup",
 ]
 
 
@@ -173,6 +174,136 @@ def per_source_quota(
         docs.map_batches(combine, batch_format="pandas")
         .groupby("_bucket")
         .map_groups(reduce_bucket, batch_format="pandas")
+    )
+
+
+def span_dedup(
+    docs: "ray.data.Dataset",
+    window: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Cross-document duplicate-span removal (the C4 / RefinedWeb
+    line-dedup recipe generalized to fixed-width token spans — the
+    fixture corpus is single-line, so "span" = ``window`` consecutive
+    whitespace tokens, non-overlapping, trailing partial span kept).
+
+    A span is a duplicate iff its exact text occurs in ≥ 2 DISTINCT
+    documents; every occurrence of a duplicate span is removed. Returns
+    one row per document that has ≥ 1 span:
+    ``(doc_id, n_spans, n_dup_spans, kept_chars)`` with ``kept_chars`` =
+    ``len(' '.join(kept spans))``.
+
+    Scale shape (nothing corpus-sized on the driver):
+    1. spans per batch, fully vectorized: one explode + ``window − 1``
+       shifted object-concat passes build the span strings (no per-span
+       Python join); spans travel as 32-char md5 digests + char counts,
+       never as text;
+    2. duplicate marks: per-batch distinct ``(h, doc)`` combiner → one
+       digest-bucketed groupby → emit ONLY the duplicate digests
+       (narrow);
+    3. marks join back onto the span rows with the acero-safe
+       ``bindings_join`` (string digest key — the safe dtype path);
+    4. per-doc rollup: map-side partial sums then one doc-bucketed
+       groupby (the span rows were scattered by digest in step 3).
+    """
+    from ..shuffle import bindings_join, bucket_tag
+    from .fasthash import md5_hex
+
+    def spans_of(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series([], dtype=np.int64),
+                "h": pd.Series([], dtype=object),
+                "span_chars": pd.Series([], dtype=np.int64),
+            }
+        )
+        words = df[text_col].fillna("").str.findall(r"\S+")
+        ex = words.explode().dropna()
+        if ex.empty:
+            return empty
+        row = ex.index.to_numpy()
+        w = ex.to_numpy(dtype=object)
+        ids = df[id_col].reindex(row).to_numpy()
+        pos = pd.Series(np.ones(len(w)), index=row).groupby(
+            level=0
+        ).cumcount().to_numpy()
+        si = pos // window
+        starts = np.ones(len(w), dtype=bool)
+        starts[1:] = (row[1:] != row[:-1]) | (si[1:] != si[:-1])
+        start = np.flatnonzero(starts)
+        span = w[start].copy()
+        for k in range(1, window):
+            j = start + k
+            ok = j < len(w)
+            ok[ok] &= (row[j[ok]] == row[start[ok]]) & (
+                si[j[ok]] == si[start[ok]]
+            )
+            sel = np.flatnonzero(ok)
+            span[sel] = span[sel] + " " + w[start[sel] + k]
+        s = pd.Series(span)
+        return pd.DataFrame(
+            {
+                id_col: ids[start].astype(np.int64),
+                "h": md5_hex(span).astype(object),
+                "span_chars": s.str.len().to_numpy(dtype=np.int64),
+            }
+        )
+
+    spans = docs.map_batches(spans_of, batch_format="pandas")
+
+    def mark_combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[["h", id_col]].drop_duplicates()
+        return g.assign(_bucket=bucket_tag(g, "h", num_buckets))
+
+    def mark_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("h")[id_col].nunique()
+        dup = nd.index[nd.to_numpy() >= 2]
+        return pd.DataFrame(
+            {"h": dup.to_numpy(dtype=object),
+             "dup": np.ones(len(dup), dtype=np.int64)}
+        )
+
+    marks = (
+        spans.map_batches(mark_combine, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(mark_reduce, batch_format="pandas")
+    )
+
+    flagged = bindings_join(
+        spans, marks, on=["h"], how="left_outer", num_buckets=num_buckets
+    )
+
+    def roll_combine(df: pd.DataFrame) -> pd.DataFrame:
+        # bindings_join fills unmatched 'dup' with object NaN → re-cast
+        isdup = pd.to_numeric(df["dup"], errors="coerce").fillna(0)
+        isdup = (isdup.to_numpy() > 0)
+        chars = pd.to_numeric(df["span_chars"]).to_numpy(dtype=np.int64)
+        g = pd.DataFrame(
+            {
+                id_col: pd.to_numeric(df[id_col]).to_numpy(np.int64),
+                "n_spans": np.ones(len(df), dtype=np.int64),
+                "n_dup_spans": isdup.astype(np.int64),
+                "_kept_chars": np.where(isdup, 0, chars).astype(np.int64),
+            }
+        ).groupby(id_col, as_index=False).sum()
+        return g.assign(_bucket=bucket_tag(g, id_col, num_buckets))
+
+    def roll_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="_bucket").groupby(
+            id_col, as_index=False
+        ).sum()
+        kept_n = out["n_spans"] - out["n_dup_spans"]
+        out["kept_chars"] = (
+            out["_kept_chars"] + np.maximum(kept_n - 1, 0)
+        ).astype(np.int64)
+        return out[[id_col, "n_spans", "n_dup_spans", "kept_chars"]]
+
+    return (
+        flagged.map_batches(roll_combine, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(roll_reduce, batch_format="pandas")
     )
 
 

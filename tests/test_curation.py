@@ -350,3 +350,74 @@ def test_bigram_lm_scores_match_brute_force():
                                        abs=1e-12), i
     # more in-corpus-typical docs score higher than rare sequences
     assert out[0] > out[2] - 10  # sanity: scores are finite/ordered
+
+
+def _span_oracle(docs, window):
+    """Pure-Python replay of span_dedup: spans = non-overlapping
+    windows of `window` whitespace tokens (trailing partial kept);
+    dup = span text in >= 2 distinct docs; kept_chars =
+    len(' '.join(kept spans))."""
+    spans = []  # (doc_id, span)
+    for doc_id, text in docs:
+        ws = (text or "").split()
+        for i in range(0, len(ws), window):
+            spans.append((doc_id, " ".join(ws[i : i + window])))
+    by_span = {}
+    for doc_id, s in spans:
+        by_span.setdefault(s, set()).add(doc_id)
+    out = {}
+    for doc_id, s in spans:
+        n, nd, kept = out.get(doc_id, (0, 0, []))
+        dup = len(by_span[s]) >= 2
+        out[doc_id] = (n + 1, nd + (1 if dup else 0),
+                       kept + ([] if dup else [s]))
+    return {
+        d: (n, nd, len(" ".join(kept)))
+        for d, (n, nd, kept) in out.items()
+    }
+
+
+def test_span_dedup_matches_oracle():
+    from graphforge_ray.stages.curation import span_dedup
+
+    docs = [
+        (1, "a b c d e f g h"),          # spans: 'a b c','d e f','g h'
+        (2, "a b c x y z"),              # shares 'a b c' with doc 1
+        (3, "x y z a b c"),              # shares 'x y z' with doc 2
+        (4, "q r s t u"),                # unique; partial tail 't u'
+        (5, "a b c a b c"),              # internal repeat of a dup span
+        (6, "one two"),                  # single partial span, unique
+        (7, ""),                         # no tokens -> no output row
+        (8, None),                       # null text -> no output row
+    ]
+    ds = rd.from_pandas(
+        pd.DataFrame(docs, columns=["doc_id", "text"])
+    ).repartition(3)
+    got = (
+        span_dedup(ds, window=3, num_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    want = _span_oracle(docs, 3)
+    assert set(got["doc_id"]) == set(want)  # 7/8 dropped (no spans)
+    for _, r in got.iterrows():
+        n, nd, kept = want[r["doc_id"]]
+        assert (r["n_spans"], r["n_dup_spans"], r["kept_chars"]) == (
+            n, nd, kept,
+        ), r["doc_id"]
+
+
+def test_span_dedup_internal_repeat_not_cross_doc():
+    from graphforge_ray.stages.curation import span_dedup
+
+    # 'p q r' repeats inside ONE doc only -> cross-doc rule keeps it
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            [(1, "p q r p q r"), (2, "s t u")],
+            columns=["doc_id", "text"],
+        )
+    )
+    got = span_dedup(ds, window=3, num_buckets=2).to_pandas()
+    got = got.set_index("doc_id")
+    assert got.loc[1, "n_dup_spans"] == 0
+    assert got.loc[1, "kept_chars"] == len("p q r p q r")
