@@ -1663,6 +1663,92 @@ FROM documents d
 """
 
 
+def q_docs_pii_scrub(sf_dir: str):
+    """PII redaction (emails / IPv4 / 555-phone → typed placeholders,
+    sequential, vectorized regex kernels). The fixture corpus contains
+    no PII, so a deterministic augmentation synthesizes it from doc_id
+    IDENTICALLY on both sides (email iff doc_id%3==0, ip iff %2==0,
+    phone always) — the operator under test is the scrub, the
+    augmentation is test plumbing. Oracle: DuckDB/RE2 replays the same
+    count+replace sequence."""
+    from ..stages.text_analysis import pii_scrub_batch
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def augment(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].astype("int64")
+        t = df["text"].fillna("")
+        em = pd.Series(
+            " contact user" + did.astype(str) + "@example.com",
+            index=df.index,
+        ).where(did % 3 == 0, "")
+        ip = pd.Series(
+            " ip 10." + (did % 200).astype(str) + ".0.7", index=df.index
+        ).where(did % 2 == 0, "")
+        ph = " call 555-" + (did % 10000).astype(str).str.zfill(4)
+        return df.assign(text=t + em + ip + ph)
+
+    return (
+        ds.map_batches(augment, batch_format="pandas")
+        .map_batches(pii_scrub_batch, batch_format="pandas")
+        .map_batches(
+            lambda df: df[
+                ["doc_id", "n_emails", "n_ips", "n_phones",
+                 "redacted_chars"]
+            ],
+            batch_format="pandas",
+        )
+    )
+
+
+SQL_DOCS_PII_SCRUB = r"""
+WITH aug AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com' ELSE '' END
+           || CASE WHEN doc_id % 2 = 0
+                   THEN ' ip 10.' || CAST(doc_id % 200 AS VARCHAR)
+                        || '.0.7' ELSE '' END
+           || ' call 555-'
+           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+    FROM documents
+),
+s1 AS (
+    SELECT doc_id,
+           len(regexp_extract_all(
+               t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               AS n_emails,
+           regexp_replace(
+               t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t
+    FROM aug
+),
+s2 AS (
+    SELECT doc_id, n_emails,
+           len(regexp_extract_all(
+               t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+           regexp_replace(
+               t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+               '<IP>', 'g') AS t
+    FROM s1
+),
+s3 AS (
+    SELECT doc_id, n_emails, n_ips,
+           len(regexp_extract_all(t, '\b555-\d{4}\b')) AS n_phones,
+           regexp_replace(t, '\b555-\d{4}\b', '<PHONE>', 'g') AS t
+    FROM s2
+)
+SELECT doc_id,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_ips AS BIGINT) AS n_ips,
+       CAST(n_phones AS BIGINT) AS n_phones,
+       CAST(length(t) AS BIGINT) AS redacted_chars
+FROM s3
+"""
+
+
 def q_docs_span_dedup(sf_dir: str):
     """Cross-document duplicate-span removal (C4/RefinedWeb line-dedup
     generalized to 3-token spans — the fixture corpus is single-line):
@@ -2314,6 +2400,7 @@ QUERIES = {
     "docs_ngram_jaccard": q_docs_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
     "docs_span_dedup": q_docs_span_dedup,
+    "docs_pii_scrub": q_docs_pii_scrub,
     "sparql_lang_filter": q_sparql_lang_filter,
     "sparql_datatype_filter": q_sparql_datatype_filter,
     "sparql_graph_var": q_sparql_graph_var,
@@ -2381,6 +2468,7 @@ QUERIES = {
 
 ORACLES = {
     "docs_span_dedup": SQL_DOCS_SPAN_DEDUP,
+    "docs_pii_scrub": SQL_DOCS_PII_SCRUB,
     "sparql_lang_filter": SQL_SPARQL_LANG_FILTER,
     "sparql_datatype_filter": SQL_SPARQL_DATATYPE_FILTER,
     "sparql_graph_var": SQL_SPARQL_GRAPH_VAR,

@@ -20,7 +20,7 @@ import pandas as pd
 
 __all__ = [
     "token_stats_batch", "TextQualityScorer", "LangIdentifier",
-    "fingerprint_batch", "content_hash_batch",
+    "fingerprint_batch", "content_hash_batch", "pii_scrub_batch",
 ]
 
 _WS_TOKEN = re.compile(r"\S+")
@@ -159,6 +159,40 @@ def _rolling_fingerprint(text: str, window: int = 16, keep: int = 4) -> str:
             mins.append(h)
     mins = sorted(set(mins))[:keep]
     return "-".join(f"{m:016x}" for m in mins)
+
+
+# PII scrub patterns, chosen to evaluate identically under Python re
+# and DuckDB/RE2 (oracle parity): no lookarounds, \b is common to both.
+# Applied IN ORDER, each count taken on the text as redacted so far.
+_PII_PATTERNS = (
+    ("emails",
+     re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+     "<EMAIL>"),
+    ("ips",
+     re.compile(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+     "<IP>"),
+    ("phones", re.compile(r"\b555-\d{4}\b"), "<PHONE>"),
+)
+
+
+def pii_scrub_batch(
+    df: pd.DataFrame, text_col: str = "text"
+) -> pd.DataFrame:
+    """PII redaction for training corpora (the public CCNet/RedPajama
+    scrub step): emails, IPv4 addresses and NANP-555 phone numbers are
+    counted then replaced with typed placeholders, sequentially, all
+    via vectorized pandas regex kernels (patterns compiled once per
+    process at import). Adds ``n_emails``/``n_ips``/``n_phones``
+    (int64), rewrites ``text_col`` in place and adds
+    ``redacted_chars`` = len(redacted text)."""
+    out = df.copy()
+    t = df[text_col].fillna("")
+    for name, pat, repl in _PII_PATTERNS:
+        out[f"n_{name}"] = t.str.count(pat).astype("int64")
+        t = t.str.replace(pat, repl, regex=True)
+    out[text_col] = t
+    out["redacted_chars"] = t.str.len().astype("int64")
+    return out
 
 
 def fingerprint_batch(df: pd.DataFrame) -> pd.DataFrame:

@@ -798,3 +798,32 @@ def test_jpeg_error_paths():
     # garbage after SOI (the fixture 'poison' payload shape)
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0" + b"\x99" * 40)
+
+
+def test_pii_scrub_batch():
+    from graphforge_ray.stages.text_analysis import pii_scrub_batch
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "mail a.b+c@sub.example.org and d@e.io twice",
+                "hosts 192.168.1.1 and 10.0.0.255 listed",
+                "dial 555-0123 or 555-9999 now",
+                None,
+                "email bob@x.co ip 1.2.3.4 tel 555-0000 all three",
+            ],
+        }
+    )
+    out = pii_scrub_batch(df)
+    assert out["n_emails"].tolist() == [2, 0, 0, 0, 1]
+    assert out["n_ips"].tolist() == [0, 2, 0, 0, 1]
+    assert out["n_phones"].tolist() == [0, 0, 2, 0, 1]
+    assert out.loc[4, "text"] == "email <EMAIL> ip <IP> tel <PHONE> all three"
+    assert out.loc[3, "text"] == "" and out.loc[3, "redacted_chars"] == 0
+    assert (out["redacted_chars"] == out["text"].str.len()).all()
+    # sequential semantics: the IP-like tail of an email is consumed by
+    # the email pass, so the IP pass must NOT count it
+    df2 = pd.DataFrame({"doc_id": [9], "text": ["x u@h.aa 9.9.9.9"]})
+    out2 = pii_scrub_batch(df2)
+    assert out2.loc[0, "n_emails"] == 1 and out2.loc[0, "n_ips"] == 1
