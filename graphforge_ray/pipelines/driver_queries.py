@@ -1213,6 +1213,35 @@ WHERE source LIKE '%1%' AND regexp_matches(lang, '^(en|fr)$')
 """
 
 
+def q_sparql_bind_builtins(sf_dir: str):
+    """SPARQL 1.1 expression builtins through the compiler in one
+    query: SUBSTR (1-based) + STRAFTER + CONCAT build a derived key,
+    IF(cond,…) classifies on a numeric comparison (coercion failure →
+    else), REPLACE rewrites with a $1 backref. Oracle: the same four
+    expressions in DuckDB (substr / || / CASE / regexp_replace)."""
+    from ..query.sparql import run_select
+
+    triples = q_rml_documents_triples(sf_dir)
+    return run_select(
+        triples,
+        f"SELECT ?s ?key ?tag ?r WHERE {{ "
+        f"?s <{VOCAB_SOURCE}> ?src . ?s <{VOCAB_NCHARS}> ?n . "
+        f'BIND(CONCAT(SUBSTR(?src, 1, 3), "-", STRAFTER(?s, ":")) '
+        f"AS ?key) . "
+        f'BIND(IF(?n >= 200, "long", "short") AS ?tag) . '
+        f'BIND(REPLACE(?src, "src(\\d+)", "s#$1") AS ?r) }}',
+    )
+
+
+SQL_SPARQL_BIND_BUILTINS = r"""
+SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS s,
+       substr(source, 1, 3) || '-' || CAST(doc_id AS VARCHAR) AS key,
+       CASE WHEN n_chars >= 200 THEN 'long' ELSE 'short' END AS tag,
+       regexp_replace(source, 'src(\d+)', 's#\1') AS r
+FROM documents
+"""
+
+
 def q_sparql_seq_path(sf_dir: str):
     """SPARQL sequence property path through the compiler:
     ``?s <childOf>/<pname> ?n`` (parent's name) — compile-time rewrite
@@ -2401,6 +2430,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "docs_span_dedup": q_docs_span_dedup,
     "docs_pii_scrub": q_docs_pii_scrub,
+    "sparql_bind_builtins": q_sparql_bind_builtins,
     "sparql_lang_filter": q_sparql_lang_filter,
     "sparql_datatype_filter": q_sparql_datatype_filter,
     "sparql_graph_var": q_sparql_graph_var,
@@ -2469,6 +2499,7 @@ QUERIES = {
 ORACLES = {
     "docs_span_dedup": SQL_DOCS_SPAN_DEDUP,
     "docs_pii_scrub": SQL_DOCS_PII_SCRUB,
+    "sparql_bind_builtins": SQL_SPARQL_BIND_BUILTINS,
     "sparql_lang_filter": SQL_SPARQL_LANG_FILTER,
     "sparql_datatype_filter": SQL_SPARQL_DATATYPE_FILTER,
     "sparql_graph_var": SQL_SPARQL_GRAPH_VAR,

@@ -31,8 +31,14 @@ reference gets these from Comunica, document.js:951-953):
 
 ``BIND`` expressions support ``+ - * /`` (left-associative chain, use
 parentheses to group), the string builtins ``STRLEN/UCASE/LCASE/STR/
-CONCAT``, and the numeric builtins ``ABS/ROUND/FLOOR/CEIL``; arithmetic
-coerces with ``to_numeric`` (unparseable → NaN, the P13 convention).
+CONCAT/SUBSTR/STRBEFORE/STRAFTER/REPLACE`` (SUBSTR is 1-based with
+literal start/length; STRBEFORE/STRAFTER/REPLACE take literal
+separators/patterns, REPLACE is regex with ``$n`` backrefs), the
+numeric builtins ``ABS/ROUND/FLOOR/CEIL``, and ``COALESCE(…)`` /
+``IF(cond, then, else)`` (the IF condition is an expression comparison;
+a coercion failure in the condition selects the else branch);
+arithmetic coerces with ``to_numeric`` (unparseable → NaN, the P13
+convention).
 ``BIND``/``VALUES`` scope to the whole group (applied after the BGP and
 OPTIONAL joins, before top-level FILTERs — a positional-scoping subset).
 
@@ -253,11 +259,13 @@ _CONSTRUCT = re.compile(
 # ---------------------------------------------------------------------------
 
 _EXPR_TOKEN = re.compile(
-    r'"(?:[^"\\]|\\.)*"|\?\w+|[A-Za-z_]\w*|\d+\.\d+|\d+|[(),+\-*/]'
+    r'"(?:[^"\\]|\\.)*"|\?\w+|[A-Za-z_]\w*|\d+\.\d+|\d+'
+    r"|!=|<=|>=|[(),+\-*/=<>]"
 )
 _EXPR_FUNCS = {
     "STRLEN", "UCASE", "LCASE", "STR", "CONCAT",
     "ABS", "ROUND", "FLOOR", "CEIL",
+    "SUBSTR", "STRBEFORE", "STRAFTER", "REPLACE", "COALESCE", "IF",
 }
 
 
@@ -302,11 +310,15 @@ def _parse_expr(text: str):
         fname = t.upper()
         if fname in _EXPR_FUNCS:
             expect("(")
-            args = [expr()]
+            args = [arg_expr()]
             while peek() == ",":
                 take()
-                args.append(expr())
+                args.append(arg_expr())
             expect(")")
+            if fname == "SUBSTR" and len(args) not in (2, 3):
+                raise ValueError("SUBSTR takes 2 or 3 arguments")
+            if fname == "IF" and len(args) != 3:
+                raise ValueError("IF takes exactly 3 arguments")
             return ("call", fname, args)
         raise ValueError(f"unsupported token {t!r} in BIND expression")
 
@@ -315,6 +327,15 @@ def _parse_expr(text: str):
         while peek() in ("+", "-", "*", "/"):
             op = take()
             node = ("binop", op, node, term())
+        return node
+
+    def arg_expr():
+        # a function argument may be a comparison (the IF condition):
+        # expr [CMP expr] — evaluates to a boolean Series
+        node = expr()
+        if peek() in ("=", "!=", "<", "<=", ">", ">="):
+            op = take()
+            node = ("cmp", op, node, expr())
         return node
 
     ast = expr()
@@ -333,8 +354,69 @@ def _eval_expr(ast, df: pd.DataFrame) -> pd.Series:
         return pd.Series(ast[1], index=df.index, dtype="float64")
     if kind == "str":
         return pd.Series(ast[1], index=df.index, dtype=object)
+    if kind == "cmp":
+        op, lhs, rhs = ast[1], ast[2], ast[3]
+        l, r = _eval_expr(lhs, df), _eval_expr(rhs, df)
+        fns = {
+            "=": lambda a, b: a == b, "!=": lambda a, b: a != b,
+            "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+            ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+        }
+        if "str" in (_expr_static_type(lhs), _expr_static_type(rhs)):
+            return (
+                fns[op](l.astype(str), r.astype(str))
+                & l.notna() & r.notna()
+            )
+        ln = pd.to_numeric(l, errors="coerce")
+        rn = pd.to_numeric(r, errors="coerce")
+        # numeric-coercion failure → condition false (else branch)
+        return fns[op](ln, rn) & ln.notna() & rn.notna()
     if kind == "call":
-        fname, args = ast[1], [_eval_expr(a, df) for a in ast[2]]
+        fname = ast[1]
+        if fname == "IF":
+            cond = _eval_expr(ast[2][0], df)
+            if cond.dtype != bool:
+                cond = pd.to_numeric(cond, errors="coerce").fillna(0) != 0
+            t = _eval_expr(ast[2][1], df)
+            e = _eval_expr(ast[2][2], df)
+            return t.where(cond, e)
+        if fname == "COALESCE":
+            out = _eval_expr(ast[2][0], df)
+            for a in ast[2][1:]:
+                nxt = _eval_expr(a, df)
+                out = out.where(out.notna(), nxt)
+            return out
+        if fname == "SUBSTR":
+            s = _eval_expr(ast[2][0], df).astype(str)
+            consts = [a for a in ast[2][1:]]
+            if any(a[0] != "num" for a in consts):
+                raise ValueError(
+                    "SUBSTR start/length must be numeric literals"
+                )
+            start = int(consts[0][1]) - 1  # SPARQL is 1-based
+            stop = (start + int(consts[1][1])) if len(consts) > 1 else None
+            return s.str.slice(start, stop)
+        if fname in ("STRBEFORE", "STRAFTER"):
+            if ast[2][1][0] != "str":
+                raise ValueError(
+                    f"{fname} separator must be a string literal"
+                )
+            s = _eval_expr(ast[2][0], df).astype(str)
+            parts = s.str.partition(ast[2][1][1])
+            hit = parts[1] != ""
+            got = parts[0] if fname == "STRBEFORE" else parts[2]
+            return got.where(hit, "")
+        if fname == "REPLACE":
+            if any(a[0] != "str" for a in ast[2][1:]):
+                raise ValueError(
+                    "REPLACE pattern/replacement must be string literals"
+                )
+            s = _eval_expr(ast[2][0], df).astype(str)
+            pat = ast[2][1][1]
+            # SPARQL backrefs are $1… — Python re wants \1…
+            rep = re.sub(r"\$(\d)", r"\\\1", ast[2][2][1])
+            return s.str.replace(pat, rep, regex=True)
+        args = [_eval_expr(a, df) for a in ast[2]]
         if fname == "STRLEN":
             return args[0].astype(str).str.len().astype("int64")
         if fname == "UCASE":
@@ -373,7 +455,10 @@ def _eval_expr(ast, df: pd.DataFrame) -> pd.Series:
     return ln / rn
 
 
-_STR_FUNCS = {"UCASE", "LCASE", "STR", "CONCAT"}
+_STR_FUNCS = {
+    "UCASE", "LCASE", "STR", "CONCAT",
+    "SUBSTR", "STRBEFORE", "STRAFTER", "REPLACE",
+}
 
 
 def _expr_static_type(ast) -> str:
@@ -388,6 +473,15 @@ def _expr_static_type(ast) -> str:
     if kind == "num" or kind == "binop":
         return "num"
     if kind == "call":
+        if ast[1] in ("COALESCE", "IF"):
+            # result type follows the value arguments (IF: then/else)
+            args = ast[2][1:] if ast[1] == "IF" else ast[2]
+            kinds = {_expr_static_type(a) for a in args}
+            if kinds == {"str"}:
+                return "str"
+            if "str" in kinds:
+                return "unknown"
+            return "num" if kinds <= {"num"} else "unknown"
         return "str" if ast[1] in _STR_FUNCS else "num"
     return "unknown"  # var
 
@@ -399,7 +493,7 @@ def _expr_vars(ast) -> set[str]:
         return {ast[1]}
     if kind == "call":
         return set().union(*(_expr_vars(a) for a in ast[2])) if ast[2] else set()
-    if kind == "binop":
+    if kind in ("binop", "cmp"):
         return _expr_vars(ast[2]) | _expr_vars(ast[3])
     return set()
 

@@ -1479,3 +1479,96 @@ def test_bare_grouped_sequence_without_modifier_raises(score_triples):
             score_triples,
             "SELECT ?s ?o WHERE { ?s (<e/childOf>/<e/name>) ?o }",
         )
+
+
+# -- r4 extensions: SUBSTR/STRBEFORE/STRAFTER/REPLACE/COALESCE/IF ----------
+
+
+def test_bind_substr_is_one_based(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT ?n ?p WHERE { ?s <e/name> ?n . "
+        'BIND(SUBSTR(?n, 2, 3) AS ?p) . FILTER (?n = "gamma") }',
+    )
+    assert list(out["p"]) == ["amm"]
+
+
+def test_bind_substr_no_length(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT ?n ?p WHERE { ?s <e/name> ?n . "
+        'BIND(SUBSTR(?n, 3) AS ?p) . FILTER (?n = "beta") }',
+    )
+    assert list(out["p"]) == ["ta"]
+
+
+def test_bind_strbefore_strafter(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT ?s ?b ?a WHERE { ?s <e/name> ?n . "
+        'BIND(STRBEFORE(?s, "/") AS ?b) . '
+        'BIND(STRAFTER(?s, "/") AS ?a) . FILTER (?n = "alpha") }',
+    )
+    assert list(out["b"]) == ["e"] and list(out["a"]) == ["A"]
+
+
+def test_strbefore_no_match_is_empty(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT ?n ?b WHERE { ?s <e/name> ?n . "
+        'BIND(STRBEFORE(?n, "zz") AS ?b) . FILTER (?n = "beta") }',
+    )
+    assert list(out["b"]) == [""]
+
+
+def test_bind_replace_with_backref(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT ?n ?r WHERE { ?s <e/name> ?n . "
+        'BIND(REPLACE(?n, "a(l|m)", "<$1>") AS ?r) . '
+        'FILTER (?n = "alpha") }',
+    )
+    assert list(out["r"]) == ["<l>pha"]
+
+
+def test_bind_if_condition_and_coercion_failure(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT ?s ?c WHERE { ?s <e/score> ?v . "
+        'BIND(IF(?v > 8, "high", "low") AS ?c) }',
+    )
+    by_s = dict(zip(out["s"], out["c"]))
+    # e/D score is 'not-a-number': coercion failure -> else branch
+    assert by_s == {
+        "e/A": "high", "e/B": "high", "e/C": "low", "e/D": "low",
+    }
+
+
+def test_bind_coalesce_prefers_bound(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT ?s ?label WHERE { ?s <e/score> ?v . "
+        "OPTIONAL { ?s <e/name> ?n } "
+        'BIND(COALESCE(?n, "anon") AS ?label) }',
+    )
+    by_s = dict(zip(out["s"], out["label"]))
+    assert by_s["e/D"] == "anon" and by_s["e/A"] == "alpha"
+
+
+def test_filter_with_substr_expression(score_triples):
+    out = run_select(
+        score_triples,
+        "SELECT ?s WHERE { ?s <e/name> ?n . "
+        'FILTER (SUBSTR(?n, 1, 1) = "b") }',
+    )
+    assert list(out["s"]) == ["e/B"]
+
+
+def test_substr_nonliteral_args_rejected(score_triples):
+    # the ValueError is raised inside the Ray task -> RayTaskError wrap
+    with pytest.raises(Exception, match="SUBSTR"):
+        run_select(
+            score_triples,
+            "SELECT ?s WHERE { ?s <e/name> ?n . "
+            "BIND(SUBSTR(?n, STRLEN(?n)) AS ?x) }",
+        )
