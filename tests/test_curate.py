@@ -131,5 +131,8 @@ def test_param_change_reruns_downstream_stages(curated, ray_session):
     assert steps["kept"] == "ran"
     assert steps["shards"] == "ran"
     assert steps["corpus"] == "ran"
-    kept = pd.read_parquet(f"{out}/kept")
+    # glob only the data files — the stage dir also holds MANIFEST.json
+    kept = duckdb.sql(
+        f"SELECT * FROM read_parquet('{out}/kept/*.parquet')"
+    ).df()
     assert kept.groupby("source").size().max() <= 20
