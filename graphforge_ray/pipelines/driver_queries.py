@@ -1048,6 +1048,35 @@ def q_ann_ivf(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def q_embeddings_kmeans(sf_dir: str):
+    """Distributed spherical k-means over the embeddings table
+    (stages/similarity.kmeans_fit — map-side partial sums, driver holds
+    only k×d; the SemDeDup semantic-clustering primitive), then map-side
+    assignment and per-cluster sizes. Rows-only (no SQL k-means);
+    exactness is pinned by the numpy-replay pytest golden."""
+    from ..stages.similarity import assign_clusters, kmeans_fit
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents, _ = kmeans_fit(emb, num_clusters=10, iters=5)
+    assigned = assign_clusters(emb, cents)
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cluster", as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    return (
+        assigned.map_batches(counts, batch_format="pandas")
+        .groupby("cluster")
+        .map_groups(
+            lambda g: g.groupby("cluster", as_index=False)["n"].sum(),
+            batch_format="pandas",
+        )
+    )
+
+
 VOCAB_CHILDOF = "http://graft.example/vocab#childOf"
 VOCAB_PNAME = "http://graft.example/vocab#pname"
 
@@ -2492,6 +2521,7 @@ QUERIES = {
     "docs_simhash": q_docs_simhash,
     "docs_fingerprint": q_docs_fingerprint,
     "ann_ivf": q_ann_ivf,
+    "embeddings_kmeans": q_embeddings_kmeans,
     "sparql_pred_counts": q_sparql_pred_counts,
     "forge_pages": q_forge_pages,
 }

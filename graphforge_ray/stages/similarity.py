@@ -22,7 +22,10 @@ import pandas as pd
 import ray
 import ray.data
 
-__all__ = ["brute_force_topk", "train_centroids", "assign_clusters", "ivf_topk"]
+__all__ = [
+    "brute_force_topk", "train_centroids", "assign_clusters", "ivf_topk",
+    "kmeans_fit",
+]
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -213,6 +216,95 @@ def assign_clusters(
         return out
 
     return embeddings.map_batches(assign, batch_format="pandas")
+
+
+def kmeans_fit(
+    embeddings: "ray.data.Dataset",
+    num_clusters: int,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, list[float]]:
+    """Fully DISTRIBUTED spherical k-means (Lloyd's) — the SemDeDup-style
+    semantic-clustering primitive. Unlike ``train_centroids`` (driver
+    numpy over a bounded sample), every iteration here streams the WHOLE
+    corpus:
+
+    - init: the vectors of the ``num_clusters`` smallest ids, found with
+      a map-side partial-nsmallest combiner (the driver sees ≤ k rows
+      per block, never the corpus);
+    - each round: centroids broadcast via ``ray.put``; each batch
+      assigns vectors by max cosine (ties → lowest cluster index) and
+      emits ONE partial row per cluster (count, vector sum, cosine sum)
+      — k rows per block leave each task, nothing corpus-sized moves;
+    - the driver reduces the ≤ k·blocks partials to k×d new centroids
+      (renormalized — spherical k-means); an emptied cluster keeps its
+      previous centroid.
+
+    Returns ``(centroids (k, d) float64, inertia_per_iter)`` where
+    inertia = mean(1 − cosine-to-assigned-centroid) — non-increasing up
+    to float noise."""
+    # --- deterministic init: vectors of the k smallest ids -----------
+    def head_batch(df: pd.DataFrame) -> pd.DataFrame:
+        return df.nsmallest(num_clusters, id_col)[[id_col, vec_col]]
+
+    seed_rows = (
+        embeddings.map_batches(head_batch, batch_format="pandas")
+        .to_pandas()
+        .nsmallest(num_clusters, id_col)
+        .sort_values(id_col)
+    )
+    centroids = _normalize(
+        np.asarray(seed_rows[vec_col].tolist(), dtype=np.float64)
+    )
+    k = centroids.shape[0]
+    inertia: list[float] = []
+
+    for _ in range(iters):
+        c_ref = ray.put(centroids)
+
+        def partials(df: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(c_ref)
+            mat = _normalize(
+                np.asarray(df[vec_col].tolist(), dtype=np.float64)
+            )
+            sims = mat @ c.T
+            assign = np.argmax(sims, axis=1)
+            best = sims[np.arange(len(mat)), assign]
+            rows = []
+            for ci in np.unique(assign):
+                m = assign == ci
+                rows.append(
+                    {
+                        "cluster": int(ci),
+                        "n": int(m.sum()),
+                        "vsum": mat[m].sum(axis=0).tolist(),
+                        "cos_sum": float(best[m].sum()),
+                    }
+                )
+            return pd.DataFrame(rows)
+
+        part = embeddings.map_batches(
+            partials, batch_format="pandas"
+        ).to_pandas()  # ≤ k rows per block — driver-safe at any scale
+        agg_n = np.zeros(k)
+        agg_v = np.zeros_like(centroids)
+        total_cos = 0.0
+        total_n = 0
+        # sum in cluster-then-block order for a reproducible reduce
+        for ci, g in part.sort_values("cluster").groupby("cluster"):
+            agg_n[ci] = g["n"].sum()
+            agg_v[ci] = np.sum(
+                np.asarray(g["vsum"].tolist(), dtype=np.float64), axis=0
+            )
+            total_cos += float(g["cos_sum"].sum())
+            total_n += int(g["n"].sum())
+        inertia.append(1.0 - total_cos / max(total_n, 1))
+        nxt = centroids.copy()  # emptied cluster keeps its centroid
+        nz = agg_n > 0
+        nxt[nz] = agg_v[nz] / agg_n[nz, None]
+        centroids = _normalize(nxt)
+    return centroids, inertia
 
 
 def ivf_topk(

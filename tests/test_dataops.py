@@ -827,3 +827,73 @@ def test_pii_scrub_batch():
     df2 = pd.DataFrame({"doc_id": [9], "text": ["x u@h.aa 9.9.9.9"]})
     out2 = pii_scrub_batch(df2)
     assert out2.loc[0, "n_emails"] == 1 and out2.loc[0, "n_ips"] == 1
+
+
+def test_kmeans_fit_recovers_separated_clusters(ray_session):
+    import ray.data as rd
+    from graphforge_ray.stages.similarity import (
+        assign_clusters, kmeans_fit,
+    )
+
+    # 3 well-separated direction clusters in 8-d, deterministic noise
+    rng = np.random.RandomState(7)
+    centers = np.eye(8)[:3] * 5.0
+    rows = []
+    for i in range(120):
+        c = i % 3
+        rows.append((i, (centers[c] + rng.normal(0, 0.15, 8)).tolist(), c))
+    df = pd.DataFrame(rows, columns=["vec_id", "embedding", "truth"])
+    ds = rd.from_pandas(df).repartition(4)
+
+    cents, inertia = kmeans_fit(ds, num_clusters=3, iters=6)
+    # inertia non-increasing (up to float noise)
+    assert all(b <= a + 1e-9 for a, b in zip(inertia, inertia[1:]))
+    asg = assign_clusters(ds, cents).to_pandas()
+    ct = pd.crosstab(asg["cluster"], asg["truth"])
+    # perfect recovery: each cluster is pure and each truth is covered
+    assert (ct.max(axis=1) == ct.sum(axis=1)).all()
+    assert set(ct.idxmax(axis=1)) == {0, 1, 2}
+
+
+def test_kmeans_fit_matches_numpy_replay(ray_session):
+    import ray.data as rd
+    from graphforge_ray.stages.similarity import kmeans_fit
+
+    rng = np.random.RandomState(3)
+    mat = rng.normal(0, 1, (90, 6))
+    df = pd.DataFrame(
+        {"vec_id": np.arange(90), "embedding": mat.tolist()}
+    )
+    ds = rd.from_pandas(df).repartition(5)
+    got, _ = kmeans_fit(ds, num_clusters=4, iters=4)
+
+    # single-process replay of the same algorithm: init = k smallest
+    # ids, spherical Lloyd's, empty cluster keeps its centroid
+    def norm(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return m / n
+
+    vn = norm(mat.astype(np.float64))
+    c = vn[:4].copy()
+    for _ in range(4):
+        a = np.argmax(vn @ c.T, axis=1)
+        nxt = c.copy()
+        for ci in range(4):
+            if (a == ci).any():
+                nxt[ci] = vn[a == ci].mean(axis=0)
+        c = norm(nxt)
+    assert np.allclose(got, c, atol=1e-8)
+
+
+def test_kmeans_fit_empty_cluster_keeps_centroid(ray_session):
+    import ray.data as rd
+    from graphforge_ray.stages.similarity import kmeans_fit
+
+    # two tight groups, k=3: one cluster must go empty and keep its
+    # (normalized) seed centroid instead of NaN-ing out
+    v = [[1.0, 0.0]] * 5 + [[0.0, 1.0]] * 5
+    df = pd.DataFrame({"vec_id": range(10), "embedding": v})
+    cents, _ = kmeans_fit(rd.from_pandas(df), num_clusters=3, iters=3)
+    assert np.isfinite(cents).all()
+    assert cents.shape == (3, 2)
