@@ -1881,6 +1881,35 @@ SELECT doc_id, rank, rank % 8 AS shard FROM r
 """
 
 
+def q_docs_budget_select(sf_dir: str):
+    """Token-budget data selection (stages/sampling.budget_select):
+    keep documents longest-first until a 25k-char budget is exhausted
+    (first overflowing doc kept), computed as a distributed greedy
+    prefix — order-preserving score buckets, per-bucket size-sum prefix
+    offsets (≤64 rows on the driver), map-side budget prune before the
+    shuffle. Oracle: the same rule as one SQL window —
+    ``SUM(n_chars) OVER (ORDER BY n_chars DESC, doc_id) - n_chars <
+    budget``."""
+    from ..stages.sampling import budget_select
+
+    ds = _t(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = budget_select(
+        ds, budget=25_000, score_col="n_chars", size_col="n_chars"
+    )
+    return out.map_batches(
+        lambda df: df[["doc_id", "n_chars"]], batch_format="pandas"
+    )
+
+
+SQL_DOCS_BUDGET_SELECT = """
+SELECT doc_id, n_chars FROM (
+    SELECT doc_id, n_chars,
+           SUM(n_chars) OVER (ORDER BY n_chars DESC, doc_id) AS cum
+    FROM documents
+) WHERE cum - n_chars < 25000
+"""
+
+
 def q_docs_pack_sequences(sf_dir: str):
     """Training-sequence packing E2E: reproducible shuffle+shard
     (md5 order), whitespace token counts joined on via the distributed
@@ -2511,6 +2540,7 @@ QUERIES = {
     "docs_source_quota": q_docs_source_quota,
     "docs_tfidf": q_docs_tfidf,
     "docs_shuffle_shards": q_docs_shuffle_shards,
+    "docs_budget_select": q_docs_budget_select,
     "docs_pack_sequences": q_docs_pack_sequences,
     "docs_lm_score": q_docs_lm_score,
     "rml_customer_triples": q_rml_customer_triples,
@@ -2530,6 +2560,7 @@ ORACLES = {
     "docs_span_dedup": SQL_DOCS_SPAN_DEDUP,
     "docs_pii_scrub": SQL_DOCS_PII_SCRUB,
     "sparql_bind_builtins": SQL_SPARQL_BIND_BUILTINS,
+    "docs_budget_select": SQL_DOCS_BUDGET_SELECT,
     "sparql_lang_filter": SQL_SPARQL_LANG_FILTER,
     "sparql_datatype_filter": SQL_SPARQL_DATATYPE_FILTER,
     "sparql_graph_var": SQL_SPARQL_GRAPH_VAR,

@@ -28,7 +28,7 @@ import ray.data
 from .fasthash import hex_prefix_int, md5_hex_keyed
 
 __all__ = ["hash_split_column", "hash_split", "deterministic_shuffle",
-           "pack_sequences"]
+           "pack_sequences", "budget_select"]
 
 
 def _threshold_hex(test_pct: float) -> str:
@@ -162,6 +162,114 @@ def deterministic_shuffle(
     return (
         keyed_ds.groupby("_bucket")
         .map_groups(rank_bucket, batch_format="pandas")
+    )
+
+
+def budget_select(
+    ds: "ray.data.Dataset",
+    budget: int,
+    score_col: str,
+    size_col: str,
+    id_col: str = "doc_id",
+    descending: bool = True,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Token-budget corpus selection: walk documents best-score-first
+    (ties by id) and keep each one while the budget is not yet exhausted
+    — a document is kept iff the total ``size_col`` of all
+    strictly-better documents is ``< budget`` (so the first overflowing
+    document is kept; SQL-replayable as
+    ``SUM(size) OVER (ORDER BY score …, id) - size < budget``). The
+    quality-threshold-free data-selection step of a pretraining
+    pipeline: "take the best N tokens", not "score > 0.8".
+
+    Distributed greedy prefix without a global sort:
+
+    1. one pass for the exact score min/max (two scalars on the driver);
+    2. rows tagged with an ORDER-PRESERVING score bucket
+       (``np.digitize`` against fixed linspace edges — equal scores
+       land in the same bucket, so cross-bucket order is exact and ties
+       resolve inside one kernel);
+    3. per-bucket SIZE sums reduced distributed (≤ ``num_buckets`` rows
+       on the driver) → prefix offsets, broadcast via ``ray.put``;
+    4. map-side prune: buckets whose offset already exceeds the budget
+       never enter the shuffle — the all-to-all moves only ~budget
+       worth of rows no matter the corpus size;
+    5. per surviving bucket: sort, cumsum, keep while
+       ``offset + cumsum_before < budget``.
+
+    Requires a non-null numeric ``score_col``. Massive score ties all
+    land in one bucket (exactness over balance) — if a single score
+    value dominates the corpus, pre-jitter deterministically or accept
+    the one heavy kernel."""
+    import ray as _ray
+
+    from ray.data.aggregate import Sum
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive: {budget}")
+
+    stats = ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"mn": [df[score_col].min()], "mx": [df[score_col].max()]}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    mn, mx = float(stats["mn"].min()), float(stats["mx"].max())
+    edges = np.linspace(mn, mx, num_buckets + 1)[1:-1]
+
+    # score_col may double as size_col — dedup the projection
+    cols = list(dict.fromkeys([id_col, score_col, size_col]))
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[score_col].to_numpy(dtype=np.float64)
+        b = np.digitize(s, edges)
+        if descending:
+            b = (num_buckets - 1) - b
+        return df[cols].assign(_bucket=b.astype(np.int32))
+
+    tagged = ds.map_batches(tag, batch_format="pandas").materialize()
+
+    hist = (
+        tagged.map_batches(
+            lambda df: df.groupby("_bucket", as_index=False)[
+                size_col
+            ].sum(),
+            batch_format="pandas",
+        )
+        .groupby("_bucket")
+        .aggregate(Sum(size_col, alias_name="sz"))
+        .to_pandas()
+    )
+    sizes = (
+        hist.set_index("_bucket")["sz"]
+        .reindex(range(num_buckets), fill_value=0)
+        .astype("int64")
+    )
+    offsets = sizes.cumsum().shift(fill_value=0).astype("int64")
+    ref = _ray.put(offsets.to_dict())
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        offs = _ray.get(ref)
+        base = df["_bucket"].map(offs).to_numpy(dtype=np.int64)
+        return df.loc[base < budget]
+
+    def select_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        offs = _ray.get(ref)
+        base = int(offs[int(g["_bucket"].iloc[0])])
+        g = g.sort_values(
+            [score_col, id_col],
+            ascending=[not descending, True],
+            kind="mergesort",
+        )
+        sz = g[size_col].to_numpy(dtype=np.int64)
+        before = base + np.cumsum(sz) - sz
+        return g.loc[before < budget, cols]
+
+    return (
+        tagged.map_batches(prune, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(select_bucket, batch_format="pandas")
     )
 
 

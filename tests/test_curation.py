@@ -421,3 +421,50 @@ def test_span_dedup_internal_repeat_not_cross_doc():
     got = got.set_index("doc_id")
     assert got.loc[1, "n_dup_spans"] == 0
     assert got.loc[1, "kept_chars"] == len("p q r p q r")
+
+
+def test_budget_select_greedy_prefix():
+    from graphforge_ray.stages.sampling import budget_select
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "score": [0.9, 0.8, 0.8, 0.5, 0.3, 0.1],
+            "n_tok": [10, 20, 20, 30, 40, 50],
+        }
+    )
+    ds = rd.from_pandas(df).repartition(3)
+    # order: 1(10) 2(20) 3(20) 4(30)... budget 45 -> before-sums
+    # 0,10,30,50 -> keep 1,2,3 (doc 3 overflows but started under)
+    out = budget_select(
+        ds, budget=45, score_col="score", size_col="n_tok",
+        num_buckets=8,
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 3]
+
+    # ascending: order 6(50) -> budget 10 keeps just doc 6
+    out2 = budget_select(
+        ds, budget=10, score_col="score", size_col="n_tok",
+        descending=False, num_buckets=8,
+    ).to_pandas()
+    assert sorted(out2["doc_id"]) == [6]
+
+    # budget beyond the corpus keeps everything
+    out3 = budget_select(
+        ds, budget=10_000, score_col="score", size_col="n_tok",
+        num_buckets=8,
+    ).to_pandas()
+    assert sorted(out3["doc_id"]) == [1, 2, 3, 4, 5, 6]
+
+
+def test_budget_select_score_is_size():
+    from graphforge_ray.stages.sampling import budget_select
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "n": [5, 7, 3]})
+    out = budget_select(
+        rd.from_pandas(df), budget=8, score_col="n", size_col="n",
+        num_buckets=4,
+    ).to_pandas()
+    # order: 2(7) 1(5): before 0, 7 -> keep both; 3 starts at 12 >= 8
+    assert sorted(out["doc_id"]) == [1, 2]
+    assert list(out.columns) == ["doc_id", "n"]
