@@ -1881,6 +1881,28 @@ SELECT doc_id, rank, rank % 8 AS shard FROM r
 """
 
 
+def q_docs_stratified_sample(sf_dir: str):
+    """Per-language deterministic sampling (corpus rebalancing): keep
+    100% of fr, 40% of en, 0% of everything else, by the keyed-md5
+    threshold rule (map-side, growth-stable). Oracle: the same
+    substr(md5(...)) < CASE-threshold comparison in SQL."""
+    from ..stages.sampling import stratified_sample
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_sample(
+        ds, {"fr": 100.0, "en": 40.0}, group_col="lang"
+    )
+
+
+SQL_DOCS_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':graft-strata'), 1, 4)
+      < CASE lang WHEN 'fr' THEN 'zzzz'
+                  WHEN 'en' THEN format('{:04x}', CAST(65536 * 0.4 AS INTEGER))
+                  ELSE '0000' END
+"""
+
+
 def q_docs_budget_select(sf_dir: str):
     """Token-budget data selection (stages/sampling.budget_select):
     keep documents longest-first until a 25k-char budget is exhausted
@@ -2541,6 +2563,7 @@ QUERIES = {
     "docs_tfidf": q_docs_tfidf,
     "docs_shuffle_shards": q_docs_shuffle_shards,
     "docs_budget_select": q_docs_budget_select,
+    "docs_stratified_sample": q_docs_stratified_sample,
     "docs_pack_sequences": q_docs_pack_sequences,
     "docs_lm_score": q_docs_lm_score,
     "rml_customer_triples": q_rml_customer_triples,
@@ -2561,6 +2584,7 @@ ORACLES = {
     "docs_pii_scrub": SQL_DOCS_PII_SCRUB,
     "sparql_bind_builtins": SQL_SPARQL_BIND_BUILTINS,
     "docs_budget_select": SQL_DOCS_BUDGET_SELECT,
+    "docs_stratified_sample": SQL_DOCS_STRATIFIED_SAMPLE,
     "sparql_lang_filter": SQL_SPARQL_LANG_FILTER,
     "sparql_datatype_filter": SQL_SPARQL_DATATYPE_FILTER,
     "sparql_graph_var": SQL_SPARQL_GRAPH_VAR,

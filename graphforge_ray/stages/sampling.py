@@ -28,7 +28,7 @@ import ray.data
 from .fasthash import hex_prefix_int, md5_hex_keyed
 
 __all__ = ["hash_split_column", "hash_split", "deterministic_shuffle",
-           "pack_sequences", "budget_select"]
+           "pack_sequences", "budget_select", "stratified_sample"]
 
 
 def _threshold_hex(test_pct: float) -> str:
@@ -163,6 +163,38 @@ def deterministic_shuffle(
         keyed_ds.groupby("_bucket")
         .map_groups(rank_bucket, batch_format="pandas")
     )
+
+
+def stratified_sample(
+    ds: "ray.data.Dataset",
+    fractions: dict[str, float],
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "graft-strata",
+    default_pct: float = 0.0,
+) -> "ray.data.Dataset":
+    """Per-group deterministic sampling (language rebalancing, the
+    multilingual-corpus mixing step): keep a row iff its keyed md5
+    bucket clears the GROUP's percentage threshold — the same
+    reproducible/growth-stable hash rule as ``hash_split``, one
+    threshold per group, groups missing from ``fractions`` get
+    ``default_pct``. Pure map-side: no shuffle, no driver state beyond
+    the (small) fractions dict, SQL-replayable as
+    ``substr(md5(key || ':salt'), 1, 4) < CASE group …``."""
+    thresholds = {g: _threshold_hex(p) for g, p in fractions.items()}
+    default_thresh = _threshold_hex(default_pct)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        hx = np.asarray(md5_hex_keyed(df[key_col], salt), dtype="U4")
+        th = (
+            df[group_col]
+            .map(thresholds)
+            .fillna(default_thresh)
+            .to_numpy(dtype="U4")
+        )
+        return df.loc[hx < th]
+
+    return ds.map_batches(keep, batch_format="pandas")
 
 
 def budget_select(

@@ -468,3 +468,31 @@ def test_budget_select_score_is_size():
     # order: 2(7) 1(5): before 0, 7 -> keep both; 3 starts at 12 >= 8
     assert sorted(out["doc_id"]) == [1, 2]
     assert list(out.columns) == ["doc_id", "n"]
+
+
+def test_stratified_sample_thresholds_and_default():
+    from graphforge_ray.stages.sampling import stratified_sample
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(200),
+            "lang": ["en", "fr", "de", "zh"] * 50,
+        }
+    )
+    ds = rd.from_pandas(df).repartition(3)
+    out = stratified_sample(
+        ds, {"fr": 100.0, "de": 0.0, "en": 50.0}, group_col="lang"
+    ).to_pandas()
+    got = out.groupby("lang").size().to_dict()
+    assert got.get("fr") == 50          # 100% kept
+    assert "de" not in got              # 0% kept
+    assert "zh" not in got              # default_pct=0 drops
+    assert 10 <= got.get("en", 0) <= 40  # ~50% of 50, hash-determined
+
+    # reproducible: identical on a different partitioning
+    out2 = stratified_sample(
+        rd.from_pandas(df).repartition(7),
+        {"fr": 100.0, "de": 0.0, "en": 50.0},
+        group_col="lang",
+    ).to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
