@@ -1048,6 +1048,33 @@ def q_ann_ivf(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def q_sparql_describe(sf_dir: str):
+    """SPARQL DESCRIBE (subject-slice form) mixing both shapes in one
+    query: a constant IRI plus a variable bound by a WHERE group — the
+    IRI set broadcast map-side, the variable set semi-joined
+    distributed. Oracle: the RML triples filtered to the same subject
+    union."""
+    from ..query.sparql import run_describe
+
+    triples = q_rml_documents_triples(sf_dir)
+    return run_describe(
+        triples,
+        f"DESCRIBE <doc:3> ?d WHERE {{ ?d <{VOCAB_SOURCE}> \"src3\" }}",
+    )
+
+
+SQL_SPARQL_DESCRIBE = f"""
+WITH t AS ({SQL_RML_DOCUMENTS_TRIPLES}),
+keys AS (
+    SELECT 'doc:3' AS k
+    UNION
+    SELECT subj FROM t
+    WHERE pred = '{VOCAB_SOURCE}' AND obj = 'src3'
+)
+SELECT DISTINCT subj, pred, obj FROM t JOIN keys ON t.subj = keys.k
+"""
+
+
 def q_embeddings_kmeans(sf_dir: str):
     """Distributed spherical k-means over the embeddings table
     (stages/similarity.kmeans_fit — map-side partial sums, driver holds
@@ -2511,6 +2538,7 @@ QUERIES = {
     "docs_span_dedup": q_docs_span_dedup,
     "docs_pii_scrub": q_docs_pii_scrub,
     "sparql_bind_builtins": q_sparql_bind_builtins,
+    "sparql_describe": q_sparql_describe,
     "sparql_lang_filter": q_sparql_lang_filter,
     "sparql_datatype_filter": q_sparql_datatype_filter,
     "sparql_graph_var": q_sparql_graph_var,
@@ -2585,6 +2613,7 @@ ORACLES = {
     "sparql_bind_builtins": SQL_SPARQL_BIND_BUILTINS,
     "docs_budget_select": SQL_DOCS_BUDGET_SELECT,
     "docs_stratified_sample": SQL_DOCS_STRATIFIED_SAMPLE,
+    "sparql_describe": SQL_SPARQL_DESCRIBE,
     "sparql_lang_filter": SQL_SPARQL_LANG_FILTER,
     "sparql_datatype_filter": SQL_SPARQL_DATATYPE_FILTER,
     "sparql_graph_var": SQL_SPARQL_GRAPH_VAR,

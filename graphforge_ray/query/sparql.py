@@ -81,6 +81,7 @@ __all__ = [
     "run_select",
     "run_ask",
     "run_construct",
+    "run_describe",
     "SelectQuery",
 ]
 
@@ -2339,4 +2340,90 @@ def run_construct(
         return pd.concat(frames, ignore_index=True)
 
     out = bindings.map_batches(instantiate, batch_format="pandas")
+    return dedup_pairs(out, cols=("subj", "pred", "obj"), num_buckets=16)
+
+
+_DESCRIBE = re.compile(
+    r"\bDESCRIBE\s+(?P<terms>(?:<[^>]+>|\?\w+|\w+:[\w-]+)"
+    r"(?:\s+(?:<[^>]+>|\?\w+|\w+:[\w-]+))*)"
+    r"(?:\s*WHERE\s*\{(?P<body>.*)\})?\s*$",
+    re.S | re.I,
+)
+
+
+def run_describe(
+    triples: "ray.data.Dataset",
+    query: str,
+    prefixes: dict[str, str] | None = None,
+) -> "ray.data.Dataset":
+    """``DESCRIBE <iri> …`` / ``DESCRIBE ?x [?y …] WHERE { … }`` → the
+    (subj, pred, obj) triples whose SUBJECT is a described resource
+    (the one-hop forward description — DESCRIBE's result form is
+    implementation-defined by the SPARQL spec; this matches the common
+    subject-slice default). Fully distributed:
+
+    - constant IRIs broadcast as a tiny set → one map-side mask, no
+      shuffle;
+    - variable form: the WHERE group evaluates to a bindings Dataset,
+      the described values melt to a narrow key column, and the triples
+      SEMI-join against the distinct keys with the acero-safe
+      ``bindings_join`` — at no point does the description set land on
+      the driver.
+
+    Output is deduped with the bucketed pair shuffle (a resource
+    described twice must not duplicate its slice)."""
+    from ..shuffle import bindings_join, dedup_pairs
+
+    qtext = prepare_query(query, prefixes)
+    m = _DESCRIBE.search(qtext)
+    if not m:
+        raise ValueError("not a DESCRIBE query")
+    decl = dict(_PREFIX_DECL.findall(qtext))
+    terms = [_term(t, decl) for t in m.group("terms").split()]
+    vars_ = [t[1:] for t in terms if t.startswith("?")]
+    iris = [t for t in terms if not t.startswith("?")]
+    body = m.group("body")
+    if vars_ and body is None:
+        raise ValueError("DESCRIBE ?var requires a WHERE group")
+
+    parts = []
+    if iris:
+        want = set(iris)
+
+        def const_mask(df: pd.DataFrame) -> pd.DataFrame:
+            return df.loc[df["subj"].isin(want),
+                          ["subj", "pred", "obj"]]
+
+        parts.append(
+            triples.map_batches(const_mask, batch_format="pandas")
+        )
+    if vars_:
+        sel = "SELECT " + " ".join("?" + v for v in vars_) + \
+              " WHERE {" + body + "}"
+        q = compile_select(sel)
+        bindings = _eval_where(triples, q)
+
+        def melt(df: pd.DataFrame) -> pd.DataFrame:
+            cols = [
+                df[v].dropna().astype(str) for v in vars_
+                if v in df.columns
+            ]
+            keys = (
+                pd.concat(cols, ignore_index=True)
+                if cols else pd.Series([], dtype=object)
+            )
+            return pd.DataFrame({"subj": keys.drop_duplicates()})
+
+        keys = bindings.map_batches(melt, batch_format="pandas")
+        parts.append(
+            bindings_join(
+                triples, keys, on=["subj"], how="semi", num_buckets=16
+            ).map_batches(
+                # project to the triple columns so both DESCRIBE forms
+                # (and any lang/datatype side columns) union cleanly
+                lambda df: df[["subj", "pred", "obj"]],
+                batch_format="pandas",
+            )
+        )
+    out = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
     return dedup_pairs(out, cols=("subj", "pred", "obj"), num_buckets=16)

@@ -1572,3 +1572,49 @@ def test_substr_nonliteral_args_rejected(score_triples):
             "SELECT ?s WHERE { ?s <e/name> ?n . "
             "BIND(SUBSTR(?n, STRLEN(?n)) AS ?x) }",
         )
+
+
+# -- r4: DESCRIBE ----------------------------------------------------------
+
+
+def test_describe_constant_iri(score_triples):
+    from graphforge_ray.query.sparql import run_describe
+
+    out = run_describe(score_triples, "DESCRIBE <e/B>").to_pandas()
+    got = set(zip(out["subj"], out["pred"], out["obj"]))
+    assert got == {
+        ("e/B", "e/childOf", "e/C"),
+        ("e/B", "e/name", "beta"),
+        ("e/B", "e/score", "25"),
+    }
+
+
+def test_describe_variable_with_where(score_triples):
+    from graphforge_ray.query.sparql import run_describe
+
+    out = run_describe(
+        score_triples,
+        'DESCRIBE ?x WHERE { ?x <e/name> "alpha" }',
+    ).to_pandas()
+    assert set(out["subj"]) == {"e/A"}
+    assert len(out) == 3  # childOf + name + score
+
+
+def test_describe_mixed_dedups(score_triples):
+    from graphforge_ray.query.sparql import run_describe
+
+    # constant <e/A> and a WHERE that also binds e/A: slice must not
+    # duplicate
+    out = run_describe(
+        score_triples,
+        'DESCRIBE <e/A> ?x WHERE { ?x <e/name> "alpha" }',
+    ).to_pandas()
+    assert len(out) == 3
+    assert set(out["subj"]) == {"e/A"}
+
+
+def test_describe_var_without_where_rejected(score_triples):
+    from graphforge_ray.query.sparql import run_describe
+
+    with pytest.raises(ValueError, match="WHERE"):
+        run_describe(score_triples, "DESCRIBE ?x")
