@@ -227,6 +227,22 @@ _DT_FILTER = re.compile(
     r"(<[^>]+>|\w+:[\w-]+)\s*\)",
     re.I,
 )
+# FILTER([!]isIRI/isURI/isLiteral/isBlank(?v)) — term-kind tests over
+# this engine's string term model: blank = '_:' prefix, IRI = 'http'
+# prefix (the reference's P3 startsWith('http') typing quirk, kept
+# deliberately), literal = neither
+_TERMTEST_FILTER = re.compile(
+    r"FILTER\s*\(\s*(!?)\s*(isIRI|isURI|isLiteral|isBlank)"
+    r"\s*\(\s*(\?\w+)\s*\)\s*\)",
+    re.I,
+)
+# FILTER(LANGMATCHES(LANG(?v), "en")) — primary-subtag matching ('en'
+# matches 'en' and 'en-US'; '*' matches any non-empty tag)
+_LANGMATCHES_FILTER = re.compile(
+    r"FILTER\s*\(\s*LANGMATCHES\s*\(\s*LANG\s*\(\s*(\?\w+)\s*\)\s*,"
+    r"\s*\"([^\"]*)\"\s*\)\s*\)",
+    re.I,
+)
 # FILTER(?v [NOT] IN (t1, t2, …)) — terms are IRIs / quoted strings /
 # plain tokens, comma-separated (commas INSIDE quoted literals are not
 # supported; use REGEX for those)
@@ -1055,7 +1071,18 @@ def compile_select(
             (m.group(1)[1:], m.group(2), ("datatype", _term(m.group(3), decl)))
             for m in _DT_FILTER.finditer(text)
         ]
-        for rx in (_LANG_FILTER, _DT_FILTER, _BOUND_FILTER,
+        fs += [
+            (m.group(3)[1:], "TERMTEST",
+             ("termtest", (m.group(2).lower(), bool(m.group(1)))))
+            for m in _TERMTEST_FILTER.finditer(text)
+        ]
+        fs += [
+            (m.group(1)[1:], "LANGMATCHES",
+             ("langmatches", m.group(2).lower()))
+            for m in _LANGMATCHES_FILTER.finditer(text)
+        ]
+        for rx in (_LANGMATCHES_FILTER, _LANG_FILTER, _DT_FILTER,
+                   _TERMTEST_FILTER, _BOUND_FILTER,
                    _STRLEN_FILTER, _IN_FILTER, _STR_FILTER, _FILTER):
             text = rx.sub("", text)
         # whatever FILTER groups remain are general expressions:
@@ -1306,6 +1333,39 @@ def _apply_filters(df: pd.DataFrame, filters: list[tuple]) -> pd.DataFrame:
             s = df[col]
             mask = (s == val) if op == "=" else (s != val)
             df = df.loc[mask & s.notna()]
+            continue
+        if kind == "termtest":
+            func, negated = val
+            bound = df[var].notna()
+            s = df[var].astype(str)
+            isblank = s.str.startswith("_:")
+            isiri = s.str.startswith("http") & ~isblank  # P3 quirk
+            if func in ("isiri", "isuri"):
+                mask = isiri
+            elif func == "isblank":
+                mask = isblank
+            else:  # isliteral
+                mask = ~isiri & ~isblank
+            # unbound rows are a type error → dropped either way
+            df = df.loc[(~mask if negated else mask) & bound]
+            continue
+        if kind == "langmatches":
+            col = "_lang_" + var
+            if col not in df.columns:
+                raise ValueError(
+                    f"LANGMATCHES over ?{var} has no metadata column — "
+                    "the variable must be bound at a literal object "
+                    "position of a metadata-carrying triples source"
+                )
+            s = df[col]
+            if val == "*":
+                mask = s.notna() & (s != "")
+            else:
+                low = s.astype(str).str.lower()
+                mask = s.notna() & (
+                    (low == val) | low.str.startswith(val + "-")
+                )
+            df = df.loc[mask]
             continue
         if kind == "strfn":
             pattern, flags, negated = val
@@ -1566,7 +1626,7 @@ def _meta_vars_of(q: SelectQuery) -> frozenset:
 
     def scan(filters):
         for var, _op, (kind, _val) in filters:
-            if kind in ("lang", "datatype"):
+            if kind in ("lang", "datatype", "langmatches"):
                 vars_.add(var)
 
     scan(q.filters)

@@ -1618,3 +1618,67 @@ def test_describe_var_without_where_rejected(score_triples):
 
     with pytest.raises(ValueError, match="WHERE"):
         run_describe(score_triples, "DESCRIBE ?x")
+
+
+# -- r4: term-test + LANGMATCHES filters -----------------------------------
+
+
+@pytest.fixture(scope="module")
+def termtest_triples(ray_session):
+    import ray.data as rd
+
+    rows = [
+        # (subj, pred, obj, lang)
+        ("http://ex/a", "http://ex/ref", "http://ex/b", ""),
+        ("http://ex/a", "http://ex/label", "Anna", "en"),
+        ("http://ex/b", "http://ex/label", "Anne", "en-US"),
+        ("http://ex/c", "http://ex/label", "Ana", "es"),
+        ("http://ex/d", "http://ex/label", "plain", ""),
+        ("http://ex/a", "http://ex/ref", "_:blank1", ""),
+    ]
+    return rd.from_pandas(
+        pd.DataFrame(
+            rows, columns=["subj", "pred", "obj", "obj_lang"]
+        ).assign(obj_is_iri=False, obj_datatype="", graph="")
+    )
+
+
+def test_filter_isiri_and_isliteral(termtest_triples):
+    out = run_select(
+        termtest_triples,
+        "SELECT ?o WHERE { ?s <http://ex/ref> ?o . FILTER(isIRI(?o)) }",
+    )
+    assert list(out["o"]) == ["http://ex/b"]
+    out = run_select(
+        termtest_triples,
+        "SELECT ?o WHERE { ?s ?p ?o . FILTER(isLiteral(?o)) }",
+    )
+    assert sorted(out["o"]) == ["Ana", "Anna", "Anne", "plain"]
+
+
+def test_filter_isblank_and_negation(termtest_triples):
+    out = run_select(
+        termtest_triples,
+        "SELECT ?o WHERE { ?s <http://ex/ref> ?o . FILTER(isBlank(?o)) }",
+    )
+    assert list(out["o"]) == ["_:blank1"]
+    out = run_select(
+        termtest_triples,
+        "SELECT ?o WHERE { ?s <http://ex/ref> ?o . FILTER(!isBlank(?o)) }",
+    )
+    assert list(out["o"]) == ["http://ex/b"]
+
+
+def test_filter_langmatches_primary_subtag(termtest_triples):
+    out = run_select(
+        termtest_triples,
+        "SELECT ?o WHERE { ?s <http://ex/label> ?o . "
+        'FILTER(LANGMATCHES(LANG(?o), "en")) }',
+    )
+    assert sorted(out["o"]) == ["Anna", "Anne"]  # en + en-US
+    out = run_select(
+        termtest_triples,
+        "SELECT ?o WHERE { ?s <http://ex/label> ?o . "
+        'FILTER(LANGMATCHES(LANG(?o), "*")) }',
+    )
+    assert sorted(out["o"]) == ["Ana", "Anna", "Anne"]  # untagged out
