@@ -809,6 +809,38 @@ def _parse_filter_rhs(rhs: str):
 
 _OPTIONAL_KW = re.compile(r"OPTIONAL\s*\{", re.I)
 _GRAPH_KW = re.compile(r"GRAPH\s+(\?\w+|<[^>]+>|\w+:[\w-]+)\s*\{", re.I)
+_MINUS_KW = re.compile(r"MINUS\s*\{", re.I)
+_EXISTS_KW = re.compile(r"FILTER\s+(?:NOT\s+)?EXISTS\s*\{", re.I)
+
+
+def _guard_cross_scopes(body: str) -> None:
+    """Raise on cross-nested scope combinations compile_select's
+    sequential brace cuts would otherwise silently FLATTEN: e.g. the
+    OPTIONAL cut removes an OPTIONAL from inside a MINUS body, the flat
+    ``_MINUS`` regex then matches the now-brace-free remainder, and the
+    OPTIONAL has been hoisted to a top-level left join — semantics
+    changed with no error. Same for GRAPH (cut before OPTIONAL parsing,
+    so a GRAPH inside an OPTIONAL became a mandatory top-level join).
+    Scoped execution of these combinations is not implemented; refuse
+    loudly instead."""
+    checks = (
+        ("MINUS", _MINUS_KW,
+         (("OPTIONAL", _OPTIONAL_KW), ("GRAPH", _GRAPH_KW))),
+        ("FILTER EXISTS", _EXISTS_KW,
+         (("OPTIONAL", _OPTIONAL_KW), ("GRAPH", _GRAPH_KW))),
+        ("GRAPH", _GRAPH_KW,
+         (("OPTIONAL", _OPTIONAL_KW), ("MINUS", _MINUS_KW))),
+        ("OPTIONAL", _OPTIONAL_KW, (("GRAPH", _GRAPH_KW),)),
+    )
+    for outer, orx, inner_checks in checks:
+        for _m, inner in _cut_keyword_groups(body, orx)[0]:
+            for iname, irx in inner_checks:
+                if irx.search(inner):
+                    raise ValueError(
+                        f"{iname} inside a {outer} group is not "
+                        "supported (group scoping would be silently "
+                        f"lost); move the {iname} outside the {outer}"
+                    )
 
 
 def _cut_keyword_groups(
@@ -1107,6 +1139,10 @@ def compile_select(
     # WHERE braces and their own modifiers, which every flat regex below
     # would misparse
     subselects, body = _extract_subselects(body)
+
+    # cross-nested scope combinations must refuse BEFORE any brace cut
+    # can flatten them (see _guard_cross_scopes)
+    _guard_cross_scopes(body)
 
     if re.search(r"\bUNION\b", body, re.I):
         if subselects:
@@ -2458,7 +2494,12 @@ def run_describe(
             triples.map_batches(const_mask, batch_format="pandas")
         )
     if vars_:
-        sel = "SELECT " + " ".join("?" + v for v in vars_) + \
+        # Prepend the query's PREFIX declarations (qtext[:m.start()])
+        # so prefixed names inside the WHERE body expand — run_construct
+        # does the same; without it 'ex:src' would compile as a literal
+        # constant and the semi-join silently match nothing.
+        sel = qtext[: m.start()] + \
+              "SELECT " + " ".join("?" + v for v in vars_) + \
               " WHERE {" + body + "}"
         q = compile_select(sel)
         bindings = _eval_where(triples, q)

@@ -251,7 +251,12 @@ def span_dedup(
             }
         )
 
-    spans = docs.map_batches(spans_of, batch_format="pandas")
+    # materialize: `spans` feeds BOTH the marks pipeline and the join
+    # probe side below — without this the expensive tokenize+hash pass
+    # over the whole corpus executes twice (lazy datasets re-run per
+    # consumer). The span rows are narrow (id, 32-char digest, int);
+    # the object store spills if they outgrow memory.
+    spans = docs.map_batches(spans_of, batch_format="pandas").materialize()
 
     def mark_combine(df: pd.DataFrame) -> pd.DataFrame:
         g = df[["h", id_col]].drop_duplicates()

@@ -171,17 +171,48 @@ def md5_bytes(values) -> np.ndarray:
 
 
 def _to_hex(digests: np.ndarray) -> np.ndarray:
+    # build the 'U32' array directly from uint32 codepoints — a U32
+    # element IS 32 little-endian uint32 codepoints, so a contiguous
+    # (n, 32) uint32 array views as (n, 1) U32 at zero cost. The
+    # previous .view('S32').astype('U32') decode was ~3.3 s/1M on this
+    # host (the CLAUDE.md S→U astype trap); this path is ~0.01 s/1M.
     n = digests.shape[0]
-    codes = np.empty((n, 32), dtype=np.uint8)
+    codes = np.empty((n, 32), dtype=np.uint32)
     codes[:, 0::2] = _HEXD[digests >> 4]
     codes[:, 1::2] = _HEXD[digests & 0xF]
-    return codes.reshape(-1).view("S32").astype("U32")
+    return codes.view("U32").ravel()
+
+
+def _md5_hex_duckdb_str(values) -> np.ndarray:
+    """md5(v) over a str column via DuckDB (hashes the UTF-8 bytes,
+    identical to hashlib.md5(v.encode())) → object ndarray of 32-char
+    hex str, in input row order."""
+    import pyarrow as pa
+
+    con = _duck_con()
+    tbl = pa.table({"v": pa.array(values, type=pa.string())})
+    con.register("_fasthash_in", tbl)
+    try:
+        out = con.execute(
+            "SELECT md5(v) AS h FROM _fasthash_in"
+        ).fetchnumpy()["h"]
+    finally:
+        con.unregister("_fasthash_in")
+    return np.asarray(out, dtype=object)
 
 
 def md5_hex(values) -> np.ndarray:
     """MD5 hex digests of a sequence of str/bytes → (N,) str array
-    (drop-in for ``[hashlib.md5(v).hexdigest() for v in values]``;
-    numpy backend)."""
+    (drop-in for ``[hashlib.md5(v).hexdigest() for v in values]``).
+    str inputs take the DuckDB C kernel (primary); bytes or a missing
+    DuckDB fall back to the numpy backend. dtype is object (duckdb)
+    or '<U32' (numpy) — both compare equal as str."""
+    arr = np.asarray(values, dtype=object)
+    if arr.size and isinstance(arr.flat[0], str):
+        try:
+            return _md5_hex_duckdb_str(arr)
+        except Exception:
+            pass
     return _to_hex(md5_bytes(values))
 
 

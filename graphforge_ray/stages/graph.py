@@ -424,8 +424,12 @@ def triangle_count(
             r = out["b"].map(s_map).fillna(1).astype(np.int64).to_numpy()
             idx = np.repeat(np.arange(len(out)), r)
             out = out.iloc[idx].reset_index(drop=True)
-            out["_salt"] = np.concatenate(
-                [np.arange(k, dtype=np.int64) for k in r]
+            # within-group counter 0..r[i]-1 at C speed (a per-row
+            # [np.arange(k) for k in r] list comprehension allocates
+            # millions of tiny ndarrays once any hub exists)
+            out["_salt"] = (
+                np.arange(idx.size, dtype=np.int64)
+                - np.repeat(np.cumsum(r) - r, r)
             ) if len(r) else np.array([], dtype=np.int64)
         else:
             out["_salt"] = np.int64(0)

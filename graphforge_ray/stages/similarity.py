@@ -244,6 +244,13 @@ def kmeans_fit(
     Returns ``(centroids (k, d) float64, inertia_per_iter)`` where
     inertia = mean(1 − cosine-to-assigned-centroid) — non-increasing up
     to float noise."""
+    # materialize ONCE: the seed pass plus every Lloyd iteration
+    # re-consumes `embeddings`; lazy datasets re-run their upstream
+    # pipeline per consumer, so without this the parquet read / map
+    # chain executes iters+1 times. Blocks land in the object store
+    # (spill-backed) and each round streams from there.
+    embeddings = embeddings.materialize()
+
     # --- deterministic init: vectors of the k smallest ids -----------
     def head_batch(df: pd.DataFrame) -> pd.DataFrame:
         return df.nsmallest(num_clusters, id_col)[[id_col, vec_col]]

@@ -163,15 +163,20 @@ def _rolling_fingerprint(text: str, window: int = 16, keep: int = 4) -> str:
 
 # PII scrub patterns, chosen to evaluate identically under Python re
 # and DuckDB/RE2 (oracle parity): no lookarounds, \b is common to both.
-# Applied IN ORDER, each count taken on the text as redacted so far.
+# re.ASCII is REQUIRED for that parity — Python's \d and \b are
+# Unicode-aware by default (Arabic-Indic '١٢٣٤' counts as \d{4}) while
+# RE2's are ASCII-only, so without the flag the counts diverge from
+# the SQL oracle on non-ASCII digits. Applied IN ORDER, each count
+# taken on the text as redacted so far.
 _PII_PATTERNS = (
     ("emails",
-     re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+     re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+                re.ASCII),
      "<EMAIL>"),
     ("ips",
-     re.compile(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+     re.compile(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", re.ASCII),
      "<IP>"),
-    ("phones", re.compile(r"\b555-\d{4}\b"), "<PHONE>"),
+    ("phones", re.compile(r"\b555-\d{4}\b", re.ASCII), "<PHONE>"),
 )
 
 

@@ -829,6 +829,28 @@ def test_pii_scrub_batch():
     assert out2.loc[0, "n_emails"] == 1 and out2.loc[0, "n_ips"] == 1
 
 
+def test_pii_scrub_ascii_digits_match_duckdb():
+    # RE2/DuckDB \d and \b are ASCII-only; Python's are Unicode-aware
+    # unless re.ASCII. Arabic-Indic digits must NOT count as a phone/IP
+    # on either side (oracle parity).
+    import duckdb
+    from graphforge_ray.stages.text_analysis import pii_scrub_batch
+
+    text = "call 555-١٢٣٤ and 555-1234 host 1.2.3.٥"
+    out = pii_scrub_batch(pd.DataFrame({"doc_id": [1], "text": [text]}))
+    con = duckdb.connect()
+    n_ph = con.execute(
+        r"SELECT len(regexp_extract_all(?, '\b555-\d{4}\b'))", [text]
+    ).fetchone()[0]
+    n_ip = con.execute(
+        r"SELECT len(regexp_extract_all(?, "
+        r"'\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))", [text]
+    ).fetchone()[0]
+    con.close()
+    assert out.loc[0, "n_phones"] == n_ph == 1
+    assert out.loc[0, "n_ips"] == n_ip == 0
+
+
 def test_kmeans_fit_recovers_separated_clusters(ray_session):
     import ray.data as rd
     from graphforge_ray.stages.similarity import (

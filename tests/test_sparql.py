@@ -1620,6 +1620,56 @@ def test_describe_var_without_where_rejected(score_triples):
         run_describe(score_triples, "DESCRIBE ?x")
 
 
+def test_describe_prefixed_where(score_triples):
+    # regression: the synthesized SELECT must carry the query's PREFIX
+    # declarations — without them e:name compiled as a constant string
+    # and the variable form silently returned empty
+    from graphforge_ray.query.sparql import run_describe
+
+    out = run_describe(
+        score_triples,
+        'PREFIX e: <e/> DESCRIBE ?x WHERE { ?x e:name "alpha" }',
+    ).to_pandas()
+    assert set(out["subj"]) == {"e/A"}
+    assert len(out) == 3
+
+
+# -- r4: cross-nested scope guard -------------------------------------------
+
+
+@pytest.mark.parametrize("query", [
+    # GRAPH inside OPTIONAL: was silently hoisted to a mandatory
+    # top-level join (left-join semantics lost)
+    "SELECT * WHERE { ?s <p> ?v . OPTIONAL { ?s <q2> ?w . "
+    "GRAPH ?g { ?s <q> ?o } } }",
+    # OPTIONAL inside MINUS: the OPTIONAL cut flattened the MINUS body,
+    # so the flat MINUS regex matched and the OPTIONAL escaped its scope
+    "SELECT * WHERE { ?s <p> ?v . MINUS { ?s <r> ?x . "
+    "OPTIONAL { ?x <t> ?y } } }",
+    # same hoist through FILTER EXISTS
+    "SELECT * WHERE { ?s <p> ?v . FILTER EXISTS { ?s <r> ?x . "
+    "OPTIONAL { ?x <t> ?y } } }",
+    # OPTIONAL inside GRAPH
+    "SELECT * WHERE { GRAPH ?g { ?s <q> ?o . OPTIONAL { ?s <z> ?w } } }",
+])
+def test_cross_scope_hoists_refused(query):
+    from graphforge_ray.query.sparql import compile_select
+
+    with pytest.raises(ValueError, match="not supported"):
+        compile_select(query)
+
+
+def test_cross_scope_guard_allows_siblings():
+    # the same constructs as SIBLINGS (not nested) must still compile
+    from graphforge_ray.query.sparql import compile_select
+
+    compile_select(
+        "SELECT * WHERE { ?s <p> ?v . MINUS { ?s <r> ?x } . "
+        "GRAPH ?g { ?s <q> ?o } . OPTIONAL { ?s <q2> ?w . "
+        "OPTIONAL { ?w <t> ?y } } }"
+    )
+
+
 # -- r4: term-test + LANGMATCHES filters -----------------------------------
 
 
