@@ -563,6 +563,49 @@ SELECT node, node - (node % 10) AS label FROM n ORDER BY node
 """
 
 
+def q_graph_bfs(sf_dir: str):
+    """Multi-source BFS depths (frontier rounds, broadcast/shuffle
+    expansion) from node 1 over the REVERSED part graph (k//2 → k and
+    k-1 → k), radius 6 — vs a depth-bounded recursive-CTE oracle taking
+    MIN(depth) per node. The reachable set within radius 6 is the same
+    for every sf (small keys only), so the query is sf-stable."""
+    from ..stages.graph import bfs_depths
+
+    part = _t(sf_dir, "part", ["p_partkey"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater_equal(batch["p_partkey"], pa.scalar(1)))
+        k = t["p_partkey"]
+        half = pc.divide(k, pa.scalar(2, pa.int64()))
+        prev = pc.subtract(k, pa.scalar(1, pa.int64()))
+        return pa.concat_tables(
+            [pa.table({"s": half, "o": k}), pa.table({"s": prev, "o": k})]
+        )
+
+    depths = bfs_depths(
+        part.map_batches(edges, batch_format="pyarrow"),
+        seeds=[1],
+        max_depth=6,
+    )
+    df = depths.to_pandas()
+    return df.sort_values("node").reset_index(drop=True)[["node", "depth"]]
+
+
+SQL_GRAPH_BFS = """
+WITH RECURSIVE e AS (
+    SELECT p_partkey // 2 AS s, p_partkey AS o FROM part WHERE p_partkey >= 1
+    UNION ALL
+    SELECT p_partkey - 1 AS s, p_partkey AS o FROM part WHERE p_partkey >= 1
+), walk(node, depth) AS (
+    SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth
+    UNION
+    SELECT e.o, walk.depth + 1 FROM walk JOIN e ON e.s = walk.node
+    WHERE walk.depth < 6
+)
+SELECT node, MIN(depth) AS depth FROM walk GROUP BY node ORDER BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # KG mapping over documents (RML path, S2/P-family) — SQL-expressible
 # ---------------------------------------------------------------------------
@@ -2563,6 +2606,7 @@ QUERIES = {
     "graph_triangles": q_graph_triangles,
     "graph_degree_hist": q_graph_degree_hist,
     "graph_components": q_graph_components,
+    "graph_bfs": q_graph_bfs,
     "rml_documents_triples": q_rml_documents_triples,
     "triples_pred_counts": q_triples_pred_counts,
     "docs_exact_dedup": q_docs_exact_dedup,
@@ -2641,6 +2685,7 @@ ORACLES = {
     "graph_triangles": SQL_GRAPH_TRIANGLES,
     "graph_degree_hist": SQL_GRAPH_DEGREE_HIST,
     "graph_components": SQL_GRAPH_COMPONENTS,
+    "graph_bfs": SQL_GRAPH_BFS,
     "rml_documents_triples": SQL_RML_DOCUMENTS_TRIPLES,
     "triples_pred_counts": SQL_TRIPLES_PRED_COUNTS,
     "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,

@@ -410,7 +410,7 @@ def transitive_closure_distributed(
     Input edges should be pre-deduped (``shuffle.dedup_pairs``)."""
     from ray.data.aggregate import Sum
 
-    from ..shuffle import kv_join, pair_bucket_tag
+    from ..shuffle import kv_join, pair_bucket_tag, snap_lineage
 
     if num_buckets is None:
         # bucket count scales with the edge volume: the per-round sort
@@ -472,11 +472,14 @@ def transitive_closure_distributed(
         # output block per INPUT block, so an iterated groupby otherwise
         # triples its block count per round (measured 3→243 blocks in 5
         # rounds — scheduling overhead then dwarfs the data)
-        closure = (
+        # snap_lineage, not bare materialize: the closure feeds back into
+        # the next round's plan, and materialize alone keeps the logical
+        # plan — later rounds replay the entire iteration history
+        # (measured DOUBLING per round from ~round 8; see shuffle.py)
+        closure = snap_lineage(
             tagged.groupby("_bucket")
             .map_groups(merge_new, batch_format="pandas")
             .repartition(num_buckets)
-            .materialize()
         )
         n_new = closure.map_batches(
             lambda df: pd.DataFrame({"n": [int(df["_new"].sum())]}),

@@ -27,7 +27,30 @@ __all__ = [
     "bindings_join",
     "bucket_groupby_min",
     "dedup_pairs",
+    "snap_lineage",
 ]
+
+
+def snap_lineage(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Materialize ``ds`` and return a FRESH dataset over the same block
+    refs, with no logical-plan history.
+
+    Iterative algorithms that feed a round's output back into the next
+    round's plan (``state = f(state).materialize()``) re-execute the
+    ENTIRE accumulated plan each round on Ray 2.49 — measured on this
+    host: per-round wall time DOUBLES from ~round 8 (0.2 s → 29 s by
+    round 13 on a 30-row toy), because ``materialize()`` keeps the
+    logical plan and ``union``-ing the result back in replays it.
+    Rebasing on ``from_arrow_refs(to_arrow_refs())`` cuts the plan to an
+    ``InputData`` of the already-computed blocks: flat 0.25 s/round
+    through 24+ rounds on the same toy.
+
+    Driver cost is O(num_blocks) object refs + per-block metadata
+    fetches — never block contents. Arrow-format blocks pass through
+    zero-copy; pandas-format blocks are converted by remote tasks.
+    """
+    m = ds.materialize()
+    return ray.data.from_arrow_refs(m.to_arrow_refs())
 
 # fixed 16-byte key → deterministic across worker processes
 HASH_KEY = "graphforge-pairs"[:16].ljust(16, "0")

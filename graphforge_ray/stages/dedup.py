@@ -49,6 +49,7 @@ from ..shuffle import (
     bucket_tag as _bucket_tag,
     dedup_pairs as _dedup_pairs,
     kv_join as _kv_join,
+    snap_lineage as _snap_lineage,
 )
 from .text_analysis import content_hash_batch
 
@@ -570,10 +571,12 @@ def connected_components(
         )
         return both
 
-    labels = _bucket_groupby_min(
-        edges.map_batches(seed, batch_format="pandas"), "node", "label",
-        num_buckets=num_partitions,
-    ).repartition(num_partitions).materialize()
+    labels = _snap_lineage(
+        _bucket_groupby_min(
+            edges.map_batches(seed, batch_format="pandas"), "node", "label",
+            num_buckets=num_partitions,
+        ).repartition(num_partitions)
+    )
 
     def label_hash_sum(ds: "ray.data.Dataset") -> int:
         """Exact fixpoint witness: per-block uint64 hash sums (modular)
@@ -621,10 +624,16 @@ def connected_components(
         # repartition bounds the block count across rounds (sort-shuffle
         # output blocks track input blocks; iterated groupbys otherwise
         # accumulate blocks and scheduling overhead every round)
-        labels = _bucket_groupby_min(
-            new_labels.union(labels), "node", "label",
-            num_buckets=num_partitions,
-        ).repartition(num_partitions).materialize()
+        # snap_lineage, not bare materialize: labels feed back into the
+        # next round's plan, and materialize alone keeps the logical
+        # plan — later rounds replay the entire iteration history
+        # (measured DOUBLING per round from ~round 8; see shuffle.py)
+        labels = _snap_lineage(
+            _bucket_groupby_min(
+                new_labels.union(labels), "node", "label",
+                num_buckets=num_partitions,
+            ).repartition(num_partitions)
+        )
         cur = label_hash_sum(labels)
         if cur == prev:
             converged = True

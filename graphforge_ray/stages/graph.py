@@ -26,6 +26,7 @@ from ..shuffle import (
     bucket_tag,
     dedup_pairs,
     pair_bucket_tag,
+    snap_lineage,
 )
 
 __all__ = [
@@ -33,6 +34,7 @@ __all__ = [
     "degree_histogram",
     "pagerank",
     "triangle_count",
+    "bfs_depths",
 ]
 
 
@@ -275,12 +277,15 @@ def pagerank(
                 }
             )
 
-        state = (
+        # snap_lineage, not bare materialize: state feeds back into the
+        # next round's plan, and materialize alone keeps the logical
+        # plan — later rounds would replay the entire iteration history
+        # (measured DOUBLING per round from ~round 8; see shuffle.py)
+        state = snap_lineage(
             scattered.map_batches(gather_tag, batch_format="pandas")
             .groupby("_bucket")
             .map_groups(gather_bucket, batch_format="pandas")
             .repartition(num_partitions)
-            .materialize()
         )
 
     return state.map_batches(
@@ -460,3 +465,156 @@ def triangle_count(
         wedges, closing, on=["a", "c"], how="semi", num_buckets=num_buckets
     )
     return closed.count()
+
+
+def bfs_depths(
+    edges: "ray.data.Dataset",
+    seeds,
+    src: str = "s",
+    dst: str = "o",
+    max_depth: int | None = None,
+    max_rounds: int = 64,
+    num_partitions: int | None = None,
+    broadcast_limit: int = 500_000,
+) -> "ray.data.Dataset":
+    """Multi-source BFS: shortest hop count from any seed, over a
+    DIRECTED (src, dst) edge Dataset → Dataset (node, depth). Seeds get
+    depth 0; unreachable nodes are absent. ``max_depth`` stops cleanly
+    at that radius (nodes first reached deeper are excluded — the
+    SQL-replayable form); without it, exhausting ``max_rounds`` with a
+    live frontier raises loudly rather than returning a silent prefix.
+
+    Frontier rounds, 100-TB discipline:
+
+    - **expansion**: while the frontier fits ``broadcast_limit`` rows it
+      is broadcast ONCE per round via ``ray.put`` (a set lookup inside
+      map_batches — the edge set never shuffles); a wider frontier falls
+      back to the tag-union-bucket shuffle keyed on ``src`` (the same
+      acero-safe pattern as ``shuffle.kv_join``). Real web graphs hit
+      their widest frontier at depth 2-4 — exactly when the shuffle
+      path takes over — then shrink back under the broadcast limit.
+    - **dedup + visited-check**: ONE bucket shuffle unions the candidate
+      successors with the visited set, keyed on node; the per-bucket
+      kernel drops already-visited nodes and intra-round duplicates in
+      one vectorized pass — the new frontier is exact, never inflated.
+    - the visited set is materialized + ``repartition``-bounded per
+      round (iterated-groupby block-explosion lesson, CLAUDE.md); the
+      driver only ever sees per-round frontier COUNTS, never node sets
+      (except a frontier that chose the broadcast path, ≤ limit rows).
+
+    Rounds are O(effective diameter) — single digits on web-scale link
+    graphs (the reference's KG adjacency is exactly that shape).
+    """
+    import ray
+    import ray.data as rd
+
+    seed_list = sorted(set(seeds))
+    if not seed_list:
+        raise ValueError("bfs_depths requires at least one seed node")
+    edges = edges.materialize()
+    if num_partitions is None:
+        num_partitions = _auto_partitions(edges.count())
+
+    dist = rd.from_pandas(
+        pd.DataFrame({"node": seed_list}).assign(depth=np.int64(0))
+    ).materialize()
+    frontier_nodes = np.asarray(seed_list)  # broadcast form (small)
+    frontier_ds = None  # shuffle form (wide frontier)
+    depth = 0
+
+    while True:
+        depth += 1
+        if max_depth is not None and depth > max_depth:
+            break
+        if depth > max_rounds:
+            raise RuntimeError(
+                f"bfs_depths: frontier still live after {max_rounds} "
+                "rounds — raise max_rounds (graph deeper than expected) "
+                "or set max_depth for a bounded-radius query"
+            )
+
+        # -- expansion: frontier ⋈ edges on src → candidate successors
+        if frontier_nodes is not None:
+            f_ref = ray.put(frontier_nodes)
+
+            def expand(df: pd.DataFrame) -> pd.DataFrame:
+                f = ray.get(f_ref)
+                hit = df[df[src].isin(f)]
+                return pd.DataFrame({"node": hit[dst].unique()})
+
+            cand = edges.map_batches(expand, batch_format="pandas")
+        else:
+            nb = num_partitions
+
+            def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+                out = pd.DataFrame({"k": df[src], "node": df[dst]})
+                out["_side"] = np.int8(0)
+                return out.assign(_bucket=bucket_tag(out, "k", nb))
+
+            def tag_frontier(df: pd.DataFrame) -> pd.DataFrame:
+                out = pd.DataFrame({"k": df["node"], "node": df["node"]})
+                out["_side"] = np.int8(1)
+                return out.assign(_bucket=bucket_tag(out, "k", nb))
+
+            def expand_bucket(g: pd.DataFrame) -> pd.DataFrame:
+                f = g.loc[g["_side"] == 1, "k"]
+                hit = g.loc[g["_side"] == 0]
+                hit = hit[hit["k"].isin(set(f))]
+                return pd.DataFrame({"node": hit["node"].unique()})
+
+            cand = (
+                edges.map_batches(tag_edge, batch_format="pandas")
+                .union(
+                    frontier_ds.map_batches(
+                        tag_frontier, batch_format="pandas"
+                    )
+                )
+                .groupby("_bucket")
+                .map_groups(expand_bucket, batch_format="pandas")
+            )
+
+        # -- dedup + visited-check: one bucket shuffle, exact new frontier
+        nb2 = num_partitions
+        d_now = depth
+
+        def tag_cand(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.assign(depth=np.int64(d_now), _side=np.int8(0))
+            return out.assign(_bucket=bucket_tag(out, "node", nb2))
+
+        def tag_dist(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.assign(_side=np.int8(1))
+            return out.assign(_bucket=bucket_tag(out, "node", nb2))
+
+        def new_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            seen = set(g.loc[g["_side"] == 1, "node"])
+            c = g.loc[g["_side"] == 0, ["node", "depth"]]
+            c = c[~c["node"].isin(seen)].drop_duplicates("node")
+            return c
+
+        # snap_lineage (NOT bare materialize): dist feeds back into the
+        # next round's plan, and materialize alone keeps the logical
+        # plan — each round then replays the whole history (measured
+        # per-round wall time DOUBLING from ~round 8). Snapping rebases
+        # each round on the computed blocks; O(diameter) rounds stay
+        # O(1) cost each.
+        new = snap_lineage(
+            cand.map_batches(tag_cand, batch_format="pandas")
+            .union(dist.map_batches(tag_dist, batch_format="pandas"))
+            .groupby("_bucket")
+            .map_groups(new_bucket, batch_format="pandas")
+        )
+        n_new = new.count()
+        if n_new == 0:
+            break
+
+        dist = snap_lineage(
+            dist.union(new).repartition(num_partitions)
+        )
+        if n_new <= broadcast_limit:
+            frontier_nodes = new.to_pandas()["node"].to_numpy()
+            frontier_ds = None
+        else:
+            frontier_nodes = None
+            frontier_ds = new
+
+    return dist

@@ -11,6 +11,7 @@ import pytest
 import ray.data as rd
 
 from graphforge_ray.stages.graph import (
+    bfs_depths,
     degree_histogram,
     out_degrees,
     pagerank,
@@ -128,6 +129,88 @@ def test_triangle_count_string_ids():
 def test_pagerank_empty_graph():
     ds = _edges_ds([])
     assert pagerank(ds, num_iters=2).count() == 0
+
+
+def _bfs_oracle(pairs, seeds, max_depth=None):
+    """Plain queue BFS over a python adjacency dict."""
+    adj = {}
+    for s, o in pairs:
+        adj.setdefault(s, []).append(o)
+    dist = {s: 0 for s in seeds}
+    frontier = list(seeds)
+    d = 0
+    while frontier:
+        d += 1
+        if max_depth is not None and d > max_depth:
+            break
+        nxt = []
+        for n in frontier:
+            for m in adj.get(n, ()):
+                if m not in dist:
+                    dist[m] = d
+                    nxt.append(m)
+        frontier = nxt
+    return dist
+
+
+BFS_GRAPH = [
+    (1, 2), (2, 3), (3, 4), (4, 5),      # chain
+    (1, 10), (10, 4),                    # shortcut: 4 at depth 2, not 3
+    (5, 1),                              # cycle back to the seed
+    (20, 21), (21, 20),                  # unreachable 2-cycle
+    (3, 3),                              # self loop
+    (2, 3), (2, 3),                      # parallel edges
+]
+
+
+def test_bfs_depths_matches_oracle():
+    got = bfs_depths(_edges_ds(BFS_GRAPH), seeds=[1]).to_pandas()
+    exp = _bfs_oracle(BFS_GRAPH, [1])
+    assert dict(zip(got["node"], got["depth"])) == exp
+    assert 20 not in set(got["node"])  # unreachable absent
+
+
+def test_bfs_depths_multi_source_and_max_depth():
+    got = bfs_depths(
+        _edges_ds(BFS_GRAPH), seeds=[1, 20], max_depth=2
+    ).to_pandas()
+    exp = _bfs_oracle(BFS_GRAPH, [1, 20], max_depth=2)
+    assert dict(zip(got["node"], got["depth"])) == exp
+    assert exp[21] == 1 and exp[4] == 2  # shortcut wins over the chain
+    assert 5 not in exp  # depth 3 > max_depth excluded
+
+
+def test_bfs_depths_shuffle_path():
+    # broadcast_limit=0 forces the wide-frontier shuffle expansion from
+    # round 2 on (round 1 always broadcasts the seed list)
+    got = bfs_depths(
+        _edges_ds(BFS_GRAPH, num_blocks=4), seeds=[1], broadcast_limit=0
+    ).to_pandas()
+    assert dict(zip(got["node"], got["depth"])) == _bfs_oracle(BFS_GRAPH, [1])
+
+
+def test_bfs_depths_string_ids():
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("x", "y")]
+    df = pd.DataFrame(pairs, columns=["s", "o"])
+    got = bfs_depths(rd.from_pandas(df).repartition(2), seeds=["a"])
+    assert dict(zip(*got.to_pandas()[["node", "depth"]].T.values.tolist())) \
+        == {"a": 0, "b": 1, "c": 1}
+
+
+def test_bfs_depths_round_exhaustion_raises():
+    chain = [(i, i + 1) for i in range(12)]
+    with pytest.raises(RuntimeError, match="frontier still live"):
+        bfs_depths(_edges_ds(chain), seeds=[0], max_rounds=5)
+    # bounded-radius query on the same graph is the clean stop
+    got = bfs_depths(
+        _edges_ds(chain), seeds=[0], max_depth=5, max_rounds=5
+    ).to_pandas()
+    assert got["depth"].max() == 5 and len(got) == 6
+
+
+def test_bfs_depths_empty_seeds_raises():
+    with pytest.raises(ValueError):
+        bfs_depths(_edges_ds(BFS_GRAPH), seeds=[])
 
 
 def test_triangle_count_hub_presplit():
