@@ -563,6 +563,64 @@ SELECT node, node - (node % 10) AS label FROM n ORDER BY node
 """
 
 
+def q_graph_hits(sf_dir: str, num_iters: int = 2):
+    """HITS hubs/authorities (L1-normalized half-steps) over the
+    part-derived graph vs an unrolled-iteration SQL oracle; both sides
+    round to 8 decimals (float parity rule, scores of magnitude
+    ~1/N — same contract as graph_pagerank)."""
+    from ..stages.graph import hits
+
+    scores = hits(_part_graph_edges(sf_dir), num_iters=num_iters)
+    df = scores.to_pandas()
+    df["hub"] = df["hub"].round(8)
+    df["auth"] = df["auth"].round(8)
+    return (
+        df.sort_values("node").reset_index(drop=True)[["node", "hub", "auth"]]
+    )
+
+
+def _hits_sql(num_iters: int = 2) -> str:
+    """Unrolled HITS oracle: raw auth = Σ_in hub, L1-normalize; raw hub
+    = Σ_out auth', L1-normalize — mirroring stages/graph.hits half-step
+    for half-step (rounding to 8 decimals absorbs association order)."""
+    ctes = [
+        f"WITH e AS ({_PART_GRAPH_SQL}),",
+        "nodes AS (SELECT s AS node FROM e UNION SELECT o AS node FROM e),",
+        "h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM nodes),",
+    ]
+    for i in range(num_iters):
+        nxt = i + 1
+        ctes.append(
+            f"ra{i} AS (SELECT n.node, COALESCE(SUM(h.h), 0) AS r "
+            f"FROM nodes n LEFT JOIN e ON e.o = n.node "
+            f"LEFT JOIN h{i} h ON h.node = e.s GROUP BY n.node),"
+        )
+        ctes.append(
+            f"a{nxt} AS (SELECT node, r / (SELECT SUM(r) FROM ra{i}) AS a "
+            f"FROM ra{i}),"
+        )
+        ctes.append(
+            f"rh{i} AS (SELECT n.node, COALESCE(SUM(a.a), 0) AS r "
+            f"FROM nodes n LEFT JOIN e ON e.s = n.node "
+            f"LEFT JOIN a{nxt} a ON a.node = e.o GROUP BY n.node),"
+        )
+        ctes.append(
+            f"h{nxt} AS (SELECT node, r / (SELECT SUM(r) FROM rh{i}) AS h "
+            f"FROM rh{i}),"
+        )
+    ctes[-1] = ctes[-1].rstrip(",")
+    n = num_iters
+    return (
+        "\n".join(ctes)
+        + f"\nSELECT h{n}.node, ROUND(h{n}.h, 8) AS hub, "
+        f"ROUND(a{n}.a, 8) AS auth "
+        f"FROM h{n} JOIN a{n} USING (node) ORDER BY h{n}.node"
+    )
+
+
+SQL_GRAPH_HITS = _hits_sql(2)
+
+
 def q_graph_bfs(sf_dir: str):
     """Multi-source BFS depths (frontier rounds, broadcast/shuffle
     expansion) from node 1 over the REVERSED part graph (k//2 → k and
@@ -2607,6 +2665,7 @@ QUERIES = {
     "graph_degree_hist": q_graph_degree_hist,
     "graph_components": q_graph_components,
     "graph_bfs": q_graph_bfs,
+    "graph_hits": q_graph_hits,
     "rml_documents_triples": q_rml_documents_triples,
     "triples_pred_counts": q_triples_pred_counts,
     "docs_exact_dedup": q_docs_exact_dedup,
@@ -2686,6 +2745,7 @@ ORACLES = {
     "graph_degree_hist": SQL_GRAPH_DEGREE_HIST,
     "graph_components": SQL_GRAPH_COMPONENTS,
     "graph_bfs": SQL_GRAPH_BFS,
+    "graph_hits": SQL_GRAPH_HITS,
     "rml_documents_triples": SQL_RML_DOCUMENTS_TRIPLES,
     "triples_pred_counts": SQL_TRIPLES_PRED_COUNTS,
     "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,

@@ -33,6 +33,7 @@ __all__ = [
     "out_degrees",
     "degree_histogram",
     "pagerank",
+    "hits",
     "triangle_count",
     "bfs_depths",
 ]
@@ -291,6 +292,176 @@ def pagerank(
     return state.map_batches(
         lambda df: df[["node", "rank"]], batch_format="pandas"
     )
+
+
+def hits(
+    edges: "ray.data.Dataset",
+    num_iters: int = 3,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """HITS hubs/authorities over an (s, o) edge Dataset → Dataset
+    (node, hub, auth), exactly ``num_iters`` rounds with L1
+    normalization (Σ = 1 after each half-step; fixed rounds so an SQL
+    oracle can unroll the identical computation — same contract as
+    ``pagerank``).
+
+    Per round: auth'(v) = Σ_{u→v} hub(u) then L1-normalize; hub'(u) =
+    Σ_{u→v} auth'(v) then L1-normalize. Parallel edges contribute
+    individually; self-loops count like any edge. hub⁰ = 1 for every
+    node incident to an edge.
+
+    Scale shape — each half-step is ONE scatter + ONE gather shuffle
+    (the pagerank pattern: state and edge rows meet in a tag-union
+    bucket keyed on the PROBE endpoint; carrier rows keep isolated-side
+    nodes alive and ride the companion score through the gather so the
+    final state never needs a third join). The driver sees only the
+    per-half-step normalization scalar (per-block partial sums) and the
+    node count; scores never leave the cluster. Lineage is snapped per
+    round (see ``shuffle.snap_lineage``)."""
+    edges = edges.materialize()
+    if num_partitions is None:
+        num_partitions = _auto_partitions(edges.count())
+    edges = edges.repartition(num_partitions).materialize()
+
+    def seed(df: pd.DataFrame) -> pd.DataFrame:
+        both = pd.DataFrame(
+            {"node": pd.concat([df["s"], df["o"]], ignore_index=True)}
+        ).drop_duplicates()
+        return both.assign(_bucket=bucket_tag(both, "node", num_partitions))
+
+    def seed_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = g[["node"]].drop_duplicates()
+        return out.assign(hub=np.float64(1.0), auth=np.float64(0.0))
+
+    state = (
+        edges.map_batches(seed, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(seed_reduce, batch_format="pandas")
+        .repartition(num_partitions)
+        .materialize()
+    )
+    if state.count() == 0:
+        return state
+
+    def half_step(
+        st: "ray.data.Dataset",
+        key_col: str,
+        dst_col: str,
+        send_col: str,
+        new_col: str,
+    ) -> "ray.data.Dataset":
+        """One HITS half-step: every node sends ``send_col`` along its
+        ``key_col``-incident edges to the ``dst_col`` endpoint; the
+        gather sums into a raw score, L1-normalizes (driver scalar from
+        per-block partials), and REPLACES ``new_col`` with it, while the
+        persisting ``send_col`` value rides carrier rows unchanged."""
+
+        def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {
+                    "k": df[key_col],
+                    "dst": df[dst_col],
+                    "w": np.float64(0.0),
+                    "keep": np.float64(0.0),
+                    "_side": np.int8(0),
+                }
+            )
+            return out.assign(_bucket=bucket_tag(out, "k", num_partitions))
+
+        def tag_state(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {
+                    "k": df["node"],
+                    "dst": df["node"],  # carrier target
+                    "w": df[send_col].astype(np.float64),
+                    "keep": df[send_col].astype(np.float64),
+                    "_side": np.int8(1),
+                }
+            )
+            return out.assign(_bucket=bucket_tag(out, "k", num_partitions))
+
+        def scatter_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            el = g.loc[g["_side"] == 0, ["k", "dst"]]
+            st_rows = g.loc[g["_side"] == 1, ["k", "w", "keep"]]
+            sent = el.merge(st_rows[["k", "w"]], on="k", how="inner")
+            return pd.concat(
+                [
+                    pd.DataFrame(
+                        {
+                            "dst": sent["dst"],
+                            "contrib": sent["w"],
+                            "keep": np.float64(0.0),
+                        }
+                    ),
+                    # carrier: keeps every node alive, rides the
+                    # companion score (contrib 0, keep = old value)
+                    pd.DataFrame(
+                        {
+                            "dst": st_rows["k"],
+                            "contrib": np.float64(0.0),
+                            "keep": st_rows["keep"],
+                        }
+                    ),
+                ],
+                ignore_index=True,
+            )
+
+        def gather_tag(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("dst", as_index=False).agg(
+                contrib=("contrib", "sum"), keep=("keep", "max")
+            )
+            return g.assign(_bucket=bucket_tag(g, "dst", num_partitions))
+
+        def gather_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby("dst", as_index=False).agg(
+                contrib=("contrib", "sum"), keep=("keep", "max")
+            )
+            return out.rename(columns={"dst": "node"})
+
+        raw = snap_lineage(
+            edges.map_batches(tag_edges, batch_format="pandas")
+            .union(st.map_batches(tag_state, batch_format="pandas"))
+            .groupby("_bucket")
+            .map_groups(scatter_bucket, batch_format="pandas")
+            .map_batches(gather_tag, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(gather_bucket, batch_format="pandas")
+            .repartition(num_partitions)
+        )
+
+        def partial_sum(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"m": [float(df["contrib"].sum())]})
+
+        total = float(
+            sum(
+                r["m"]
+                for r in raw.map_batches(
+                    partial_sum, batch_format="pandas"
+                ).take_all()
+            )
+        )
+
+        def norm(df: pd.DataFrame, _t=total) -> pd.DataFrame:
+            score = df["contrib"].to_numpy(np.float64)
+            if _t > 0:
+                score = score / _t
+            return pd.DataFrame(
+                {
+                    "node": df["node"],
+                    send_col: df["keep"].astype(np.float64),
+                    new_col: score,
+                }
+            )[["node", "hub", "auth"]]
+
+        return raw.map_batches(norm, batch_format="pandas")
+
+    for _ in range(num_iters):
+        # auth half: hubs send along OUT-edges to o; hub rides carriers
+        state = half_step(state, "s", "o", "hub", "auth")
+        # hub half: auths send along IN-edges back to s; auth rides
+        state = snap_lineage(half_step(state, "o", "s", "auth", "hub"))
+
+    return state
 
 
 def triangle_count(

@@ -13,6 +13,7 @@ import ray.data as rd
 from graphforge_ray.stages.graph import (
     bfs_depths,
     degree_histogram,
+    hits,
     out_degrees,
     pagerank,
     triangle_count,
@@ -129,6 +130,50 @@ def test_triangle_count_string_ids():
 def test_pagerank_empty_graph():
     ds = _edges_ds([])
     assert pagerank(ds, num_iters=2).count() == 0
+
+
+def _hits_oracle(pairs, num_iters):
+    """L1-normalized HITS, plain numpy recomputation."""
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    h = np.ones(n)
+    a = np.zeros(n)
+    for _ in range(num_iters):
+        a = np.zeros(n)
+        for s, o in pairs:
+            a[idx[o]] += h[idx[s]]
+        if a.sum() > 0:
+            a = a / a.sum()
+        h = np.zeros(n)
+        for s, o in pairs:
+            h[idx[s]] += a[idx[o]]
+        if h.sum() > 0:
+            h = h / h.sum()
+    return {nodes[i]: (h[i], a[i]) for i in range(n)}
+
+
+def test_hits_matches_oracle():
+    pairs = CHAIN_WITH_HUB + [(3, 10)]  # 10: sink (auth only)
+    got = hits(_edges_ds(pairs), num_iters=3).to_pandas()
+    exp = _hits_oracle(pairs, num_iters=3)
+    assert len(got) == len(exp)
+    for _, row in got.iterrows():
+        eh, ea = exp[row["node"]]
+        assert row["hub"] == pytest.approx(eh, abs=1e-12)
+        assert row["auth"] == pytest.approx(ea, abs=1e-12)
+    # L1 normalization: both score vectors sum to 1
+    assert got["hub"].sum() == pytest.approx(1.0, rel=1e-9)
+    assert got["auth"].sum() == pytest.approx(1.0, rel=1e-9)
+
+
+def test_hits_deterministic_and_empty():
+    ds = _edges_ds(CHAIN_WITH_HUB, num_blocks=5)
+    a = hits(ds, num_iters=2).to_pandas().sort_values("node")
+    b = hits(ds, num_iters=2).to_pandas().sort_values("node")
+    assert np.allclose(a["hub"].to_numpy(), b["hub"].to_numpy(), atol=0)
+    assert np.allclose(a["auth"].to_numpy(), b["auth"].to_numpy(), atol=0)
+    assert hits(_edges_ds([]), num_iters=2).count() == 0
 
 
 def _bfs_oracle(pairs, seeds, max_depth=None):
