@@ -664,6 +664,61 @@ SELECT node, MIN(depth) AS depth FROM walk GROUP BY node ORDER BY node
 """
 
 
+def q_graph_sssp(sf_dir: str):
+    """Hop-bounded weighted shortest paths (Bellman-Ford frontier
+    relaxation, ≤6 hops from node 1) over the reversed part graph with
+    deterministic integer weights w = dst%7 + 1 — vs a hop-bounded
+    recursive-CTE MIN(dist) oracle. Weights are integer-valued doubles,
+    so both sides are float-exact; ROUND(6) guards the rule anyway."""
+    from ..stages.graph import sssp
+
+    part = _t(sf_dir, "part", ["p_partkey"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater_equal(batch["p_partkey"], pa.scalar(1)))
+        k = t["p_partkey"]
+        half = pc.divide(k, pa.scalar(2, pa.int64()))
+        prev = pc.subtract(k, pa.scalar(1, pa.int64()))
+        seven = pa.scalar(7, pa.int64())
+        mod7 = pc.subtract(k, pc.multiply(pc.divide(k, seven), seven))
+        w = pc.cast(pc.add(mod7, pa.scalar(1, pa.int64())), pa.float64())
+        return pa.concat_tables(
+            [
+                pa.table({"s": half, "o": k, "w": w}),
+                pa.table({"s": prev, "o": k, "w": w}),
+            ]
+        )
+
+    dist = sssp(
+        part.map_batches(edges, batch_format="pyarrow"),
+        seeds=[1],
+        max_hops=6,
+    )
+    df = dist.to_pandas()
+    df["dist"] = df["dist"].round(6)
+    return df.sort_values("node").reset_index(drop=True)[["node", "dist"]]
+
+
+SQL_GRAPH_SSSP = """
+WITH RECURSIVE e AS (
+    SELECT p_partkey // 2 AS s, p_partkey AS o,
+           CAST(p_partkey % 7 + 1 AS DOUBLE) AS w
+    FROM part WHERE p_partkey >= 1
+    UNION ALL
+    SELECT p_partkey - 1 AS s, p_partkey AS o,
+           CAST(p_partkey % 7 + 1 AS DOUBLE) AS w
+    FROM part WHERE p_partkey >= 1
+), walk(node, dist, hops) AS (
+    SELECT CAST(1 AS BIGINT), CAST(0 AS DOUBLE), 0
+    UNION
+    SELECT e.o, walk.dist + e.w, walk.hops + 1
+    FROM walk JOIN e ON e.s = walk.node WHERE walk.hops < 6
+)
+SELECT node, ROUND(MIN(dist), 6) AS dist FROM walk GROUP BY node
+ORDER BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # KG mapping over documents (RML path, S2/P-family) — SQL-expressible
 # ---------------------------------------------------------------------------
@@ -2666,6 +2721,7 @@ QUERIES = {
     "graph_components": q_graph_components,
     "graph_bfs": q_graph_bfs,
     "graph_hits": q_graph_hits,
+    "graph_sssp": q_graph_sssp,
     "rml_documents_triples": q_rml_documents_triples,
     "triples_pred_counts": q_triples_pred_counts,
     "docs_exact_dedup": q_docs_exact_dedup,
@@ -2746,6 +2802,7 @@ ORACLES = {
     "graph_components": SQL_GRAPH_COMPONENTS,
     "graph_bfs": SQL_GRAPH_BFS,
     "graph_hits": SQL_GRAPH_HITS,
+    "graph_sssp": SQL_GRAPH_SSSP,
     "rml_documents_triples": SQL_RML_DOCUMENTS_TRIPLES,
     "triples_pred_counts": SQL_TRIPLES_PRED_COUNTS,
     "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,

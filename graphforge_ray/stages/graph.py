@@ -36,6 +36,7 @@ __all__ = [
     "hits",
     "triangle_count",
     "bfs_depths",
+    "sssp",
 ]
 
 
@@ -787,5 +788,234 @@ def bfs_depths(
         else:
             frontier_nodes = None
             frontier_ds = new
+
+    return dist
+
+
+def sssp(
+    edges: "ray.data.Dataset",
+    seeds,
+    src: str = "s",
+    dst: str = "o",
+    weight: str = "w",
+    max_hops: int | None = None,
+    max_rounds: int = 64,
+    num_partitions: int | None = None,
+    broadcast_limit: int = 500_000,
+) -> "ray.data.Dataset":
+    """Single/multi-source shortest paths (Bellman-Ford frontier
+    relaxation) over a weighted directed (src, dst, weight) edge
+    Dataset → Dataset (node, dist). Seeds start at 0; unreachable nodes
+    are absent. Weights must be non-negative (validated distributedly,
+    loud failure — negative-cycle semantics are a different operator).
+
+    ``max_hops=H`` bounds the relaxation to exactly H rounds, making
+    the result "min distance over paths of ≤ H edges" — the
+    SQL-replayable form (a hop-bounded recursive CTE computes the same
+    set). Without it, rounds run to convergence (empty frontier) and
+    exhausting ``max_rounds`` raises rather than returning a silent
+    prefix.
+
+    Per round, 100-TB shape (mirrors ``bfs_depths``):
+
+    - **relax**: frontier ≤ ``broadcast_limit`` rows → ``ray.put`` a
+      (node → dist) map once, probe inside map_batches (edges never
+      shuffle); wider frontier → tag-union-bucket shuffle on ``src``.
+      Both paths min-combine candidates within batch/bucket before the
+      next shuffle (map-side combiner).
+    - **improve**: ONE bucket shuffle keyed on node unions candidates
+      with the current dist table; the per-bucket kernel takes the min
+      and flags strict improvements — output is the full updated dist
+      for that bucket, so the dist table is rebuilt (not appended) and
+      stays exactly one row per reached node.
+    - dist/frontier lineage snapped per round (``shuffle.snap_lineage``);
+      the driver sees per-round improvement COUNTS (plus a frontier that
+      chose the broadcast path, ≤ limit rows by definition).
+    """
+    import ray
+    import ray.data as rd
+
+    seed_list = sorted(set(seeds))
+    if not seed_list:
+        raise ValueError("sssp requires at least one seed node")
+    edges = edges.materialize()
+    if num_partitions is None:
+        num_partitions = _auto_partitions(edges.count())
+
+    # distributed non-negativity check: one tiny row per block
+    def wmin(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[weight].to_numpy(np.float64)
+        return pd.DataFrame({"m": [float(w.min()) if len(w) else 0.0]})
+
+    mins = edges.map_batches(wmin, batch_format="pandas").take_all()
+    if mins and min(r["m"] for r in mins) < 0:
+        raise ValueError(
+            "sssp requires non-negative edge weights "
+            f"(min weight {min(r['m'] for r in mins)})"
+        )
+
+    dist = rd.from_pandas(
+        pd.DataFrame({"node": seed_list}).assign(dist=np.float64(0.0))
+    ).materialize()
+    frontier_pdf = pd.DataFrame(
+        {"node": seed_list, "dist": np.float64(0.0)}
+    )  # broadcast form
+    frontier_ds = None
+    rounds = 0
+
+    while True:
+        rounds += 1
+        if max_hops is not None and rounds > max_hops:
+            break
+        if rounds > max_rounds:
+            raise RuntimeError(
+                f"sssp: frontier still improving after {max_rounds} "
+                "rounds — raise max_rounds or set max_hops for the "
+                "hop-bounded form"
+            )
+
+        # -- relax: frontier ⋈ edges on src → (node=dst, cand dist)
+        if frontier_pdf is not None:
+            f_ref = ray.put(
+                dict(zip(frontier_pdf["node"], frontier_pdf["dist"]))
+            )
+
+            def relax(df: pd.DataFrame) -> pd.DataFrame:
+                fmap = ray.get(f_ref)
+                hit = df[df[src].isin(fmap)]
+                if hit.empty:
+                    return pd.DataFrame(
+                        {"node": pd.Series([], dtype=df[dst].dtype),
+                         "dist": pd.Series([], dtype=np.float64)}
+                    )
+                d = hit[src].map(fmap).to_numpy(np.float64) + hit[
+                    weight
+                ].to_numpy(np.float64)
+                out = pd.DataFrame({"node": hit[dst], "dist": d})
+                return out.groupby("node", as_index=False)["dist"].min()
+
+            cand = edges.map_batches(relax, batch_format="pandas")
+        else:
+            nb = num_partitions
+
+            def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+                out = pd.DataFrame(
+                    {
+                        "k": df[src],
+                        "node": df[dst],
+                        "dist": df[weight].astype(np.float64),
+                        "_side": np.int8(0),
+                    }
+                )
+                return out.assign(_bucket=bucket_tag(out, "k", nb))
+
+            def tag_frontier(df: pd.DataFrame) -> pd.DataFrame:
+                out = pd.DataFrame(
+                    {
+                        "k": df["node"],
+                        "node": df["node"],
+                        "dist": df["dist"].astype(np.float64),
+                        "_side": np.int8(1),
+                    }
+                )
+                return out.assign(_bucket=bucket_tag(out, "k", nb))
+
+            def relax_bucket(g: pd.DataFrame) -> pd.DataFrame:
+                f = g.loc[g["_side"] == 1, ["k", "dist"]].rename(
+                    columns={"dist": "fdist"}
+                )
+                el = g.loc[g["_side"] == 0, ["k", "node", "dist"]]
+                hit = el.merge(f, on="k", how="inner")
+                if hit.empty:
+                    return pd.DataFrame(
+                        {"node": pd.Series([], dtype=el["node"].dtype),
+                         "dist": pd.Series([], dtype=np.float64)}
+                    )
+                hit["dist"] = hit["dist"] + hit["fdist"]
+                return hit.groupby("node", as_index=False)["dist"].min()
+
+            cand = (
+                edges.map_batches(tag_edge, batch_format="pandas")
+                .union(
+                    frontier_ds.map_batches(
+                        tag_frontier, batch_format="pandas"
+                    )
+                )
+                .groupby("_bucket")
+                .map_groups(relax_bucket, batch_format="pandas")
+            )
+
+        # -- improve: candidates ∪ dist → per-node min + strict-improve
+        nb2 = num_partitions
+
+        def tag_cand(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.assign(_side=np.int8(0))
+            return out.assign(_bucket=bucket_tag(out, "node", nb2))
+
+        def tag_dist(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.assign(_side=np.int8(1))
+            return out.assign(_bucket=bucket_tag(out, "node", nb2))
+
+        def improve_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            cur = g.loc[g["_side"] == 1, ["node", "dist"]]
+            cn = (
+                g.loc[g["_side"] == 0, ["node", "dist"]]
+                .groupby("node", as_index=False)["dist"]
+                .min()
+                .rename(columns={"dist": "cand"})
+            )
+            merged = cur.merge(cn, on="node", how="outer")
+            cand_v = merged["cand"].to_numpy(np.float64)
+            cur_v = merged["dist"].to_numpy(np.float64)
+            better = np.where(
+                np.isnan(cur_v), cand_v, np.fmin(cur_v, cand_v)
+            )
+            improved = np.isnan(cur_v) | (
+                ~np.isnan(cand_v) & (cand_v < cur_v)
+            )
+            return pd.DataFrame(
+                {
+                    "node": merged["node"],
+                    "dist": better,
+                    "_improved": improved,
+                }
+            )
+
+        updated = snap_lineage(
+            cand.map_batches(tag_cand, batch_format="pandas")
+            .union(dist.map_batches(tag_dist, batch_format="pandas"))
+            .groupby("_bucket")
+            .map_groups(improve_bucket, batch_format="pandas")
+            .repartition(num_partitions)
+        )
+
+        def count_improved(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"n": [int(df["_improved"].sum())]})
+
+        n_improved = int(
+            sum(
+                r["n"]
+                for r in updated.map_batches(
+                    count_improved, batch_format="pandas"
+                ).take_all()
+            )
+        )
+        dist = snap_lineage(
+            updated.map_batches(
+                lambda df: df[["node", "dist"]], batch_format="pandas"
+            )
+        )
+        if n_improved == 0:
+            break
+        new = updated.map_batches(
+            lambda df: df.loc[df["_improved"], ["node", "dist"]],
+            batch_format="pandas",
+        )
+        if n_improved <= broadcast_limit:
+            frontier_pdf = new.to_pandas()
+            frontier_ds = None
+        else:
+            frontier_pdf = None
+            frontier_ds = snap_lineage(new)
 
     return dist

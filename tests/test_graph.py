@@ -16,6 +16,7 @@ from graphforge_ray.stages.graph import (
     hits,
     out_degrees,
     pagerank,
+    sssp,
     triangle_count,
 )
 
@@ -256,6 +257,79 @@ def test_bfs_depths_round_exhaustion_raises():
 def test_bfs_depths_empty_seeds_raises():
     with pytest.raises(ValueError):
         bfs_depths(_edges_ds(BFS_GRAPH), seeds=[])
+
+
+def _wedges_ds(triples, num_blocks=3):
+    df = pd.DataFrame(triples, columns=["s", "o", "w"])
+    df["s"] = df["s"].astype(np.int64)
+    df["o"] = df["o"].astype(np.int64)
+    df["w"] = df["w"].astype(np.float64)
+    return rd.from_pandas(df).repartition(num_blocks)
+
+
+def _sssp_oracle(triples, seeds, max_hops=None):
+    """Hop-bounded Bellman-Ford, plain python."""
+    dist = {s: 0.0 for s in seeds}
+    rounds = max_hops if max_hops is not None else len(
+        {x for t in triples for x in t[:2]}
+    )
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for s, o, w in triples:
+            if s in dist and dist[s] + w < nxt.get(o, np.inf):
+                nxt[o] = dist[s] + w
+        if nxt == dist:
+            break
+        dist = nxt
+    return dist
+
+
+SSSP_GRAPH = [
+    (1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0),   # unit chain
+    (1, 4, 5.0),                              # direct but heavier
+    (1, 5, 0.0), (5, 4, 2.5),                 # zero-weight edge
+    (4, 1, 0.5),                              # cycle back
+    (7, 8, 1.0),                              # unreachable island
+    (2, 4, 1.7),                              # shortcut via 2: 2.7
+]
+
+
+def test_sssp_matches_oracle():
+    got = sssp(_wedges_ds(SSSP_GRAPH), seeds=[1]).to_pandas()
+    exp = _sssp_oracle(SSSP_GRAPH, [1])
+    assert dict(zip(got["node"], got["dist"])) == pytest.approx(exp)
+    # zero-weight path 1→5→4 (2.5) beats both 1→4 (5.0) and 1→2→4 (2.7)
+    assert exp[4] == 2.5 and 7 not in exp
+
+
+def test_sssp_hop_bounded():
+    got = sssp(_wedges_ds(SSSP_GRAPH), seeds=[1], max_hops=1).to_pandas()
+    exp = _sssp_oracle(SSSP_GRAPH, [1], max_hops=1)
+    assert dict(zip(got["node"], got["dist"])) == pytest.approx(exp)
+    assert exp[4] == 5.0  # only the direct edge within 1 hop
+
+
+def test_sssp_shuffle_path_and_multi_source():
+    got = sssp(
+        _wedges_ds(SSSP_GRAPH, num_blocks=4),
+        seeds=[1, 7],
+        broadcast_limit=0,
+    ).to_pandas()
+    exp = _sssp_oracle(SSSP_GRAPH, [1, 7])
+    assert dict(zip(got["node"], got["dist"])) == pytest.approx(exp)
+    assert exp[8] == 1.0
+
+
+def test_sssp_negative_weight_raises():
+    bad = SSSP_GRAPH + [(2, 5, -0.1)]
+    with pytest.raises(ValueError, match="non-negative"):
+        sssp(_wedges_ds(bad), seeds=[1])
+
+
+def test_sssp_round_exhaustion_raises():
+    chain = [(i, i + 1, 1.0) for i in range(12)]
+    with pytest.raises(RuntimeError, match="still improving"):
+        sssp(_wedges_ds(chain), seeds=[0], max_rounds=5)
 
 
 def test_triangle_count_hub_presplit():
