@@ -664,6 +664,44 @@ SELECT node, MIN(depth) AS depth FROM walk GROUP BY node ORDER BY node
 """
 
 
+def q_graph_jaccard(sf_dir: str):
+    """Common-neighbor Jaccard node similarity (link-prediction
+    primitive) over the part graph, pairs with ≥2 common neighbors —
+    vs a self-join + degree-join SQL oracle. Degrees ride the wedge
+    shuffle (no post-hoc join); exact (no hub cap) on this graph."""
+    from ..stages.graph import node_jaccard
+
+    sim = node_jaccard(_part_graph_edges(sf_dir), min_common=2)
+    df = sim.to_pandas()
+    df["jaccard"] = df["jaccard"].round(6)
+    return (
+        df.sort_values(["a", "b"]).reset_index(drop=True)[
+            ["a", "b", "common", "jaccard"]
+        ]
+    )
+
+
+SQL_GRAPH_JACCARD = f"""
+WITH raw AS ({_PART_GRAPH_SQL}),
+und AS (
+    SELECT DISTINCT LEAST(s, o) AS a, GREATEST(s, o) AS b
+    FROM raw WHERE s <> o
+),
+adj AS (SELECT a AS n, b AS m FROM und UNION SELECT b AS n, a AS m FROM und),
+deg AS (SELECT n, COUNT(*) AS d FROM adj GROUP BY n),
+common AS (
+    SELECT x.n AS a, y.n AS b, COUNT(*) AS c
+    FROM adj x JOIN adj y ON y.m = x.m AND x.n < y.n
+    GROUP BY x.n, y.n
+)
+SELECT c.a, c.b, c.c AS common,
+       ROUND(CAST(c.c AS DOUBLE) / (da.d + db.d - c.c), 6) AS jaccard
+FROM common c JOIN deg da ON da.n = c.a JOIN deg db ON db.n = c.b
+WHERE c.c >= 2
+ORDER BY c.a, c.b
+"""
+
+
 def q_graph_sssp(sf_dir: str):
     """Hop-bounded weighted shortest paths (Bellman-Ford frontier
     relaxation, ≤6 hops from node 1) over the reversed part graph with
@@ -2722,6 +2760,7 @@ QUERIES = {
     "graph_bfs": q_graph_bfs,
     "graph_hits": q_graph_hits,
     "graph_sssp": q_graph_sssp,
+    "graph_jaccard": q_graph_jaccard,
     "rml_documents_triples": q_rml_documents_triples,
     "triples_pred_counts": q_triples_pred_counts,
     "docs_exact_dedup": q_docs_exact_dedup,
@@ -2803,6 +2842,7 @@ ORACLES = {
     "graph_bfs": SQL_GRAPH_BFS,
     "graph_hits": SQL_GRAPH_HITS,
     "graph_sssp": SQL_GRAPH_SSSP,
+    "graph_jaccard": SQL_GRAPH_JACCARD,
     "rml_documents_triples": SQL_RML_DOCUMENTS_TRIPLES,
     "triples_pred_counts": SQL_TRIPLES_PRED_COUNTS,
     "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,

@@ -37,6 +37,7 @@ __all__ = [
     "triangle_count",
     "bfs_depths",
     "sssp",
+    "node_jaccard",
 ]
 
 
@@ -1019,3 +1020,163 @@ def sssp(
             frontier_ds = snap_lineage(new)
 
     return dist
+
+
+def node_jaccard(
+    edges: "ray.data.Dataset",
+    min_common: int = 1,
+    max_degree: int | None = None,
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Common-neighbor Jaccard similarity over the UNDIRECTED simple
+    graph induced by an (s, o) edge Dataset → Dataset
+    (a, b, common, jaccard) for every pair a < b with
+    |N(a) ∩ N(b)| ≥ ``min_common``, where
+    jaccard = |N(a) ∩ N(b)| / |N(a) ∪ N(b)|
+            = common / (deg(a) + deg(b) − common).
+    The classic link-prediction / entity-resolution primitive over the
+    materialized KG adjacency.
+
+    Three shuffles, degrees RIDE the wedges (no post-hoc join):
+
+    1. canonicalize + distributed dedup (``shuffle.dedup_pairs``), then
+       symmetrize to (n, m) adjacency rows and attach deg(n) with one
+       tag-union-bucket shuffle keyed on n (deg itself comes from the
+       ``out_degrees`` combiner — map-side partials, narrow rows);
+    2. wedge pairs: bucket on the MIDDLE node m; per bucket one
+       vectorized self-merge per group emits (a, b, da, db) with a < b,
+       plus a within-bucket groupby-count combiner;
+    3. global (a, b) pair-bucket groupby-sum → common counts; degrees
+       ride via first() (constant per node); jaccard computed in the
+       same kernel; ``min_common`` filters before anything widens.
+
+    Hub seam, counted: a middle of degree d contributes d·(d−1)/2 pairs
+    in one bucket (the triangle-wedge skew). ``max_degree`` excludes
+    middles whose NEIGHBOR LIST exceeds it — group size is visible for
+    free inside the wedge bucket — incrementing the
+    ``jaccard_hub_middles_skipped`` metric (no-silent-caps rule: pairs
+    whose ONLY common neighbors are excluded hubs are absent from the
+    output, which is the standard super-node exclusion in similarity
+    mining; leave None for exact results)."""
+    from .. import metrics
+
+    if num_buckets is None:
+        num_buckets = _auto_partitions(edges.count())
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["s"].to_numpy()
+        o = df["o"].to_numpy()
+        keep = s != o
+        s, o = s[keep], o[keep]
+        return pd.DataFrame(
+            {"id_a": np.minimum(s, o), "id_b": np.maximum(s, o)}
+        ).drop_duplicates()
+
+    und = dedup_pairs(
+        edges.map_batches(canon, batch_format="pandas"),
+        num_buckets=num_buckets,
+    ).materialize()
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n": pd.concat([df["id_a"], df["id_b"]], ignore_index=True),
+                "m": pd.concat([df["id_b"], df["id_a"]], ignore_index=True),
+            }
+        )
+
+    adj = und.map_batches(both_dirs, batch_format="pandas").materialize()
+    deg = out_degrees(adj, src="n", num_buckets=num_buckets)
+
+    # attach deg(n) to adjacency rows: one tag-union-bucket shuffle on n
+    def tag_adj(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"k": df["n"], "m": df["m"], "d": np.int64(0),
+             "_side": np.int8(0)}
+        )
+        return out.assign(_bucket=bucket_tag(out, "k", num_buckets))
+
+    def tag_deg(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"k": df["node"], "m": df["node"],
+             "d": df["out_deg"].astype(np.int64), "_side": np.int8(1)}
+        )
+        return out.assign(_bucket=bucket_tag(out, "k", num_buckets))
+
+    def attach_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.loc[g["_side"] == 0, ["k", "m"]]
+        dd = g.loc[g["_side"] == 1, ["k", "d"]]
+        out = a.merge(dd, on="k", how="inner")
+        return out.rename(columns={"k": "n"})[["n", "m", "d"]]
+
+    adj_d = (
+        adj.map_batches(tag_adj, batch_format="pandas")
+        .union(deg.map_batches(tag_deg, batch_format="pandas"))
+        .groupby("_bucket")
+        .map_groups(attach_bucket, batch_format="pandas")
+    )
+
+    # wedge pairs per middle m (bucketed on m), degrees riding
+    def tag_mid(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_bucket=bucket_tag(df, "m", num_buckets))
+
+    def wedge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["n", "m", "d"]]
+        if max_degree is not None:
+            sizes = g.groupby("m")["n"].transform("size")
+            hot = sizes > max_degree
+            if bool(hot.any()):
+                metrics.incr(
+                    "jaccard_hub_middles_skipped",
+                    int(g.loc[hot, "m"].nunique()),
+                )
+                g = g.loc[~hot]
+        p = g.merge(g, on="m", suffixes=("_x", "_y"))
+        p = p[p["n_x"] < p["n_y"]]
+        out = pd.DataFrame(
+            {
+                "a": p["n_x"], "b": p["n_y"],
+                "da": p["d_x"].astype(np.int64),
+                "db": p["d_y"].astype(np.int64),
+            }
+        )
+        # within-bucket combiner before the pair shuffle
+        return out.groupby(["a", "b"], as_index=False).agg(
+            da=("da", "first"), db=("db", "first"),
+            common=("da", "size"),
+        )
+
+    pairs = (
+        adj_d.map_batches(tag_mid, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(wedge_bucket, batch_format="pandas")
+    )
+
+    def tag_pair(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_bucket=pair_bucket_tag(df, ["a", "b"],
+                                                 num_buckets))
+
+    def reduce_pair(g: pd.DataFrame, _mc=min_common) -> pd.DataFrame:
+        out = g.groupby(["a", "b"], as_index=False).agg(
+            da=("da", "first"), db=("db", "first"),
+            common=("common", "sum"),
+        )
+        out = out[out["common"] >= _mc]
+        c = out["common"].to_numpy(np.float64)
+        union = (
+            out["da"].to_numpy(np.float64)
+            + out["db"].to_numpy(np.float64) - c
+        )
+        return pd.DataFrame(
+            {
+                "a": out["a"], "b": out["b"],
+                "common": out["common"].astype(np.int64),
+                "jaccard": c / union,
+            }
+        )
+
+    return (
+        pairs.map_batches(tag_pair, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(reduce_pair, batch_format="pandas")
+    )

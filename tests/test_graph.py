@@ -14,6 +14,7 @@ from graphforge_ray.stages.graph import (
     bfs_depths,
     degree_histogram,
     hits,
+    node_jaccard,
     out_degrees,
     pagerank,
     sssp,
@@ -330,6 +331,71 @@ def test_sssp_round_exhaustion_raises():
     chain = [(i, i + 1, 1.0) for i in range(12)]
     with pytest.raises(RuntimeError, match="still improving"):
         sssp(_wedges_ds(chain), seeds=[0], max_rounds=5)
+
+
+def _jaccard_oracle(pairs, min_common=1, skip_middles=()):
+    adj = {}
+    for s, o in pairs:
+        if s == o:
+            continue
+        adj.setdefault(s, set()).add(o)
+        adj.setdefault(o, set()).add(s)
+    out = {}
+    mids = [m for m in adj if m not in skip_middles]
+    from itertools import combinations
+    counts = {}
+    for m in mids:
+        for a, b in combinations(sorted(adj[m]), 2):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    for (a, b), c in counts.items():
+        if c >= min_common:
+            out[(a, b)] = (c, c / (len(adj[a]) + len(adj[b]) - c))
+    return out
+
+
+def test_node_jaccard_matches_oracle():
+    # K4 + pendant + noise (self-loop, dup, reversed) — rich common
+    # neighborhoods
+    pairs = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (4, 5), (5, 5), (2, 1), (3, 1),
+    ]
+    got = node_jaccard(_edges_ds(pairs)).to_pandas()
+    exp = _jaccard_oracle(pairs)
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        c, j = exp[(r["a"], r["b"])]
+        assert r["common"] == c
+        assert r["jaccard"] == pytest.approx(j, rel=1e-12)
+    # inside K4: nodes 1,2 share {3,4}: common 2, union 3+3-2=4 → 0.5
+    assert exp[(1, 2)] == (2, 0.5)
+
+
+def test_node_jaccard_min_common():
+    pairs = [(1, 2), (1, 3), (2, 4), (3, 4), (1, 4)]
+    got = node_jaccard(_edges_ds(pairs), min_common=2).to_pandas()
+    exp = _jaccard_oracle(pairs, min_common=2)
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        assert exp[(r["a"], r["b"])][0] == r["common"]
+
+
+def test_node_jaccard_hub_exclusion_counted():
+    from graphforge_ray import metrics
+
+    # hub 0 adjacent to 1..20; rim edges (1,2),(3,4) give non-hub wedges
+    pairs = [(0, i) for i in range(1, 21)] + [(1, 2), (3, 4)]
+    before = metrics.snapshot().get("jaccard_hub_middles_skipped", 0)
+    got = node_jaccard(
+        _edges_ds(pairs, num_blocks=4), max_degree=10
+    ).to_pandas()
+    after = metrics.snapshot().get("jaccard_hub_middles_skipped", 0)
+    assert after > before  # the hub middle was skipped and counted
+    exp = _jaccard_oracle(pairs, skip_middles={0})
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        c, j = exp[(r["a"], r["b"])]
+        assert r["common"] == c and r["jaccard"] == pytest.approx(j)
 
 
 def test_triangle_count_hub_presplit():
