@@ -2028,6 +2028,81 @@ FROM s3
 """
 
 
+def q_docs_url_dedup(sf_dir: str):
+    """URL-level dedup (C4/CCNet-style pre-content pass): URLs derived
+    deterministically from doc_id (mixed-case host, default port,
+    utm params, fragments, trailing slash), canonicalized by the
+    SQL-replayable rule chain (stages/urls), grouped by canonical form
+    with COUNT + MIN(doc_id) survivor. DuckDB applies the identical
+    nested-regex chain — parity pinned by tests/test_urls.py."""
+    from ..stages.urls import url_dedup
+
+    docs = _t(sf_dir, "documents", ["doc_id"])
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].astype(np.int64)
+        url = (
+            "HTTP://Example-" + (i % 7).astype(str) + ".COM"
+            + np.where(i % 2 == 0, ":80", "")
+            + "/Path/" + (i % 50).astype(str)
+            + np.where(i % 4 == 0, "/", "")
+            + np.where(i % 3 == 0, "?utm_source=feed&x=", "?x=")
+            + (i % 25).astype(str)
+            + np.where(i % 5 == 0, "#Sec", "")
+        )
+        return pd.DataFrame({"doc_id": i, "url": url})
+
+    out = url_dedup(
+        docs.map_batches(derive, batch_format="pandas")
+    ).to_pandas()
+    return (
+        out.sort_values("canon_url").reset_index(drop=True)[
+            ["canon_url", "n_dups", "keep_id"]
+        ]
+    )
+
+
+SQL_DOCS_URL_DEDUP = r"""
+WITH u AS (
+  SELECT doc_id,
+    'HTTP://Example-' || CAST(doc_id % 7 AS VARCHAR) || '.COM' ||
+    CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END ||
+    '/Path/' || CAST(doc_id % 50 AS VARCHAR) ||
+    CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+    CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&x=' ELSE '?x=' END ||
+    CAST(doc_id % 25 AS VARCHAR) ||
+    CASE WHEN doc_id % 5 = 0 THEN '#Sec' ELSE '' END AS u0
+  FROM documents
+),
+s1 AS (SELECT doc_id, regexp_replace(u0, '#.*$', '') AS u1 FROM u),
+s2 AS (
+  SELECT doc_id,
+    CASE WHEN regexp_extract(u1, '^[a-zA-Z]+://[^/?#]*') <> ''
+    THEN lower(regexp_extract(u1, '^[a-zA-Z]+://[^/?#]*')) ||
+         substr(u1, length(regexp_extract(u1, '^[a-zA-Z]+://[^/?#]*')) + 1)
+    ELSE u1 END AS u2
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(u2,
+             '([?&])(utm_[a-zA-Z0-9_]+|fbclid|gclid|msclkid)=[^&]*',
+             '\1', 'g'),
+           '\?&', '?'), '&&+', '&', 'g'), '[?&]+$', '') AS u3
+  FROM s2
+),
+s4 AS (
+  SELECT doc_id, regexp_replace(regexp_replace(u3,
+           '^(http://[^/:]+):80(/|$)', '\1\2'),
+           '^(https://[^/:]+):443(/|$)', '\1\2') AS u4
+  FROM s3
+),
+c AS (SELECT doc_id, regexp_replace(u4, '/+$', '') AS canon_url FROM s4)
+SELECT canon_url, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+FROM c GROUP BY canon_url ORDER BY canon_url
+"""
+
+
 def q_docs_span_dedup(sf_dir: str):
     """Cross-document duplicate-span removal (C4/RefinedWeb line-dedup
     generalized to 3-token spans — the fixture corpus is single-line):
@@ -2730,6 +2805,7 @@ QUERIES = {
     "docs_ngram_jaccard": q_docs_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
     "docs_span_dedup": q_docs_span_dedup,
+    "docs_url_dedup": q_docs_url_dedup,
     "docs_pii_scrub": q_docs_pii_scrub,
     "sparql_bind_builtins": q_sparql_bind_builtins,
     "sparql_describe": q_sparql_describe,
@@ -2807,6 +2883,7 @@ QUERIES = {
 
 ORACLES = {
     "docs_span_dedup": SQL_DOCS_SPAN_DEDUP,
+    "docs_url_dedup": SQL_DOCS_URL_DEDUP,
     "docs_pii_scrub": SQL_DOCS_PII_SCRUB,
     "sparql_bind_builtins": SQL_SPARQL_BIND_BUILTINS,
     "docs_budget_select": SQL_DOCS_BUDGET_SELECT,

@@ -1,0 +1,97 @@
+"""URL canonicalization + dedup: spec cases, DuckDB-chain parity, and
+the distributed dedup kernel."""
+
+import duckdb
+import pandas as pd
+import ray.data as rd
+
+from graphforge_ray.stages.urls import canonical_url_batch, url_dedup
+
+CASES = {
+    "HTTP://Example-3.COM:80/Path/17/?utm_source=feed&x=9#Sec":
+        "http://example-3.com/Path/17/?x=9",
+    "https://EX.com:443/a?utm_a=1&utm_b=2": "https://ex.com/a",
+    "http://h.com/a/?x=1&utm_c=3": "http://h.com/a/?x=1",
+    "http://h.com/": "http://h.com",
+    "http://h.com/a//": "http://h.com/a",
+    "https://H.com/A?utm_x=1": "https://h.com/A",
+    "HTTPS://A.com:443": "https://a.com",
+    "http://h.com:8080/x": "http://h.com:8080/x",  # non-default port kept
+    "not-a-url": "not-a-url",                      # junk passes through
+    "http://h.com/?utm_a=1": "http://h.com",
+    "http://h.com/p?a=1&utm_b=2&c=3#f": "http://h.com/p?a=1&c=3",
+}
+
+# the same chain as stages/urls.canonical_url_batch, expressed as the
+# nested-DuckDB-regex oracle (mirrors SQL_DOCS_URL_DEDUP)
+_SQL_CHAIN = r"""
+SELECT regexp_replace(u4, '/+$', '') AS out FROM (
+  SELECT regexp_replace(regexp_replace(u3,
+           '^(http://[^/:]+):80(/|$)', '\1\2'),
+           '^(https://[^/:]+):443(/|$)', '\1\2') AS u4 FROM (
+    SELECT regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(u2,
+               '([?&])(utm_[a-zA-Z0-9_]+|fbclid|gclid|msclkid)=[^&]*',
+               '\1', 'g'),
+             '\?&', '?'), '&&+', '&', 'g'), '[?&]+$', '') AS u3 FROM (
+      SELECT CASE WHEN regexp_extract(u1, '^[a-zA-Z]+://[^/?#]*') <> ''
+             THEN lower(regexp_extract(u1, '^[a-zA-Z]+://[^/?#]*')) ||
+                  substr(u1, length(
+                      regexp_extract(u1, '^[a-zA-Z]+://[^/?#]*')) + 1)
+             ELSE u1 END AS u2 FROM (
+        SELECT regexp_replace(u0, '#.*$', '') AS u1
+        FROM (SELECT unnest(?) AS u0)
+      )
+    )
+  )
+)
+"""
+
+
+def test_canonical_url_spec_cases():
+    got = canonical_url_batch(pd.Series(list(CASES)))
+    assert list(got) == list(CASES.values())
+
+
+def test_canonical_url_duckdb_parity():
+    # the SQL oracle chain and the pandas kernel must agree on every
+    # case INCLUDING junk — this is the contract the driver gate uses
+    urls = list(CASES) + [
+        "", "ftp://X.com/A#b", "http://a.com?utm_source=x",
+        "https://b.com:443?q=1", "http://c.com:80",
+        "http://d.com/p/?utm_a=1&utm_b=2&utm_c=3",
+    ]
+    con = duckdb.connect()
+    sql = [r[0] for r in con.execute(_SQL_CHAIN, [urls]).fetchall()]
+    py = list(canonical_url_batch(pd.Series(urls)))
+    assert sql == py
+
+
+def test_canonical_url_null_safe():
+    got = canonical_url_batch(pd.Series(["http://A.com/", None]))
+    assert got.iloc[0] == "http://a.com"
+    assert pd.isna(got.iloc[1])
+
+
+def test_url_dedup_groups_and_survivor():
+    rows = pd.DataFrame(
+        {
+            "doc_id": [5, 3, 9, 1, 7],
+            "url": [
+                "http://A.com/x?utm_a=1",
+                "HTTP://a.com:80/x#frag",
+                "http://a.com/x",
+                "http://b.com/y/",
+                "http://b.com/y",
+            ],
+        }
+    )
+    got = (
+        url_dedup(rd.from_pandas(rows).repartition(3))
+        .to_pandas()
+        .sort_values("canon_url")
+        .reset_index(drop=True)
+    )
+    assert list(got["canon_url"]) == ["http://a.com/x", "http://b.com/y"]
+    assert list(got["n_dups"]) == [3, 2]
+    assert list(got["keep_id"]) == [3, 1]
