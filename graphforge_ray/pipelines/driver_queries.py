@@ -702,6 +702,46 @@ ORDER BY c.a, c.b
 """
 
 
+def q_graph_kcore(sf_dir: str, k: int = 3, rounds: int = 4):
+    """k-core membership + in-core degree (fixed-round peeling form —
+    exactly ``rounds`` peels on BOTH sides, so the oracle unrolls the
+    identical degree→filter→join rounds; converged rounds are no-ops)."""
+    from ..stages.graph import k_core
+
+    core = k_core(_part_graph_edges(sf_dir), k=k, num_rounds=rounds)
+    df = core.to_pandas()
+    df["deg"] = df["deg"].astype(np.int64)
+    return df.sort_values("node").reset_index(drop=True)[["node", "deg"]]
+
+
+def _kcore_sql(k: int = 3, rounds: int = 4) -> str:
+    ctes = [
+        f"WITH raw AS ({_PART_GRAPH_SQL}),",
+        "und AS (SELECT DISTINCT LEAST(s, o) AS a, GREATEST(s, o) AS b "
+        "FROM raw WHERE s <> o),",
+        "a0 AS (SELECT a AS n, b AS m FROM und "
+        "UNION ALL SELECT b, a FROM und),",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"d{i} AS (SELECT n, COUNT(*) AS d FROM a{i} GROUP BY n),"
+        )
+        ctes.append(f"k{i} AS (SELECT n FROM d{i} WHERE d >= {k}),")
+        ctes.append(
+            f"a{i + 1} AS (SELECT a.n, a.m FROM a{i} a "
+            f"JOIN k{i} x ON x.n = a.n JOIN k{i} y ON y.n = a.m),"
+        )
+    ctes[-1] = ctes[-1].rstrip(",")
+    return (
+        "\n".join(ctes)
+        + f"\nSELECT n AS node, COUNT(*) AS deg FROM a{rounds} "
+        "GROUP BY n ORDER BY n"
+    )
+
+
+SQL_GRAPH_KCORE = _kcore_sql(3, 4)
+
+
 def q_graph_sssp(sf_dir: str):
     """Hop-bounded weighted shortest paths (Bellman-Ford frontier
     relaxation, ≤6 hops from node 1) over the reversed part graph with
@@ -2837,6 +2877,7 @@ QUERIES = {
     "graph_hits": q_graph_hits,
     "graph_sssp": q_graph_sssp,
     "graph_jaccard": q_graph_jaccard,
+    "graph_kcore": q_graph_kcore,
     "rml_documents_triples": q_rml_documents_triples,
     "triples_pred_counts": q_triples_pred_counts,
     "docs_exact_dedup": q_docs_exact_dedup,
@@ -2920,6 +2961,7 @@ ORACLES = {
     "graph_hits": SQL_GRAPH_HITS,
     "graph_sssp": SQL_GRAPH_SSSP,
     "graph_jaccard": SQL_GRAPH_JACCARD,
+    "graph_kcore": SQL_GRAPH_KCORE,
     "rml_documents_triples": SQL_RML_DOCUMENTS_TRIPLES,
     "triples_pred_counts": SQL_TRIPLES_PRED_COUNTS,
     "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,

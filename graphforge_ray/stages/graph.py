@@ -38,6 +38,7 @@ __all__ = [
     "bfs_depths",
     "sssp",
     "node_jaccard",
+    "k_core",
 ]
 
 
@@ -1179,4 +1180,164 @@ def node_jaccard(
         pairs.map_batches(tag_pair, batch_format="pandas")
         .groupby("_bucket")
         .map_groups(reduce_pair, batch_format="pandas")
+    )
+
+
+def k_core(
+    edges: "ray.data.Dataset",
+    k: int,
+    num_rounds: int | None = None,
+    max_rounds: int = 64,
+    num_partitions: int | None = None,
+    broadcast_limit: int = 500_000,
+) -> "ray.data.Dataset":
+    """k-core of the UNDIRECTED simple graph induced by an (s, o) edge
+    Dataset: iteratively peel nodes of degree < k until the remainder
+    is stable → Dataset (node, deg) with deg = the node's degree INSIDE
+    the core. The standard subgraph-density primitive (spam/boilerplate
+    site clusters, KG hub extraction).
+
+    ``num_rounds=R`` runs EXACTLY R peels (converged rounds are no-ops)
+    — the SQL-replayable form: an oracle unrolls the same R rounds of
+    degree-filter-join CTEs and gets the identical remainder. Without
+    it, peeling runs to fixpoint and exhausting ``max_rounds`` raises
+    loudly.
+
+    Per round, 100-TB shape:
+
+    - degree: ``out_degrees`` (map-side combiner + one bucket shuffle);
+      the dropped set = nodes with deg < k, counted per block (driver
+      sees one int).
+    - prune: dropped ≤ ``broadcast_limit`` rows → ``ray.put`` the node
+      set once and filter adjacency in map_batches (the common case —
+      after round 1 peeling drops few nodes per round); a wider dropped
+      set (round 1 on a heavy-tailed web graph can shed most nodes)
+      → TWO bespoke tag-union-bucket anti shuffles (keyed on n then m)
+      with fully-typed identical schemas on both sides (the
+      bindings_join object-fill dtype trap, CLAUDE.md, doesn't apply).
+    - adjacency lineage snapped per round (``shuffle.snap_lineage``).
+    """
+    import ray
+
+    if k < 1:
+        raise ValueError("k_core requires k >= 1")
+    if num_partitions is None:
+        num_partitions = _auto_partitions(edges.count())
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["s"].to_numpy()
+        o = df["o"].to_numpy()
+        keep = s != o
+        s, o = s[keep], o[keep]
+        return pd.DataFrame(
+            {"id_a": np.minimum(s, o), "id_b": np.maximum(s, o)}
+        ).drop_duplicates()
+
+    und = dedup_pairs(
+        edges.map_batches(canon, batch_format="pandas"),
+        num_buckets=num_partitions,
+    )
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n": pd.concat([df["id_a"], df["id_b"]], ignore_index=True),
+                "m": pd.concat([df["id_b"], df["id_a"]], ignore_index=True),
+            }
+        )
+
+    adj = snap_lineage(
+        und.map_batches(both_dirs, batch_format="pandas")
+        .repartition(num_partitions)
+    )
+
+    def anti_shuffle(
+        a: "ray.data.Dataset", dropped: "ray.data.Dataset", key: str
+    ) -> "ray.data.Dataset":
+        """Remove adjacency rows whose ``key`` endpoint is dropped —
+        one tag-union-bucket shuffle, schemas typed and identical."""
+
+        def tag_adj(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {"k": df[key], "n": df["n"], "m": df["m"],
+                 "_side": np.int8(0)}
+            )
+            return out.assign(
+                _bucket=bucket_tag(out, "k", num_partitions)
+            )
+
+        def tag_drop(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {"k": df["node"], "n": df["node"], "m": df["node"],
+                 "_side": np.int8(1)}
+            )
+            return out.assign(
+                _bucket=bucket_tag(out, "k", num_partitions)
+            )
+
+        def bucket(g: pd.DataFrame) -> pd.DataFrame:
+            gone = set(g.loc[g["_side"] == 1, "k"])
+            rows = g.loc[g["_side"] == 0]
+            return rows.loc[~rows["k"].isin(gone), ["n", "m"]]
+
+        return (
+            a.map_batches(tag_adj, batch_format="pandas")
+            .union(dropped.map_batches(tag_drop, batch_format="pandas"))
+            .groupby("_bucket")
+            .map_groups(bucket, batch_format="pandas")
+        )
+
+    rounds = 0
+    while True:
+        rounds += 1
+        if num_rounds is not None and rounds > num_rounds:
+            break
+        if num_rounds is None and rounds > max_rounds:
+            raise RuntimeError(
+                f"k_core: still peeling after {max_rounds} rounds — "
+                "raise max_rounds or use the fixed num_rounds form"
+            )
+
+        deg = snap_lineage(
+            out_degrees(adj, src="n", num_buckets=num_partitions)
+            .repartition(num_partitions)
+        )
+        dropped = deg.map_batches(
+            lambda df, _k=k: df.loc[df["out_deg"] < _k, ["node"]],
+            batch_format="pandas",
+        )
+        n_dropped = dropped.count()
+        if n_dropped == 0:
+            if num_rounds is None:
+                break
+            continue  # fixed-round form: remaining rounds are no-ops
+
+        if n_dropped <= broadcast_limit:
+            gone_ref = ray.put(
+                set(dropped.to_pandas()["node"].tolist())
+            )
+
+            def prune(df: pd.DataFrame) -> pd.DataFrame:
+                gone = ray.get(gone_ref)
+                return df.loc[
+                    ~(df["n"].isin(gone) | df["m"].isin(gone)),
+                    ["n", "m"],
+                ]
+
+            adj = snap_lineage(
+                adj.map_batches(prune, batch_format="pandas")
+                .repartition(num_partitions)
+            )
+        else:
+            dropped = snap_lineage(dropped)
+            adj = snap_lineage(
+                anti_shuffle(
+                    anti_shuffle(adj, dropped, "n"), dropped, "m"
+                ).repartition(num_partitions)
+            )
+
+    # final in-core degrees (one combiner + bucket shuffle)
+    return out_degrees(adj, src="n", num_buckets=num_partitions).map_batches(
+        lambda df: df.rename(columns={"out_deg": "deg"}),
+        batch_format="pandas",
     )

@@ -14,6 +14,7 @@ from graphforge_ray.stages.graph import (
     bfs_depths,
     degree_histogram,
     hits,
+    k_core,
     node_jaccard,
     out_degrees,
     pagerank,
@@ -396,6 +397,59 @@ def test_node_jaccard_hub_exclusion_counted():
     for _, r in got.iterrows():
         c, j = exp[(r["a"], r["b"])]
         assert r["common"] == c and r["jaccard"] == pytest.approx(j)
+
+
+def _kcore_oracle(pairs, k):
+    adj = {}
+    for s, o in pairs:
+        if s == o:
+            continue
+        adj.setdefault(s, set()).add(o)
+        adj.setdefault(o, set()).add(s)
+    alive = set(adj)
+    while True:
+        gone = {n for n in alive if len(adj[n] & alive) < k}
+        if not gone:
+            break
+        alive -= gone
+    return {n: len(adj[n] & alive) for n in alive}
+
+
+KCORE_GRAPH = [
+    # K4 on {1..4} (a 3-core) with pendant chains hanging off it —
+    # peeling must cascade down the chains over multiple rounds
+    (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+    (4, 5), (5, 6), (6, 7),
+    (2, 8),
+    (10, 11), (11, 12), (10, 12),  # triangle: a 2-core island
+    (1, 1), (2, 1),                # self-loop + reversed dup noise
+]
+
+
+def test_k_core_matches_oracle():
+    for k in (2, 3):
+        got = k_core(_edges_ds(KCORE_GRAPH), k=k).to_pandas()
+        exp = _kcore_oracle(KCORE_GRAPH, k)
+        assert dict(zip(got["node"], got["deg"])) == exp
+    # 3-core is exactly the K4
+    assert set(_kcore_oracle(KCORE_GRAPH, 3)) == {1, 2, 3, 4}
+
+
+def test_k_core_fixed_rounds_and_empty():
+    # after enough fixed rounds the fixed-round form equals convergence
+    got = k_core(_edges_ds(KCORE_GRAPH), k=3, num_rounds=8).to_pandas()
+    exp = _kcore_oracle(KCORE_GRAPH, 3)
+    assert dict(zip(got["node"], got["deg"])) == exp
+    # k high enough to peel everything → empty result
+    assert k_core(_edges_ds(KCORE_GRAPH), k=5).count() == 0
+
+
+def test_k_core_shuffle_prune_path():
+    got = k_core(
+        _edges_ds(KCORE_GRAPH, num_blocks=4), k=2, broadcast_limit=0
+    ).to_pandas()
+    exp = _kcore_oracle(KCORE_GRAPH, 2)
+    assert dict(zip(got["node"], got["deg"])) == exp
 
 
 def test_triangle_count_hub_presplit():
