@@ -2143,6 +2143,73 @@ FROM c GROUP BY canon_url ORDER BY canon_url
 """
 
 
+_MIX_WEIGHTS = {"src0": 2.5, "src1": 0.3, "src2": 2.0}
+_MIX_DEFAULT = 1.0
+
+
+def q_docs_source_mixture(sf_dir: str):
+    """Deterministic corpus mixing (per-source epoch weights: src0
+    upsampled 2.5×, src1 downsampled to a 30% fraction, src2 exactly
+    2×, everything else 1×) — the data-mixing step of a training
+    pipeline. The fractional copy uses the shared keyed-md5 rule, so
+    the oracle replays it with a range-join + per-source hex
+    threshold."""
+    from ..stages.sampling import source_mixture
+
+    docs = _t(sf_dir, "documents", ["doc_id", "source"])
+    out = source_mixture(
+        docs, _MIX_WEIGHTS, default_weight=_MIX_DEFAULT
+    ).to_pandas()
+    out["epoch"] = out["epoch"].astype(np.int64)
+    return (
+        out.sort_values(["doc_id", "epoch"]).reset_index(drop=True)[
+            ["doc_id", "source", "epoch"]
+        ]
+    )
+
+
+def _mixture_sql() -> str:
+    """Range-join replay of source_mixture: copy r kept iff
+    r < floor(w), or r = floor(w) and the 8-hex md5 prefix is under
+    floor(frac(w)·2³²) — thresholds formatted here so both sides use
+    the identical integer."""
+    max_copies = int(
+        max(
+            [np.floor(w) + 1 for w in _MIX_WEIGHTS.values()]
+            + [np.floor(_MIX_DEFAULT) + 1]
+        )
+    )
+
+    def thr(w: float) -> str:
+        base = int(np.floor(w))
+        return format(int(np.floor((w - base) * (1 << 32))), "08x")
+
+    wt_case = " ".join(
+        f"WHEN '{s}' THEN {w}" for s, w in _MIX_WEIGHTS.items()
+    )
+    thr_case = " ".join(
+        f"WHEN '{s}' THEN '{thr(w)}'" for s, w in _MIX_WEIGHTS.items()
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, source,
+    CASE source {wt_case} ELSE {_MIX_DEFAULT} END AS wt,
+    CASE source {thr_case} ELSE '{thr(_MIX_DEFAULT)}' END AS thr
+  FROM documents
+)
+SELECT d.doc_id, d.source, CAST(r.range AS BIGINT) AS epoch
+FROM w d JOIN range(0, {max_copies}) r
+  ON r.range < CAST(floor(d.wt) AS BIGINT)
+  OR (r.range = CAST(floor(d.wt) AS BIGINT)
+      AND substr(md5(CAST(d.doc_id AS VARCHAR) || ':graft-mix'), 1, 8)
+          < d.thr)
+ORDER BY doc_id, epoch
+"""
+
+
+SQL_DOCS_SOURCE_MIXTURE = _mixture_sql()
+
+
 def q_docs_span_dedup(sf_dir: str):
     """Cross-document duplicate-span removal (C4/RefinedWeb line-dedup
     generalized to 3-token spans — the fixture corpus is single-line):
@@ -2846,6 +2913,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "docs_span_dedup": q_docs_span_dedup,
     "docs_url_dedup": q_docs_url_dedup,
+    "docs_source_mixture": q_docs_source_mixture,
     "docs_pii_scrub": q_docs_pii_scrub,
     "sparql_bind_builtins": q_sparql_bind_builtins,
     "sparql_describe": q_sparql_describe,
@@ -2925,6 +2993,7 @@ QUERIES = {
 ORACLES = {
     "docs_span_dedup": SQL_DOCS_SPAN_DEDUP,
     "docs_url_dedup": SQL_DOCS_URL_DEDUP,
+    "docs_source_mixture": SQL_DOCS_SOURCE_MIXTURE,
     "docs_pii_scrub": SQL_DOCS_PII_SCRUB,
     "sparql_bind_builtins": SQL_SPARQL_BIND_BUILTINS,
     "docs_budget_select": SQL_DOCS_BUDGET_SELECT,

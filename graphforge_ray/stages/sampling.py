@@ -28,7 +28,8 @@ import ray.data
 from .fasthash import hex_prefix_int, md5_hex_keyed
 
 __all__ = ["hash_split_column", "hash_split", "deterministic_shuffle",
-           "pack_sequences", "budget_select", "stratified_sample"]
+           "pack_sequences", "budget_select", "stratified_sample",
+           "source_mixture"]
 
 
 def _threshold_hex(test_pct: float) -> str:
@@ -376,3 +377,59 @@ def pack_sequences(
         .groupby("_bucket")
         .map_groups(pack_shard, batch_format="pandas")
     )
+
+
+def source_mixture(
+    ds: "ray.data.Dataset",
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "graft-mix",
+    default_weight: float = 1.0,
+) -> "ray.data.Dataset":
+    """Deterministic corpus mixing: replicate each row by its source's
+    epoch weight — weight 2.5 = every doc twice plus a deterministic
+    50% of docs a third time — adding an ``epoch`` column (0-based copy
+    index). The data-mixing step of a training pipeline (domain
+    up/down-sampling), made REPRODUCIBLE: the fractional copy is chosen
+    by the shared keyed-md5 rule (``md5(str(id) + ':' + salt)`` 8-hex
+    prefix under a per-source threshold), a pure function of
+    (id, salt) — resharding, cluster size and later corpus growth never
+    change which docs repeat (same argument as ``hash_split``).
+
+    Pure map-side (no shuffle); replication is one ``np.repeat`` per
+    batch; the epoch index is a vectorized cumsum trick. Weights < 1
+    downsample (keep a deterministic fraction), 0 drops the source.
+    Negative weights raise."""
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for source {s!r}: {w}")
+    if default_weight < 0:
+        raise ValueError(f"negative default_weight: {default_weight}")
+
+    def mix(df: pd.DataFrame) -> pd.DataFrame:
+        w = (
+            df[source_col]
+            .map(weights)
+            .fillna(default_weight)
+            .to_numpy(np.float64)
+        )
+        base = np.floor(w).astype(np.int64)
+        frac = w - base
+        # 8-hex-prefix uniform draw vs per-row threshold floor(frac·2³²)
+        # — int compare ≡ the SQL 8-char lexicographic hex compare
+        hx = md5_hex_keyed(df[id_col], salt)
+        u = hex_prefix_int(np.asarray(hx, dtype=object), 8)
+        extra = u < np.floor(frac * float(1 << 32)).astype(np.int64)
+        copies = base + extra.astype(np.int64)
+        keep = copies > 0
+        idx = np.repeat(np.flatnonzero(keep), copies[keep])
+        out = df.iloc[idx].reset_index(drop=True)
+        ck = copies[keep]
+        out["epoch"] = (
+            np.arange(int(ck.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(ck) - ck, ck)
+        )
+        return out
+
+    return ds.map_batches(mix, batch_format="pandas")

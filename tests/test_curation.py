@@ -496,3 +496,60 @@ def test_stratified_sample_thresholds_and_default():
         group_col="lang",
     ).to_pandas()
     assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+
+
+def test_source_mixture_replication_and_determinism():
+    from graphforge_ray.stages.sampling import source_mixture
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(300),
+            "source": ["a", "b", "c"] * 100,
+            "text": ["t"] * 300,
+        }
+    )
+    ds = rd.from_pandas(df).repartition(4)
+    weights = {"a": 2.5, "b": 0.4, "c": 0.0}
+    out = source_mixture(ds, weights, default_weight=1.0).to_pandas()
+
+    # per-row oracle: md5(str(id)+':graft-mix') 8-hex prefix threshold
+    def copies(doc_id, src):
+        w = weights.get(src, 1.0)
+        base = int(np.floor(w))
+        hx = hashlib.md5(f"{doc_id}:graft-mix".encode()).hexdigest()
+        extra = int(hx[:8], 16) < int(np.floor((w - base) * (1 << 32)))
+        return base + extra
+
+    exp_counts = {
+        (i, s): copies(i, s)
+        for i, s in zip(df["doc_id"], df["source"])
+        if copies(i, s) > 0
+    }
+    got_counts = (
+        out.groupby(["doc_id", "source"]).size().to_dict()
+    )
+    assert got_counts == exp_counts
+    # 'c' fully dropped; 'a' rows appear 2 or 3 times; epoch indexes
+    # are exactly 0..copies-1 per doc
+    assert not (out["source"] == "c").any()
+    a_copies = out.loc[out["source"] == "a"].groupby("doc_id")["epoch"]
+    for _, ep in a_copies:
+        assert sorted(ep) == list(range(len(ep)))
+
+    # reproducible across partitionings
+    out2 = source_mixture(
+        rd.from_pandas(df).repartition(9), weights, default_weight=1.0
+    ).to_pandas()
+    assert sorted(zip(out2["doc_id"], out2["epoch"])) == sorted(
+        zip(out["doc_id"], out["epoch"])
+    )
+
+
+def test_source_mixture_negative_weight_raises():
+    from graphforge_ray.stages.sampling import source_mixture
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": [1], "source": ["a"]})
+    )
+    with pytest.raises(ValueError, match="negative"):
+        source_mixture(ds, {"a": -1.0})
