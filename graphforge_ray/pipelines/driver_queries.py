@@ -1309,6 +1309,42 @@ SELECT DISTINCT subj, pred, obj FROM t JOIN keys ON t.subj = keys.k
 """
 
 
+def q_embeddings_centroids(sf_dir: str):
+    """Per-label mean embedding (long form: label, dim, value) — the
+    cluster-stats / semantic-drift primitive. Partial sums per batch →
+    one (group, dim) bucket shuffle; oracle replays with
+    unnest + generate_subscripts + AVG. Both sides round to 6 (float
+    association-order rule)."""
+    from ..stages.similarity import group_centroids
+
+    emb = _t(sf_dir, "embeddings", ["embedding", "label"])
+    out = group_centroids(emb, "embedding", "label").to_pandas()
+    return (
+        pd.DataFrame(
+            {
+                "label": out["group"].astype(np.int64),
+                "dim": out["dim"].astype(np.int64),
+                "value": out["value"].round(6),
+            }
+        )
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_EMBEDDINGS_CENTROIDS = """
+WITH x AS (
+    SELECT label,
+           generate_subscripts(embedding, 1) - 1 AS dim,
+           unnest(embedding) AS val
+    FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       ROUND(AVG(CAST(val AS DOUBLE)), 6) AS value
+FROM x GROUP BY label, dim ORDER BY label, dim
+"""
+
+
 def q_embeddings_kmeans(sf_dir: str):
     """Distributed spherical k-means over the embeddings table
     (stages/similarity.kmeans_fit — map-side partial sums, driver holds
@@ -2986,6 +3022,7 @@ QUERIES = {
     "docs_fingerprint": q_docs_fingerprint,
     "ann_ivf": q_ann_ivf,
     "embeddings_kmeans": q_embeddings_kmeans,
+    "embeddings_centroids": q_embeddings_centroids,
     "sparql_pred_counts": q_sparql_pred_counts,
     "forge_pages": q_forge_pages,
 }
@@ -3037,6 +3074,7 @@ ORACLES = {
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "doc_char_classes": SQL_DOC_CHAR_CLASSES,
     "ann_topk": SQL_ANN_TOPK,
+    "embeddings_centroids": SQL_EMBEDDINGS_CENTROIDS,
     "sparql_filter_orderby": SQL_SPARQL_FILTER_ORDERBY,
     "sparql_path_bgp": SQL_SPARQL_PATH_BGP,
     "sparql_union_distinct": SQL_SPARQL_UNION_DISTINCT,

@@ -24,7 +24,7 @@ import ray.data
 
 __all__ = [
     "brute_force_topk", "train_centroids", "assign_clusters", "ivf_topk",
-    "kmeans_fit",
+    "kmeans_fit", "group_centroids",
 ]
 
 
@@ -335,3 +335,68 @@ def ivf_topk(
     )
     result = brute_force_topk(pruned, queries, k, id_col, vec_col)
     return result
+
+
+def group_centroids(
+    ds: "ray.data.Dataset",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    num_buckets: int = 8,
+) -> "ray.data.Dataset":
+    """Mean embedding vector per group → long-form Dataset
+    (group, dim, value) with dim 0-based — the shape an SQL oracle can
+    replay via unnest + generate_subscripts, and the input to semantic
+    drift / cluster-quality monitoring over a curated corpus.
+
+    Scale shape: per-batch partial sums (vectors stacked to one float64
+    matrix, per-group reduction via sort + ``np.add.reduceat`` — no
+    Python per-row work), emitting G×D narrow partial rows per batch;
+    ONE bucket shuffle keyed on (group, dim); per-bucket vectorized
+    sum-of-sums ÷ sum-of-counts. The corpus of vectors never moves —
+    only per-batch partials do."""
+    from ..shuffle import pair_bucket_tag
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"group": [], "dim": [], "s": [], "c": []}
+            )
+        mat = np.vstack(df[vec_col].to_numpy()).astype(np.float64)
+        g = df[group_col].to_numpy()
+        order = np.argsort(g, kind="stable")
+        gs = g[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], gs[1:] != gs[:-1]))
+        )
+        sums = np.add.reduceat(mat[order], starts, axis=0)
+        counts = np.diff(np.append(starts, len(gs)))
+        n_groups, d = sums.shape
+        out = pd.DataFrame(
+            {
+                "group": np.repeat(gs[starts], d),
+                "dim": np.tile(np.arange(d, dtype=np.int64), n_groups),
+                "s": sums.ravel(),
+                "c": np.repeat(counts.astype(np.int64), d),
+            }
+        )
+        return out.assign(
+            _bucket=pair_bucket_tag(out, ["group", "dim"], num_buckets)
+        )
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["group", "dim"], as_index=False).agg(
+            s=("s", "sum"), c=("c", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "group": out["group"],
+                "dim": out["dim"].astype(np.int64),
+                "value": out["s"] / out["c"],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )

@@ -919,3 +919,40 @@ def test_kmeans_fit_empty_cluster_keeps_centroid(ray_session):
     cents, _ = kmeans_fit(rd.from_pandas(df), num_clusters=3, iters=3)
     assert np.isfinite(cents).all()
     assert cents.shape == (3, 2)
+
+
+def test_group_centroids_matches_numpy():
+    import ray.data as rd
+
+    from graphforge_ray.stages.similarity import group_centroids
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(120, 5)).astype(np.float32)
+    labels = rng.integers(0, 4, size=120)
+    df = pd.DataFrame(
+        {"embedding": [v for v in vecs], "label": labels}
+    )
+    got = (
+        group_centroids(rd.from_pandas(df).repartition(5))
+        .to_pandas()
+        .sort_values(["group", "dim"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == 4 * 5
+    for lab in range(4):
+        exp = vecs[labels == lab].astype(np.float64).mean(axis=0)
+        sub = got[got["group"] == lab].sort_values("dim")
+        assert np.allclose(sub["value"].to_numpy(), exp, atol=1e-12)
+
+
+def test_group_centroids_empty_block_safe():
+    import ray.data as rd
+
+    from graphforge_ray.stages.similarity import group_centroids
+
+    df = pd.DataFrame(
+        {"embedding": [np.ones(3, np.float32)] * 2, "label": [1, 1]}
+    )
+    # more blocks than rows → empty blocks flow through the partial
+    got = group_centroids(rd.from_pandas(df).repartition(6)).to_pandas()
+    assert len(got) == 3 and np.allclose(got["value"], 1.0)
