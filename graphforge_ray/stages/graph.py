@@ -667,13 +667,19 @@ def bfs_depths(
       acero-safe pattern as ``shuffle.kv_join``). Real web graphs hit
       their widest frontier at depth 2-4 — exactly when the shuffle
       path takes over — then shrink back under the broadcast limit.
-    - **dedup + visited-check**: ONE bucket shuffle unions the candidate
-      successors with the visited set, keyed on node; the per-bucket
-      kernel drops already-visited nodes and intra-round duplicates in
-      one vectorized pass — the new frontier is exact, never inflated.
-    - the visited set is materialized + ``repartition``-bounded per
-      round (iterated-groupby block-explosion lesson, CLAUDE.md); the
-      driver only ever sees per-round frontier COUNTS, never node sets
+    - **dedup + visited-check + dist update, fused**: ONE bucket
+      shuffle per round unions the candidate successors with the
+      visited set, keyed on node; the per-bucket kernel drops
+      already-visited nodes and intra-round duplicates in one
+      vectorized pass and emits the FULL updated visited set for its
+      bucket with a ``_new`` flag — so the round's only shuffle also
+      rebuilds dist (no separate union execution; measured 2→1
+      executions/round ≈ half the fixed cost on small inputs). The
+      frontier count / extraction are map-only passes over the
+      already-materialized blocks.
+    - the visited set is snapped + ``repartition``-bounded per round
+      (iterated-groupby block-explosion lesson, CLAUDE.md); the driver
+      only ever sees per-round frontier COUNTS, never node sets
       (except a frontier that chose the broadcast path, ≤ limit rows).
 
     Rounds are O(effective diameter) — single digits on web-scale link
@@ -690,8 +696,11 @@ def bfs_depths(
         num_partitions = _auto_partitions(edges.count())
 
     dist = rd.from_pandas(
-        pd.DataFrame({"node": seed_list}).assign(depth=np.int64(0))
+        pd.DataFrame({"node": seed_list}).assign(
+            depth=np.int64(0), _new=True
+        )
     ).materialize()
+    total = len(seed_list)
     frontier_nodes = np.asarray(seed_list)  # broadcast form (small)
     frontier_ds = None  # shuffle form (wide frontier)
     depth = 0
@@ -756,14 +765,20 @@ def bfs_depths(
             return out.assign(_bucket=bucket_tag(out, "node", nb2))
 
         def tag_dist(df: pd.DataFrame) -> pd.DataFrame:
-            out = df.assign(_side=np.int8(1))
+            out = df[["node", "depth"]].assign(_side=np.int8(1))
             return out.assign(_bucket=bucket_tag(out, "node", nb2))
 
         def new_bucket(g: pd.DataFrame) -> pd.DataFrame:
-            seen = set(g.loc[g["_side"] == 1, "node"])
+            old = g.loc[g["_side"] == 1, ["node", "depth"]].assign(
+                _new=False
+            )
             c = g.loc[g["_side"] == 0, ["node", "depth"]]
-            c = c[~c["node"].isin(seen)].drop_duplicates("node")
-            return c
+            c = c[~c["node"].isin(set(old["node"]))].drop_duplicates(
+                "node"
+            ).assign(_new=True)
+            # full updated visited set for this bucket — the round's
+            # ONLY shuffle also rebuilds dist
+            return pd.concat([old, c], ignore_index=True)
 
         # snap_lineage (NOT bare materialize): dist feeds back into the
         # next round's plan, and materialize alone keeps the logical
@@ -771,27 +786,37 @@ def bfs_depths(
         # per-round wall time DOUBLING from ~round 8). Snapping rebases
         # each round on the computed blocks; O(diameter) rounds stay
         # O(1) cost each.
-        new = snap_lineage(
+        dist = snap_lineage(
             cand.map_batches(tag_cand, batch_format="pandas")
             .union(dist.map_batches(tag_dist, batch_format="pandas"))
             .groupby("_bucket")
             .map_groups(new_bucket, batch_format="pandas")
+            .repartition(num_partitions)
         )
-        n_new = new.count()
+
+        # the visited set only grows, so this round's frontier size is
+        # the row-count DELTA — free metadata on the snapped dataset,
+        # no counting execution
+        new_total = dist.count()
+        n_new = new_total - total
+        total = new_total
         if n_new == 0:
             break
 
-        dist = snap_lineage(
-            dist.union(new).repartition(num_partitions)
+        frontier = dist.map_batches(
+            lambda df: df.loc[df["_new"], ["node"]],
+            batch_format="pandas",
         )
         if n_new <= broadcast_limit:
-            frontier_nodes = new.to_pandas()["node"].to_numpy()
+            frontier_nodes = frontier.to_pandas()["node"].to_numpy()
             frontier_ds = None
         else:
             frontier_nodes = None
-            frontier_ds = new
+            frontier_ds = frontier
 
-    return dist
+    return dist.map_batches(
+        lambda df: df[["node", "depth"]], batch_format="pandas"
+    )
 
 
 def sssp(
@@ -955,7 +980,7 @@ def sssp(
             return out.assign(_bucket=bucket_tag(out, "node", nb2))
 
         def tag_dist(df: pd.DataFrame) -> pd.DataFrame:
-            out = df.assign(_side=np.int8(1))
+            out = df[["node", "dist"]].assign(_side=np.int8(1))
             return out.assign(_bucket=bucket_tag(out, "node", nb2))
 
         def improve_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -983,7 +1008,11 @@ def sssp(
                 }
             )
 
-        updated = snap_lineage(
+        # the round's ONLY snapped execution: the improve shuffle's
+        # output IS the new dist table (the _improved flag rides along
+        # and is stripped at return); frontier count/extraction are
+        # map-only passes over the materialized blocks
+        dist = snap_lineage(
             cand.map_batches(tag_cand, batch_format="pandas")
             .union(dist.map_batches(tag_dist, batch_format="pandas"))
             .groupby("_bucket")
@@ -997,19 +1026,14 @@ def sssp(
         n_improved = int(
             sum(
                 r["n"]
-                for r in updated.map_batches(
+                for r in dist.map_batches(
                     count_improved, batch_format="pandas"
                 ).take_all()
             )
         )
-        dist = snap_lineage(
-            updated.map_batches(
-                lambda df: df[["node", "dist"]], batch_format="pandas"
-            )
-        )
         if n_improved == 0:
             break
-        new = updated.map_batches(
+        new = dist.map_batches(
             lambda df: df.loc[df["_improved"], ["node", "dist"]],
             batch_format="pandas",
         )
@@ -1018,9 +1042,11 @@ def sssp(
             frontier_ds = None
         else:
             frontier_pdf = None
-            frontier_ds = snap_lineage(new)
+            frontier_ds = new
 
-    return dist
+    return dist.map_batches(
+        lambda df: df[["node", "dist"]], batch_format="pandas"
+    )
 
 
 def node_jaccard(
