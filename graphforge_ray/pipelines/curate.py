@@ -29,7 +29,7 @@ import pandas as pd
 
 import ray.data
 
-from ..shuffle import bindings_join
+from ..shuffle import bindings_join, snap_lineage
 from ..state.manifest import StageRunner
 
 __all__ = ["run_curation_pipeline"]
@@ -144,19 +144,25 @@ def run_curation_pipeline(
                 keep &= df["lm_score"].astype(float) >= lo_lm
             return df.loc[keep, ["doc_id", "source"]]
 
-        kept_ids = sig.map_batches(passes, batch_format="pandas")
+        # snaps: each of kept_ids / kept_docs / exact_docs feeds 2+
+        # consumers (exact_docs is consumed ~4× inside minhash_dedup);
+        # unsnapped, Ray Data replays the whole upstream join chain per
+        # consumer (the lm.py shared-sub-plan lesson)
+        kept_ids = snap_lineage(
+            sig.map_batches(passes, batch_format="pandas")
+        )
 
         docs = ray.data.read_parquet(
             input_paths, columns=["doc_id", "text"]
         )
-        kept_docs = bindings_join(
+        kept_docs = snap_lineage(bindings_join(
             docs, kept_ids.map_batches(
                 lambda df: df[["doc_id"]], batch_format="pandas"
             ), on=["doc_id"], how="semi",
         ).map_batches(
             lambda df: _restore_int(df, ("doc_id",)),
             batch_format="pandas",
-        )
+        ))
         # exact dedup keeps the smallest doc_id per identical text;
         # it returns SURVIVOR IDS (content_hash, doc_id), so the docs
         # re-attach via a semi join before near-dup clustering
@@ -164,12 +170,12 @@ def run_curation_pipeline(
             lambda df: _restore_int(df[["doc_id"]], ("doc_id",)),
             batch_format="pandas",
         )
-        exact_docs = bindings_join(
+        exact_docs = snap_lineage(bindings_join(
             kept_docs, exact_ids, on=["doc_id"], how="semi"
         ).map_batches(
             lambda df: _restore_int(df, ("doc_id",)),
             batch_format="pandas",
-        )
+        ))
         # near-dup clustering: keep one representative per cluster
         clustered = minhash_dedup(exact_docs, threshold=minhash_threshold)
         survivors = clustered.map_batches(
@@ -235,12 +241,16 @@ def run_curation_pipeline(
             input_paths, columns=["doc_id", "text"]
         )
         plan = ray.data.read_parquet(stage_files("shards"))
-        final = bindings_join(docs, plan, on=["doc_id"]).map_batches(
+        # snap before the count + write pair — unsnapped, count() and
+        # write_parquet() each execute the join once
+        final = snap_lineage(bindings_join(
+            docs, plan, on=["doc_id"]
+        ).map_batches(
             lambda df: _restore_int(
                 df, ("doc_id", "shard", "seq_id", "offset")
             ),
             batch_format="pandas",
-        )
+        ))
         n = final.count()
         final.write_parquet(tmp_dir, partition_cols=["shard"])
         return n, {"docs_out": n, "num_shards": num_shards}

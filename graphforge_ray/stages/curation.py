@@ -359,7 +359,12 @@ def tfidf_topk(
         out["tf"] = out["tf"].astype(np.int64)
         return out
 
-    terms = docs.map_batches(doc_terms, batch_format="pandas")
+    # snap: `terms` feeds BOTH the document-frequency aggregate and the
+    # tf join — unsnapped, the corpus-wide term explode executes once
+    # per consumer (same shared-sub-plan replay as lm.py's fix)
+    from ..shuffle import snap_lineage
+
+    terms = snap_lineage(docs.map_batches(doc_terms, batch_format="pandas"))
 
     def df_combine(t: pd.DataFrame) -> pd.DataFrame:
         g = t.groupby("term", as_index=False).size().rename(
