@@ -2179,6 +2179,57 @@ FROM c GROUP BY canon_url ORDER BY canon_url
 """
 
 
+def q_docs_normalize(sf_dir: str):
+    """C4-style text normalization (NFC, control chars → space, unicode
+    whitespace squeeze, trim) over deterministically-dirtied fixture
+    text (leading spaces, NBSP after every space, trailing LF + a
+    control char + fullwidth suffix; NUL itself is untestable — DuckDB
+    truncates string literals at chr(0)) — the oracle dirties and normalizes with the
+    IDENTICAL chain, and the value hash covers the normalized TEXT
+    itself (strongest parity check)."""
+    from ..stages.text_analysis import normalize_text_batch
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def dirty_and_norm(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "text": "  "
+                + df["text"].str.replace(" ", " \u00a0", regex=False)
+                + "\n\x01\uFF25\uFF1D\uFF4D\uFF43\uFF12",
+            }
+        )
+        out = normalize_text_batch(d)
+        return pd.DataFrame(
+            {"doc_id": d["doc_id"], "norm_text": out["norm_text"]}
+        )
+
+    out = docs.map_batches(
+        dirty_and_norm, batch_format="pandas"
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "norm_text"]
+    ]
+
+
+SQL_DOCS_NORMALIZE = r"""
+WITH d AS (
+  SELECT doc_id,
+         '  ' || replace(text, ' ', ' ' || chr(160)) || chr(10) ||
+         chr(1) || chr(65317) || chr(65309) || chr(65357) ||
+         chr(65347) || chr(65298) AS u0
+  FROM documents
+)
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(nfc_normalize(u0),
+            '[\x00-\x1F\x7F]', ' ', 'g'),
+            '[ \t\n\r\f\v\x{00A0}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+',
+            ' ', 'g')) AS norm_text
+FROM d ORDER BY doc_id
+"""
+
+
 _MIX_WEIGHTS = {"src0": 2.5, "src1": 0.3, "src2": 2.0}
 _MIX_DEFAULT = 1.0
 
@@ -2950,6 +3001,7 @@ QUERIES = {
     "docs_span_dedup": q_docs_span_dedup,
     "docs_url_dedup": q_docs_url_dedup,
     "docs_source_mixture": q_docs_source_mixture,
+    "docs_normalize": q_docs_normalize,
     "docs_pii_scrub": q_docs_pii_scrub,
     "sparql_bind_builtins": q_sparql_bind_builtins,
     "sparql_describe": q_sparql_describe,
@@ -3031,6 +3083,7 @@ ORACLES = {
     "docs_span_dedup": SQL_DOCS_SPAN_DEDUP,
     "docs_url_dedup": SQL_DOCS_URL_DEDUP,
     "docs_source_mixture": SQL_DOCS_SOURCE_MIXTURE,
+    "docs_normalize": SQL_DOCS_NORMALIZE,
     "docs_pii_scrub": SQL_DOCS_PII_SCRUB,
     "sparql_bind_builtins": SQL_SPARQL_BIND_BUILTINS,
     "docs_budget_select": SQL_DOCS_BUDGET_SELECT,

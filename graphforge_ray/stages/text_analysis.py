@@ -21,6 +21,7 @@ import pandas as pd
 __all__ = [
     "token_stats_batch", "TextQualityScorer", "LangIdentifier",
     "fingerprint_batch", "content_hash_batch", "pii_scrub_batch",
+    "normalize_text_batch",
 ]
 
 _WS_TOKEN = re.compile(r"\S+")
@@ -235,3 +236,31 @@ def _md5_hex_duckdb_plain(texts: pd.Series):
         ).fetchnumpy()["h"]
     finally:
         con.unregister("_fasthash_txt")
+
+
+# unicode whitespace squeezed to one ASCII space — the class is pinned
+# EXPLICITLY (not \s) because Python's \s is unicode-wide while RE2's
+# (DuckDB's) is ASCII-only; the SQL oracle uses the identical class via
+# \x{...} escapes (parity pinned in tests)
+_NORM_CTRL = re.compile(r"[\x00-\x1F\x7F]")
+_NORM_WS = re.compile(
+    "[ \t\n\r\f\v\u00a0\u2000-\u200a\u2028\u2029\u202f\u205f\u3000]+"
+)
+
+
+def normalize_text_batch(
+    df: pd.DataFrame, text_col: str = "text", out_col: str = "norm_text"
+) -> pd.DataFrame:
+    """C4-style text cleanup, SQL-replayable: NFC unicode
+    normalization, control characters → space, unicode whitespace runs
+    squeezed to one ASCII space, ends trimmed. Adds ``out_col``;
+    null-safe (null → null). Vectorized via pandas str kernels (NFC
+    through Series.str.normalize — pandas' C-accelerated path)."""
+    t = df[text_col].astype("string")
+    t = t.str.normalize("NFC")
+    t = t.str.replace(_NORM_CTRL, " ", regex=True)
+    t = t.str.replace(_NORM_WS, " ", regex=True)
+    t = t.str.strip(" ")
+    out = df.copy()
+    out[out_col] = t.astype(object)
+    return out

@@ -95,3 +95,42 @@ def test_url_dedup_groups_and_survivor():
     assert list(got["canon_url"]) == ["http://a.com/x", "http://b.com/y"]
     assert list(got["n_dups"]) == [3, 2]
     assert list(got["keep_id"]) == [3, 1]
+
+
+def test_normalize_text_duckdb_parity():
+    # the whitespace class is pinned EXPLICITLY (Python \s is
+    # unicode-wide, RE2's is ASCII-only) — both chains must agree on
+    # every case incl. NBSP, unicode spaces, controls and ligatures
+    from graphforge_ray.stages.text_analysis import normalize_text_batch
+
+    cases = [
+        "café  double  space",
+        "\tTab\x01ctrl\x1fchars\n\nend ",
+        "ｆｕｌwidth",
+        "a nbsp", "", "already clean",
+        "ﬁligature",
+        "em space", "zero​width",  # ZWSP is NOT whitespace
+        "ideographic　space", "line sep",
+    ]
+    got = list(
+        normalize_text_batch(pd.DataFrame({"text": cases}))["norm_text"]
+    )
+    sql = r"""
+    SELECT trim(regexp_replace(regexp_replace(nfc_normalize(u),
+        '[\x00-\x1F\x7F]', ' ', 'g'),
+        '[ \t\n\r\f\v\x{00A0}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+',
+        ' ', 'g')) AS out
+    FROM (SELECT unnest(?) AS u)
+    """
+    exp = [r[0] for r in duckdb.connect().execute(sql, [cases]).fetchall()]
+    assert got == exp
+    assert got[3] == "a nbsp" and got[8] == "zero​width"
+
+
+def test_normalize_text_null_safe():
+    from graphforge_ray.stages.text_analysis import normalize_text_batch
+
+    out = normalize_text_batch(
+        pd.DataFrame({"text": ["  a  b ", None]})
+    )["norm_text"]
+    assert out.iloc[0] == "a b" and pd.isna(out.iloc[1])
