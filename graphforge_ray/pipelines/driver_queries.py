@@ -2954,6 +2954,52 @@ FROM r
 """
 
 
+def q_sparql_select_expr(sf_dir: str):
+    """SELECT expression projections — (STRLEN(?n) AS ?len) and
+    (CONCAT(…) AS ?tag) — through the BIND-rewrite pre-pass (these were
+    silently dropped before r4's fix; the oracle pins the rewritten
+    semantics)."""
+    from ..query.sparql import run_select
+
+    out = run_select(
+        _part_triples(sf_dir),
+        f"SELECT ?s (STRLEN(?n) AS ?len) (CONCAT(?s, \"#\", ?n) AS ?tag) "
+        f"WHERE {{ ?s <{VOCAB_PNAME}> ?n }}",
+    )
+    out["len"] = out["len"].astype(np.int64)
+    return out.sort_values("s").reset_index(drop=True)[["s", "len", "tag"]]
+
+
+SQL_SPARQL_SELECT_EXPR = """
+SELECT 'part:' || CAST(p_partkey AS VARCHAR) AS s,
+       CAST(length(p_name) AS BIGINT) AS len,
+       'part:' || CAST(p_partkey AS VARCHAR) || '#' || p_name AS tag
+FROM part ORDER BY s
+"""
+
+
+def q_sparql_agg_expr(sf_dir: str):
+    """Aggregates over EXPRESSIONS — (SUM(STRLEN(?n)) AS ?total) — via
+    the pre-grouping BIND rewrite (SPARQL evaluation order)."""
+    from ..query.sparql import run_select
+
+    out = run_select(
+        _part_triples(sf_dir),
+        f"SELECT (SUM(STRLEN(?n)) AS ?total) (COUNT(?n) AS ?c) "
+        f"WHERE {{ ?s <{VOCAB_PNAME}> ?n }}",
+    )
+    out["total"] = out["total"].astype(np.int64)
+    out["c"] = out["c"].astype(np.int64)
+    return out[["total", "c"]]
+
+
+SQL_SPARQL_AGG_EXPR = """
+SELECT CAST(SUM(length(p_name)) AS BIGINT) AS total,
+       CAST(COUNT(*) AS BIGINT) AS c
+FROM part
+"""
+
+
 def q_sparql_select_dataset(sf_dir: str):
     """Dataset-returning SELECT (collect=False): the closure-sized
     binding set stays distributed — no ``to_pandas`` inside the
@@ -3014,6 +3060,8 @@ QUERIES = {
     "sparql_optional_path": q_sparql_optional_path,
     "sparql_grouped_path": q_sparql_grouped_path,
     "sparql_select_dataset": q_sparql_select_dataset,
+    "sparql_select_expr": q_sparql_select_expr,
+    "sparql_agg_expr": q_sparql_agg_expr,
     "customer_order_counts": q_customer_order_counts,
     "orders_limit": q_orders_limit,
     "distinct_flags": q_distinct_flags,
@@ -3098,6 +3146,8 @@ ORACLES = {
     "sparql_optional_path": SQL_SPARQL_OPTIONAL_PATH,
     "sparql_grouped_path": SQL_SPARQL_GROUPED_PATH,
     "sparql_select_dataset": SQL_SPARQL_SELECT_DATASET,
+    "sparql_select_expr": SQL_SPARQL_SELECT_EXPR,
+    "sparql_agg_expr": SQL_SPARQL_AGG_EXPR,
     "count_by_event_type": SQL_COUNT_BY_EVENT_TYPE,
     "lineitem_agg": SQL_LINEITEM_AGG,
     "top_parts_by_qty": SQL_TOP_PARTS_BY_QTY,

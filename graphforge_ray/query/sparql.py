@@ -276,7 +276,7 @@ _CONSTRUCT = re.compile(
 # ---------------------------------------------------------------------------
 
 _EXPR_TOKEN = re.compile(
-    r'"(?:[^"\\]|\\.)*"|\?\w+|[A-Za-z_]\w*|\d+\.\d+|\d+'
+    r'"(?:[^"\\]|\\.)*"|<[^<>\s]+>|\?\w+|[A-Za-z_]\w*|\d+\.\d+|\d+'
     r"|!=|<=|>=|[(),+\-*/=<>]"
 )
 _EXPR_FUNCS = {
@@ -322,6 +322,9 @@ def _parse_expr(text: str):
             return ("var", t[1:])
         if t.startswith('"'):
             return ("str", t[1:-1].replace('\\"', '"').replace("\\\\", "\\"))
+        if t.startswith("<") and t.endswith(">"):
+            # IRI constant — terms are stored bracket-stripped (_term)
+            return ("str", t[1:-1])
         if re.fullmatch(r"\d+\.\d+|\d+", t):
             return ("num", float(t))
         fname = t.upper()
@@ -1030,6 +1033,171 @@ def _tail_having(tail: str, query: str) -> list[tuple]:
     ]
 
 
+_AGG_FUNC_NAMES = (
+    "COUNT", "SUM", "MIN", "MAX", "AVG", "GROUP_CONCAT", "SAMPLE"
+)
+
+
+def _scan_proj_items(proj: str) -> list[str]:
+    """Split a SELECT projection into items: ``?var``, ``*``, or one
+    balanced ``( … )`` group (expressions may nest parens, so a regex
+    can't cut them). Anything else is a LOUD refusal — the r4 probe
+    found unrecognized parenthesized projections were silently dropped,
+    returning wrong columns."""
+    items, i, n = [], 0, len(proj)
+    while i < n:
+        c = proj[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c == "?":
+            m = re.match(r"\?\w+", proj[i:])
+            items.append(m.group(0))
+            i += m.end()
+        elif c == "*":
+            items.append("*")
+            i += 1
+        elif c == "(":
+            depth, j = 0, i
+            while j < n:
+                if proj[j] == "(":
+                    depth += 1
+                elif proj[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if depth != 0:
+                raise ValueError(f"unbalanced parens in SELECT: {proj!r}")
+            items.append(proj[i:j + 1])
+            i = j + 1
+        else:
+            raise ValueError(
+                f"unsupported SELECT projection near {proj[i:i + 25]!r}"
+            )
+    return items
+
+
+def _rewrite_select_expressions(
+    proj: str, body: str, tail: str
+) -> tuple[str, str, str]:
+    """Textual pre-pass: SELECT expression projections and ORDER BY
+    expression keys become BINDs the bare-var grammar already handles.
+
+    - ``(EXPR AS ?v)``        → body gains ``BIND(EXPR AS ?v)``; the
+      projection keeps plain ``?v`` (SPARQL evaluates SELECT
+      expressions per solution — exactly BIND semantics).
+    - ``(AGG(EXPR) AS ?a)``   → body gains ``BIND(EXPR AS ?__agg_a)``;
+      the projection becomes ``(AGG(?__agg_a) AS ?a)`` (the bind runs
+      pre-grouping, which is the SPARQL evaluation order).
+    - ``ORDER BY DESC(EXPR)`` / bare ``FUNC(?x)`` keys → body gains
+      ``BIND(EXPR AS ?__ord_i)``; the key becomes ``DESC(?__ord_i)``
+      (ordering runs before projection, so the helper column is in
+      scope; it is never projected).
+
+    Plain-var forms pass through untouched, so every existing query
+    compiles identically."""
+    binds: list[str] = []
+
+    new_items = []
+    for it in _scan_proj_items(proj):
+        if not it.startswith("("):
+            new_items.append(it)
+            continue
+        am = _AGG.match(it)
+        if am and am.end() == len(it):
+            new_items.append(it)  # bare-var aggregate: existing path
+            continue
+        m = re.match(r"\(\s*(.+)\s+AS\s+(\?\w+)\s*\)$", it, re.S)
+        if not m:
+            raise ValueError(f"unsupported SELECT projection: {it!r}")
+        inner, alias = m.group(1).strip(), m.group(2)
+        fm = re.match(
+            r"(" + "|".join(_AGG_FUNC_NAMES) + r")\s*\((.*)\)\s*$",
+            inner, re.I | re.S,
+        )
+        if fm:
+            arg = fm.group(2).strip()
+            if arg.count("(") != arg.count(")"):
+                raise ValueError(
+                    f"unsupported aggregate projection: {it!r}"
+                )
+            if re.match(r"DISTINCT\b", arg, re.I):
+                raise ValueError(
+                    "DISTINCT over an expression argument is not "
+                    "supported — bind the expression first"
+                )
+            tmp = f"?__agg_{alias[1:]}"
+            binds.append(f"BIND({arg} AS {tmp})")
+            new_items.append(f"({fm.group(1).upper()}({tmp}) AS {alias})")
+        else:
+            binds.append(f"BIND({inner} AS {alias})")
+            new_items.append(alias)
+    proj = " ".join(new_items)
+
+    om = re.search(r"ORDER\s+BY\s+", tail, re.I)
+    if om:
+        rest = tail[om.end():]
+        i, n, keys, n_ord = 0, len(rest), [], 0
+        while i < n:
+            while i < n and rest[i].isspace():
+                i += 1
+            if i >= n:
+                break
+            if re.match(r"(LIMIT|OFFSET)\b", rest[i:], re.I):
+                break
+            dm = re.match(r"(ASC|DESC)\b\s*", rest[i:], re.I)
+            direction = ""
+            if dm:
+                direction = dm.group(1).upper()
+                i += dm.end()
+            vm = re.match(r"\?\w+", rest[i:])
+            if vm:
+                keys.append(f"{direction}({vm.group(0)})"
+                            if direction else vm.group(0))
+                i += vm.end()
+                continue
+            # balanced expression key: consume until depth returns to 0
+            j, depth, seen = i, 0, False
+            while j < n:
+                ch = rest[j]
+                if ch == "(":
+                    depth += 1
+                    seen = True
+                elif ch == ")":
+                    depth -= 1
+                elif ch.isspace() and depth == 0 and seen:
+                    break
+                j += 1
+            expr = rest[i:j].strip()
+            if not seen or not expr:
+                raise ValueError(
+                    f"unsupported ORDER BY key near {rest[i:i + 25]!r}"
+                )
+            if expr.startswith("(") and expr.endswith(")"):
+                inner = expr[1:-1].strip()
+            else:
+                inner = expr
+            im = re.fullmatch(r"\?\w+", inner)
+            if im:
+                key_var = inner
+            else:
+                key_var = f"?__ord_{n_ord}"
+                n_ord += 1
+                binds.append(f"BIND({inner} AS {key_var})")
+            keys.append(f"{direction}({key_var})" if direction
+                        else key_var)
+            i = j
+        tail = (
+            tail[:om.start()]
+            + " ORDER BY " + " ".join(keys) + " " + rest[i:]
+        )
+
+    if binds:
+        body = body + " " + " ".join(binds)
+    return proj, body, tail
+
+
 def compile_select(
     query: str, prefixes: dict[str, str] | None = None
 ) -> SelectQuery:
@@ -1044,6 +1212,10 @@ def compile_select(
 
     distinct = bool(re.match(r"DISTINCT\s+", proj, re.I))
     proj = re.sub(r"^DISTINCT\s+", "", proj, flags=re.I)
+
+    # expression projections / ORDER BY expression keys → BIND rewrite
+    # (previously these were SILENTLY dropped — wrong columns/order)
+    proj, body, tail = _rewrite_select_expressions(proj, body, tail)
 
     aggregates = []
     agg_params: dict[str, str] = {}

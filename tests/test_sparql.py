@@ -1732,3 +1732,49 @@ def test_filter_langmatches_primary_subtag(termtest_triples):
         'FILTER(LANGMATCHES(LANG(?o), "*")) }',
     )
     assert sorted(out["o"]) == ["Ana", "Anna", "Anne"]  # untagged out
+
+
+# --- SELECT expression / ORDER BY expression rewrite (r4) ------------
+
+def test_select_expression_projection(triples_ds):
+    out = run_select(
+        triples_ds,
+        f"SELECT ?s (STRLEN(?n) AS ?len) (CONCAT(?n, \"!\") AS ?x) "
+        f"WHERE {{ ?s <{EX}name> ?n }}",
+    )
+    assert list(out.columns) == ["s", "len", "x"]
+    assert list(out["len"]) == [3] and list(out["x"]) == ["Ann!"]
+
+
+def test_aggregate_over_expression(triples_ds):
+    out = run_select(
+        triples_ds,
+        "SELECT (SUM(STRLEN(?o)) AS ?t) (COUNT(?o) AS ?c) "
+        "WHERE { ?s rdf:type ?o }",
+    )
+    # two rdf:type objects, both IRIs ending in 'B'
+    assert list(out.columns) == ["t", "c"]
+    assert out.loc[0, "c"] == 2 and out.loc[0, "t"] > 0
+
+
+def test_order_by_expression_key(triples_ds):
+    out = run_select(
+        triples_ds,
+        f"SELECT ?s ?n WHERE {{ ?s ?p ?n . "
+        f"FILTER(?p = <{EX}name> || ?p = <{EX}optionalProp>) }} "
+        "ORDER BY DESC(STRLEN(?n)) ?s",
+    )
+    # 'opt-b' (5 chars) before 'Ann' (3); helper column not projected
+    assert list(out.columns) == ["s", "n"]
+    assert list(out["n"]) == ["opt-b", "Ann"]
+
+
+def test_unsupported_projection_refused_loudly(triples_ds):
+    # pre-r4 these were silently dropped (wrong columns); now they must
+    # raise, never return a frame with the wrong shape
+    with pytest.raises(ValueError, match="projection"):
+        compile_select("SELECT (?a + ) WHERE { ?s ?p ?a }")
+    with pytest.raises(ValueError, match="DISTINCT over an expression"):
+        compile_select(
+            "SELECT (SUM(DISTINCT STRLEN(?a)) AS ?t) WHERE { ?s ?p ?a }"
+        )
