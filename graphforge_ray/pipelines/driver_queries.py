@@ -3028,6 +3028,161 @@ FROM r
 """
 
 
+def q_docs_top_terms(sf_dir: str):
+    """Exact corpus-wide heavy hitters: top-20 whitespace terms via the
+    mergeable count-combiner → term-bucket shuffle (stages/sketches)."""
+    from ..stages.sketches import corpus_top_terms
+
+    return corpus_top_terms(_t(sf_dir, "documents", ["text"]), k=20)
+
+
+SQL_DOCS_TOP_TERMS = r"""
+WITH words AS (
+    SELECT unnest(regexp_extract_all(COALESCE(text, ''), '\S+')) AS term
+    FROM documents
+),
+counts AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS count
+    FROM words GROUP BY term
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY count DESC, term) AS BIGINT)
+           AS rank,
+       term, count
+FROM counts
+ORDER BY count DESC, term
+LIMIT 20
+"""
+
+
+def q_events_distinct_kmv(sf_dir: str):
+    """KMV approximate-distinct sketch over event ids (k=256 smallest
+    md5 values; the oracle replays the ESTIMATOR exactly, not a
+    tolerance band — stages/sketches.approx_distinct_kmv)."""
+    from ..stages.sketches import approx_distinct_kmv
+
+    return approx_distinct_kmv(
+        _t(sf_dir, "events", ["event_id"]), "event_id", k=256
+    )
+
+
+SQL_EVENTS_DISTINCT_KMV = r"""
+WITH h AS (
+    SELECT DISTINCT md5(CAST(event_id AS VARCHAR)) AS hx
+    FROM events WHERE event_id IS NOT NULL
+),
+r AS (
+    SELECT hx, ROW_NUMBER() OVER (ORDER BY hx) AS rn,
+           COUNT(*) OVER () AS n
+    FROM h
+)
+SELECT CAST(256 AS BIGINT) AS k,
+       CAST(LEAST(n, 256) AS BIGINT) AS n_hashes,
+       CAST(CASE WHEN n < 256 THEN n
+                 ELSE FLOOR(255 / (CAST(CONCAT('0x', substr(hx, 1, 10))
+                                        AS BIGINT) / POWER(16, 10)))
+            END AS BIGINT) AS est_distinct
+FROM r
+WHERE rn = LEAST(n, 256)
+"""
+
+
+def q_docs_inverted_index(sf_dir: str):
+    """Inverted index (term → df + capped ascending posting list) over
+    the documents corpus; postings capped at 100 ids (deterministic
+    smallest-first, counted in metrics — stages/index)."""
+    from ..stages.index import inverted_index
+
+    return inverted_index(
+        _t(sf_dir, "documents", ["doc_id", "text"]), postings_cap=100
+    )
+
+
+SQL_DOCS_INVERTED_INDEX = r"""
+WITH pairs AS (
+    SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id,
+               unnest(regexp_extract_all(COALESCE(text, ''), '\S+'))
+                   AS term
+        FROM documents
+    )
+),
+ranked AS (
+    SELECT term, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY term) AS df
+    FROM pairs
+)
+SELECT term, CAST(df AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+           AS postings
+FROM ranked
+WHERE rn <= 100
+GROUP BY term, df
+"""
+
+
+def q_docs_bm25(sf_dir: str):
+    """Okapi BM25 top-10 for the 2-term query (join, window) — two
+    terms so the float sum is order-independent (IEEE addition is
+    commutative; three-plus terms would need an ordered SQL SUM).
+    Lucene-style non-negative idf; scores FLOOR-truncated at 1e-6
+    (stages/index.bm25_topk)."""
+    from ..stages.index import bm25_topk
+
+    out = bm25_topk(
+        _t(sf_dir, "documents", ["doc_id", "text"]),
+        ["join", "window"], k=10,
+    )
+    return out.rename(columns={"id": "doc_id"})
+
+
+SQL_DOCS_BM25 = r"""
+WITH n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+toks AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(COALESCE(text, ''), '\S+')) AS term
+    FROM documents
+),
+dl AS (
+    SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+    FROM toks GROUP BY doc_id
+),
+avgdl AS (SELECT SUM(dl) / (SELECT n FROM n) AS a FROM dl),
+q(term) AS (VALUES ('join'), ('window')),
+df AS (
+    SELECT q.term,
+           CAST(COUNT(DISTINCT toks.doc_id) AS DOUBLE) AS df
+    FROM q LEFT JOIN toks ON toks.term = q.term
+    GROUP BY q.term
+),
+tf AS (
+    SELECT toks.doc_id, toks.term, CAST(COUNT(*) AS DOUBLE) AS tf
+    FROM toks JOIN q ON toks.term = q.term
+    GROUP BY toks.doc_id, toks.term
+),
+s AS (
+    SELECT tf.doc_id,
+           SUM(ln(((SELECT n FROM n) - df.df + 0.5) / (df.df + 0.5) + 1)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75
+                                 + 0.75 * dl.dl / (SELECT a FROM avgdl))))
+               AS raw
+    FROM tf
+    JOIN df ON tf.term = df.term
+    JOIN dl ON dl.doc_id = tf.doc_id
+    GROUP BY tf.doc_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY FLOOR(raw * 1e6) / 1e6 DESC,
+                               doc_id) AS BIGINT) AS rank,
+       doc_id,
+       FLOOR(raw * 1e6) / 1e6 AS score
+FROM s
+WHERE FLOOR(raw * 1e6) / 1e6 > 0
+ORDER BY FLOOR(raw * 1e6) / 1e6 DESC, doc_id
+LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3049,6 +3204,10 @@ QUERIES = {
     "docs_source_mixture": q_docs_source_mixture,
     "docs_normalize": q_docs_normalize,
     "docs_pii_scrub": q_docs_pii_scrub,
+    "docs_top_terms": q_docs_top_terms,
+    "events_distinct_kmv": q_events_distinct_kmv,
+    "docs_inverted_index": q_docs_inverted_index,
+    "docs_bm25": q_docs_bm25,
     "sparql_bind_builtins": q_sparql_bind_builtins,
     "sparql_describe": q_sparql_describe,
     "sparql_lang_filter": q_sparql_lang_filter,
@@ -3133,6 +3292,10 @@ ORACLES = {
     "docs_source_mixture": SQL_DOCS_SOURCE_MIXTURE,
     "docs_normalize": SQL_DOCS_NORMALIZE,
     "docs_pii_scrub": SQL_DOCS_PII_SCRUB,
+    "docs_top_terms": SQL_DOCS_TOP_TERMS,
+    "events_distinct_kmv": SQL_EVENTS_DISTINCT_KMV,
+    "docs_inverted_index": SQL_DOCS_INVERTED_INDEX,
+    "docs_bm25": SQL_DOCS_BM25,
     "sparql_bind_builtins": SQL_SPARQL_BIND_BUILTINS,
     "docs_budget_select": SQL_DOCS_BUDGET_SELECT,
     "docs_stratified_sample": SQL_DOCS_STRATIFIED_SAMPLE,

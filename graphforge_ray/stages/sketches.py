@@ -1,0 +1,161 @@
+"""Mergeable corpus sketches: heavy hitters and approximate distinct.
+
+At 100 TB, "what are the most frequent tokens" and "how many distinct
+values does this column hold" are the two profiling questions every
+curation run asks first. Both are answered here with MERGEABLE partials
+(the map-side combiner shape every other wide stage in this repo uses),
+so the shuffle moves per-(batch, key) summaries — never the corpus:
+
+- ``corpus_top_terms``: exact global top-k terms. Per-batch term-count
+  combiner → term-bucketed sum (each term lives wholly in one bucket,
+  so a per-bucket top-k is globally EXACT, not approximate) → one final
+  reduce over ≤ k·num_buckets rows.
+- ``approx_distinct_kmv``: K-Minimum-Values distinct-count sketch
+  (Bar-Yossef et al. 2002, the classic mergeable distinct sketch): keep
+  the k smallest md5 values of the column; if fewer than k distinct
+  hashes exist the answer is exact, else estimate (k-1)/v_k where v_k
+  is the k-th smallest hash mapped to (0,1]. md5 (via
+  ``stages/fasthash``) keeps the rule SQL-replayable, so the driver
+  oracle recomputes the IDENTICAL estimate — the correctness gate pins
+  the estimator, not a tolerance band.
+
+Reference scope note: the reference engine (Skreen5hot/GraphForge) has
+no sketching surface — these are the beyond-reference scale operators
+the build brief asks for alongside dedup/ANN.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..shuffle import bucket_tag
+from .fasthash import md5_hex
+
+__all__ = ["corpus_top_terms", "approx_distinct_kmv"]
+
+# fraction denominator: 10 hex chars = 40 bits. Small enough that
+# (k-1)·16^10 stays far inside double's 2^53 exact-integer range (so
+# numpy and DuckDB round the division identically), large enough that
+# v_k collisions at the prefix are negligible for k ≤ 4096.
+_PREFIX_HEX = 10
+_PREFIX_DEN = float(16 ** _PREFIX_HEX)
+
+
+def corpus_top_terms(
+    docs: "ray.data.Dataset",
+    k: int = 20,
+    text_col: str = "text",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Exact global top-k most frequent whitespace terms → Dataset
+    (rank:int64, term, count:int64), ties broken by term asc (fully
+    deterministic — SQL ``ORDER BY count DESC, term LIMIT k`` replays
+    it exactly).
+
+    Three narrow stages: per-batch count combiner (corpus text never
+    leaves the batch), term-bucket sum + per-bucket top-k (exact: a
+    term's total lives wholly in its hash bucket), and one final reduce
+    over the ≤ k·num_buckets survivors."""
+    if k < 1:
+        raise ValueError(f"k must be ≥ 1: {k}")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df[text_col].fillna("").str.findall(r"\S+").explode().dropna()
+        if ex.empty:
+            return pd.DataFrame(
+                {"term": pd.Series([], dtype=object),
+                 "count": pd.Series([], dtype=np.int64),
+                 "_bucket": pd.Series([], dtype="int32")}
+            )
+        g = (
+            ex.to_frame("term")
+            .groupby("term", as_index=False)
+            .size()
+            .rename(columns={"size": "count"})
+        )
+        g["count"] = g["count"].astype(np.int64)
+        return g.assign(_bucket=bucket_tag(g, "term", num_buckets))
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("term", as_index=False)["count"].sum()
+        t["count"] = t["count"].astype(np.int64)
+        t = t.sort_values(["count", "term"],
+                          ascending=[False, True]).head(k)
+        # constant reduce key: survivors are ≤ k per bucket
+        return t.assign(_one=np.int8(0))
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        t = (
+            g.sort_values(["count", "term"], ascending=[False, True])
+            .head(k)
+            .reset_index(drop=True)
+        )
+        t["rank"] = np.arange(1, len(t) + 1, dtype=np.int64)
+        return t[["rank", "term", "count"]]
+
+    return (
+        docs.map_batches(combine, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .groupby("_one")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+def approx_distinct_kmv(
+    ds: "ray.data.Dataset",
+    col: str,
+    k: int = 256,
+) -> pd.DataFrame:
+    """KMV (k-minimum-values) distinct-count estimate of ``ds[col]`` →
+    one-row DataFrame (k:int64, n_hashes:int64, est_distinct:int64).
+
+    Rule (SQL-replayable, see the driver oracle): h = md5 of the
+    value's string cast; keep the k lexicographically smallest DISTINCT
+    hex digests (fixed-width lowercase hex, so string order = numeric
+    order). If fewer than k distinct digests exist, ``est_distinct`` is
+    their exact count; else est = floor((k-1) / (v_k / 16^10)) with v_k
+    = the integer value of the k-th smallest digest's first 10 hex
+    chars. Both sides divide the same two exactly-representable
+    doubles, so the floor is bit-identical.
+
+    Shape: per-batch partial (≤ k distinct digests each — nulls
+    excluded), one constant-key reduce over ≤ k·num_blocks short rows.
+    The estimator's partials are mergeable, so this composes under
+    union/incremental append without rescanning old shards."""
+    if k < 2:
+        raise ValueError(f"KMV needs k ≥ 2: {k}")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df[col].dropna()
+        if vals.empty:
+            return pd.DataFrame({"h": pd.Series([], dtype=object),
+                                 "_one": pd.Series([], dtype=np.int8)})
+        hx = md5_hex(vals.astype(str).to_numpy(dtype=object))
+        hx = np.unique(hx)[:k]  # sorted ascending; keep k smallest
+        return pd.DataFrame({"h": hx, "_one": np.int8(0)})
+
+    def reduce_all(g: pd.DataFrame) -> pd.DataFrame:
+        hx = np.unique(g["h"].to_numpy(dtype=object))
+        n = len(hx)
+        if n < k:
+            est = n
+        else:
+            vk = int(hx[k - 1][:_PREFIX_HEX], 16)
+            est = int(np.floor((k - 1) / (float(vk) / _PREFIX_DEN)))
+        return pd.DataFrame(
+            {"k": np.int64(k), "n_hashes": np.int64(min(n, k)),
+             "est_distinct": np.int64(est)},
+            index=[0],
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_one")
+        .map_groups(reduce_all, batch_format="pandas")
+    )
+    df = out.to_pandas()  # one row by construction
+    for c in ("k", "n_hashes", "est_distinct"):
+        df[c] = df[c].astype(np.int64)
+    return df.reset_index(drop=True)
