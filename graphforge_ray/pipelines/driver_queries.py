@@ -3183,6 +3183,33 @@ LIMIT 10
 """
 
 
+def q_docs_bpe_merges(sf_dir: str):
+    """Distributed BPE vocab learning (20 merges) over the documents
+    corpus — rows-only: the merge-application regex needs lookbehind,
+    which DuckDB's RE2 lacks, so the oracle is the independent
+    sequential replay pinned in tests/test_bpe.py."""
+    from ..stages.bpe import bpe_learn
+
+    return bpe_learn(
+        _t(sf_dir, "documents", ["text"]), num_merges=20, num_buckets=16
+    )
+
+
+def q_docs_bpe_tokens(sf_dir: str):
+    """Learn 20 merges, tokenize the corpus with them → per-doc word /
+    BPE-token counts (rows-only; roundtrip + count invariants pinned in
+    tests/test_bpe.py)."""
+    from ..stages.bpe import bpe_learn, bpe_tokenize
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    merges = bpe_learn(docs, num_merges=20, num_buckets=16)
+    out = bpe_tokenize(docs, merges)
+    return out.map_batches(
+        lambda d: d[["doc_id", "n_words", "n_bpe_tokens"]],
+        batch_format="pandas",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3279,6 +3306,8 @@ QUERIES = {
     "docs_langid": q_docs_langid,
     "docs_simhash": q_docs_simhash,
     "docs_fingerprint": q_docs_fingerprint,
+    "docs_bpe_merges": q_docs_bpe_merges,
+    "docs_bpe_tokens": q_docs_bpe_tokens,
     "ann_ivf": q_ann_ivf,
     "embeddings_kmeans": q_embeddings_kmeans,
     "embeddings_centroids": q_embeddings_centroids,
