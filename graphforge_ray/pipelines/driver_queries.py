@@ -3183,6 +3183,98 @@ LIMIT 10
 """
 
 
+def q_kg_snapshot_delta(sf_dir: str):
+    """Incremental-maintenance delta between two KG snapshots (RML doc
+    triples over two overlapping document subsets): one composite-hash
+    bucket shuffle, both directions in one pass (stages/delta)."""
+    from ..stages.delta import kg_delta
+
+    docs = _t(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+
+    def to_triples(df: pd.DataFrame) -> pd.DataFrame:
+        subj = "doc:" + df["doc_id"].astype(str)
+        return pd.concat(
+            [
+                pd.DataFrame({"subj": subj, "pred": VOCAB_LANG,
+                              "obj": df["lang"]}),
+                pd.DataFrame({"subj": subj, "pred": VOCAB_SOURCE,
+                              "obj": df["source"]}),
+                pd.DataFrame({"subj": subj, "pred": VOCAB_NCHARS,
+                              "obj": df["n_chars"].astype(str)}),
+            ],
+            ignore_index=True,
+        )
+
+    def subset(mod: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return to_triples(df[df["doc_id"] % mod != 0])
+
+        return fn
+
+    old = docs.map_batches(subset(3), batch_format="pandas")
+    new = docs.map_batches(subset(5), batch_format="pandas")
+    return kg_delta(old, new)
+
+
+SQL_KG_SNAPSHOT_DELTA = f"""
+WITH trip AS (
+    SELECT doc_id, 'doc:' || CAST(doc_id AS VARCHAR) AS subj,
+           '{VOCAB_LANG}' AS pred, lang AS obj FROM documents
+    UNION ALL
+    SELECT doc_id, 'doc:' || CAST(doc_id AS VARCHAR), '{VOCAB_SOURCE}',
+           source FROM documents
+    UNION ALL
+    SELECT doc_id, 'doc:' || CAST(doc_id AS VARCHAR), '{VOCAB_NCHARS}',
+           CAST(n_chars AS VARCHAR) FROM documents
+),
+old AS (SELECT subj, pred, obj FROM trip WHERE doc_id % 3 <> 0),
+new AS (SELECT subj, pred, obj FROM trip WHERE doc_id % 5 <> 0),
+adds AS (SELECT * FROM new EXCEPT SELECT * FROM old),
+dels AS (SELECT * FROM old EXCEPT SELECT * FROM new)
+SELECT 'add' AS op, subj, pred, obj FROM adds
+UNION ALL
+SELECT 'del' AS op, subj, pred, obj FROM dels
+"""
+
+
+def q_docs_hash_embed(sf_dir: str):
+    """Feature-hashing text vectors (dim=32, signed, L2-normalized) in
+    long form — the md5 dim/sign rule is replayed exactly by the oracle
+    (stages/vectorize.feature_hash_embed)."""
+    from ..stages.vectorize import feature_hash_embed
+
+    return feature_hash_embed(
+        _t(sf_dir, "documents", ["doc_id", "text"]), dim=32
+    )
+
+
+SQL_DOCS_HASH_EMBED = r"""
+WITH terms AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(COALESCE(text, ''), '\S+')) AS term
+    FROM documents
+),
+h AS (
+    SELECT doc_id,
+           CAST(CONCAT('0x', substr(md5(term), 1, 10)) AS BIGINT) % 32
+               AS dim_idx,
+           CASE WHEN CAST(CONCAT('0x', substr(md5('sgn:' || term), 1, 10))
+                          AS BIGINT) % 2 = 0
+                THEN 1.0 ELSE -1.0 END AS sgn
+    FROM terms
+),
+v AS (
+    SELECT doc_id, dim_idx, SUM(sgn) AS val
+    FROM h GROUP BY doc_id, dim_idx
+),
+nz AS (SELECT * FROM v WHERE val <> 0),
+nrm AS (SELECT doc_id, SQRT(SUM(val * val)) AS n FROM nz GROUP BY doc_id)
+SELECT nz.doc_id, CAST(nz.dim_idx AS BIGINT) AS dim_idx,
+       FLOOR(nz.val / nrm.n * 1e6) / 1e6 AS val
+FROM nz JOIN nrm ON nz.doc_id = nrm.doc_id
+"""
+
+
 def q_docs_bpe_merges(sf_dir: str):
     """Distributed BPE vocab learning (20 merges) over the documents
     corpus — rows-only: the merge-application regex needs lookbehind,
@@ -3235,6 +3327,8 @@ QUERIES = {
     "events_distinct_kmv": q_events_distinct_kmv,
     "docs_inverted_index": q_docs_inverted_index,
     "docs_bm25": q_docs_bm25,
+    "kg_snapshot_delta": q_kg_snapshot_delta,
+    "docs_hash_embed": q_docs_hash_embed,
     "sparql_bind_builtins": q_sparql_bind_builtins,
     "sparql_describe": q_sparql_describe,
     "sparql_lang_filter": q_sparql_lang_filter,
@@ -3325,6 +3419,8 @@ ORACLES = {
     "events_distinct_kmv": SQL_EVENTS_DISTINCT_KMV,
     "docs_inverted_index": SQL_DOCS_INVERTED_INDEX,
     "docs_bm25": SQL_DOCS_BM25,
+    "kg_snapshot_delta": SQL_KG_SNAPSHOT_DELTA,
+    "docs_hash_embed": SQL_DOCS_HASH_EMBED,
     "sparql_bind_builtins": SQL_SPARQL_BIND_BUILTINS,
     "docs_budget_select": SQL_DOCS_BUDGET_SELECT,
     "docs_stratified_sample": SQL_DOCS_STRATIFIED_SAMPLE,
