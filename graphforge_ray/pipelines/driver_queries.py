@@ -3237,6 +3237,133 @@ SELECT 'del' AS op, subj, pred, obj FROM dels
 """
 
 
+def q_rdfs_entailment(sf_dir: str):
+    """RDFS forward-chaining closure (rules rdfs2/3/5/7/9/11) over a
+    supplier/nation instance graph plus a small ontology — the
+    small-ontology broadcast pattern (stages/rdfs.rdfs_entail)."""
+    from ..stages.rdfs import (
+        RDF_TYPE, RDFS_DOMAIN, RDFS_RANGE, RDFS_SUBCLASS, RDFS_SUBPROP,
+        rdfs_entail,
+    )
+
+    onto = pd.DataFrame(
+        [
+            ("cls:Nation", RDFS_SUBCLASS, "cls:GeoRegion"),
+            ("cls:GeoRegion", RDFS_SUBCLASS, "cls:Entity"),
+            ("cls:Supplier", RDFS_SUBCLASS, "cls:Agent"),
+            ("cls:Place", RDFS_SUBCLASS, "cls:Entity"),
+            ("ex:basedIn", RDFS_SUBPROP, "ex:locatedIn"),
+            ("ex:locatedIn", RDFS_SUBPROP, "ex:relatedTo"),
+            ("ex:basedIn", RDFS_DOMAIN, "cls:Supplier"),
+            ("ex:locatedIn", RDFS_RANGE, "cls:Place"),
+        ],
+        columns=["subj", "pred", "obj"],
+    )
+
+    def sup_triples(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "subj": "sup:" + df["s_suppkey"].astype(str),
+                "pred": "ex:basedIn",
+                "obj": "nat:" + df["s_nationkey"].astype(str),
+            }
+        )
+
+    def nat_types(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "subj": "nat:" + df["n_nationkey"].astype(str),
+                "pred": RDF_TYPE,
+                "obj": "cls:Nation",
+            }
+        )
+
+    triples = (
+        _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        .map_batches(sup_triples, batch_format="pandas")
+        .union(
+            _t(sf_dir, "nation", ["n_nationkey"]).map_batches(
+                nat_types, batch_format="pandas"
+            ),
+            rd.from_pandas(onto),
+        )
+    )
+    return rdfs_entail(triples)
+
+
+SQL_RDFS_ENTAILMENT = """
+WITH RECURSIVE
+scedge(c, d) AS (
+    SELECT * FROM (VALUES
+        ('cls:Nation', 'cls:GeoRegion'),
+        ('cls:GeoRegion', 'cls:Entity'),
+        ('cls:Supplier', 'cls:Agent'),
+        ('cls:Place', 'cls:Entity')) t(c, d)
+),
+spedge(p, q) AS (
+    SELECT * FROM (VALUES
+        ('ex:basedIn', 'ex:locatedIn'),
+        ('ex:locatedIn', 'ex:relatedTo')) t(p, q)
+),
+dom(p, c) AS (SELECT 'ex:basedIn', 'cls:Supplier'),
+rng(p, c) AS (SELECT 'ex:locatedIn', 'cls:Place'),
+subc(c, d) AS (
+    SELECT c, d FROM scedge
+    UNION
+    SELECT s.c, e.d FROM subc s JOIN scedge e ON s.d = e.c
+),
+subp(p, q) AS (
+    SELECT p, q FROM spedge
+    UNION
+    SELECT s.p, e.q FROM subp s JOIN spedge e ON s.q = e.p
+),
+inst(s, p, o) AS (
+    SELECT 'sup:' || CAST(s_suppkey AS VARCHAR), 'ex:basedIn',
+           'nat:' || CAST(s_nationkey AS VARCHAR) FROM supplier
+    UNION ALL
+    SELECT 'nat:' || CAST(n_nationkey AS VARCHAR),
+           'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+           'cls:Nation' FROM nation
+),
+schema_trip(s, p, o) AS (
+    SELECT c, 'http://www.w3.org/2000/01/rdf-schema#subClassOf', d
+    FROM subc
+    UNION ALL
+    SELECT p, 'http://www.w3.org/2000/01/rdf-schema#subPropertyOf', q
+    FROM subp
+    UNION ALL
+    SELECT p, 'http://www.w3.org/2000/01/rdf-schema#domain', c FROM dom
+    UNION ALL
+    SELECT p, 'http://www.w3.org/2000/01/rdf-schema#range', c FROM rng
+),
+lifted(s, p, o) AS (
+    SELECT s, p, o FROM inst
+    UNION ALL
+    SELECT i.s, sp.q, i.o FROM inst i JOIN subp sp ON i.p = sp.p
+),
+typ0(s, p, o) AS (
+    SELECT s, p, o FROM lifted
+    WHERE p = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+    UNION ALL
+    SELECT l.s, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', d.c
+    FROM lifted l JOIN dom d ON l.p = d.p
+    UNION ALL
+    SELECT l.o, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', r.c
+    FROM lifted l JOIN rng r ON l.p = r.p
+),
+typ(s, p, o) AS (
+    SELECT s, p, o FROM typ0
+    UNION ALL
+    SELECT t.s, t.p, sc.d FROM typ0 t JOIN subc sc ON t.o = sc.c
+)
+SELECT DISTINCT s AS subj, p AS pred, o AS obj FROM (
+    SELECT * FROM lifted
+    UNION ALL SELECT * FROM typ
+    UNION ALL SELECT * FROM schema_trip
+)
+"""
+
+
 def q_docs_hash_embed(sf_dir: str):
     """Feature-hashing text vectors (dim=32, signed, L2-normalized) in
     long form — the md5 dim/sign rule is replayed exactly by the oracle
@@ -3333,6 +3460,7 @@ QUERIES = {
     "docs_bm25": q_docs_bm25,
     "kg_snapshot_delta": q_kg_snapshot_delta,
     "docs_hash_embed": q_docs_hash_embed,
+    "rdfs_entailment": q_rdfs_entailment,
     "sparql_bind_builtins": q_sparql_bind_builtins,
     "sparql_describe": q_sparql_describe,
     "sparql_lang_filter": q_sparql_lang_filter,
@@ -3346,7 +3474,6 @@ QUERIES = {
     "sparql_select_dataset": q_sparql_select_dataset,
     "sparql_select_expr": q_sparql_select_expr,
     "sparql_agg_expr": q_sparql_agg_expr,
-    "customer_order_counts": q_customer_order_counts,
     "docs_budget_select": q_docs_budget_select,
     "docs_stratified_sample": q_docs_stratified_sample,
     "embeddings_centroids": q_embeddings_centroids,
@@ -3393,6 +3520,7 @@ QUERIES = {
     "docs_source_quota": q_docs_source_quota,
     "docs_tfidf": q_docs_tfidf,
     "docs_shuffle_shards": q_docs_shuffle_shards,
+    "customer_order_counts": q_customer_order_counts,
     "orders_limit": q_orders_limit,
     "distinct_flags": q_distinct_flags,
     "union_names": q_union_names,
@@ -3425,6 +3553,7 @@ ORACLES = {
     "docs_bm25": SQL_DOCS_BM25,
     "kg_snapshot_delta": SQL_KG_SNAPSHOT_DELTA,
     "docs_hash_embed": SQL_DOCS_HASH_EMBED,
+    "rdfs_entailment": SQL_RDFS_ENTAILMENT,
     "sparql_bind_builtins": SQL_SPARQL_BIND_BUILTINS,
     "docs_budget_select": SQL_DOCS_BUDGET_SELECT,
     "docs_stratified_sample": SQL_DOCS_STRATIFIED_SAMPLE,

@@ -1,0 +1,114 @@
+"""RDFS entailment materialization — every rule (rdfs2/3/5/7/9/11)
+exercised on a toy ontology, checked against an independent fixpoint
+replay."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from graphforge_ray.stages.rdfs import (
+    RDF_TYPE,
+    RDFS_DOMAIN,
+    RDFS_RANGE,
+    RDFS_SUBCLASS,
+    RDFS_SUBPROP,
+    rdfs_entail,
+)
+
+
+def _ds(rows):
+    return rd.from_pandas(
+        pd.DataFrame(rows, columns=["subj", "pred", "obj"])
+    ).repartition(2)
+
+
+def _naive_fixpoint(rows):
+    """Independent oracle: iterate all six rules to fixpoint."""
+    triples = set(rows)
+    while True:
+        new = set()
+        subc = {(s, o) for s, p, o in triples if p == RDFS_SUBCLASS}
+        subp = {(s, o) for s, p, o in triples if p == RDFS_SUBPROP}
+        dom = {(s, o) for s, p, o in triples if p == RDFS_DOMAIN}
+        rng = {(s, o) for s, p, o in triples if p == RDFS_RANGE}
+        for a, b in subc:
+            for c, d in subc:
+                if b == c:
+                    new.add((a, RDFS_SUBCLASS, d))
+        for a, b in subp:
+            for c, d in subp:
+                if b == c:
+                    new.add((a, RDFS_SUBPROP, d))
+        for s, p, o in triples:
+            for a, b in subp:
+                if p == a:
+                    new.add((s, b, o))
+            for a, c in dom:
+                if p == a:
+                    new.add((s, RDF_TYPE, c))
+            for a, c in rng:
+                if p == a:
+                    new.add((o, RDF_TYPE, c))
+            if p == RDF_TYPE:
+                for a, b in subc:
+                    if o == a:
+                        new.add((s, RDF_TYPE, b))
+        if new <= triples:
+            return triples
+        triples |= new
+
+
+ONTOLOGY = [
+    ("cls:Nation", RDFS_SUBCLASS, "cls:GeoRegion"),
+    ("cls:GeoRegion", RDFS_SUBCLASS, "cls:Entity"),
+    ("cls:Supplier", RDFS_SUBCLASS, "cls:Agent"),
+    ("cls:Place", RDFS_SUBCLASS, "cls:Entity"),
+    ("ex:basedIn", RDFS_SUBPROP, "ex:locatedIn"),
+    ("ex:locatedIn", RDFS_SUBPROP, "ex:relatedTo"),
+    ("ex:basedIn", RDFS_DOMAIN, "cls:Supplier"),
+    ("ex:locatedIn", RDFS_RANGE, "cls:Place"),
+]
+
+INSTANCES = [
+    ("sup:1", "ex:basedIn", "nat:7"),
+    ("sup:2", "ex:basedIn", "nat:7"),
+    ("sup:2", "ex:basedIn", "nat:9"),
+    ("nat:7", RDF_TYPE, "cls:Nation"),
+    ("nat:9", RDF_TYPE, "cls:Nation"),
+    ("doc:1", "ex:cites", "doc:2"),  # no schema — passes through only
+]
+
+
+def test_rdfs_entail_matches_fixpoint(ray_session):
+    got = rdfs_entail(_ds(ONTOLOGY + INSTANCES)).to_pandas()
+    got_set = set(map(tuple, got[["subj", "pred", "obj"]].to_numpy()))
+    assert got_set == _naive_fixpoint(ONTOLOGY + INSTANCES)
+    # spot-check each rule fired
+    assert ("sup:1", "ex:locatedIn", "nat:7") in got_set      # rdfs7
+    assert ("sup:1", "ex:relatedTo", "nat:7") in got_set      # via closure
+    assert ("sup:1", RDF_TYPE, "cls:Supplier") in got_set     # rdfs2
+    assert ("sup:1", RDF_TYPE, "cls:Agent") in got_set        # rdfs2+9
+    assert ("nat:7", RDF_TYPE, "cls:Place") in got_set        # rdfs3 (lifted prop)
+    assert ("nat:7", RDF_TYPE, "cls:Entity") in got_set       # rdfs3+9
+    assert ("nat:7", RDF_TYPE, "cls:GeoRegion") in got_set    # rdfs9
+    assert ("cls:Nation", RDFS_SUBCLASS, "cls:Entity") in got_set  # rdfs11
+    assert ("ex:basedIn", RDFS_SUBPROP, "ex:relatedTo") in got_set  # rdfs5
+    # no duplicates (set semantics)
+    assert len(got) == len(got_set)
+
+
+def test_rdfs_entail_no_schema_is_distinct_identity(ray_session):
+    rows = [("a", "p", "b"), ("a", "p", "b"), ("c", "q", "d")]
+    got = rdfs_entail(_ds(rows)).to_pandas()
+    got_set = set(map(tuple, got[["subj", "pred", "obj"]].to_numpy()))
+    assert got_set == {("a", "p", "b"), ("c", "q", "d")}
+    assert len(got) == 2
+
+
+def test_rdfs_entail_schema_cap_raises(ray_session):
+    ds = _ds(ONTOLOGY)
+    with pytest.raises(ValueError, match="ontology too large"):
+        rdfs_entail(ds, max_schema_rows=2)
