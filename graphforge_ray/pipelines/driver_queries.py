@@ -3237,6 +3237,91 @@ SELECT 'del' AS op, subj, pred, obj FROM dels
 """
 
 
+def q_docs_nb_scores(sf_dir: str):
+    """Multinomial Naive Bayes source classifier: train on (source,
+    text), score every doc under every source label (stages/classify).
+    The oracle replays the FULL smoothed per-term formula; the engine
+    uses the factored form — agreement is the algebra check."""
+    from ..stages.classify import nb_scores
+
+    return nb_scores(
+        _t(sf_dir, "documents", ["doc_id", "source", "text"])
+    )
+
+
+_NB_CTE = r"""
+WITH words AS (
+    SELECT doc_id, source,
+           unnest(regexp_extract_all(COALESCE(text, ''), '\S+')) AS w
+    FROM documents
+),
+c_lw AS (
+    SELECT source AS label, w, CAST(COUNT(*) AS DOUBLE) AS c
+    FROM words GROUP BY source, w
+),
+tot AS (
+    SELECT source AS label, CAST(COUNT(*) AS DOUBLE) AS toks
+    FROM words GROUP BY source
+),
+nd AS (
+    SELECT source AS label, CAST(COUNT(*) AS DOUBLE) AS n
+    FROM documents GROUP BY source
+),
+v AS (SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v FROM words),
+dt AS (
+    SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS cnt
+    FROM words GROUP BY doc_id, w
+),
+base AS (
+    SELECT d.doc_id, nd.label,
+           LN(nd.n / (SELECT SUM(n) FROM nd)) AS prior
+    FROM documents d CROSS JOIN nd
+),
+contrib AS (
+    SELECT dt.doc_id, t.label,
+           SUM(dt.cnt * LN((COALESCE(m.c, 0) + 1)
+                           / (t.toks + (SELECT v FROM v)))) AS s
+    FROM dt
+    CROSS JOIN tot t
+    LEFT JOIN c_lw m ON m.label = t.label AND m.w = dt.w
+    GROUP BY dt.doc_id, t.label
+)
+"""
+
+SQL_DOCS_NB_SCORES = _NB_CTE + """
+SELECT b.doc_id, b.label,
+       FLOOR((b.prior + COALESCE(c.s, 0)) * 1e4) / 1e4 AS nb_score
+FROM base b
+LEFT JOIN contrib c ON b.doc_id = c.doc_id AND b.label = c.label
+"""
+
+
+def q_docs_nb_predict(sf_dir: str):
+    """Argmax label per document over the NB score matrix, ties broken
+    by label ascending (stages/classify.nb_predict)."""
+    from ..stages.classify import nb_predict, nb_scores
+
+    return nb_predict(
+        nb_scores(_t(sf_dir, "documents", ["doc_id", "source", "text"]))
+    )
+
+
+SQL_DOCS_NB_PREDICT = _NB_CTE.rstrip() + """
+, ranked AS (
+    SELECT b.doc_id, b.label,
+           FLOOR((b.prior + COALESCE(c.s, 0)) * 1e4) / 1e4 AS sc
+    FROM base b
+    LEFT JOIN contrib c ON b.doc_id = c.doc_id AND b.label = c.label
+)
+SELECT doc_id, label AS pred FROM (
+    SELECT doc_id, label,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY sc DESC, label ASC) AS rn
+    FROM ranked
+) WHERE rn = 1
+"""
+
+
 def q_rdfs_entailment(sf_dir: str):
     """RDFS forward-chaining closure (rules rdfs2/3/5/7/9/11) over a
     supplier/nation instance graph plus a small ontology — the
@@ -3461,6 +3546,8 @@ QUERIES = {
     "kg_snapshot_delta": q_kg_snapshot_delta,
     "docs_hash_embed": q_docs_hash_embed,
     "rdfs_entailment": q_rdfs_entailment,
+    "docs_nb_scores": q_docs_nb_scores,
+    "docs_nb_predict": q_docs_nb_predict,
     "sparql_bind_builtins": q_sparql_bind_builtins,
     "sparql_describe": q_sparql_describe,
     "sparql_lang_filter": q_sparql_lang_filter,
@@ -3479,8 +3566,6 @@ QUERIES = {
     "embeddings_centroids": q_embeddings_centroids,
     "revenue_filter": q_revenue_filter,
     "events_hourly": q_events_hourly,
-    "user_sessions": q_user_sessions,
-    "events_sliding": q_events_sliding,
     "events_asof_click": q_events_asof_click,
     "events_session_join": q_events_session_join,
     "part_hierarchy_closure": q_part_hierarchy_closure,
@@ -3524,6 +3609,8 @@ QUERIES = {
     "orders_limit": q_orders_limit,
     "distinct_flags": q_distinct_flags,
     "union_names": q_union_names,
+    "user_sessions": q_user_sessions,
+    "events_sliding": q_events_sliding,
     "docs_pack_sequences": q_docs_pack_sequences,
     "docs_lm_score": q_docs_lm_score,
     "rml_customer_triples": q_rml_customer_triples,
@@ -3554,6 +3641,8 @@ ORACLES = {
     "kg_snapshot_delta": SQL_KG_SNAPSHOT_DELTA,
     "docs_hash_embed": SQL_DOCS_HASH_EMBED,
     "rdfs_entailment": SQL_RDFS_ENTAILMENT,
+    "docs_nb_scores": SQL_DOCS_NB_SCORES,
+    "docs_nb_predict": SQL_DOCS_NB_PREDICT,
     "sparql_bind_builtins": SQL_SPARQL_BIND_BUILTINS,
     "docs_budget_select": SQL_DOCS_BUDGET_SELECT,
     "docs_stratified_sample": SQL_DOCS_STRATIFIED_SAMPLE,

@@ -1,0 +1,226 @@
+"""Corpus-trained multinomial Naive Bayes text classifier.
+
+The GPT-3 / CCNet-style curation move: train a cheap classifier on
+labeled text (label = source, language, quality tier) and score every
+document against every class — downstream filters keep docs whose
+high-quality-class score wins. Naive Bayes is the right first
+classifier at 100 TB because training IS counting: the model is the
+per-(label, term) count table, built with the same map-side-combine +
+term-bucket shuffle as the bigram LM (stages/lm.py), and it NEVER lands
+on the driver — web-scale vocabularies flow through shuffles.
+
+``nb_scores`` = two corpus passes + three bucket shuffles:
+
+1. train: (label, term) counts, term-bucketed; per-label token totals
+   and document priors are k-sized driver scalars (k = #labels).
+2. score: per-doc term counts join the model on the TERM (acero-safe
+   ``bindings_join``), so each (doc, label) accumulates
+   ``cnt · ln(c_lw + 1)`` over the terms that label has seen. The
+   smoothing denominator factors out exactly:
+
+     score(d, l) = ln(n_l / n)                      (prior)
+                 - |d| · ln(tot_l + V)              (map-side, broadcast)
+                 + Σ_matched cnt_w · ln(c_lw + 1)   (the join)
+
+   because every term contributes ``-ln(tot_l + V)`` whether seen or
+   not — unseen terms need NO join row (add-1 smoothing's zero-count
+   numerator is ln 1 = 0). Base rows and matched partials share one
+   schema and reduce in a single doc-bucket shuffle (union + sum, no
+   second join).
+
+Scores are FLOOR-truncated at 1e-4 (same summation-order headroom as
+lm.py). ``nb_predict`` argmaxes the floored scores with a
+deterministic (score desc, label asc) tie-break.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..shuffle import bindings_join, bucket_tag
+from .lm import _doc_words
+
+__all__ = ["nb_scores", "nb_predict"]
+
+
+def _labeled_words(
+    df: pd.DataFrame, label_col: str, text_col: str
+) -> pd.DataFrame:
+    w = _doc_words(df.rename(columns={label_col: "_lbl"}), "_lbl", text_col)
+    return w.rename(columns={"_lbl": "label"})
+
+
+def nb_scores(
+    docs: "ray.data.Dataset",
+    label_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """→ Dataset (id, label, nb_score): add-1-smoothed multinomial NB
+    log-posterior (up to the shared evidence term) of every document
+    under EVERY label, FLOOR-truncated at 1e-4."""
+    import pyarrow as pa
+
+    # capture the id dtype: bindings_join widens it to object, and
+    # hash_pandas_object(object) != hash(int64) for equal values — the
+    # matched partials and the base rows MUST land in the same bucket
+    # (shuffle.py caveat; see lm.py's identical restore)
+    id_type = dict(zip(docs.schema().names, docs.schema().types))[id_col]
+    if isinstance(id_type, pa.DataType):
+        id_np = (
+            "int64" if pa.types.is_integer(id_type)
+            else "float64" if pa.types.is_floating(id_type)
+            else object
+        )
+    else:
+        id_np = np.dtype(id_type) if id_type != object else object
+
+    # ---- pass 1: the model — (label, term) counts, term-bucketed ----
+    def train_combine(df: pd.DataFrame) -> pd.DataFrame:
+        w = _labeled_words(df, label_col, text_col)
+        g = w.groupby(["label", "w"], as_index=False).size().rename(
+            columns={"size": "c"}
+        )
+        g["c"] = g["c"].astype(np.int64)
+        return g.assign(_bucket=bucket_tag(g, "w", num_buckets))
+
+    def train_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["label", "w"], as_index=False)["c"].sum()
+
+    model = (
+        docs.map_batches(train_combine, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(train_reduce, batch_format="pandas")
+        .materialize()
+    )
+
+    # V: each distinct term lives in exactly one bucket group, and
+    # groups are atomic within map_groups output blocks — per-block
+    # nunique partials are disjoint, so their sum is exact
+    v_rows = model.map_batches(
+        lambda df: pd.DataFrame({"n": [df["w"].nunique()]}),
+        batch_format="pandas",
+    ).to_pandas()
+    vocab_size = float(v_rows["n"].sum())
+
+    # per-label token totals from the model (k × num_blocks partials)
+    tot_rows = model.map_batches(
+        lambda df: df.groupby("label", as_index=False)["c"].sum(),
+        batch_format="pandas",
+    ).to_pandas()
+    tot_l = tot_rows.groupby("label")["c"].sum().to_dict()
+
+    # per-label document counts (reads only the label column)
+    n_rows = docs.map_batches(
+        lambda df: df.groupby(label_col, as_index=False).size(),
+        batch_format="pandas",
+    ).to_pandas()
+    n_l = n_rows.groupby(label_col)["size"].sum().to_dict()
+    n_total = float(sum(n_l.values()))
+
+    labels = sorted(n_l)
+    prior = {l: float(np.log(n_l[l] / n_total)) for l in labels}
+    dflt = {
+        l: float(np.log(float(tot_l.get(l, 0)) + vocab_size))
+        for l in labels
+    }
+
+    # ---- pass 2a: matched partials via the term join ----------------
+    def doc_terms(df: pd.DataFrame) -> pd.DataFrame:
+        w = _doc_words(df, id_col, text_col)
+        g = w.groupby([id_col, "w"], as_index=False).size().rename(
+            columns={"size": "cnt"}
+        )
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    matched = bindings_join(
+        docs.map_batches(doc_terms, batch_format="pandas"),
+        model.map_batches(
+            lambda df: df[["w", "label", "c"]], batch_format="pandas"
+        ),
+        on=["w"],
+        num_buckets=num_buckets,
+    )
+
+    def partial_s(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df["cnt"].astype(np.float64).to_numpy()
+        c = df["c"].astype(np.float64).to_numpy()
+        g = pd.DataFrame(
+            {
+                id_col: df[id_col].astype(id_np).to_numpy(),
+                "label": df["label"].to_numpy(),
+                "val": cnt * np.log(c + 1.0),
+            }
+        )
+        out = g.groupby([id_col, "label"], as_index=False)["val"].sum()
+        return out.assign(_bucket=bucket_tag(out, id_col, num_buckets))
+
+    # ---- pass 2b: base rows (prior − |d|·ln(tot_l + V)), map-side ---
+    def base_rows(df: pd.DataFrame) -> pd.DataFrame:
+        w = _doc_words(df, id_col, text_col)
+        dl = (
+            w.groupby(id_col).size()
+            .reindex(df[id_col].to_numpy(), fill_value=0)
+            .to_numpy(dtype=np.float64)
+        )
+        parts = [
+            pd.DataFrame(
+                {
+                    id_col: df[id_col].to_numpy(),
+                    "label": l,
+                    "val": prior[l] - dl * dflt[l],
+                }
+            )
+            for l in labels
+        ]
+        out = pd.concat(parts, ignore_index=True)
+        return out.assign(_bucket=bucket_tag(out, id_col, num_buckets))
+
+    both = docs.map_batches(base_rows, batch_format="pandas").union(
+        matched.map_batches(partial_s, batch_format="pandas")
+    )
+
+    def reduce_score(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby([id_col, "label"], as_index=False)["val"].sum()
+        return pd.DataFrame(
+            {
+                id_col: out[id_col],
+                "label": out["label"],
+                "nb_score": np.floor(out["val"].to_numpy() * 1e4) / 1e4,
+            }
+        )
+
+    return both.groupby("_bucket").map_groups(
+        reduce_score, batch_format="pandas"
+    )
+
+
+def nb_predict(
+    scores: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """→ Dataset (id, pred): argmax label per document over an
+    ``nb_scores`` result, ties broken by label ascending. One doc-bucket
+    shuffle (all of a doc's k rows meet in one group)."""
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_bucket=bucket_tag(df, id_col, num_buckets))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["nb_score", "label"], ascending=[False, True], kind="stable"
+        )
+        top = g.drop_duplicates(subset=[id_col], keep="first")
+        return pd.DataFrame(
+            {id_col: top[id_col], "pred": top["label"]}
+        )
+
+    return (
+        scores.map_batches(tag, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(pick, batch_format="pandas")
+    )
