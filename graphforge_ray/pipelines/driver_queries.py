@@ -1345,6 +1345,41 @@ FROM x GROUP BY label, dim ORDER BY label, dim
 """
 
 
+def q_embeddings_project(sf_dir: str):
+    """Deterministic ±1 random projection (Achlioptas) 64 → 16 dims in
+    long form — the md5 sign rule lets the oracle rebuild the SAME
+    matrix in SQL (stages/vectorize.random_project)."""
+    from ..stages.vectorize import random_project
+
+    return random_project(
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"]), out_dim=16
+    )
+
+
+SQL_EMBEDDINGS_PROJECT = """
+WITH r AS (
+    SELECT i, j,
+           CASE WHEN CAST(CONCAT('0x',
+                    substr(md5('rp:' || CAST(i AS VARCHAR) || ':'
+                               || CAST(j AS VARCHAR)), 1, 10))
+                    AS BIGINT) % 2 = 0
+                THEN 1.0 ELSE -1.0 END AS sgn
+    FROM (SELECT unnest(generate_series(0, 63)) AS i)
+    CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)
+),
+x AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) - 1 AS i,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings
+)
+SELECT x.vec_id, CAST(r.j AS BIGINT) AS dim_idx,
+       FLOOR(SUM(x.v * r.sgn) / SQRT(16.0) * 1e6) / 1e6 AS val
+FROM x JOIN r ON x.i = r.i
+GROUP BY x.vec_id, r.j
+"""
+
+
 def q_embeddings_kmeans(sf_dir: str):
     """Distributed spherical k-means over the embeddings table
     (stages/similarity.kmeans_fit — map-side partial sums, driver holds
@@ -3530,7 +3565,6 @@ def q_docs_bpe_tokens(sf_dir: str):
 QUERIES = {
     "count_by_event_type": q_count_by_event_type,
     "lineitem_agg": q_lineitem_agg,
-    "top_parts_by_qty": q_top_parts_by_qty,
     "docs_minhash_dedup": q_docs_minhash_dedup,
     "docs_ngram_jaccard": q_docs_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
@@ -3548,6 +3582,7 @@ QUERIES = {
     "rdfs_entailment": q_rdfs_entailment,
     "docs_nb_scores": q_docs_nb_scores,
     "docs_nb_predict": q_docs_nb_predict,
+    "embeddings_project": q_embeddings_project,
     "sparql_bind_builtins": q_sparql_bind_builtins,
     "sparql_describe": q_sparql_describe,
     "sparql_lang_filter": q_sparql_lang_filter,
@@ -3606,6 +3641,7 @@ QUERIES = {
     "docs_tfidf": q_docs_tfidf,
     "docs_shuffle_shards": q_docs_shuffle_shards,
     "customer_order_counts": q_customer_order_counts,
+    "top_parts_by_qty": q_top_parts_by_qty,
     "orders_limit": q_orders_limit,
     "distinct_flags": q_distinct_flags,
     "union_names": q_union_names,
@@ -3643,6 +3679,7 @@ ORACLES = {
     "rdfs_entailment": SQL_RDFS_ENTAILMENT,
     "docs_nb_scores": SQL_DOCS_NB_SCORES,
     "docs_nb_predict": SQL_DOCS_NB_PREDICT,
+    "embeddings_project": SQL_EMBEDDINGS_PROJECT,
     "sparql_bind_builtins": SQL_SPARQL_BIND_BUILTINS,
     "docs_budget_select": SQL_DOCS_BUDGET_SELECT,
     "docs_stratified_sample": SQL_DOCS_STRATIFIED_SAMPLE,

@@ -27,7 +27,7 @@ import pandas as pd
 
 from .fasthash import hex_prefix_int, md5_hex
 
-__all__ = ["feature_hash_embed"]
+__all__ = ["feature_hash_embed", "random_project", "projection_matrix"]
 
 _PREFIX = 10  # 40 bits — same exact-double-int rationale as sketches
 
@@ -99,3 +99,67 @@ def feature_hash_embed(
         return g
 
     return docs.map_batches(embed, batch_format="pandas")
+
+
+def projection_matrix(in_dim: int, out_dim: int) -> np.ndarray:
+    """Deterministic ±1 random-projection matrix (in_dim × out_dim).
+
+    Achlioptas, "Database-friendly random projections" (JCSS 2003,
+    public): ±1 entries preserve pairwise distances in expectation
+    exactly like Gaussian entries. Entry sign comes from
+    ``md5('rp:{i}:{j}')`` so every node — and the SQL oracle —
+    regenerates the SAME matrix with no randomness to ship."""
+    i = np.repeat(np.arange(in_dim), out_dim)
+    j = np.tile(np.arange(out_dim), in_dim)
+    keys = np.array(
+        [f"rp:{a}:{b}" for a, b in zip(i, j)], dtype=object
+    )
+    bits = hex_prefix_int(md5_hex(keys), _PREFIX) % 2
+    return np.where(bits == 0, 1.0, -1.0).reshape(in_dim, out_dim)
+
+
+def random_project(
+    embeddings: "ray.data.Dataset",
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """→ Dataset (id, dim_idx:int64, val:float64): each vector mapped
+    to ``x @ R / sqrt(out_dim)`` with the deterministic ±1 matrix, in
+    long form, FLOOR-truncated at 1e-6.
+
+    Map-side only — the matrix is rebuilt per actor process from the
+    md5 rule (in_dim × out_dim scalars), nothing is shipped or
+    shuffled; the natural pre-step that makes brute-force ANN and
+    near-dup kernels 4× cheaper at 100 TB."""
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be ≥ 1: {out_dim}")
+    cache: dict[int, np.ndarray] = {}
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype=df[id_col].dtype),
+                 "dim_idx": pd.Series([], dtype=np.int64),
+                 "val": pd.Series([], dtype=np.float64)}
+            )
+        x = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in df[vec_col]]
+        )
+        in_dim = x.shape[1]
+        r = cache.get(in_dim)
+        if r is None:
+            r = cache[in_dim] = projection_matrix(in_dim, out_dim)
+        y = np.floor(x @ r / np.sqrt(float(out_dim)) * 1e6) / 1e6
+        n = len(df)
+        return pd.DataFrame(
+            {
+                id_col: np.repeat(df[id_col].to_numpy(), out_dim),
+                "dim_idx": np.tile(
+                    np.arange(out_dim, dtype=np.int64), n
+                ),
+                "val": y.ravel(),
+            }
+        )
+
+    return embeddings.map_batches(project, batch_format="pandas")

@@ -132,3 +132,56 @@ def test_feature_hash_unsigned_counts(ray_session):
     assert len(out) == 1
     assert out["val"].iloc[0] == 3.0
     assert out["dim_idx"].dtype == np.int64
+
+
+def _ref_project(vec, out_dim):
+    import hashlib
+
+    y = []
+    for j in range(out_dim):
+        s = 0.0
+        for i, v in enumerate(vec):
+            sgn = (
+                1.0
+                if int(
+                    hashlib.md5(f"rp:{i}:{j}".encode()).hexdigest()[:10],
+                    16,
+                )
+                % 2
+                == 0
+                else -1.0
+            )
+            s += float(v) * sgn
+        y.append(math.floor(s / math.sqrt(out_dim) * 1e6) / 1e6)
+    return y
+
+
+def test_random_project_matches_reference_rule(ray_session):
+    from graphforge_ray.stages.vectorize import random_project
+
+    vecs = {
+        1: [0.5, -1.25, 2.0, 0.125],
+        2: [1.0, 1.0, 1.0, 1.0],
+    }
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {"vec_id": list(vecs), "embedding": list(vecs.values())}
+        )
+    ).repartition(2)
+    out = random_project(ds, out_dim=3).to_pandas()
+    assert len(out) == 6
+    for vid, vec in vecs.items():
+        want = _ref_project(vec, 3)
+        sub = out[out["vec_id"] == vid].sort_values("dim_idx")
+        assert list(sub["val"]) == pytest.approx(want, abs=2e-6)
+        assert list(sub["dim_idx"]) == [0, 1, 2]
+
+
+def test_projection_matrix_deterministic_and_pm1(ray_session):
+    from graphforge_ray.stages.vectorize import projection_matrix
+
+    a = projection_matrix(8, 4)
+    b = projection_matrix(8, 4)
+    assert (a == b).all() and set(np.unique(a)) <= {-1.0, 1.0}
+    # signs are balanced-ish (md5 uniformity sanity, not exact)
+    assert 0.2 < (a == 1.0).mean() < 0.8
