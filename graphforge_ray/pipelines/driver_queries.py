@@ -333,6 +333,27 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_events_running(sf_dir: str):
+    """Per-user cumulative count/sum in event-time order (the
+    running-feature primitive, stages/windows.running_window): one
+    key-bucket shuffle, vectorized per-bucket sort + cumsum."""
+    from ..stages.windows import running_window
+
+    return running_window(
+        _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    )
+
+
+SQL_EVENTS_RUNNING = """
+SELECT event_id, user_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS running_n,
+       ROUND(SUM(value) OVER w, 2) AS running_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_events_sliding(sf_dir: str):
     """Sliding windows (1 h size, 30 min slide): map-side fan-out to the
     containing windows, then one grouped aggregate (stages/windows)."""
@@ -3600,7 +3621,7 @@ QUERIES = {
     "docs_stratified_sample": q_docs_stratified_sample,
     "embeddings_centroids": q_embeddings_centroids,
     "revenue_filter": q_revenue_filter,
-    "events_hourly": q_events_hourly,
+    "events_running": q_events_running,
     "events_asof_click": q_events_asof_click,
     "events_session_join": q_events_session_join,
     "part_hierarchy_closure": q_part_hierarchy_closure,
@@ -3645,6 +3666,7 @@ QUERIES = {
     "orders_limit": q_orders_limit,
     "distinct_flags": q_distinct_flags,
     "union_names": q_union_names,
+    "events_hourly": q_events_hourly,
     "user_sessions": q_user_sessions,
     "events_sliding": q_events_sliding,
     "docs_pack_sequences": q_docs_pack_sequences,
@@ -3706,6 +3728,7 @@ ORACLES = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "user_sessions": SQL_USER_SESSIONS,
     "events_sliding": SQL_EVENTS_SLIDING,
+    "events_running": SQL_EVENTS_RUNNING,
     "events_asof_click": SQL_EVENTS_ASOF_CLICK,
     "events_session_join": SQL_EVENTS_SESSION_JOIN,
     "part_hierarchy_closure": SQL_PART_HIERARCHY_CLOSURE,

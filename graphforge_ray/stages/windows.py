@@ -175,3 +175,48 @@ def session_window(
         return out.drop(columns=["_sid"])
 
     return events.groupby(key).map_groups(sessions, batch_format="pandas")
+
+
+def running_window(
+    events: "ray.data.Dataset",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """→ (id, key, running_n:int64, running_sum) — per-key cumulative
+    count and value sum in event-time order (ties broken by ``id_col``,
+    so the frame is the SQL ``ROWS UNBOUNDED PRECEDING`` one, not the
+    peer-inclusive RANGE default). The running-feature primitive
+    (lifetime spend, events-so-far) for feature engineering.
+
+    One key-bucket shuffle; per bucket a single vectorized sort +
+    per-key cumsum (no per-key Python loop). A key's full history lands
+    in one group — same partitioning assumption as ``session_window``;
+    ``running_sum`` rounded to 2 (summation prefix order is identical
+    on both engines, rounding is anti-ulp headroom only)."""
+    from ..shuffle import bucket_tag
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[id_col, key, ts_col, value_col]].copy()
+        out["_bucket"] = bucket_tag(out, key, num_buckets)
+        return out
+
+    def cumulate(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, id_col], kind="stable")
+        grp = g.groupby(key, sort=False)
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                key: g[key].to_numpy(),
+                "running_n": grp.cumcount().to_numpy() + 1,
+                "running_sum": grp[value_col].cumsum().round(2).to_numpy(),
+            }
+        )
+
+    return (
+        events.map_batches(tag, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(cumulate, batch_format="pandas")
+    )

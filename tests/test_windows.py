@@ -81,3 +81,42 @@ def test_window_params_validated(ray_session):
     ):
         with pytest.raises(ValueError, match="positive"):
             bad()
+
+
+def test_running_window_cumulative(ray_session):
+    import ray.data as rd
+
+    from graphforge_ray.stages.windows import running_window
+
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "user_id": [7, 7, 7, 9, 9, 7],
+            "ts": pd.to_datetime(
+                [
+                    "2026-01-01 10:00",
+                    "2026-01-01 09:00",
+                    "2026-01-01 11:00",
+                    "2026-01-01 09:30",
+                    "2026-01-01 09:10",
+                    "2026-01-01 09:00",  # tie with event 2 → id order
+                ]
+            ),
+            "value": [10.0, 1.0, 100.0, 5.0, 2.0, 0.5],
+        }
+    )
+    out = (
+        running_window(rd.from_pandas(df).repartition(3))
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    # user 7 order: (09:00, id2), (09:00, id6), (10:00, id1), (11:00, id3)
+    assert out.loc[2, "running_n"] == 1 and out.loc[2, "running_sum"] == 1.0
+    assert out.loc[6, "running_n"] == 2 and out.loc[6, "running_sum"] == 1.5
+    assert out.loc[1, "running_n"] == 3 and out.loc[1, "running_sum"] == 11.5
+    assert out.loc[3, "running_n"] == 4 and out.loc[3, "running_sum"] == 111.5
+    # user 9 order: id5 then id4
+    assert out.loc[5, "running_n"] == 1 and out.loc[5, "running_sum"] == 2.0
+    assert out.loc[4, "running_n"] == 2 and out.loc[4, "running_sum"] == 7.0
+    assert str(out["running_n"].dtype) == "int64"
