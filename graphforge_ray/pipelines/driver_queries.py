@@ -354,6 +354,28 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def q_events_trailing(sf_dir: str):
+    """Per-event trailing 1-hour count/sum (SQL RANGE-frame semantics,
+    peer-inclusive): one key-bucket shuffle, per bucket one sort + two
+    vectorized searchsorted calls (stages/windows.trailing_window)."""
+    from ..stages.windows import US, trailing_window
+
+    return trailing_window(
+        _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        trail_us=3600 * US,
+    )
+
+
+SQL_EVENTS_TRAILING = """
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS trail_n,
+       ROUND(SUM(value) OVER w, 2) AS trail_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_events_sliding(sf_dir: str):
     """Sliding windows (1 h size, 30 min slide): map-side fan-out to the
     containing windows, then one grouped aggregate (stages/windows)."""
@@ -3622,18 +3644,19 @@ QUERIES = {
     "embeddings_centroids": q_embeddings_centroids,
     "revenue_filter": q_revenue_filter,
     "events_running": q_events_running,
+    "events_trailing": q_events_trailing,
     "events_asof_click": q_events_asof_click,
     "events_session_join": q_events_session_join,
     "part_hierarchy_closure": q_part_hierarchy_closure,
     "graph_pagerank": q_graph_pagerank,
     "graph_triangles": q_graph_triangles,
-    "graph_degree_hist": q_graph_degree_hist,
     "graph_components": q_graph_components,
     "graph_bfs": q_graph_bfs,
     "graph_hits": q_graph_hits,
     "graph_sssp": q_graph_sssp,
     "graph_jaccard": q_graph_jaccard,
     "graph_kcore": q_graph_kcore,
+    "graph_degree_hist": q_graph_degree_hist,
     "rml_documents_triples": q_rml_documents_triples,
     "triples_pred_counts": q_triples_pred_counts,
     "docs_exact_dedup": q_docs_exact_dedup,
@@ -3729,6 +3752,7 @@ ORACLES = {
     "user_sessions": SQL_USER_SESSIONS,
     "events_sliding": SQL_EVENTS_SLIDING,
     "events_running": SQL_EVENTS_RUNNING,
+    "events_trailing": SQL_EVENTS_TRAILING,
     "events_asof_click": SQL_EVENTS_ASOF_CLICK,
     "events_session_join": SQL_EVENTS_SESSION_JOIN,
     "part_hierarchy_closure": SQL_PART_HIERARCHY_CLOSURE,

@@ -120,3 +120,46 @@ def test_running_window_cumulative(ray_session):
     assert out.loc[5, "running_n"] == 1 and out.loc[5, "running_sum"] == 2.0
     assert out.loc[4, "running_n"] == 2 and out.loc[4, "running_sum"] == 7.0
     assert str(out["running_n"].dtype) == "int64"
+
+
+def test_trailing_window_range_frame(ray_session):
+    import ray.data as rd
+
+    from graphforge_ray.stages.windows import US, trailing_window
+
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "user_id": [7, 7, 7, 7, 9, 7],
+            "ts": pd.to_datetime(
+                [
+                    "2026-01-01 10:00",
+                    "2026-01-01 10:30",
+                    "2026-01-01 11:00",
+                    "2026-01-01 12:30",
+                    "2026-01-01 10:00",
+                    "2026-01-01 11:00",  # tie with event 3 (peer)
+                ]
+            ),
+            "value": [1.0, 2.0, 4.0, 8.0, 16.0, 32.0],
+        }
+    )
+    out = (
+        trailing_window(
+            rd.from_pandas(df).repartition(3), trail_us=3600 * US
+        )
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    # user 7 @10:00 → itself
+    assert out.loc[1, "trail_n"] == 1 and out.loc[1, "trail_sum"] == 1.0
+    # @10:30 → 10:00 + 10:30
+    assert out.loc[2, "trail_n"] == 2 and out.loc[2, "trail_sum"] == 3.0
+    # @11:00 → [10:00, 11:00] incl BOTH 11:00 peers (RANGE semantics)
+    assert out.loc[3, "trail_n"] == 4 and out.loc[3, "trail_sum"] == 39.0
+    assert out.loc[6, "trail_n"] == 4 and out.loc[6, "trail_sum"] == 39.0
+    # @12:30 → only itself (11:00 < 11:30 cutoff)
+    assert out.loc[4, "trail_n"] == 1 and out.loc[4, "trail_sum"] == 8.0
+    # user 9 isolated
+    assert out.loc[5, "trail_n"] == 1 and out.loc[5, "trail_sum"] == 16.0
