@@ -3527,6 +3527,38 @@ SELECT DISTINCT s AS subj, p AS pred, o AS obj FROM (
 """
 
 
+def q_docs_profile(sf_dir: str):
+    """Column profiling of the documents table (row/null/exact-distinct
+    per column) — one melt + (column, value) bucket shuffle
+    (stages/profile.profile_columns). Float columns excluded by design
+    (string-form distinct; see module docstring)."""
+    from ..stages.profile import profile_columns
+
+    return profile_columns(
+        _t(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"]),
+        columns=["doc_id", "lang", "source", "n_chars"],
+    )
+
+
+SQL_DOCS_PROFILE = """
+SELECT 'doc_id' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct
+FROM documents
+UNION ALL
+SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang), COUNT(DISTINCT lang)
+FROM documents
+UNION ALL
+SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+       COUNT(DISTINCT n_chars)
+FROM documents
+UNION ALL
+SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+       COUNT(DISTINCT source)
+FROM documents
+"""
+
+
 def q_docs_hash_embed(sf_dir: str):
     """Feature-hashing text vectors (dim=32, signed, L2-normalized) in
     long form — the md5 dim/sign rule is replayed exactly by the oracle
@@ -3623,6 +3655,7 @@ QUERIES = {
     "kg_snapshot_delta": q_kg_snapshot_delta,
     "docs_hash_embed": q_docs_hash_embed,
     "rdfs_entailment": q_rdfs_entailment,
+    "docs_profile": q_docs_profile,
     "docs_nb_scores": q_docs_nb_scores,
     "docs_nb_predict": q_docs_nb_predict,
     "embeddings_project": q_embeddings_project,
@@ -3646,7 +3679,6 @@ QUERIES = {
     "events_running": q_events_running,
     "events_trailing": q_events_trailing,
     "events_asof_click": q_events_asof_click,
-    "events_session_join": q_events_session_join,
     "part_hierarchy_closure": q_part_hierarchy_closure,
     "graph_pagerank": q_graph_pagerank,
     "graph_triangles": q_graph_triangles,
@@ -3691,6 +3723,7 @@ QUERIES = {
     "union_names": q_union_names,
     "events_hourly": q_events_hourly,
     "user_sessions": q_user_sessions,
+    "events_session_join": q_events_session_join,
     "events_sliding": q_events_sliding,
     "docs_pack_sequences": q_docs_pack_sequences,
     "docs_lm_score": q_docs_lm_score,
@@ -3722,6 +3755,7 @@ ORACLES = {
     "kg_snapshot_delta": SQL_KG_SNAPSHOT_DELTA,
     "docs_hash_embed": SQL_DOCS_HASH_EMBED,
     "rdfs_entailment": SQL_RDFS_ENTAILMENT,
+    "docs_profile": SQL_DOCS_PROFILE,
     "docs_nb_scores": SQL_DOCS_NB_SCORES,
     "docs_nb_predict": SQL_DOCS_NB_PREDICT,
     "embeddings_project": SQL_EMBEDDINGS_PROJECT,

@@ -1,0 +1,111 @@
+"""Column profiling: per-column row/null/exact-distinct counts.
+
+The data-quality gate every ingest pipeline runs before anything else —
+"did this crawl drop the lang column", "how many distinct sources
+landed". One corpus pass for the row/null tallies (metric-sized
+partials) plus ONE melt + (column, value)-bucket shuffle for the exact
+distinct counts: a value moves once no matter how many columns are
+profiled, and per-bucket distincts are globally exact because each
+(column, value) pair lives in exactly one bucket.
+
+Values are compared by their string form (injective for the
+string/int/bool columns this is meant for — SQL's COUNT(DISTINCT) on a
+float column may disagree with a stringified distinct; profile floats
+via quantile/stat operators instead). Nulls are excluded from distinct,
+matching SQL semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..shuffle import pair_bucket_tag
+
+__all__ = ["profile_columns"]
+
+
+def profile_columns(
+    ds: "ray.data.Dataset",
+    columns: list[str] | None = None,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """→ pandas (column, n_rows, n_nulls, n_distinct), one row per
+    profiled column, sorted by column name. The result is
+    metric-sized (k rows); the corpus never lands on the driver."""
+    if columns is None:
+        columns = list(ds.schema().names)
+    if not columns:
+        raise ValueError("no columns to profile")
+    cols = list(columns)
+
+    # pass 1 partials: (column, rows, nulls) per batch — k rows/batch
+    def tallies(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "column": cols,
+                "rows": np.int64(len(df)),
+                "nulls": [
+                    np.int64(df[c].isna().sum()) for c in cols
+                ],
+            }
+        )
+
+    tally = (
+        ds.map_batches(tallies, batch_format="pandas")
+        .to_pandas()
+        .groupby("column", as_index=False)[["rows", "nulls"]]
+        .sum()
+    )
+
+    # melt + one (column, value) bucket shuffle for exact distincts;
+    # per-batch drop_duplicates is the map-side combiner
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for c in cols:
+            s = df[c].dropna()
+            if len(s):
+                parts.append(
+                    pd.DataFrame(
+                        {"column": c, "v": s.astype(str)}
+                    ).drop_duplicates()
+                )
+        if not parts:
+            return pd.DataFrame(
+                {"column": pd.Series([], dtype=object),
+                 "v": pd.Series([], dtype=object),
+                 "_bucket": pd.Series([], dtype="int32")}
+            )
+        out = pd.concat(parts, ignore_index=True)
+        out["_bucket"] = pair_bucket_tag(out, ["column", "v"], num_buckets)
+        return out
+
+    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(subset=["column", "v"])
+        out = d.groupby("column", as_index=False).size().rename(
+            columns={"size": "n_distinct"}
+        )
+        out["n_distinct"] = out["n_distinct"].astype(np.int64)
+        return out
+
+    dist = (
+        ds.map_batches(melt, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(bucket_distinct, batch_format="pandas")
+        .to_pandas()
+    )
+    if "column" not in dist.columns:  # every profiled value was null
+        dist = pd.DataFrame(
+            {"column": pd.Series([], dtype=object),
+             "n_distinct": pd.Series([], dtype=np.int64)}
+        )
+    dist = dist.groupby("column", as_index=False)["n_distinct"].sum()
+
+    out = tally.merge(dist, on="column", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype(np.int64)
+    out = out.rename(columns={"rows": "n_rows", "nulls": "n_nulls"})
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out["n_nulls"] = out["n_nulls"].astype(np.int64)
+    return out[["column", "n_rows", "n_nulls", "n_distinct"]].sort_values(
+        "column", ignore_index=True
+    )

@@ -1,0 +1,49 @@
+"""Column profiling (stages/profile) — exact tallies on a toy frame."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from graphforge_ray.stages.profile import profile_columns
+
+
+def test_profile_columns_exact(ray_session):
+    df = pd.DataFrame(
+        {
+            "lang": ["en", "en", None, "de", "fr", None],
+            "source": ["a", "b", "a", "a", "b", "b"],
+            "n": [1, 2, 2, 3, 3, 3],
+        }
+    )
+    out = profile_columns(
+        rd.from_pandas(df).repartition(3)
+    ).set_index("column")
+    assert list(out.index) == ["lang", "n", "source"]
+    assert (out["n_rows"] == 6).all()
+    assert out.loc["lang", "n_nulls"] == 2
+    assert out.loc["lang", "n_distinct"] == 3
+    assert out.loc["source", "n_nulls"] == 0
+    assert out.loc["source", "n_distinct"] == 2
+    assert out.loc["n", "n_distinct"] == 3
+    assert str(out["n_distinct"].dtype) == "int64"
+
+
+def test_profile_columns_subset_and_empty_col(ray_session):
+    df = pd.DataFrame({"a": [None, None], "b": ["x", "y"]})
+    out = profile_columns(
+        rd.from_pandas(df), columns=["a"]
+    ).set_index("column")
+    assert out.loc["a", "n_distinct"] == 0
+    assert out.loc["a", "n_nulls"] == 2
+
+
+def test_profile_columns_no_columns_raises(ray_session):
+    import pandas as pd
+
+    ds = rd.from_pandas(pd.DataFrame({"a": [1]}))
+    with pytest.raises(ValueError):
+        profile_columns(ds, columns=[])
