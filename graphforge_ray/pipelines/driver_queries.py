@@ -3315,6 +3315,74 @@ SELECT 'del' AS op, subj, pred, obj FROM dels
 """
 
 
+def q_parts_fuzzy_match(sf_dir: str):
+    """Fuzzy entity-name join (trigram Jaccard ≥ 0.375, exact via
+    prefix filtering — stages/resolve.fuzzy_name_join): distinct part
+    names vs deterministically perturbed copies (every 'e' dropped),
+    the dirty-duplicate entity-resolution shape."""
+    from ..stages.resolve import fuzzy_name_join
+
+    part = _t(sf_dir, "part", ["p_name"])
+
+    def lnames(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["p_name"]].drop_duplicates()
+        return pd.DataFrame({"lid": d["p_name"], "l_name": d["p_name"]})
+
+    def rnames(df: pd.DataFrame) -> pd.DataFrame:
+        nm = df["p_name"].str.replace("e", "", regex=False)
+        d = nm.drop_duplicates()
+        return pd.DataFrame({"rid": d, "r_name": d})
+
+    def distinct(ds, idc):
+        def tag(df: pd.DataFrame) -> pd.DataFrame:
+            from ..shuffle import bucket_tag
+
+            return df.assign(_bucket=bucket_tag(df, idc, 16))
+
+        return (
+            ds.map_batches(tag, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(
+                lambda g: g.drop_duplicates(subset=[idc]).drop(
+                    columns=["_bucket"]
+                ),
+                batch_format="pandas",
+            )
+        )
+
+    left = distinct(
+        part.map_batches(lnames, batch_format="pandas"), "lid"
+    )
+    right = distinct(
+        part.map_batches(rnames, batch_format="pandas"), "rid"
+    )
+    return fuzzy_name_join(left, right, threshold=0.375)
+
+
+SQL_PARTS_FUZZY_MATCH = """
+WITH ln AS (SELECT DISTINCT p_name nm FROM part),
+rn AS (SELECT DISTINCT replace(p_name, 'e', '') nm FROM part),
+lg AS (
+    SELECT DISTINCT nm, substr(nm, CAST(i AS INT), 3) g
+    FROM ln, unnest(generate_series(1, GREATEST(length(nm) - 2, 1))) t(i)
+),
+rg AS (
+    SELECT DISTINCT nm, substr(nm, CAST(i AS INT), 3) g
+    FROM rn, unnest(generate_series(1, GREATEST(length(nm) - 2, 1))) t(i)
+),
+ls AS (SELECT nm, COUNT(*) n FROM lg GROUP BY nm),
+rs AS (SELECT nm, COUNT(*) n FROM rg GROUP BY nm),
+inter AS (
+    SELECT a.nm lnm, b.nm rnm, COUNT(*) c
+    FROM lg a JOIN rg b ON a.g = b.g GROUP BY a.nm, b.nm
+)
+SELECT i.lnm AS lid, i.rnm AS rid,
+       FLOOR(CAST(i.c AS DOUBLE) / (x.n + y.n - i.c) * 1e6) / 1e6 AS sim
+FROM inter i JOIN ls x ON i.lnm = x.nm JOIN rs y ON i.rnm = y.nm
+WHERE FLOOR(CAST(i.c AS DOUBLE) / (x.n + y.n - i.c) * 1e6) / 1e6 >= 0.375
+"""
+
+
 def q_docs_nb_scores(sf_dir: str):
     """Multinomial Naive Bayes source classifier: train on (source,
     text), score every doc under every source label (stages/classify).
@@ -3656,6 +3724,7 @@ QUERIES = {
     "docs_hash_embed": q_docs_hash_embed,
     "rdfs_entailment": q_rdfs_entailment,
     "docs_profile": q_docs_profile,
+    "parts_fuzzy_match": q_parts_fuzzy_match,
     "docs_nb_scores": q_docs_nb_scores,
     "docs_nb_predict": q_docs_nb_predict,
     "embeddings_project": q_embeddings_project,
@@ -3678,7 +3747,6 @@ QUERIES = {
     "revenue_filter": q_revenue_filter,
     "events_running": q_events_running,
     "events_trailing": q_events_trailing,
-    "events_asof_click": q_events_asof_click,
     "part_hierarchy_closure": q_part_hierarchy_closure,
     "graph_pagerank": q_graph_pagerank,
     "graph_triangles": q_graph_triangles,
@@ -3722,6 +3790,7 @@ QUERIES = {
     "distinct_flags": q_distinct_flags,
     "union_names": q_union_names,
     "events_hourly": q_events_hourly,
+    "events_asof_click": q_events_asof_click,
     "user_sessions": q_user_sessions,
     "events_session_join": q_events_session_join,
     "events_sliding": q_events_sliding,
@@ -3756,6 +3825,7 @@ ORACLES = {
     "docs_hash_embed": SQL_DOCS_HASH_EMBED,
     "rdfs_entailment": SQL_RDFS_ENTAILMENT,
     "docs_profile": SQL_DOCS_PROFILE,
+    "parts_fuzzy_match": SQL_PARTS_FUZZY_MATCH,
     "docs_nb_scores": SQL_DOCS_NB_SCORES,
     "docs_nb_predict": SQL_DOCS_NB_PREDICT,
     "embeddings_project": SQL_EMBEDDINGS_PROJECT,
