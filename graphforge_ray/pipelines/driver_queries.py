@@ -3315,6 +3315,53 @@ SELECT 'del' AS op, subj, pred, obj FROM dels
 """
 
 
+def q_docs_source_topk(sf_dir: str):
+    """Top-3 longest documents per source (score = n_chars, ties by
+    doc_id): map-side k-per-group combiner, one group-bucket reduce
+    (stages/stats.group_topk)."""
+    from ..stages.stats import group_topk
+
+    return group_topk(
+        _t(sf_dir, "documents", ["doc_id", "source", "n_chars"]),
+        key="source", score_col="n_chars", k=3, id_col="doc_id",
+    )
+
+
+SQL_DOCS_SOURCE_TOPK = """
+SELECT doc_id, source, n_chars FROM (
+    SELECT doc_id, source, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY n_chars DESC, doc_id) AS rn
+    FROM documents
+) WHERE rn <= 3
+"""
+
+
+def q_docs_zscore(sf_dir: str):
+    """Z-score standardization of n_chars (population σ, exact Σx/Σx²
+    moment formula replayed by the oracle; stages/stats)."""
+    from ..stages.stats import zscore_standardize
+
+    return zscore_standardize(
+        _t(sf_dir, "documents", ["doc_id", "n_chars"]), "n_chars"
+    )
+
+
+SQL_DOCS_ZSCORE = """
+WITH m AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           SUM(CAST(n_chars AS DOUBLE)) AS s,
+           SUM(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)) AS ss
+    FROM documents
+)
+SELECT d.doc_id, d.n_chars,
+       FLOOR((CAST(d.n_chars AS DOUBLE) - m.s / m.n)
+             / SQRT(m.ss / m.n - (m.s / m.n) * (m.s / m.n)) * 1e6)
+           / 1e6 AS n_chars_z
+FROM documents d, m
+"""
+
+
 def q_parts_fuzzy_match(sf_dir: str):
     """Fuzzy entity-name join (trigram Jaccard ≥ 0.375, exact via
     prefix filtering — stages/resolve.fuzzy_name_join): distinct part
@@ -3725,6 +3772,8 @@ QUERIES = {
     "rdfs_entailment": q_rdfs_entailment,
     "docs_profile": q_docs_profile,
     "parts_fuzzy_match": q_parts_fuzzy_match,
+    "docs_source_topk": q_docs_source_topk,
+    "docs_zscore": q_docs_zscore,
     "docs_nb_scores": q_docs_nb_scores,
     "docs_nb_predict": q_docs_nb_predict,
     "embeddings_project": q_embeddings_project,
@@ -3744,10 +3793,8 @@ QUERIES = {
     "docs_budget_select": q_docs_budget_select,
     "docs_stratified_sample": q_docs_stratified_sample,
     "embeddings_centroids": q_embeddings_centroids,
-    "revenue_filter": q_revenue_filter,
     "events_running": q_events_running,
     "events_trailing": q_events_trailing,
-    "part_hierarchy_closure": q_part_hierarchy_closure,
     "graph_pagerank": q_graph_pagerank,
     "graph_triangles": q_graph_triangles,
     "graph_components": q_graph_components,
@@ -3759,6 +3806,8 @@ QUERIES = {
     "graph_degree_hist": q_graph_degree_hist,
     "rml_documents_triples": q_rml_documents_triples,
     "triples_pred_counts": q_triples_pred_counts,
+    "revenue_filter": q_revenue_filter,
+    "part_hierarchy_closure": q_part_hierarchy_closure,
     "docs_exact_dedup": q_docs_exact_dedup,
     "doc_token_stats": q_doc_token_stats,
     "doc_char_classes": q_doc_char_classes,
@@ -3826,6 +3875,8 @@ ORACLES = {
     "rdfs_entailment": SQL_RDFS_ENTAILMENT,
     "docs_profile": SQL_DOCS_PROFILE,
     "parts_fuzzy_match": SQL_PARTS_FUZZY_MATCH,
+    "docs_source_topk": SQL_DOCS_SOURCE_TOPK,
+    "docs_zscore": SQL_DOCS_ZSCORE,
     "docs_nb_scores": SQL_DOCS_NB_SCORES,
     "docs_nb_predict": SQL_DOCS_NB_PREDICT,
     "embeddings_project": SQL_EMBEDDINGS_PROJECT,

@@ -24,7 +24,7 @@ import pandas as pd
 
 from ..shuffle import bucket_tag
 
-__all__ = ["group_quantiles"]
+__all__ = ["group_quantiles", "group_topk", "zscore_standardize"]
 
 
 def group_quantiles(
@@ -85,3 +85,92 @@ def group_quantiles(
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def group_topk(
+    ds: "ray.data.Dataset",
+    key: str,
+    score_col: str,
+    k: int,
+    id_col: str,
+    descending: bool = True,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Top-k rows per group by ``score_col`` (ties by ``id_col``
+    ascending — a total order, so the result set is deterministic and
+    SQL-replayable as ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY
+    score [DESC], id) <= k``). The "best k docs per source/domain"
+    primitive.
+
+    Scale shape: a map-side combiner keeps k rows per (batch, group),
+    so the shuffle moves ≤ k rows per batch per group; one group-bucket
+    reduce finishes. Same pattern as curation.per_source_quota but
+    ranked by a SCORE, not a hash."""
+    if k < 1:
+        raise ValueError(f"k must be ≥ 1: {k}")
+    asc = [not descending, True]
+
+    def head_k(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values([score_col, id_col], ascending=asc,
+                           kind="stable")
+            .groupby(key, as_index=False, sort=False)
+            .head(k)
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = head_k(df)
+        return out.assign(_bucket=bucket_tag(out, key, num_buckets))
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return head_k(g).drop(columns=["_bucket"])
+
+    return (
+        ds.map_batches(combine, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
+
+
+def zscore_standardize(
+    ds: "ray.data.Dataset",
+    col: str,
+    out_col: str | None = None,
+    ddof: int = 0,
+) -> "ray.data.Dataset":
+    """Append ``(col − μ) / σ`` (population σ by default — SQL
+    ``STDDEV_POP``) as ``out_col``, FLOOR-truncated at 1e-6. The
+    signal-standardization step before combining heterogeneous quality
+    scores; constant columns (σ = 0) raise rather than emit ±inf.
+
+    μ/σ come from one pass of per-batch (n, Σx, Σx²) partials — three
+    scalars on the driver — then the transform is map-side."""
+    out_col = out_col or f"{col}_z"
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[col].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {"n": [np.int64(len(x))], "s": [x.sum()], "ss": [(x * x).sum()]}
+        )
+
+    m = ds.map_batches(moments, batch_format="pandas").to_pandas()
+    n = float(m["n"].sum())
+    if n == 0:
+        raise ValueError(f"zscore_standardize: no rows in {col!r}")
+    mean = float(m["s"].sum()) / n
+    var = float(m["ss"].sum()) / n - mean * mean
+    if ddof:
+        var = var * n / (n - ddof)
+    if var <= 0:
+        raise ValueError(
+            f"zscore_standardize: column {col!r} is constant (σ=0)"
+        )
+    sd = math.sqrt(var)
+
+    def transform(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        z = (df[col].to_numpy(dtype=np.float64) - mean) / sd
+        df[out_col] = np.floor(z * 1e6) / 1e6
+        return df
+
+    return ds.map_batches(transform, batch_format="pandas")

@@ -1,0 +1,71 @@
+"""group_topk and zscore_standardize (stages/stats additions)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from graphforge_ray.stages.stats import group_topk, zscore_standardize
+
+
+def test_group_topk_exact_with_ties(ray_session):
+    df = pd.DataFrame(
+        {
+            "src": ["a", "a", "a", "a", "b", "b"],
+            "score": [5.0, 5.0, 4.0, 9.0, 1.0, 1.0],
+            "id": [4, 3, 2, 1, 10, 9],
+        }
+    )
+    out = group_topk(
+        rd.from_pandas(df).repartition(3), key="src",
+        score_col="score", k=2, id_col="id",
+    ).to_pandas()
+    got = set(zip(out["src"], out["id"]))
+    # a: 9.0(id1) then 5.0 tie → id3 before id4; b: both 1.0 → id9, id10
+    assert got == {("a", 1), ("a", 3), ("b", 9), ("b", 10)}
+
+
+def test_group_topk_ascending_and_k_large(ray_session):
+    df = pd.DataFrame(
+        {"src": ["a", "a", "b"], "score": [2.0, 1.0, 7.0],
+         "id": [1, 2, 3]}
+    )
+    out = group_topk(
+        rd.from_pandas(df), key="src", score_col="score", k=5,
+        id_col="id", descending=False,
+    ).to_pandas()
+    assert len(out) == 3  # never pads
+
+
+def test_group_topk_bad_k(ray_session):
+    ds = rd.from_pandas(pd.DataFrame({"src": ["a"], "score": [1.0],
+                                      "id": [1]}))
+    with pytest.raises(ValueError):
+        group_topk(ds, "src", "score", 0, "id")
+
+
+def test_zscore_matches_numpy(ray_session):
+    x = np.array([3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0])
+    ds = rd.from_pandas(
+        pd.DataFrame({"id": range(len(x)), "v": x})
+    ).repartition(3)
+    out = (
+        zscore_standardize(ds, "v")
+        .to_pandas()
+        .sort_values("id")
+    )
+    mu, sd = x.mean(), x.std()
+    want = np.floor((x - mu) / sd * 1e6) / 1e6
+    assert np.allclose(out["v_z"].to_numpy(), want, atol=2e-6)
+    assert list(out.columns) == ["id", "v", "v_z"]
+
+
+def test_zscore_constant_column_raises(ray_session):
+    ds = rd.from_pandas(pd.DataFrame({"v": [2.0, 2.0, 2.0]}))
+    with pytest.raises(ValueError, match="constant"):
+        zscore_standardize(ds, "v")
