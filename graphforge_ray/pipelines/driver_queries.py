@@ -3315,6 +3315,220 @@ SELECT 'del' AS op, subj, pred, obj FROM dels
 """
 
 
+def q_tpch_q3(sf_dir: str):
+    """TPC-H Q3 shape (shipping-priority revenue): customer ⋈ orders ⋈
+    lineitem with segment/date filters, per-order revenue, top 10.
+
+    Scale shape: every filter applies at the pruned read; lineitem
+    revenue is PRE-AGGREGATED per order inside map_batches before the
+    shuffle join (the combiner move — the join ships one row per order,
+    not per lineitem); the orders⋈customer step is a semi join (customer
+    is only a filter); final top-10 via per-block partial top-k."""
+    from ..shuffle import bindings_join, bucket_tag
+
+    CUT = np.datetime64("1998-03-15")
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda df: df.loc[df["c_mktsegment"] == "BUILDING",
+                          ["c_custkey"]].rename(
+            columns={"c_custkey": "o_custkey"}
+        ),
+        batch_format="pandas",
+    )
+    orders = _t(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda df: df.loc[df["o_orderdate"].to_numpy() < CUT],
+        batch_format="pandas",
+    )
+    orders_b = bindings_join(orders, cust, on=["o_custkey"], how="semi")
+
+    def line_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.loc[df["l_shipdate"].to_numpy() > CUT]
+        rev = df["l_extendedprice"].to_numpy() * (
+            1.0 - df["l_discount"].to_numpy()
+        )
+        g = pd.DataFrame(
+            {"o_orderkey": df["l_orderkey"].to_numpy(), "rev": rev}
+        ).groupby("o_orderkey", as_index=False)["rev"].sum()
+        return g
+
+    line = _t(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(line_partial, batch_format="pandas")
+
+    # the semi join widened o_orderkey to object — restore before the
+    # next bucket shuffle or its buckets miss (shuffle.py dtype caveat)
+    joined = bindings_join(line, orders_b.map_batches(
+        lambda df: df[["o_orderkey", "o_orderdate"]].assign(
+            o_orderkey=df["o_orderkey"].astype("int64")
+        ),
+        batch_format="pandas",
+    ), on=["o_orderkey"])
+
+    def regroup(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["o_orderkey"] = df["o_orderkey"].astype("int64")
+        df["rev"] = df["rev"].astype(np.float64)
+        out = df.groupby(
+            ["o_orderkey", "o_orderdate"], as_index=False
+        )["rev"].sum()
+        return out.assign(_bucket=bucket_tag(out, "o_orderkey", 32))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(
+            ["o_orderkey", "o_orderdate"], as_index=False
+        )["rev"].sum()
+        out["revenue"] = np.round(out["rev"].to_numpy(), 2)
+        out["o_orderdate"] = pd.to_datetime(
+            out["o_orderdate"]
+        ).dt.strftime("%Y-%m-%d")
+        # per-bucket partial top-10 — the driver sees ≤ 10 rows/bucket
+        return out.sort_values(
+            ["revenue", "o_orderkey"], ascending=[False, True]
+        ).head(10)[["o_orderkey", "o_orderdate", "revenue"]]
+
+    parts = (
+        joined.map_batches(regroup, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(finish, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        parts.sort_values(["revenue", "o_orderkey"],
+                          ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey AS o_orderkey,
+       STRFTIME(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_tpch_q5(sf_dir: str):
+    """TPC-H Q5 shape (local-supplier revenue per nation): 6-table join
+    with the customer-nation = supplier-nation condition.
+
+    Scale shape: region/nation (constant-sized) and supplier (the
+    smallest TPC-H table) broadcast once via closure capture; the two
+    BIG joins (orders⋈customer, lineitem⋈orders) run as bindings_join
+    bucket shuffles with per-batch pre-projection; the final per-nation
+    aggregate is k-sized."""
+    from ..shuffle import bindings_join
+
+    LO = np.datetime64("1996-01-01")
+    HI = np.datetime64("1997-01-01")
+
+    nat = _t(sf_dir, "nation",
+             ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _t(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rk = set(reg.loc[reg["r_name"] == "ASIA", "r_regionkey"])
+    region_nations = nat[nat["n_regionkey"].isin(rk)]
+    nation_name = dict(zip(region_nations["n_nationkey"],
+                           region_nations["n_name"]))
+    sup = _t(sf_dir, "supplier",
+             ["s_suppkey", "s_nationkey"]).to_pandas()
+    sup_nation = dict(zip(sup["s_suppkey"], sup["s_nationkey"]))
+
+    cust = _t(sf_dir, "customer",
+              ["c_custkey", "c_nationkey"]).map_batches(
+        lambda df: df.loc[
+            df["c_nationkey"].isin(nation_name),
+            ["c_custkey", "c_nationkey"],
+        ].rename(columns={"c_custkey": "o_custkey"}),
+        batch_format="pandas",
+    )
+    orders = _t(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda df: df.loc[
+            (df["o_orderdate"].to_numpy() >= LO)
+            & (df["o_orderdate"].to_numpy() < HI),
+            ["o_orderkey", "o_custkey"],
+        ],
+        batch_format="pandas",
+    )
+    ord_cust = bindings_join(orders, cust, on=["o_custkey"]).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+                "c_nationkey": df["c_nationkey"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def line_rows(df: pd.DataFrame) -> pd.DataFrame:
+        sn = df["l_suppkey"].map(sup_nation)
+        rev = df["l_extendedprice"].to_numpy() * (
+            1.0 - df["l_discount"].to_numpy()
+        )
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["l_orderkey"].to_numpy(),
+                "s_nationkey": sn.to_numpy(),
+                "rev": rev,
+            }
+        )
+
+    line = _t(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(line_rows, batch_format="pandas")
+
+    joined = bindings_join(line, ord_cust, on=["o_orderkey"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.loc[
+            df["s_nationkey"].astype("int64").to_numpy()
+            == df["c_nationkey"].astype("int64").to_numpy()
+        ]
+        g = pd.DataFrame(
+            {
+                "n_name": df["c_nationkey"].astype("int64").map(
+                    nation_name
+                ),
+                "rev": df["rev"].astype(np.float64).to_numpy(),
+            }
+        ).groupby("n_name", as_index=False)["rev"].sum()
+        return g
+
+    parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("n_name", as_index=False)["rev"].sum()
+    out["revenue"] = np.round(out["rev"], 2)
+    return (
+        out.sort_values("revenue", ascending=False)[["n_name", "revenue"]]
+        .reset_index(drop=True)
+    )
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC
+"""
+
+
 def q_docs_source_topk(sf_dir: str):
     """Top-3 longest documents per source (score = n_chars, ties by
     doc_id): map-side k-per-group combiner, one group-bucket reduce
@@ -3753,8 +3967,8 @@ def q_docs_bpe_tokens(sf_dir: str):
 # position 50 are either already green in CORRECTNESS_r03 or rows-only,
 # and all 94 are verified locally by tools/check_contract.py.
 QUERIES = {
-    "count_by_event_type": q_count_by_event_type,
-    "lineitem_agg": q_lineitem_agg,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
     "docs_minhash_dedup": q_docs_minhash_dedup,
     "docs_ngram_jaccard": q_docs_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
@@ -3807,6 +4021,8 @@ QUERIES = {
     "rml_documents_triples": q_rml_documents_triples,
     "triples_pred_counts": q_triples_pred_counts,
     "revenue_filter": q_revenue_filter,
+    "count_by_event_type": q_count_by_event_type,
+    "lineitem_agg": q_lineitem_agg,
     "part_hierarchy_closure": q_part_hierarchy_closure,
     "docs_exact_dedup": q_docs_exact_dedup,
     "doc_token_stats": q_doc_token_stats,
@@ -3896,6 +4112,8 @@ ORACLES = {
     "sparql_select_expr": SQL_SPARQL_SELECT_EXPR,
     "sparql_agg_expr": SQL_SPARQL_AGG_EXPR,
     "count_by_event_type": SQL_COUNT_BY_EVENT_TYPE,
+    "tpch_q3": SQL_TPCH_Q3,
+    "tpch_q5": SQL_TPCH_Q5,
     "lineitem_agg": SQL_LINEITEM_AGG,
     "top_parts_by_qty": SQL_TOP_PARTS_BY_QTY,
     "customer_order_counts": SQL_CUSTOMER_ORDER_COUNTS,
