@@ -3644,6 +3644,64 @@ WHERE FLOOR(CAST(i.c AS DOUBLE) / (x.n + y.n - i.c) * 1e6) / 1e6 >= 0.375
 """
 
 
+def q_kg_char_sets(sf_dir: str):
+    """Characteristic sets of an events-derived KG (per-subject sorted
+    predicate-set signatures + counts — Neumann/Moerkotte schema
+    statistic; stages/profile.characteristic_sets). Predicates are
+    conditional on the data so the signature space is non-trivial."""
+    from ..stages.profile import characteristic_sets
+
+    ev = _t(sf_dir, "events",
+            ["event_id", "event_type", "value", "props"])
+
+    def to_triples(df: pd.DataFrame) -> pd.DataFrame:
+        subj = "ev:" + df["event_id"].astype(str)
+        parts = [pd.DataFrame({"subj": subj, "pred": "p:type",
+                               "obj": df["event_type"]})]
+        hi = df["value"].to_numpy() > 50.0
+        if hi.any():
+            parts.append(pd.DataFrame(
+                {"subj": subj[hi], "pred": "p:highvalue",
+                 "obj": df.loc[hi, "value"].astype(str)}))
+        pu = df["event_type"].isin(["purchase", "signup"])
+        if pu.to_numpy().any():
+            parts.append(pd.DataFrame(
+                {"subj": subj[pu], "pred": "p:conversion",
+                 "obj": df.loc[pu, "event_type"]}))
+        lp = df["props"].fillna("").str.len() > 8
+        if lp.to_numpy().any():
+            parts.append(pd.DataFrame(
+                {"subj": subj[lp], "pred": "p:props",
+                 "obj": df.loc[lp, "props"]}))
+        return pd.concat(parts, ignore_index=True)
+
+    return characteristic_sets(
+        ev.map_batches(to_triples, batch_format="pandas")
+    )
+
+
+SQL_KG_CHAR_SETS = """
+WITH trip AS (
+    SELECT 'ev:' || CAST(event_id AS VARCHAR) AS s, 'p:type' AS p
+    FROM events
+    UNION ALL
+    SELECT 'ev:' || CAST(event_id AS VARCHAR), 'p:highvalue'
+    FROM events WHERE value > 50
+    UNION ALL
+    SELECT 'ev:' || CAST(event_id AS VARCHAR), 'p:conversion'
+    FROM events WHERE event_type IN ('purchase', 'signup')
+    UNION ALL
+    SELECT 'ev:' || CAST(event_id AS VARCHAR), 'p:props'
+    FROM events WHERE length(COALESCE(props, '')) > 8
+),
+sig AS (
+    SELECT s, string_agg(DISTINCT p, '|' ORDER BY p) AS cs
+    FROM trip GROUP BY s
+)
+SELECT cs, CAST(COUNT(*) AS BIGINT) AS n_subjects FROM sig GROUP BY cs
+"""
+
+
 def q_docs_nb_scores(sf_dir: str):
     """Multinomial Naive Bayes source classifier: train on (source,
     text), score every doc under every source label (stages/classify).
@@ -3988,6 +4046,7 @@ QUERIES = {
     "parts_fuzzy_match": q_parts_fuzzy_match,
     "docs_source_topk": q_docs_source_topk,
     "docs_zscore": q_docs_zscore,
+    "kg_char_sets": q_kg_char_sets,
     "docs_nb_scores": q_docs_nb_scores,
     "docs_nb_predict": q_docs_nb_predict,
     "embeddings_project": q_embeddings_project,
@@ -4009,7 +4068,6 @@ QUERIES = {
     "embeddings_centroids": q_embeddings_centroids,
     "events_running": q_events_running,
     "events_trailing": q_events_trailing,
-    "graph_pagerank": q_graph_pagerank,
     "graph_triangles": q_graph_triangles,
     "graph_components": q_graph_components,
     "graph_bfs": q_graph_bfs,
@@ -4021,6 +4079,7 @@ QUERIES = {
     "rml_documents_triples": q_rml_documents_triples,
     "triples_pred_counts": q_triples_pred_counts,
     "revenue_filter": q_revenue_filter,
+    "graph_pagerank": q_graph_pagerank,
     "count_by_event_type": q_count_by_event_type,
     "lineitem_agg": q_lineitem_agg,
     "part_hierarchy_closure": q_part_hierarchy_closure,
@@ -4093,6 +4152,7 @@ ORACLES = {
     "parts_fuzzy_match": SQL_PARTS_FUZZY_MATCH,
     "docs_source_topk": SQL_DOCS_SOURCE_TOPK,
     "docs_zscore": SQL_DOCS_ZSCORE,
+    "kg_char_sets": SQL_KG_CHAR_SETS,
     "docs_nb_scores": SQL_DOCS_NB_SCORES,
     "docs_nb_predict": SQL_DOCS_NB_PREDICT,
     "embeddings_project": SQL_EMBEDDINGS_PROJECT,

@@ -47,3 +47,21 @@ def test_profile_columns_no_columns_raises(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"a": [1]}))
     with pytest.raises(ValueError):
         profile_columns(ds, columns=[])
+
+
+def test_characteristic_sets_exact(ray_session):
+    from graphforge_ray.stages.profile import characteristic_sets
+
+    rows = [
+        ("s1", "p:a", "x"), ("s1", "p:b", "y"), ("s1", "p:a", "z"),
+        ("s2", "p:b", "x"), ("s2", "p:a", "x"),
+        ("s3", "p:a", "x"),
+        ("s4", "p:c", "x"), ("s4", "p:a", "x"), ("s4", "p:b", "x"),
+    ]
+    ds = rd.from_pandas(
+        pd.DataFrame(rows, columns=["subj", "pred", "obj"])
+    ).repartition(3)
+    out = characteristic_sets(ds).to_pandas()
+    got = dict(zip(out["cs"], out["n_subjects"]))
+    assert got == {"p:a|p:b": 2, "p:a": 1, "p:a|p:b|p:c": 1}
+    assert str(out["n_subjects"].dtype) == "int64"
