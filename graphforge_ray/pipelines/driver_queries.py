@@ -3644,6 +3644,60 @@ WHERE FLOOR(CAST(i.c AS DOUBLE) / (x.n + y.n - i.c) * 1e6) / 1e6 >= 0.375
 """
 
 
+def q_kg_negatives(sf_dir: str):
+    """KG-embedding training negatives over supplier→nation triples:
+    corrupt-tail sampling from the md5-ranked global entity set
+    (stages/sampling.negative_sample) — deterministic, growth-stable,
+    rank table joined through a shuffle, never broadcast."""
+    from ..stages.sampling import negative_sample
+
+    sup = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def to_triples(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "subj": "sup:" + df["s_suppkey"].astype(str),
+                "pred": "ex:basedIn",
+                "obj": "nat:" + df["s_nationkey"].astype(str),
+            }
+        )
+
+    return negative_sample(
+        sup.map_batches(to_triples, batch_format="pandas"), k=2
+    )
+
+
+SQL_KG_NEGATIVES = r"""
+WITH trip AS (
+    SELECT 'sup:' || CAST(s_suppkey AS VARCHAR) AS subj,
+           'ex:basedIn' AS pred,
+           'nat:' || CAST(s_nationkey AS VARCHAR) AS obj
+    FROM supplier
+),
+ents AS (
+    SELECT DISTINCT e FROM (
+        SELECT subj AS e FROM trip UNION SELECT obj FROM trip
+    )
+),
+ranked AS (
+    SELECT e,
+           ROW_NUMBER() OVER (ORDER BY md5(e || ':graft-negrank'), e)
+               - 1 AS rank
+    FROM ents
+),
+n AS (SELECT COUNT(*) AS c FROM ents),
+pairs AS (
+    SELECT t.subj, t.pred, j,
+           CAST(CONCAT('0x', substr(md5(t.subj || '|' || t.pred || '|'
+                || t.obj || '|' || CAST(j AS VARCHAR)), 1, 10))
+                AS BIGINT) % n.c AS idx
+    FROM trip t, unnest(generate_series(0, 1)) s(j), n
+)
+SELECT p.subj, p.pred, r.e AS neg_obj, CAST(p.j AS BIGINT) AS neg_id
+FROM pairs p JOIN ranked r ON p.idx = r.rank
+"""
+
+
 def q_kg_char_sets(sf_dir: str):
     """Characteristic sets of an events-derived KG (per-subject sorted
     predicate-set signatures + counts — Neumann/Moerkotte schema
@@ -4047,6 +4101,7 @@ QUERIES = {
     "docs_source_topk": q_docs_source_topk,
     "docs_zscore": q_docs_zscore,
     "kg_char_sets": q_kg_char_sets,
+    "kg_negatives": q_kg_negatives,
     "docs_nb_scores": q_docs_nb_scores,
     "docs_nb_predict": q_docs_nb_predict,
     "embeddings_project": q_embeddings_project,
@@ -4068,7 +4123,6 @@ QUERIES = {
     "embeddings_centroids": q_embeddings_centroids,
     "events_running": q_events_running,
     "events_trailing": q_events_trailing,
-    "graph_triangles": q_graph_triangles,
     "graph_components": q_graph_components,
     "graph_bfs": q_graph_bfs,
     "graph_hits": q_graph_hits,
@@ -4080,6 +4134,7 @@ QUERIES = {
     "triples_pred_counts": q_triples_pred_counts,
     "revenue_filter": q_revenue_filter,
     "graph_pagerank": q_graph_pagerank,
+    "graph_triangles": q_graph_triangles,
     "count_by_event_type": q_count_by_event_type,
     "lineitem_agg": q_lineitem_agg,
     "part_hierarchy_closure": q_part_hierarchy_closure,
@@ -4153,6 +4208,7 @@ ORACLES = {
     "docs_source_topk": SQL_DOCS_SOURCE_TOPK,
     "docs_zscore": SQL_DOCS_ZSCORE,
     "kg_char_sets": SQL_KG_CHAR_SETS,
+    "kg_negatives": SQL_KG_NEGATIVES,
     "docs_nb_scores": SQL_DOCS_NB_SCORES,
     "docs_nb_predict": SQL_DOCS_NB_PREDICT,
     "embeddings_project": SQL_EMBEDDINGS_PROJECT,

@@ -25,11 +25,11 @@ import pandas as pd
 
 import ray.data
 
-from .fasthash import hex_prefix_int, md5_hex_keyed
+from .fasthash import hex_prefix_int, md5_hex, md5_hex_keyed
 
 __all__ = ["hash_split_column", "hash_split", "deterministic_shuffle",
            "pack_sequences", "budget_select", "stratified_sample",
-           "source_mixture"]
+           "source_mixture", "negative_sample"]
 
 
 def _threshold_hex(test_pct: float) -> str:
@@ -433,3 +433,93 @@ def source_mixture(
         return out
 
     return ds.map_batches(mix, batch_format="pandas")
+
+
+def negative_sample(
+    triples: "ray.data.Dataset",
+    k: int = 2,
+    salt: str = "graft-negrank",
+    cols: tuple[str, str, str] = ("subj", "pred", "obj"),
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """KG-embedding training negatives: for every triple and
+    ``j ∈ [0, k)``, corrupt the tail with a pseudo-random entity —
+    ``idx = md5(s|p|o|j)[:10] % |E|`` over the GLOBAL entity set E
+    (subjects ∪ objects) ranked by ``md5(ent:salt)`` order. Returns
+    (subj, pred, neg_obj, neg_id). Deterministic and growth-stable the
+    same way hash_split is: a pure function of the triple, j and E —
+    and SQL-replayable via ROW_NUMBER over the same md5 order.
+    Self-collisions (neg_obj == obj, expected k/|E| per triple) are
+    KEPT — the standard uniform-corruption convention; filter after if
+    the loss requires it.
+
+    Scale shape: entity ranking reuses ``deterministic_shuffle``'s
+    order-preserving histogram (no global sort); candidates join the
+    rank table through one bucket shuffle — the entity table is never
+    broadcast (web-scale entity counts flow through the shuffle)."""
+    from ..shuffle import bindings_join
+
+    if k < 1:
+        raise ValueError(f"k must be ≥ 1: {k}")
+    s, p, o = cols
+
+    def ents_batch(df: pd.DataFrame) -> pd.DataFrame:
+        e = pd.concat([df[s], df[o]], ignore_index=True)
+        return pd.DataFrame({"ent": e}).drop_duplicates()
+
+    def tag_ent(df: pd.DataFrame) -> pd.DataFrame:
+        from ..shuffle import bucket_tag
+
+        return df.assign(_bucket=bucket_tag(df, "ent", num_buckets))
+
+    ents = (
+        triples.map_batches(ents_batch, batch_format="pandas")
+        .map_batches(tag_ent, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: g.drop_duplicates(subset=["ent"])[["ent"]],
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    n_ents = ents.count()
+    if n_ents == 0:
+        raise ValueError("negative_sample: no entities in input")
+    ranked = deterministic_shuffle(ents, key_col="ent", salt=salt)
+
+    def candidates(df: pd.DataFrame) -> pd.DataFrame:
+        base = (
+            df[s].astype(str) + "|" + df[p].astype(str) + "|"
+            + df[o].astype(str)
+        ).to_numpy(dtype=object)
+        parts = []
+        for j in range(k):
+            keys = np.array([b + f"|{j}" for b in base], dtype=object)
+            idx = hex_prefix_int(md5_hex(keys), 10) % n_ents
+            parts.append(
+                pd.DataFrame(
+                    {
+                        s: df[s].to_numpy(),
+                        p: df[p].to_numpy(),
+                        "neg_id": np.int64(j),
+                        "rank": idx.astype(np.int64),
+                    }
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    cand = triples.map_batches(candidates, batch_format="pandas")
+    joined = bindings_join(cand, ranked, on=["rank"],
+                           num_buckets=num_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                s: df[s].to_numpy(),
+                p: df[p].to_numpy(),
+                "neg_obj": df["ent"].to_numpy(),
+                "neg_id": df["neg_id"].astype(np.int64).to_numpy(),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")

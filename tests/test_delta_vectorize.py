@@ -185,3 +185,49 @@ def test_projection_matrix_deterministic_and_pm1(ray_session):
     assert (a == b).all() and set(np.unique(a)) <= {-1.0, 1.0}
     # signs are balanced-ish (md5 uniformity sanity, not exact)
     assert 0.2 < (a == 1.0).mean() < 0.8
+
+
+def test_negative_sample_matches_rule(ray_session):
+    from graphforge_ray.stages.sampling import negative_sample
+
+    rows = [
+        ("a", "p", "b"),
+        ("b", "p", "c"),
+        ("c", "q", "a"),
+    ]
+    ds = _triples(rows)
+    out = negative_sample(ds, k=2).to_pandas()
+    # entities = {a, b, c}; replay the documented rule
+    ents = sorted({r[0] for r in rows} | {r[2] for r in rows})
+    ranked = sorted(
+        ents,
+        key=lambda e: (
+            hashlib.md5(f"{e}:graft-negrank".encode()).hexdigest(),
+            e,
+        ),
+    )
+    want = set()
+    for s, p, o in rows:
+        for j in range(2):
+            idx = (
+                int(
+                    hashlib.md5(f"{s}|{p}|{o}|{j}".encode()).hexdigest()[
+                        :10
+                    ],
+                    16,
+                )
+                % len(ents)
+            )
+            want.add((s, p, ranked[idx], j))
+    got = set(
+        map(tuple, out[["subj", "pred", "neg_obj", "neg_id"]].to_numpy())
+    )
+    assert got == want
+    assert len(out) == len(rows) * 2
+
+
+def test_negative_sample_bad_k(ray_session):
+    from graphforge_ray.stages.sampling import negative_sample
+
+    with pytest.raises(ValueError):
+        negative_sample(_triples([("a", "p", "b")]), k=0)
