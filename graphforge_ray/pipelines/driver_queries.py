@@ -3644,6 +3644,35 @@ WHERE FLOOR(CAST(i.c AS DOUBLE) / (x.n + y.n - i.c) * 1e6) / 1e6 >= 0.375
 """
 
 
+def q_docs_chunks(sf_dir: str):
+    """Sliding-window token chunking (size 32, stride 16) — the RAG
+    preprocessing step (stages/text_analysis.chunk_documents)."""
+    from ..stages.text_analysis import chunk_documents
+
+    return chunk_documents(
+        _t(sf_dir, "documents", ["doc_id", "text"]), size=32, stride=16
+    )
+
+
+SQL_DOCS_CHUNKS = r"""
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '\S+') AS tl
+    FROM documents
+),
+idx AS (
+    SELECT doc_id, tl, CAST(len(tl) AS BIGINT) AS n
+    FROM toks WHERE len(tl) > 0
+)
+SELECT doc_id, CAST(s.j AS BIGINT) AS chunk_id,
+       array_to_string(tl[CAST(s.j * 16 + 1 AS INT)
+                          : CAST(s.j * 16 + 32 AS INT)], ' ')
+           AS chunk_text,
+       LEAST(32, n - s.j * 16) AS n_tokens
+FROM idx, unnest(generate_series(0,
+        CAST(CEIL(n * 1.0 / 16) AS BIGINT) - 1)) s(j)
+"""
+
+
 def q_kg_negatives(sf_dir: str):
     """KG-embedding training negatives over supplier→nation triples:
     corrupt-tail sampling from the md5-ranked global entity set
@@ -4102,6 +4131,7 @@ QUERIES = {
     "docs_zscore": q_docs_zscore,
     "kg_char_sets": q_kg_char_sets,
     "kg_negatives": q_kg_negatives,
+    "docs_chunks": q_docs_chunks,
     "docs_nb_scores": q_docs_nb_scores,
     "docs_nb_predict": q_docs_nb_predict,
     "embeddings_project": q_embeddings_project,
@@ -4123,7 +4153,6 @@ QUERIES = {
     "embeddings_centroids": q_embeddings_centroids,
     "events_running": q_events_running,
     "events_trailing": q_events_trailing,
-    "graph_components": q_graph_components,
     "graph_bfs": q_graph_bfs,
     "graph_hits": q_graph_hits,
     "graph_sssp": q_graph_sssp,
@@ -4135,6 +4164,7 @@ QUERIES = {
     "revenue_filter": q_revenue_filter,
     "graph_pagerank": q_graph_pagerank,
     "graph_triangles": q_graph_triangles,
+    "graph_components": q_graph_components,
     "count_by_event_type": q_count_by_event_type,
     "lineitem_agg": q_lineitem_agg,
     "part_hierarchy_closure": q_part_hierarchy_closure,
@@ -4209,6 +4239,7 @@ ORACLES = {
     "docs_zscore": SQL_DOCS_ZSCORE,
     "kg_char_sets": SQL_KG_CHAR_SETS,
     "kg_negatives": SQL_KG_NEGATIVES,
+    "docs_chunks": SQL_DOCS_CHUNKS,
     "docs_nb_scores": SQL_DOCS_NB_SCORES,
     "docs_nb_predict": SQL_DOCS_NB_PREDICT,
     "embeddings_project": SQL_EMBEDDINGS_PROJECT,

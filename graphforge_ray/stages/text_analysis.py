@@ -22,6 +22,7 @@ __all__ = [
     "token_stats_batch", "TextQualityScorer", "LangIdentifier",
     "fingerprint_batch", "content_hash_batch", "pii_scrub_batch",
     "normalize_text_batch",
+    "chunk_documents",
 ]
 
 _WS_TOKEN = re.compile(r"\S+")
@@ -264,3 +265,49 @@ def normalize_text_batch(
     out = df.copy()
     out[out_col] = t.astype(object)
     return out
+
+
+def chunk_documents(
+    docs: "ray.data.Dataset",
+    size: int = 128,
+    stride: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Sliding-window token chunking (the RAG / embedding-pipeline
+    preprocessing step): each document becomes overlapping chunks of
+    ``size`` whitespace tokens every ``stride`` tokens, windows starting
+    at 0, stride, 2·stride, … while the start is inside the document.
+    → (id, chunk_id:int64, chunk_text, n_tokens:int64). Pure map-side;
+    empty/null docs emit nothing.
+
+    SQL-replayable: the token array is ``regexp_extract_all('\\S+')``
+    and each chunk is ``array_to_string(tokens[start+1 : start+size],
+    ' ')`` — chunk text rejoins with SINGLE spaces (original whitespace
+    is not preserved; documented contract)."""
+    if size < 1 or stride < 1:
+        raise ValueError(f"size/stride must be ≥ 1: {size}/{stride}")
+
+    def chunk(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].fillna("").str.findall(r"\S+")
+        ids, cids, texts, ns = [], [], [], []
+        for i, tl in zip(df[id_col], toks):
+            n = len(tl)
+            cid = 0
+            for start in range(0, n, stride):
+                w = tl[start:start + size]
+                ids.append(i)
+                cids.append(cid)
+                texts.append(" ".join(w))
+                ns.append(len(w))
+                cid += 1
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(ids, dtype=df[id_col].dtype),
+                "chunk_id": pd.Series(cids, dtype=np.int64),
+                "chunk_text": pd.Series(texts, dtype=object),
+                "n_tokens": pd.Series(ns, dtype=np.int64),
+            }
+        )
+
+    return docs.map_batches(chunk, batch_format="pandas")

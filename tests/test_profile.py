@@ -65,3 +65,39 @@ def test_characteristic_sets_exact(ray_session):
     got = dict(zip(out["cs"], out["n_subjects"]))
     assert got == {"p:a|p:b": 2, "p:a": 1, "p:a|p:b|p:c": 1}
     assert str(out["n_subjects"].dtype) == "int64"
+
+
+def test_chunk_documents_windows(ray_session):
+    from graphforge_ray.stages.text_analysis import chunk_documents
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a b c d e f g", "x  y", None],
+        }
+    )
+    out = (
+        chunk_documents(
+            rd.from_pandas(docs).repartition(2), size=4, stride=2
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    d1 = out[out["doc_id"] == 1]
+    assert list(d1["chunk_text"]) == [
+        "a b c d", "c d e f", "e f g", "g"
+    ]
+    assert list(d1["n_tokens"]) == [4, 4, 3, 1]
+    d2 = out[out["doc_id"] == 2]
+    assert list(d2["chunk_text"]) == ["x y"]  # whitespace collapsed
+    assert 3 not in set(out["doc_id"])  # null doc emits nothing
+    assert str(out["chunk_id"].dtype) == "int64"
+
+
+def test_chunk_documents_bad_params(ray_session):
+    from graphforge_ray.stages.text_analysis import chunk_documents
+
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["a"]}))
+    with pytest.raises(ValueError):
+        chunk_documents(ds, size=0)
