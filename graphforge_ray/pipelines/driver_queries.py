@@ -3644,6 +3644,56 @@ WHERE FLOOR(CAST(i.c AS DOUBLE) / (x.n + y.n - i.c) * 1e6) / 1e6 >= 0.375
 """
 
 
+def q_events_intervals(sf_dir: str):
+    """Valid-time interval coalescing: each event opens a 30-minute
+    interval; overlapping/touching intervals merge per user
+    (stages/asof.interval_coalesce — vectorized gaps-and-islands)."""
+    from ..stages.asof import interval_coalesce
+    from ..stages.windows import US
+
+    ev = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def to_iv(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(),
+                "start_us": us,
+                "end_us": us + 1800 * US,
+            }
+        )
+
+    return interval_coalesce(
+        ev.map_batches(to_iv, batch_format="pandas"), key="user_id"
+    )
+
+
+SQL_EVENTS_INTERVALS = """
+WITH iv AS (
+    SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS s,
+           CAST(epoch_us(ts) AS BIGINT) + 1800000000 AS e
+    FROM events
+),
+ord AS (
+    SELECT user_id, s, e,
+           MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+    FROM iv
+),
+isl AS (
+    SELECT user_id, s, e,
+           SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS UNBOUNDED PRECEDING) AS iid
+    FROM ord
+)
+SELECT user_id, MIN(s) AS start_us, MAX(e) AS end_us
+FROM isl GROUP BY user_id, iid
+"""
+
+
 def q_docs_chunks(sf_dir: str):
     """Sliding-window token chunking (size 32, stride 16) — the RAG
     preprocessing step (stages/text_analysis.chunk_documents)."""
@@ -4132,11 +4182,11 @@ QUERIES = {
     "kg_char_sets": q_kg_char_sets,
     "kg_negatives": q_kg_negatives,
     "docs_chunks": q_docs_chunks,
+    "events_intervals": q_events_intervals,
     "docs_nb_scores": q_docs_nb_scores,
     "docs_nb_predict": q_docs_nb_predict,
     "embeddings_project": q_embeddings_project,
     "sparql_bind_builtins": q_sparql_bind_builtins,
-    "sparql_describe": q_sparql_describe,
     "sparql_lang_filter": q_sparql_lang_filter,
     "sparql_datatype_filter": q_sparql_datatype_filter,
     "sparql_graph_var": q_sparql_graph_var,
@@ -4159,6 +4209,7 @@ QUERIES = {
     "graph_jaccard": q_graph_jaccard,
     "graph_kcore": q_graph_kcore,
     "graph_degree_hist": q_graph_degree_hist,
+    "sparql_describe": q_sparql_describe,
     "rml_documents_triples": q_rml_documents_triples,
     "triples_pred_counts": q_triples_pred_counts,
     "revenue_filter": q_revenue_filter,
@@ -4240,6 +4291,7 @@ ORACLES = {
     "kg_char_sets": SQL_KG_CHAR_SETS,
     "kg_negatives": SQL_KG_NEGATIVES,
     "docs_chunks": SQL_DOCS_CHUNKS,
+    "events_intervals": SQL_EVENTS_INTERVALS,
     "docs_nb_scores": SQL_DOCS_NB_SCORES,
     "docs_nb_predict": SQL_DOCS_NB_PREDICT,
     "embeddings_project": SQL_EMBEDDINGS_PROJECT,

@@ -38,7 +38,7 @@ import pyarrow as pa
 
 from ..shuffle import bucket_tag
 
-__all__ = ["asof_join", "interval_join"]
+__all__ = ["asof_join", "interval_join", "interval_coalesce"]
 
 
 def _null_fill_dtype(pa_type):
@@ -248,4 +248,55 @@ def interval_join(
         s.union(points, intervals, num_buckets)
         .groupby("_bucket")
         .map_groups(bucket_merge, batch_format="pandas")
+    )
+
+
+def interval_coalesce(
+    intervals: "ray.data.Dataset",
+    key: str,
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Merge overlapping/touching intervals per key → (key, start, end),
+    the temporal-KG valid-time normalization (and the sessionize-by-
+    interval primitive): intervals [s, e] with s ≤ running-max(e) of
+    their predecessors coalesce into one island. Touching intervals
+    (next.start == prev.end) MERGE — half-open semantics; callers
+    wanting strict overlap subtract 1 from end first.
+
+    One key-bucket shuffle; per bucket a vectorized sort +
+    gaps-and-islands (cummax — no per-key loop). SQL-replayable with
+    the classic MAX(end) OVER (... ROWS UNBOUNDED PRECEDING) island
+    trick."""
+    from ..shuffle import bucket_tag
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[key, start_col, end_col]].copy()
+        return out.assign(_bucket=bucket_tag(out, key, num_buckets))
+
+    def coalesce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, start_col, end_col], kind="stable")
+        # per-key running max of end (pandas cython grouped cummax —
+        # vectorized across ALL keys in the bucket, no per-key loop)
+        cmax = g.groupby(key, sort=False)[end_col].cummax().to_numpy()
+        s = g[start_col].to_numpy()
+        keys = g[key].to_numpy()
+        island = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            same_key = keys[1:] == keys[:-1]
+            island[1:] = ~same_key | (s[1:] > cmax[:-1])
+        iid = np.cumsum(island)
+        out = pd.DataFrame(
+            {key: keys, "_iid": iid,
+             start_col: s, end_col: g[end_col].to_numpy()}
+        ).groupby([key, "_iid"], as_index=False).agg(
+            **{start_col: (start_col, "min"), end_col: (end_col, "max")}
+        )
+        return out.drop(columns=["_iid"])
+
+    return (
+        intervals.map_batches(tag, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(coalesce, batch_format="pandas")
     )

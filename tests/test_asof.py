@@ -168,3 +168,44 @@ def test_interval_join_overlap_raises():
         interval_join(
             rd.from_pandas(pts), rd.from_pandas(iv), by="u", on="ts"
         ).to_pandas()
+
+
+def test_interval_coalesce_islands(ray_session):
+    import ray.data as rd
+
+    from graphforge_ray.stages.asof import interval_coalesce
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "a", "b", "b"],
+            "start_us": [0, 5, 20, 22, 0, 100],
+            "end_us": [10, 15, 25, 30, 50, 200],
+        }
+    )
+    out = (
+        interval_coalesce(rd.from_pandas(df).repartition(3), key="k")
+        .to_pandas()
+        .sort_values(["k", "start_us"])
+        .reset_index(drop=True)
+    )
+    got = list(map(tuple, out[["k", "start_us", "end_us"]].to_numpy()))
+    assert got == [("a", 0, 15), ("a", 20, 30), ("b", 0, 50),
+                   ("b", 100, 200)]
+
+
+def test_interval_coalesce_touching_and_contained(ray_session):
+    import ray.data as rd
+
+    from graphforge_ray.stages.asof import interval_coalesce
+
+    df = pd.DataFrame(
+        {
+            "k": ["x", "x", "x"],
+            "start_us": [0, 10, 2],
+            "end_us": [10, 20, 8],  # touching at 10; [2,8] contained
+        }
+    )
+    out = interval_coalesce(rd.from_pandas(df), key="k").to_pandas()
+    assert list(map(tuple, out[["start_us", "end_us"]].to_numpy())) == [
+        (0, 20)
+    ]
