@@ -3723,6 +3723,29 @@ FROM idx, unnest(generate_series(0,
 """
 
 
+def q_docs_logreg_score(sf_dir: str):
+    """Trainable quality classifier: full-batch logistic regression on
+    feature-hashed text, label = (lang == 'en'), then map-side sigmoid
+    scoring (stages/classify.logreg_train/score). Rows-only — the GD
+    iterations aren't SQL-expressible; exactness is pinned by the
+    sequential numpy replay in tests/test_classify.py."""
+    from ..stages.classify import logreg_score, logreg_train
+
+    docs = _t(sf_dir, "documents", ["doc_id", "lang", "text"])
+    labeled = docs.map_batches(
+        lambda df: df.assign(
+            y=(df["lang"] == "en").astype("int64")
+        )[["doc_id", "text", "y"]],
+        batch_format="pandas",
+    ).materialize()
+    w = logreg_train(labeled, "y", dim=32, iters=10, lr=0.5)
+    out = logreg_score(labeled, w)
+    return out.map_batches(
+        lambda df: df.assign(prob=np.floor(df["prob"] * 1e6) / 1e6),
+        batch_format="pandas",
+    )
+
+
 def q_kg_negatives(sf_dir: str):
     """KG-embedding training negatives over supplier→nation triples:
     corrupt-tail sampling from the md5-ranked global entity set
@@ -4267,6 +4290,7 @@ QUERIES = {
     "docs_bpe_tokens": q_docs_bpe_tokens,
     "ann_ivf": q_ann_ivf,
     "embeddings_kmeans": q_embeddings_kmeans,
+    "docs_logreg_score": q_docs_logreg_score,
     "sparql_pred_counts": q_sparql_pred_counts,
     "forge_pages": q_forge_pages,
 }

@@ -41,7 +41,7 @@ import pandas as pd
 from ..shuffle import bindings_join, bucket_tag
 from .lm import _doc_words
 
-__all__ = ["nb_scores", "nb_predict"]
+__all__ = ["nb_scores", "nb_predict", "logreg_train", "logreg_score"]
 
 
 def _labeled_words(
@@ -224,3 +224,116 @@ def nb_predict(
         .groupby("_bucket")
         .map_groups(pick, batch_format="pandas")
     )
+
+
+def _dense_hash_features(
+    df: pd.DataFrame, text_col: str, dim: int
+) -> np.ndarray:
+    """Dense signed-md5 hashing-trick features, L2-normalized — the
+    same rule as vectorize.feature_hash_embed, built dense because the
+    model is dim-sized by construction."""
+    from .fasthash import hex_prefix_int, md5_hex
+
+    x = np.zeros((len(df), dim), dtype=np.float64)
+    words = df[text_col].fillna("").str.findall(r"\S+")
+    ex = words.explode().dropna()
+    if len(ex):
+        uniq, inv = np.unique(
+            ex.to_numpy(dtype=object), return_inverse=True
+        )
+        idx_u = (hex_prefix_int(md5_hex(uniq), 10) % dim).astype(np.int64)
+        sgn_u = np.where(
+            hex_prefix_int(
+                md5_hex(np.array(["sgn:" + t for t in uniq], dtype=object)),
+                10,
+            ) % 2 == 0,
+            1.0, -1.0,
+        )
+        pos_map = {k: i for i, k in enumerate(df.index)}
+        rows = np.array(
+            [pos_map[k] for k in ex.index.to_numpy()], dtype=np.int64
+        )
+        np.add.at(x, (rows, idx_u[inv]), sgn_u[inv])
+    nrm = np.sqrt((x * x).sum(axis=1, keepdims=True))
+    nrm[nrm == 0] = 1.0
+    return x / nrm
+
+
+def logreg_train(
+    docs: "ray.data.Dataset",
+    label_fn_col: str,
+    dim: int = 64,
+    iters: int = 20,
+    lr: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> np.ndarray:
+    """Distributed full-batch logistic regression over feature-hashed
+    text (the trainable counterpart to ``nb_scores`` — the GPT-3-style
+    quality classifier when Naive Bayes is too blunt). Returns the
+    weight vector ``w`` of length ``dim + 1`` (bias last).
+
+    ``label_fn_col`` is a 0/1 integer column on ``docs``. Features are
+    the signed md5 hashing-trick vectors of ``feature_hash_embed``'s
+    rule, built DENSE per batch (dim is small by construction — the
+    whole model is dim+1 floats, so the broadcast is trivial).
+
+    Scale shape: each iteration is ONE streaming pass producing
+    (dim+1)-sized gradient partials per batch; the driver folds ≤
+    blocks × (dim+1) floats and updates w. Full-batch GD is exactly
+    reproducible given fixed iteration count (no sampling, no racy
+    SGD); partial-sum order only perturbs ulps."""
+    if dim < 1 or iters < 1:
+        raise ValueError(f"dim/iters must be ≥ 1: {dim}/{iters}")
+
+    w = np.zeros(dim + 1, dtype=np.float64)
+
+    for _ in range(iters):
+        w_c = w.copy()
+
+        def grad_partial(df: pd.DataFrame) -> pd.DataFrame:
+            x = _dense_hash_features(df, text_col, dim)
+            xb = np.hstack([x, np.ones((len(df), 1))])
+            y = df[label_fn_col].to_numpy(dtype=np.float64)
+            z = xb @ w_c
+            p = 1.0 / (1.0 + np.exp(-z))
+            g = xb.T @ (p - y)
+            return pd.DataFrame(
+                {"j": np.arange(dim + 1, dtype=np.int64), "g": g,
+                 "n": np.int64(len(df))}
+            )
+
+        parts = docs.map_batches(
+            grad_partial, batch_format="pandas"
+        ).to_pandas()
+        # n is repeated across a batch's dim+1 rows — count it once
+        n_total = float(parts.loc[parts["j"] == 0, "n"].sum()) or 1.0
+        grad = parts.groupby("j")["g"].sum().to_numpy()
+        w = w - lr * grad / n_total
+
+    return w
+
+
+def logreg_score(
+    docs: "ray.data.Dataset",
+    w: np.ndarray,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """→ Dataset (id, prob): sigmoid scores under a ``logreg_train``
+    model — pure map-side, model broadcast by closure (dim+1 floats)."""
+    dim = len(w) - 1
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        from .fasthash import hex_prefix_int, md5_hex
+
+        x = _dense_hash_features(df, text_col, dim)
+        z = x @ w[:-1] + w[-1]
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "prob": 1.0 / (1.0 + np.exp(-z)),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pandas")

@@ -99,3 +99,74 @@ def test_nb_scores_empty_doc_gets_prior_only(ray_session):
     assert row["nb_score"].iloc[0] == pytest.approx(
         math.floor(math.log(3 / 6) * 1e4) / 1e4, abs=1e-9
     )
+
+
+def _np_replay_logreg(docs, dim, iters, lr):
+    """Sequential numpy replay of the exact full-batch GD."""
+    import hashlib
+
+    def feats(texts):
+        x = np.zeros((len(texts), dim))
+        for r, t in enumerate(texts):
+            for wd in (t or "").split():
+                i = int(hashlib.md5(wd.encode()).hexdigest()[:10], 16) % dim
+                s = (
+                    1.0
+                    if int(
+                        hashlib.md5(("sgn:" + wd).encode()).hexdigest()[:10],
+                        16,
+                    )
+                    % 2
+                    == 0
+                    else -1.0
+                )
+                x[r, i] += s
+        n = np.sqrt((x * x).sum(axis=1, keepdims=True))
+        n[n == 0] = 1.0
+        return x / n
+
+    x = feats(list(docs["text"]))
+    xb = np.hstack([x, np.ones((len(x), 1))])
+    y = docs["y"].to_numpy(dtype=float)
+    w = np.zeros(dim + 1)
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(xb @ w)))
+        w = w - lr * (xb.T @ (p - y)) / len(y)
+    return w
+
+
+def test_logreg_matches_numpy_replay_and_separates(ray_session):
+    from graphforge_ray.stages.classify import logreg_score, logreg_train
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "text": [
+                "buy cheap pills", "cheap deals now", "win money fast",
+                "cheap cheap cheap",
+                "the history of rome", "ancient empire history",
+                "rome and its empire", "history of the republic",
+            ],
+            "y": [1, 1, 1, 1, 0, 0, 0, 0],
+        }
+    )
+    ds = rd.from_pandas(docs).repartition(3)
+    w = logreg_train(ds, "y", dim=16, iters=30, lr=0.5)
+    want = _np_replay_logreg(docs, 16, 30, 0.5)
+    assert np.allclose(w, want, atol=1e-8)
+
+    probs = (
+        logreg_score(ds, w).to_pandas().set_index("doc_id")["prob"]
+    )
+    assert all(probs[i] > 0.5 for i in range(4))
+    assert all(probs[i] < 0.5 for i in range(4, 8))
+
+
+def test_logreg_bad_params(ray_session):
+    from graphforge_ray.stages.classify import logreg_train
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": [1], "text": ["a"], "y": [1]})
+    )
+    with pytest.raises(ValueError):
+        logreg_train(ds, "y", dim=0)
