@@ -141,16 +141,19 @@ def run_update_pipeline(
         def build_publish(tmp_dir):
             from ..sinks.ntriples_sink import write_ntriples
 
-            d = ray.data.read_parquet(
-                _parquet_under(runner.stage_dir("delta"))
-            )
-            stats = {}
+            delta_files = _parquet_under(runner.stage_dir("delta"))
+            stats = {"adds": 0, "dels": 0}
             for op, prefix in (("add", "adds"), ("del", "dels")):
-                part = d.filter(
-                    expr=f"op == '{op}'"
-                ).drop_columns(["op"])
                 sub = os.path.join(tmp_dir, prefix)
                 os.makedirs(sub, exist_ok=True)
+                # a 0-row delta writes NO parquet files (Ray skips empty
+                # blocks) — the no-change day publishes empty dirs, it
+                # must not crash read_parquet([])
+                if not delta_files:
+                    continue
+                part = ray.data.read_parquet(delta_files).filter(
+                    expr=f"op == '{op}'"
+                ).drop_columns(["op"])
                 s = write_ntriples(part, sub, sort=True)
                 stats[prefix] = s["lines"]
             return stats["adds"] + stats["dels"], stats

@@ -111,6 +111,25 @@ def kv_join(
     )
 
 
+def np_key_dtype(ds: "ray.data.Dataset", col: str):
+    """The numpy dtype to RESTORE a key column to after a
+    ``bindings_join`` (whose side-normalization widens keys to object;
+    ``hash_pandas_object(object-int) != hash(int64)`` for equal values,
+    so any post-join bucket/join on the key MUST see the restored
+    dtype). One shared rule — callers (lm, classify, resolve, …) must
+    not re-derive it."""
+    import pyarrow as pa
+
+    t = dict(zip(ds.schema().names, ds.schema().types))[col]
+    if isinstance(t, pa.DataType):
+        if pa.types.is_integer(t):
+            return "int64"
+        if pa.types.is_floating(t):
+            return "float64"
+        return object
+    return np.dtype(t) if t != object else object
+
+
 def bindings_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",

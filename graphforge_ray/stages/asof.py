@@ -269,8 +269,6 @@ def interval_coalesce(
     gaps-and-islands (cummax — no per-key loop). SQL-replayable with
     the classic MAX(end) OVER (... ROWS UNBOUNDED PRECEDING) island
     trick."""
-    from ..shuffle import bucket_tag
-
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         out = df[[key, start_col, end_col]].copy()
         return out.assign(_bucket=bucket_tag(out, key, num_buckets))

@@ -9,7 +9,11 @@ per-(label, term) count table, built with the same map-side-combine +
 term-bucket shuffle as the bigram LM (stages/lm.py), and it NEVER lands
 on the driver — web-scale vocabularies flow through shuffles.
 
-``nb_scores`` = two corpus passes + three bucket shuffles:
+``nb_scores`` = three tokenizing corpus passes (train counts, per-doc
+term counts, per-doc lengths) plus a label-column-only count pass, and
+three bucket shuffles — all streaming, nothing corpus-sized on the
+driver (folding the length pass into the term-count pass is a known
+seam; it would save one tokenize at the cost of a per-doc shuffle):
 
 1. train: (label, term) counts, term-bucketed; per-label token totals
    and document priors are k-sized driver scalars (k = #labels).
@@ -61,21 +65,11 @@ def nb_scores(
     """→ Dataset (id, label, nb_score): add-1-smoothed multinomial NB
     log-posterior (up to the shared evidence term) of every document
     under EVERY label, FLOOR-truncated at 1e-4."""
-    import pyarrow as pa
+    from ..shuffle import np_key_dtype
 
-    # capture the id dtype: bindings_join widens it to object, and
-    # hash_pandas_object(object) != hash(int64) for equal values — the
+    # capture the id dtype: bindings_join widens it to object — the
     # matched partials and the base rows MUST land in the same bucket
-    # (shuffle.py caveat; see lm.py's identical restore)
-    id_type = dict(zip(docs.schema().names, docs.schema().types))[id_col]
-    if isinstance(id_type, pa.DataType):
-        id_np = (
-            "int64" if pa.types.is_integer(id_type)
-            else "float64" if pa.types.is_floating(id_type)
-            else object
-        )
-    else:
-        id_np = np.dtype(id_type) if id_type != object else object
+    id_np = np_key_dtype(docs, id_col)
 
     # ---- pass 1: the model — (label, term) counts, term-bucketed ----
     def train_combine(df: pd.DataFrame) -> pd.DataFrame:
@@ -96,14 +90,28 @@ def nb_scores(
         .materialize()
     )
 
-    # V: each distinct term lives in exactly one bucket group, and
-    # groups are atomic within map_groups output blocks — per-block
-    # nunique partials are disjoint, so their sum is exact
-    v_rows = model.map_batches(
-        lambda df: pd.DataFrame({"n": [df["w"].nunique()]}),
-        batch_format="pandas",
-    ).to_pandas()
-    vocab_size = float(v_rows["n"].sum())
+    # V: distinct terms of the model. Per-BLOCK nunique partials are NOT
+    # safe (Ray splits large map_groups outputs into multiple blocks, so
+    # a term's k label rows can straddle a split and double-count) — one
+    # small extra shuffle over the model's distinct terms is exact at
+    # any block size
+    vocab_size = float(
+        model.map_batches(
+            lambda df: df[["w"]].drop_duplicates().assign(
+                _vb=bucket_tag(df[["w"]].drop_duplicates(), "w",
+                               num_buckets)
+            ),
+            batch_format="pandas",
+        )
+        .groupby("_vb")
+        .map_groups(
+            lambda g: pd.DataFrame(
+                {"n": [np.int64(g["w"].nunique())]}
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()["n"].sum()
+    )
 
     # per-label token totals from the model (k × num_blocks partials)
     tot_rows = model.map_batches(

@@ -73,18 +73,9 @@ def bigram_logprob_scores(
     # hash_array(int64) for equal values — every post-join bucket_tag /
     # join on the id must see the RESTORED dtype or keys split across
     # buckets (shuffle.py caveat, measured on the zero-fill anti join)
-    import pyarrow as pa
+    from ..shuffle import np_key_dtype
 
-    id_type = dict(zip(docs.schema().names, docs.schema().types))[id_col]
-    if isinstance(id_type, pa.DataType):
-        if pa.types.is_integer(id_type):
-            id_np = "int64"
-        elif pa.types.is_floating(id_type):
-            id_np = "float64"
-        else:
-            id_np = object
-    else:
-        id_np = np.dtype(id_type) if id_type != object else object
+    id_np = np_key_dtype(docs, id_col)
 
     def _restore_id(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()

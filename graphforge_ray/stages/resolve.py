@@ -87,23 +87,12 @@ def fuzzy_name_join(
     product is ever materialized."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1]: {threshold}")
-    import pyarrow as pa
+    from ..shuffle import np_key_dtype
 
-    # bindings_join widens key dtypes to object and
-    # hash_pandas_object(object-int) != hash(int64) — every post-join
-    # bucket/join on an id must see the RESTORED dtype (lm.py caveat)
-    def _np_dtype(ds, col):
-        t = dict(zip(ds.schema().names, ds.schema().types))[col]
-        if isinstance(t, pa.DataType):
-            if pa.types.is_integer(t):
-                return "int64"
-            if pa.types.is_floating(t):
-                return "float64"
-            return object
-        return np.dtype(t) if t != object else object
-
-    lid_np = _np_dtype(left, left_id)
-    rid_np = _np_dtype(right, right_id)
+    # bindings_join widens key dtypes to object — every post-join
+    # bucket/join on an id must see the RESTORED dtype (shuffle.py)
+    lid_np = np_key_dtype(left, left_id)
+    rid_np = np_key_dtype(right, right_id)
     _restore = {"_lid": lid_np, "_rid": rid_np}
 
     # snap each multi-consumer sub-plan: lg/rg feed BOTH the frequency

@@ -128,6 +128,14 @@ def random_project(
     to ``x @ R / sqrt(out_dim)`` with the deterministic ±1 matrix, in
     long form, FLOOR-truncated at 1e-6.
 
+    Float-parity rule: inputs are first QUANTIZED to the 2⁻²⁰ grid
+    (``floor(v · 2²⁰ + 0.5)``, half-up — identical formula in SQL), so
+    each projected sum is a sum of INTEGERS, exact in doubles in any
+    order; the only rounding after that is the shared single-op
+    divide/sqrt/floor chain. Without quantization, numpy's pairwise
+    matmul and SQL's sequential SUM can floor to adjacent 1e-6 grid
+    values — a latent contract-gate flake.
+
     Map-side only — the matrix is rebuilt per actor process from the
     md5 rule (in_dim × out_dim scalars), nothing is shipped or
     shuffled; the natural pre-step that makes brute-force ANN and
@@ -135,6 +143,7 @@ def random_project(
     if out_dim < 1:
         raise ValueError(f"out_dim must be ≥ 1: {out_dim}")
     cache: dict[int, np.ndarray] = {}
+    Q = float(1 << 20)
 
     def project(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -146,11 +155,14 @@ def random_project(
         x = np.stack(
             [np.asarray(v, dtype=np.float64) for v in df[vec_col]]
         )
+        x = np.floor(x * Q + 0.5)  # exact ints in doubles
         in_dim = x.shape[1]
         r = cache.get(in_dim)
         if r is None:
             r = cache[in_dim] = projection_matrix(in_dim, out_dim)
-        y = np.floor(x @ r / np.sqrt(float(out_dim)) * 1e6) / 1e6
+        y = np.floor(
+            x @ r / Q / np.sqrt(float(out_dim)) * 1e6
+        ) / 1e6
         n = len(df)
         return pd.DataFrame(
             {

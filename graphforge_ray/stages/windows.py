@@ -216,8 +216,9 @@ def trailing_window(
         if codes.max(initial=0) >= (2**62) // max(shift, 1):
             raise ValueError(
                 "trailing_window composite overflow: "
-                f"{codes.max() + 1} keys × {shift} µs span — shrink the "
-                "bucket count or window"
+                f"{codes.max() + 1} keys × {shift} µs span — RAISE "
+                "num_buckets (fewer keys per bucket) or shrink the "
+                "window/timestamp span"
             )
         base = us - int(us.min()) if len(us) else us
         arr = codes * shift + base

@@ -137,6 +137,7 @@ def test_feature_hash_unsigned_counts(ray_session):
 def _ref_project(vec, out_dim):
     import hashlib
 
+    Q = float(1 << 20)
     y = []
     for j in range(out_dim):
         s = 0.0
@@ -151,8 +152,10 @@ def _ref_project(vec, out_dim):
                 == 0
                 else -1.0
             )
-            s += float(v) * sgn
-        y.append(math.floor(s / math.sqrt(out_dim) * 1e6) / 1e6)
+            s += math.floor(float(v) * Q + 0.5) * sgn
+        y.append(
+            math.floor(s / Q / math.sqrt(out_dim) * 1e6) / 1e6
+        )
     return y
 
 

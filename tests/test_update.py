@@ -136,3 +136,16 @@ def test_update_with_ontology_entailed_stage(base_run):
     got = set(map(tuple, rel[["subj", "obj"]].to_numpy()))
     want = set(map(tuple, links[["subj", "obj"]].to_numpy()))
     assert want <= got
+
+
+def test_update_identical_snapshot_publishes_empty(base_run):
+    root, pages_v1, base, pages_v2 = base_run
+    out = str(root / "kg_v1_again")
+    # same pages as the base run → delta is EMPTY; the no-change day
+    # must publish empty add/del sets, not crash on read_parquet([])
+    runner = run_update_pipeline(pages_v1, base, out)
+    m = json.load(open(os.path.join(out, "delta", "MANIFEST.json")))
+    assert m["extra"] == {"adds": 0, "dels": 0}
+    p = json.load(open(os.path.join(out, "publish", "MANIFEST.json")))
+    assert p["status"] == "done"
+    assert p["extra"]["adds"] == 0 and p["extra"]["dels"] == 0
