@@ -3723,6 +3723,27 @@ FROM idx, unnest(generate_series(0,
 """
 
 
+def q_docs_quality_ntile(sf_dir: str):
+    """Exact global rank + NTILE(4) quartile of documents by n_chars
+    (quality-curriculum bucketing) — order-preserving score-bucket
+    histogram, no global sort (stages/sampling.global_rank)."""
+    from ..stages.sampling import global_rank
+
+    return global_rank(
+        _t(sf_dir, "documents", ["doc_id", "n_chars"]),
+        score_col="n_chars", descending=True, ntiles=4,
+    )
+
+
+SQL_DOCS_QUALITY_NTILE = """
+SELECT doc_id, n_chars,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank,
+       CAST(NTILE(4) OVER w AS BIGINT) AS ntile
+FROM documents
+WINDOW w AS (ORDER BY n_chars DESC, doc_id)
+"""
+
+
 def q_docs_logreg_score(sf_dir: str):
     """Trainable quality classifier: full-batch logistic regression on
     feature-hashed text, label = (lang == 'en'), then map-side sigmoid
@@ -4207,6 +4228,7 @@ QUERIES = {
     "kg_negatives": q_kg_negatives,
     "docs_chunks": q_docs_chunks,
     "events_intervals": q_events_intervals,
+    "docs_quality_ntile": q_docs_quality_ntile,
     "docs_nb_scores": q_docs_nb_scores,
     "docs_nb_predict": q_docs_nb_predict,
     "embeddings_project": q_embeddings_project,
@@ -4218,7 +4240,6 @@ QUERIES = {
     "sparql_zeroone_path": q_sparql_zeroone_path,
     "sparql_neg_path": q_sparql_neg_path,
     "sparql_optional_path": q_sparql_optional_path,
-    "sparql_grouped_path": q_sparql_grouped_path,
     "sparql_select_dataset": q_sparql_select_dataset,
     "sparql_select_expr": q_sparql_select_expr,
     "sparql_agg_expr": q_sparql_agg_expr,
@@ -4234,6 +4255,7 @@ QUERIES = {
     "graph_kcore": q_graph_kcore,
     "graph_degree_hist": q_graph_degree_hist,
     "sparql_describe": q_sparql_describe,
+    "sparql_grouped_path": q_sparql_grouped_path,
     "rml_documents_triples": q_rml_documents_triples,
     "triples_pred_counts": q_triples_pred_counts,
     "revenue_filter": q_revenue_filter,
@@ -4317,6 +4339,7 @@ ORACLES = {
     "kg_negatives": SQL_KG_NEGATIVES,
     "docs_chunks": SQL_DOCS_CHUNKS,
     "events_intervals": SQL_EVENTS_INTERVALS,
+    "docs_quality_ntile": SQL_DOCS_QUALITY_NTILE,
     "docs_nb_scores": SQL_DOCS_NB_SCORES,
     "docs_nb_predict": SQL_DOCS_NB_PREDICT,
     "embeddings_project": SQL_EMBEDDINGS_PROJECT,

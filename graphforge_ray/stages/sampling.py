@@ -29,7 +29,7 @@ from .fasthash import hex_prefix_int, md5_hex, md5_hex_keyed
 
 __all__ = ["hash_split_column", "hash_split", "deterministic_shuffle",
            "pack_sequences", "budget_select", "stratified_sample",
-           "source_mixture", "negative_sample"]
+           "source_mixture", "negative_sample", "global_rank"]
 
 
 def _threshold_hex(test_pct: float) -> str:
@@ -523,3 +523,100 @@ def negative_sample(
         )
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+def global_rank(
+    ds: "ray.data.Dataset",
+    score_col: str,
+    id_col: str = "doc_id",
+    descending: bool = False,
+    ntiles: int | None = None,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Exact global rank by VALUE → (id, score, rank[, ntile]):
+    ``rank`` is the 1-based position in the total (score [desc], id)
+    order — SQL ``ROW_NUMBER() OVER (ORDER BY score, id)`` — and
+    ``ntile`` (when requested) is SQL ``NTILE(n)`` over the same order
+    (first ``total mod n`` tiles one row larger). The percentile-bucket
+    assignment step of quality-score curricula.
+
+    Same no-global-sort shape as ``deterministic_shuffle``/
+    ``budget_select``: ORDER-PRESERVING score buckets (fixed linspace
+    edges — equal scores land in one bucket, so cross-bucket order is
+    exact), a ≤ num_buckets-row count histogram on the driver → prefix
+    offsets, then one bucket shuffle with a vectorized per-bucket sort.
+    Massive score ties all land in one bucket (exactness over balance —
+    same documented seam as budget_select)."""
+    import ray as _ray
+
+    from ray.data.aggregate import Sum
+
+    if ntiles is not None and ntiles < 1:
+        raise ValueError(f"ntiles must be ≥ 1: {ntiles}")
+
+    stats = ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"mn": [df[score_col].min()], "mx": [df[score_col].max()]}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    mn, mx = float(stats["mn"].min()), float(stats["mx"].max())
+    edges = np.linspace(mn, mx, num_buckets + 1)[1:-1]
+    cols = list(dict.fromkeys([id_col, score_col]))
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[score_col].to_numpy(dtype=np.float64)
+        b = np.digitize(s, edges)
+        if descending:
+            b = (num_buckets - 1) - b
+        return df[cols].assign(_bucket=b.astype(np.int32))
+
+    tagged = ds.map_batches(tag, batch_format="pandas").materialize()
+    hist = (
+        tagged.map_batches(
+            lambda df: df.groupby("_bucket", as_index=False)
+            .size()
+            .rename(columns={"size": "c"}),
+            batch_format="pandas",
+        )
+        .groupby("_bucket")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    counts = (
+        hist.set_index("_bucket")["c"]
+        .reindex(range(num_buckets), fill_value=0)
+        .astype("int64")
+    )
+    total = int(counts.sum())
+    offsets = counts.cumsum().shift(fill_value=0).astype("int64")
+    ref = _ray.put(offsets.to_dict())
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        offs = _ray.get(ref)
+        base = int(offs[int(g["_bucket"].iloc[0])])
+        g = g.sort_values(
+            [score_col, id_col],
+            ascending=[not descending, True],
+            kind="mergesort",
+        )
+        out = g[cols].copy()
+        r = base + np.arange(1, len(g) + 1, dtype=np.int64)
+        out["rank"] = r
+        if ntiles is not None:
+            q, rem = divmod(total, ntiles)
+            if q == 0:
+                # fewer rows than tiles: tile == rank (SQL semantics)
+                out["ntile"] = r
+            else:
+                cut = rem * (q + 1)
+                out["ntile"] = np.where(
+                    r <= cut,
+                    (r - 1) // (q + 1) + 1,
+                    rem + (r - 1 - cut) // q + 1,
+                ).astype(np.int64)
+        return out
+
+    return tagged.groupby("_bucket").map_groups(
+        rank_bucket, batch_format="pandas"
+    )
