@@ -3723,6 +3723,40 @@ FROM idx, unnest(generate_series(0,
 """
 
 
+def q_lineitem_corr(sf_dir: str):
+    """Pearson correlation of quantity vs extended price over the full
+    lineitem table — one moment pass, six driver scalars
+    (stages/stats.pearson_corr)."""
+    from ..stages.stats import pearson_corr
+
+    r = pearson_corr(
+        _t(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"]),
+        "l_quantity", "l_extendedprice",
+    )
+    return pd.DataFrame({"corr": [np.floor(r * 1e6) / 1e6]})
+
+
+SQL_LINEITEM_CORR = """
+WITH m AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           SUM(CAST(l_quantity AS DOUBLE)) AS sx,
+           SUM(CAST(l_extendedprice AS DOUBLE)) AS sy,
+           SUM(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE))
+               AS sxx,
+           SUM(CAST(l_extendedprice AS DOUBLE)
+               * CAST(l_extendedprice AS DOUBLE)) AS syy,
+           SUM(CAST(l_quantity AS DOUBLE)
+               * CAST(l_extendedprice AS DOUBLE)) AS sxy
+    FROM lineitem
+)
+SELECT FLOOR(
+    (sxy / n - (sx / n) * (sy / n))
+    / SQRT((sxx / n - (sx / n) * (sx / n))
+           * (syy / n - (sy / n) * (sy / n))) * 1e6) / 1e6 AS corr
+FROM m
+"""
+
+
 def q_docs_quality_ntile(sf_dir: str):
     """Exact global rank + NTILE(4) quartile of documents by n_chars
     (quality-curriculum bucketing) — order-preserving score-bucket
@@ -4229,6 +4263,7 @@ QUERIES = {
     "docs_chunks": q_docs_chunks,
     "events_intervals": q_events_intervals,
     "docs_quality_ntile": q_docs_quality_ntile,
+    "lineitem_corr": q_lineitem_corr,
     "docs_nb_scores": q_docs_nb_scores,
     "docs_nb_predict": q_docs_nb_predict,
     "embeddings_project": q_embeddings_project,
@@ -4237,7 +4272,6 @@ QUERIES = {
     "sparql_datatype_filter": q_sparql_datatype_filter,
     "sparql_graph_var": q_sparql_graph_var,
     "sparql_graph_const": q_sparql_graph_const,
-    "sparql_zeroone_path": q_sparql_zeroone_path,
     "sparql_neg_path": q_sparql_neg_path,
     "sparql_optional_path": q_sparql_optional_path,
     "sparql_select_dataset": q_sparql_select_dataset,
@@ -4256,6 +4290,7 @@ QUERIES = {
     "graph_degree_hist": q_graph_degree_hist,
     "sparql_describe": q_sparql_describe,
     "sparql_grouped_path": q_sparql_grouped_path,
+    "sparql_zeroone_path": q_sparql_zeroone_path,
     "rml_documents_triples": q_rml_documents_triples,
     "triples_pred_counts": q_triples_pred_counts,
     "revenue_filter": q_revenue_filter,
@@ -4340,6 +4375,7 @@ ORACLES = {
     "docs_chunks": SQL_DOCS_CHUNKS,
     "events_intervals": SQL_EVENTS_INTERVALS,
     "docs_quality_ntile": SQL_DOCS_QUALITY_NTILE,
+    "lineitem_corr": SQL_LINEITEM_CORR,
     "docs_nb_scores": SQL_DOCS_NB_SCORES,
     "docs_nb_predict": SQL_DOCS_NB_PREDICT,
     "embeddings_project": SQL_EMBEDDINGS_PROJECT,

@@ -24,7 +24,7 @@ import pandas as pd
 
 from ..shuffle import bucket_tag
 
-__all__ = ["group_quantiles", "group_topk", "zscore_standardize"]
+__all__ = ["group_quantiles", "group_topk", "zscore_standardize", "pearson_corr"]
 
 
 def group_quantiles(
@@ -174,3 +174,38 @@ def zscore_standardize(
         return df
 
     return ds.map_batches(transform, batch_format="pandas")
+
+
+def pearson_corr(
+    ds: "ray.data.Dataset",
+    x_col: str,
+    y_col: str,
+) -> float:
+    """Pearson correlation of two numeric columns in ONE streaming pass
+    of (n, Σx, Σy, Σx², Σy², Σxy) partials — six driver scalars. The
+    moment formula is replayed verbatim by the SQL oracle (DuckDB's
+    CORR uses the same algebra), FLOOR-truncated at 1e-6 by callers
+    that need cross-engine equality. Constant columns raise."""
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[x_col].to_numpy(dtype=np.float64)
+        y = df[y_col].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(x))],
+                "sx": [x.sum()], "sy": [y.sum()],
+                "sxx": [(x * x).sum()], "syy": [(y * y).sum()],
+                "sxy": [(x * y).sum()],
+            }
+        )
+
+    m = ds.map_batches(moments, batch_format="pandas").to_pandas().sum()
+    n = float(m["n"])
+    if n == 0:
+        raise ValueError("pearson_corr: no rows")
+    cov = m["sxy"] / n - (m["sx"] / n) * (m["sy"] / n)
+    vx = m["sxx"] / n - (m["sx"] / n) ** 2
+    vy = m["syy"] / n - (m["sy"] / n) ** 2
+    if vx <= 0 or vy <= 0:
+        raise ValueError("pearson_corr: a column is constant")
+    return float(cov / math.sqrt(vx * vy))

@@ -69,3 +69,22 @@ def test_zscore_constant_column_raises(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"v": [2.0, 2.0, 2.0]}))
     with pytest.raises(ValueError, match="constant"):
         zscore_standardize(ds, "v")
+
+
+def test_pearson_corr_matches_numpy(ray_session):
+    from graphforge_ray.stages.stats import pearson_corr
+
+    rng_x = np.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0])
+    y = 2.5 * rng_x + np.array([0.1, -0.2, 0.0, 0.3, -0.1, 0.2])
+    ds = rd.from_pandas(pd.DataFrame({"x": rng_x, "y": y})).repartition(3)
+    got = pearson_corr(ds, "x", "y")
+    want = float(np.corrcoef(rng_x, y)[0, 1])
+    assert got == pytest.approx(want, abs=1e-12)
+
+
+def test_pearson_corr_constant_raises(ray_session):
+    from graphforge_ray.stages.stats import pearson_corr
+
+    ds = rd.from_pandas(pd.DataFrame({"x": [1.0, 1.0], "y": [1.0, 2.0]}))
+    with pytest.raises(ValueError, match="constant"):
+        pearson_corr(ds, "x", "y")
