@@ -52,8 +52,11 @@ def compact_parquet(
         ds = ray.data.read_parquet(files)
         n = ds.count()  # parquet metadata, no execution
         num_files = max(1, math.ceil(n / target_rows_per_file))
+        # zero-row debris (schema-only files) compacts to an empty dir;
+        # Ray rejects min_rows_per_file=0
         ds.repartition(num_files).write_parquet(
-            tmp_dir, min_rows_per_file=min(n, target_rows_per_file)
+            tmp_dir,
+            min_rows_per_file=max(1, min(n, target_rows_per_file)),
         )
         files_out = sum(
             1 for _, _, fs in os.walk(tmp_dir)

@@ -3733,7 +3733,10 @@ def q_lineitem_corr(sf_dir: str):
         _t(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"]),
         "l_quantity", "l_extendedprice",
     )
-    return pd.DataFrame({"corr": [np.floor(r * 1e6) / 1e6]})
+    # FLOOR at 1e-4, not 1e-6: the six moments are order-sensitive float
+    # sums (unlike the quantized projection), so parity needs headroom
+    # above cross-engine ulp noise (same rationale as lm.py's 1e-4)
+    return pd.DataFrame({"corr": [np.floor(r * 1e4) / 1e4]})
 
 
 SQL_LINEITEM_CORR = """
@@ -3752,7 +3755,7 @@ WITH m AS (
 SELECT FLOOR(
     (sxy / n - (sx / n) * (sy / n))
     / SQRT((sxx / n - (sx / n) * (sx / n))
-           * (syy / n - (sy / n) * (sy / n))) * 1e6) / 1e6 AS corr
+           * (syy / n - (sy / n) * (sy / n))) * 1e4) / 1e4 AS corr
 FROM m
 """
 

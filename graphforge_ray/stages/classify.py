@@ -97,10 +97,9 @@ def nb_scores(
     # any block size
     vocab_size = float(
         model.map_batches(
-            lambda df: df[["w"]].drop_duplicates().assign(
-                _vb=bucket_tag(df[["w"]].drop_duplicates(), "w",
-                               num_buckets)
-            ),
+            lambda df: (lambda d: d.assign(
+                _vb=bucket_tag(d, "w", num_buckets)
+            ))(df[["w"]].drop_duplicates()),
             batch_format="pandas",
         )
         .groupby("_vb")
@@ -286,13 +285,27 @@ def logreg_train(
     rule, built DENSE per batch (dim is small by construction — the
     whole model is dim+1 floats, so the broadcast is trivial).
 
-    Scale shape: each iteration is ONE streaming pass producing
-    (dim+1)-sized gradient partials per batch; the driver folds ≤
-    blocks × (dim+1) floats and updates w. Full-batch GD is exactly
-    reproducible given fixed iteration count (no sampling, no racy
-    SGD); partial-sum order only perturbs ulps."""
+    Scale shape: features are tokenized + hashed ONCE into a
+    materialized (n × dim) float dataset; each GD iteration is then one
+    cheap matmul pass producing (dim+1)-sized gradient partials per
+    batch — the driver folds ≤ blocks × (dim+1) floats and updates w.
+    Full-batch GD is exactly reproducible given fixed iteration count
+    (no sampling, no racy SGD); partial-sum order only perturbs ulps."""
     if dim < 1 or iters < 1:
         raise ValueError(f"dim/iters must be ≥ 1: {dim}/{iters}")
+
+    feat_cols = [f"_f{k}" for k in range(dim)]
+
+    def featurize(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            _dense_hash_features(df, text_col, dim), columns=feat_cols
+        )
+        out["_y"] = df[label_fn_col].to_numpy(dtype=np.float64)
+        return out
+
+    feats = docs.map_batches(
+        featurize, batch_format="pandas"
+    ).materialize()
 
     w = np.zeros(dim + 1, dtype=np.float64)
 
@@ -300,9 +313,9 @@ def logreg_train(
         w_c = w.copy()
 
         def grad_partial(df: pd.DataFrame) -> pd.DataFrame:
-            x = _dense_hash_features(df, text_col, dim)
+            x = df[feat_cols].to_numpy(dtype=np.float64)
             xb = np.hstack([x, np.ones((len(df), 1))])
-            y = df[label_fn_col].to_numpy(dtype=np.float64)
+            y = df["_y"].to_numpy(dtype=np.float64)
             z = xb @ w_c
             p = 1.0 / (1.0 + np.exp(-z))
             g = xb.T @ (p - y)
@@ -311,9 +324,11 @@ def logreg_train(
                  "n": np.int64(len(df))}
             )
 
-        parts = docs.map_batches(
+        parts = feats.map_batches(
             grad_partial, batch_format="pandas"
         ).to_pandas()
+        if "j" not in parts.columns:
+            raise ValueError("logreg_train: no rows")
         # n is repeated across a batch's dim+1 rows — count it once
         n_total = float(parts.loc[parts["j"] == 0, "n"].sum()) or 1.0
         grad = parts.groupby("j")["g"].sum().to_numpy()
@@ -333,8 +348,6 @@ def logreg_score(
     dim = len(w) - 1
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
-        from .fasthash import hex_prefix_int, md5_hex
-
         x = _dense_hash_features(df, text_col, dim)
         z = x @ w[:-1] + w[-1]
         return pd.DataFrame(

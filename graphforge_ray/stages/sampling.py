@@ -75,6 +75,39 @@ def hash_split(
     )
 
 
+def _bucket_count_offsets(tagged: "ray.data.Dataset", n_buckets: int):
+    """Count histogram over a ``_bucket``-tagged Dataset → (prefix
+    offsets dict in the object store, total rows). The shared
+    rank-protocol core of ``deterministic_shuffle`` and
+    ``global_rank``: per-batch partial counts are reduced DISTRIBUTED
+    before the driver sees them (≤ n_buckets rows regardless of corpus
+    size)."""
+    import ray as _ray
+
+    from ray.data.aggregate import Sum
+
+    hist_parts = (
+        tagged.map_batches(
+            lambda df: df.groupby("_bucket", as_index=False)
+            .size()
+            .rename(columns={"size": "c"}),
+            batch_format="pandas",
+        )
+        .groupby("_bucket")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    if "c" not in hist_parts.columns:
+        hist_parts = pd.DataFrame({"_bucket": [], "c": []})
+    counts = (
+        hist_parts.set_index("_bucket")["c"]
+        .reindex(range(n_buckets), fill_value=0)
+        .astype("int64")
+    )
+    offsets = counts.cumsum().shift(fill_value=0).astype("int64")
+    return _ray.put(offsets.to_dict()), int(counts.sum())
+
+
 def deterministic_shuffle(
     ds: "ray.data.Dataset",
     key_col: str = "doc_id",
@@ -124,27 +157,7 @@ def deterministic_shuffle(
 
     keyed_ds = ds.map_batches(keyed, batch_format="pandas").materialize()
 
-    # per-batch partials are REDUCED distributed before the driver sees
-    # them: a million-block corpus would otherwise ship blocks×buckets
-    # partial rows to the driver — after the groupby it is ≤ n_buckets
-    # rows no matter the corpus size
-    from ray.data.aggregate import Sum
-
-    hist_parts = (
-        keyed_ds.map_batches(
-            lambda df: df.groupby("_bucket", as_index=False).size(),
-            batch_format="pandas",
-        )
-        .groupby("_bucket")
-        .aggregate(Sum("size", alias_name="size"))
-        .to_pandas()
-    )
-    hist = (
-        hist_parts.set_index("_bucket")["size"]
-        .reindex(range(n_buckets), fill_value=0)
-    )
-    offsets = hist.cumsum().shift(fill_value=0).astype("int64")
-    ref = _ray.put(offsets.to_dict())
+    ref, _total = _bucket_count_offsets(keyed_ds, n_buckets)
 
     def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
         offs = _ray.get(ref)
@@ -560,37 +573,29 @@ def global_rank(
         ),
         batch_format="pandas",
     ).to_pandas()
+    if "mn" not in stats.columns:
+        raise ValueError("global_rank: no rows")
     mn, mx = float(stats["mn"].min()), float(stats["mx"].max())
     edges = np.linspace(mn, mx, num_buckets + 1)[1:-1]
     cols = list(dict.fromkeys([id_col, score_col]))
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         s = df[score_col].to_numpy(dtype=np.float64)
+        if np.isnan(s).any():
+            # digitize would send NaN to the TOP bucket (bucket 0 after
+            # the descending flip) and silently mis-rank — SQL NULL
+            # ordering is a policy choice the caller must make upstream
+            raise ValueError(
+                f"global_rank: NaN in {score_col!r} — filter or fill "
+                "nulls first (SQL NULLS FIRST/LAST is caller policy)"
+            )
         b = np.digitize(s, edges)
         if descending:
             b = (num_buckets - 1) - b
         return df[cols].assign(_bucket=b.astype(np.int32))
 
     tagged = ds.map_batches(tag, batch_format="pandas").materialize()
-    hist = (
-        tagged.map_batches(
-            lambda df: df.groupby("_bucket", as_index=False)
-            .size()
-            .rename(columns={"size": "c"}),
-            batch_format="pandas",
-        )
-        .groupby("_bucket")
-        .aggregate(Sum("c", alias_name="c"))
-        .to_pandas()
-    )
-    counts = (
-        hist.set_index("_bucket")["c"]
-        .reindex(range(num_buckets), fill_value=0)
-        .astype("int64")
-    )
-    total = int(counts.sum())
-    offsets = counts.cumsum().shift(fill_value=0).astype("int64")
-    ref = _ray.put(offsets.to_dict())
+    ref, total = _bucket_count_offsets(tagged, num_buckets)
 
     def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
         offs = _ray.get(ref)

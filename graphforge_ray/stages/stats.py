@@ -199,10 +199,13 @@ def pearson_corr(
             }
         )
 
-    m = ds.map_batches(moments, batch_format="pandas").to_pandas().sum()
-    n = float(m["n"])
-    if n == 0:
+    m = ds.map_batches(moments, batch_format="pandas").to_pandas()
+    # an all-empty input never runs the UDF → the frame keeps the input
+    # schema (no 'n' column); guard BEFORE indexing
+    if "n" not in m.columns or float(m["n"].sum()) == 0:
         raise ValueError("pearson_corr: no rows")
+    m = m.sum()
+    n = float(m["n"])
     cov = m["sxy"] / n - (m["sx"] / n) * (m["sy"] / n)
     vx = m["sxx"] / n - (m["sx"] / n) ** 2
     vy = m["syy"] / n - (m["sy"] / n) ** 2
