@@ -3723,6 +3723,48 @@ FROM idx, unnest(generate_series(0,
 """
 
 
+def q_docs_pmi(sf_dir: str):
+    """Windowed co-occurrence PMI over the documents corpus (window 3,
+    min_count 5) — collocation mining; counts flow through term/pair
+    bucket shuffles, never the driver (stages/cooccur)."""
+    from ..stages.cooccur import cooccurrence_pmi
+
+    return cooccurrence_pmi(
+        _t(sf_dir, "documents", ["doc_id", "text"]),
+        window=3, min_count=5,
+    )
+
+
+SQL_DOCS_PMI = r"""
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '\S+') AS tl
+    FROM documents
+),
+w AS (
+    SELECT doc_id, generate_subscripts(tl, 1) AS i, unnest(tl) AS w
+    FROM toks
+),
+uni AS (SELECT w, COUNT(*) AS c1 FROM w GROUP BY w),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM w),
+pr AS (
+    SELECT LEAST(a.w, b.w) AS x, GREATEST(a.w, b.w) AS y
+    FROM w a JOIN w b
+      ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND 3
+),
+pc AS (SELECT x, y, COUNT(*) AS c_xy FROM pr GROUP BY x, y),
+p AS (SELECT CAST(SUM(c_xy) AS DOUBLE) AS p FROM pc)
+SELECT pc.x, pc.y, CAST(pc.c_xy AS BIGINT) AS c_xy,
+       FLOOR((LN(pc.c_xy / p.p) - LN(ux.c1 / n.n) - LN(uy.c1 / n.n))
+             * 1e4) / 1e4 AS pmi
+FROM pc
+CROSS JOIN p
+CROSS JOIN n
+JOIN uni ux ON pc.x = ux.w
+JOIN uni uy ON pc.y = uy.w
+WHERE pc.c_xy >= 5
+"""
+
+
 def q_lineitem_corr(sf_dir: str):
     """Pearson correlation of quantity vs extended price over the full
     lineitem table — one moment pass, six driver scalars
@@ -4267,6 +4309,7 @@ QUERIES = {
     "events_intervals": q_events_intervals,
     "docs_quality_ntile": q_docs_quality_ntile,
     "lineitem_corr": q_lineitem_corr,
+    "docs_pmi": q_docs_pmi,
     "docs_nb_scores": q_docs_nb_scores,
     "docs_nb_predict": q_docs_nb_predict,
     "embeddings_project": q_embeddings_project,
@@ -4275,7 +4318,6 @@ QUERIES = {
     "sparql_datatype_filter": q_sparql_datatype_filter,
     "sparql_graph_var": q_sparql_graph_var,
     "sparql_graph_const": q_sparql_graph_const,
-    "sparql_neg_path": q_sparql_neg_path,
     "sparql_optional_path": q_sparql_optional_path,
     "sparql_select_dataset": q_sparql_select_dataset,
     "sparql_select_expr": q_sparql_select_expr,
@@ -4294,6 +4336,7 @@ QUERIES = {
     "sparql_describe": q_sparql_describe,
     "sparql_grouped_path": q_sparql_grouped_path,
     "sparql_zeroone_path": q_sparql_zeroone_path,
+    "sparql_neg_path": q_sparql_neg_path,
     "rml_documents_triples": q_rml_documents_triples,
     "triples_pred_counts": q_triples_pred_counts,
     "revenue_filter": q_revenue_filter,
@@ -4379,6 +4422,7 @@ ORACLES = {
     "events_intervals": SQL_EVENTS_INTERVALS,
     "docs_quality_ntile": SQL_DOCS_QUALITY_NTILE,
     "lineitem_corr": SQL_LINEITEM_CORR,
+    "docs_pmi": SQL_DOCS_PMI,
     "docs_nb_scores": SQL_DOCS_NB_SCORES,
     "docs_nb_predict": SQL_DOCS_NB_PREDICT,
     "embeddings_project": SQL_EMBEDDINGS_PROJECT,
