@@ -3723,6 +3723,24 @@ FROM idx, unnest(generate_series(0,
 """
 
 
+def q_events_distinct_users(sf_dir: str):
+    """Exact per-event-type distinct-user counts
+    (stages/profile.group_distinct_count) — one (group,value)-bucket
+    shuffle with drop_duplicates combiners."""
+    from ..stages.profile import group_distinct_count
+
+    return group_distinct_count(
+        _t(sf_dir, "events", ["event_type", "user_id"]),
+        "event_type", "user_id",
+    )
+
+
+SQL_EVENTS_DISTINCT_USERS = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY event_type
+"""
+
+
 def q_docs_pmi(sf_dir: str):
     """Windowed co-occurrence PMI over the documents corpus (window 3,
     min_count 5) — collocation mining; counts flow through term/pair
@@ -4310,6 +4328,7 @@ QUERIES = {
     "docs_quality_ntile": q_docs_quality_ntile,
     "lineitem_corr": q_lineitem_corr,
     "docs_pmi": q_docs_pmi,
+    "events_distinct_users": q_events_distinct_users,
     "docs_nb_scores": q_docs_nb_scores,
     "docs_nb_predict": q_docs_nb_predict,
     "embeddings_project": q_embeddings_project,
@@ -4318,7 +4337,6 @@ QUERIES = {
     "sparql_datatype_filter": q_sparql_datatype_filter,
     "sparql_graph_var": q_sparql_graph_var,
     "sparql_graph_const": q_sparql_graph_const,
-    "sparql_optional_path": q_sparql_optional_path,
     "sparql_select_dataset": q_sparql_select_dataset,
     "sparql_select_expr": q_sparql_select_expr,
     "sparql_agg_expr": q_sparql_agg_expr,
@@ -4337,6 +4355,7 @@ QUERIES = {
     "sparql_grouped_path": q_sparql_grouped_path,
     "sparql_zeroone_path": q_sparql_zeroone_path,
     "sparql_neg_path": q_sparql_neg_path,
+    "sparql_optional_path": q_sparql_optional_path,
     "rml_documents_triples": q_rml_documents_triples,
     "triples_pred_counts": q_triples_pred_counts,
     "revenue_filter": q_revenue_filter,
@@ -4423,6 +4442,7 @@ ORACLES = {
     "docs_quality_ntile": SQL_DOCS_QUALITY_NTILE,
     "lineitem_corr": SQL_LINEITEM_CORR,
     "docs_pmi": SQL_DOCS_PMI,
+    "events_distinct_users": SQL_EVENTS_DISTINCT_USERS,
     "docs_nb_scores": SQL_DOCS_NB_SCORES,
     "docs_nb_predict": SQL_DOCS_NB_PREDICT,
     "embeddings_project": SQL_EMBEDDINGS_PROJECT,

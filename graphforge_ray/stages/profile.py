@@ -22,7 +22,7 @@ import pandas as pd
 
 from ..shuffle import pair_bucket_tag
 
-__all__ = ["profile_columns", "characteristic_sets"]
+__all__ = ["profile_columns", "characteristic_sets", "group_distinct_count"]
 
 
 def profile_columns(
@@ -158,4 +158,52 @@ def characteristic_sets(
         .map_groups(per_subject, batch_format="pandas")
         .groupby("_bucket")
         .map_groups(reduce_cs, batch_format="pandas")
+    )
+
+
+def group_distinct_count(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Exact per-group COUNT(DISTINCT value) → (group, n_distinct) —
+    "distinct users per event type", the cardinality audit Ray Data's
+    built-in aggregates don't offer exactly. Nulls excluded (SQL
+    semantics).
+
+    One (group, value)-bucket shuffle with per-batch drop_duplicates
+    combiners; each (group, value) pair lives in exactly one bucket, so
+    per-bucket nunique partials sum exactly; the final per-group fold is
+    a ≤ groups × buckets row frame reduced by one tiny group shuffle."""
+    from ..shuffle import bucket_tag
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[group_col, value_col]].dropna().drop_duplicates()
+        return out.assign(
+            _bucket=pair_bucket_tag(out, [group_col, value_col],
+                                    num_buckets)
+        )
+
+    def bucket_partial(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(subset=[group_col, value_col])
+        out = d.groupby(group_col, as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out.assign(_gb=bucket_tag(out, group_col, num_buckets))
+
+    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(group_col, as_index=False)["n"].sum().rename(
+            columns={"n": "n_distinct"}
+        )
+        out["n_distinct"] = out["n_distinct"].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(melt, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(bucket_partial, batch_format="pandas")
+        .groupby("_gb")
+        .map_groups(reduce_group, batch_format="pandas")
     )

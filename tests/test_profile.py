@@ -101,3 +101,22 @@ def test_chunk_documents_bad_params(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["a"]}))
     with pytest.raises(ValueError):
         chunk_documents(ds, size=0)
+
+
+def test_group_distinct_count_exact(ray_session):
+    from graphforge_ray.stages.profile import group_distinct_count
+
+    df = pd.DataFrame(
+        {
+            "t": ["a", "a", "a", "b", "b", "a"],
+            "u": [1, 1, 2, 7, None, 3],
+        }
+    )
+    out = (
+        group_distinct_count(
+            rd.from_pandas(df).repartition(3), "t", "u"
+        )
+        .to_pandas()
+        .set_index("t")["n_distinct"]
+    )
+    assert out.to_dict() == {"a": 3, "b": 1}  # null excluded
