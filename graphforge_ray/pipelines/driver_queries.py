@@ -3723,6 +3723,27 @@ FROM idx, unnest(generate_series(0,
 """
 
 
+def q_docs_source_mode(sf_dir: str):
+    """Most common language per source (categorical group summary,
+    ties by value asc — stages/profile.group_mode)."""
+    from ..stages.profile import group_mode
+
+    return group_mode(
+        _t(sf_dir, "documents", ["source", "lang"]), "source", "lang"
+    )
+
+
+SQL_DOCS_SOURCE_MODE = """
+SELECT source, lang AS mode, CAST(cnt AS BIGINT) AS n FROM (
+    SELECT source, lang, COUNT(*) AS cnt,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY COUNT(*) DESC, lang) AS rn
+    FROM documents WHERE lang IS NOT NULL
+    GROUP BY source, lang
+) WHERE rn = 1
+"""
+
+
 def q_events_distinct_users(sf_dir: str):
     """Exact per-event-type distinct-user counts
     (stages/profile.group_distinct_count) — one (group,value)-bucket
@@ -4329,6 +4350,7 @@ QUERIES = {
     "lineitem_corr": q_lineitem_corr,
     "docs_pmi": q_docs_pmi,
     "events_distinct_users": q_events_distinct_users,
+    "docs_source_mode": q_docs_source_mode,
     "docs_nb_scores": q_docs_nb_scores,
     "docs_nb_predict": q_docs_nb_predict,
     "embeddings_project": q_embeddings_project,
@@ -4336,7 +4358,6 @@ QUERIES = {
     "sparql_lang_filter": q_sparql_lang_filter,
     "sparql_datatype_filter": q_sparql_datatype_filter,
     "sparql_graph_var": q_sparql_graph_var,
-    "sparql_graph_const": q_sparql_graph_const,
     "sparql_select_dataset": q_sparql_select_dataset,
     "sparql_select_expr": q_sparql_select_expr,
     "sparql_agg_expr": q_sparql_agg_expr,
@@ -4356,6 +4377,7 @@ QUERIES = {
     "sparql_zeroone_path": q_sparql_zeroone_path,
     "sparql_neg_path": q_sparql_neg_path,
     "sparql_optional_path": q_sparql_optional_path,
+    "sparql_graph_const": q_sparql_graph_const,
     "rml_documents_triples": q_rml_documents_triples,
     "triples_pred_counts": q_triples_pred_counts,
     "revenue_filter": q_revenue_filter,
@@ -4443,6 +4465,7 @@ ORACLES = {
     "lineitem_corr": SQL_LINEITEM_CORR,
     "docs_pmi": SQL_DOCS_PMI,
     "events_distinct_users": SQL_EVENTS_DISTINCT_USERS,
+    "docs_source_mode": SQL_DOCS_SOURCE_MODE,
     "docs_nb_scores": SQL_DOCS_NB_SCORES,
     "docs_nb_predict": SQL_DOCS_NB_PREDICT,
     "embeddings_project": SQL_EMBEDDINGS_PROJECT,

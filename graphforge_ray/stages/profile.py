@@ -22,7 +22,7 @@ import pandas as pd
 
 from ..shuffle import pair_bucket_tag
 
-__all__ = ["profile_columns", "characteristic_sets", "group_distinct_count"]
+__all__ = ["profile_columns", "characteristic_sets", "group_distinct_count", "group_mode"]
 
 
 def profile_columns(
@@ -206,4 +206,61 @@ def group_distinct_count(
         .map_groups(bucket_partial, batch_format="pandas")
         .groupby("_gb")
         .map_groups(reduce_group, batch_format="pandas")
+    )
+
+
+def group_mode(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Most frequent value per group → (group, mode, n:int64), ties
+    broken by value ascending (a total order, so deterministic and
+    SQL-replayable as ``ROW_NUMBER() OVER (PARTITION BY g ORDER BY cnt
+    DESC, v) = 1``). Nulls excluded. The categorical-summary sibling of
+    ``group_quantiles``.
+
+    (group, value) counts via map-side combiners → one pair-bucket
+    reduce for exact counts (each pair in one bucket) → one tiny
+    group-bucket argmax over the count rows (value-cardinality-sized,
+    never the corpus)."""
+    from ..shuffle import bucket_tag
+
+    def count_combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df[[group_col, value_col]].dropna()
+            .groupby([group_col, value_col], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out.assign(
+            _bucket=pair_bucket_tag(out, [group_col, value_col],
+                                    num_buckets)
+        )
+
+    def count_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby([group_col, value_col], as_index=False)["n"].sum()
+        out["n"] = out["n"].astype(np.int64)
+        return out.assign(_gb=bucket_tag(out, group_col, num_buckets))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", value_col], ascending=[False, True],
+                          kind="stable")
+        top = g.drop_duplicates(subset=[group_col], keep="first")
+        return pd.DataFrame(
+            {
+                group_col: top[group_col].to_numpy(),
+                "mode": top[value_col].to_numpy(),
+                "n": top["n"].astype(np.int64).to_numpy(),
+            }
+        )
+
+    return (
+        ds.map_batches(count_combine, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(count_reduce, batch_format="pandas")
+        .groupby("_gb")
+        .map_groups(pick, batch_format="pandas")
     )

@@ -120,3 +120,22 @@ def test_group_distinct_count_exact(ray_session):
         .set_index("t")["n_distinct"]
     )
     assert out.to_dict() == {"a": 3, "b": 1}  # null excluded
+
+
+def test_group_mode_with_ties(ray_session):
+    from graphforge_ray.stages.profile import group_mode
+
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 5 + ["b"] * 4,
+            "v": ["x", "y", "x", "y", None, "q", "p", "q", "p"],
+        }
+    )
+    out = (
+        group_mode(rd.from_pandas(df).repartition(3), "g", "v")
+        .to_pandas()
+        .set_index("g")
+    )
+    # a: x=2, y=2 tie → 'x' (value asc); b: p=2, q=2 tie → 'p'
+    assert out.loc["a", "mode"] == "x" and out.loc["a", "n"] == 2
+    assert out.loc["b", "mode"] == "p" and out.loc["b", "n"] == 2
