@@ -3106,6 +3106,33 @@ FROM r
 """
 
 
+def q_sparql_group_agg_dataset(sf_dir: str):
+    """Dataset-returning GROUP BY aggregate (collect=False) over a
+    HIGH-CARDINALITY key — one group per part subject, so the result is
+    corpus-sized and must stay distributed (r4 verdict item #1: the
+    last driver-bound query family). HAVING exercises the
+    post-aggregate filter stage on the Dataset path."""
+    from ..query.sparql import run_select
+
+    return run_select(
+        _part_triples(sf_dir),
+        "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?s "
+        "HAVING (?n > 1)",
+        collect=False,
+    )
+
+
+# every part subject carries a pname triple, plus a childOf edge when
+# p_partkey > 1 — so COUNT(?o) per subject is 2 iff p_partkey > 1, and
+# HAVING (?n > 1) keeps exactly those
+SQL_SPARQL_GROUP_AGG_DATASET = """
+SELECT 'part:' || CAST(p_partkey AS VARCHAR) AS s,
+       CAST(2 AS BIGINT) AS n
+FROM part
+WHERE p_partkey > 1
+"""
+
+
 def q_docs_top_terms(sf_dir: str):
     """Exact corpus-wide heavy hitters: top-20 whitespace terms via the
     mergeable count-combiner → term-bucket shuffle (stages/sketches)."""
@@ -3738,7 +3765,7 @@ SELECT source, lang AS mode, CAST(cnt AS BIGINT) AS n FROM (
     SELECT source, lang, COUNT(*) AS cnt,
            ROW_NUMBER() OVER (PARTITION BY source
                               ORDER BY COUNT(*) DESC, lang) AS rn
-    FROM documents WHERE lang IS NOT NULL
+    FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
     GROUP BY source, lang
 ) WHERE rn = 1
 """
@@ -4359,6 +4386,7 @@ QUERIES = {
     "sparql_datatype_filter": q_sparql_datatype_filter,
     "sparql_graph_var": q_sparql_graph_var,
     "sparql_select_dataset": q_sparql_select_dataset,
+    "sparql_group_agg_dataset": q_sparql_group_agg_dataset,
     "sparql_select_expr": q_sparql_select_expr,
     "sparql_agg_expr": q_sparql_agg_expr,
     "docs_budget_select": q_docs_budget_select,
@@ -4482,6 +4510,7 @@ ORACLES = {
     "sparql_optional_path": SQL_SPARQL_OPTIONAL_PATH,
     "sparql_grouped_path": SQL_SPARQL_GROUPED_PATH,
     "sparql_select_dataset": SQL_SPARQL_SELECT_DATASET,
+    "sparql_group_agg_dataset": SQL_SPARQL_GROUP_AGG_DATASET,
     "sparql_select_expr": SQL_SPARQL_SELECT_EXPR,
     "sparql_agg_expr": SQL_SPARQL_AGG_EXPR,
     "count_by_event_type": SQL_COUNT_BY_EVENT_TYPE,

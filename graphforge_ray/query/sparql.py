@@ -1052,6 +1052,10 @@ def _scan_proj_items(proj: str) -> list[str]:
             continue
         if c == "?":
             m = re.match(r"\?\w+", proj[i:])
+            if m is None:  # lone '?' — loud, not AttributeError
+                raise ValueError(
+                    f"unsupported SELECT projection near {proj[i:i + 25]!r}"
+                )
             items.append(m.group(0))
             i += m.end()
         elif c == "*":
@@ -1098,6 +1102,7 @@ def _rewrite_select_expressions(
     Plain-var forms pass through untouched, so every existing query
     compiles identically."""
     binds: list[str] = []
+    agg_aliases: set[str] = set()
 
     new_items = []
     for it in _scan_proj_items(proj):
@@ -1107,6 +1112,9 @@ def _rewrite_select_expressions(
         am = _AGG.match(it)
         if am and am.end() == len(it):
             new_items.append(it)  # bare-var aggregate: existing path
+            alm = re.search(r"AS\s+(\?\w+)\s*\)$", it, re.I)
+            if alm:
+                agg_aliases.add(alm.group(1))
             continue
         m = re.match(r"\(\s*(.+)\s+AS\s+(\?\w+)\s*\)$", it, re.S)
         if not m:
@@ -1130,6 +1138,7 @@ def _rewrite_select_expressions(
             tmp = f"?__agg_{alias[1:]}"
             binds.append(f"BIND({arg} AS {tmp})")
             new_items.append(f"({fm.group(1).upper()}({tmp}) AS {alias})")
+            agg_aliases.add(alias)
         else:
             binds.append(f"BIND({inner} AS {alias})")
             new_items.append(alias)
@@ -1182,6 +1191,17 @@ def _rewrite_select_expressions(
             if im:
                 key_var = inner
             else:
+                # expression keys become PRE-grouping BINDs, where an
+                # aggregate-result alias is unbound — refuse loudly
+                # instead of failing later with a confusing BIND error
+                hit = agg_aliases.intersection(
+                    re.findall(r"\?\w+", inner))
+                if hit:
+                    raise ValueError(
+                        "ORDER BY over aggregate-result expressions is "
+                        f"unsupported (alias {sorted(hit)[0]} in "
+                        f"{inner!r}); ORDER BY the bare alias instead"
+                    )
                 key_var = f"?__ord_{n_ord}"
                 n_ord += 1
                 binds.append(f"BIND({inner} AS {key_var})")
@@ -1678,15 +1698,38 @@ def _project_agg_cols(
     return projected, cols, key
 
 
-def _run_aggregates(bindings: "ray.data.Dataset", q: SelectQuery) -> pd.DataFrame:
+def _agg_out(
+    out: "ray.data.Dataset", cols: list[str], as_dataset: bool
+) -> "pd.DataFrame | ray.data.Dataset":
+    """Finish an aggregate branch: project the output columns. With
+    ``as_dataset`` the aggregated Dataset is returned as-is (high-
+    cardinality GROUP BY keys stay distributed — the r4 verdict's last
+    driver-bound family); otherwise it collects to pandas."""
+    if as_dataset:
+        return out.map_batches(
+            lambda df, _c=tuple(cols): df[list(_c)], batch_format="pandas"
+        )
+    return out.to_pandas()[cols]
+
+
+def _run_aggregates(
+    bindings: "ray.data.Dataset", q: SelectQuery, as_dataset: bool = False
+) -> "pd.DataFrame | ray.data.Dataset":
     """GROUP BY + aggregate execution — a distributed Dataset
     groupby-aggregate (one global row when nothing groups). COUNT counts
     group rows; SUM/MIN/MAX/AVG coerce the lexical forms with
     ``to_numeric`` and DROP unparseable rows (the reference's parseFloat
     row-skip convention, P13); the drop is shared so every aggregate in
-    the projection sees the same rows."""
+    the projection sees the same rows.
+
+    ``as_dataset=True`` returns the aggregated result as a Dataset
+    (grouped results never land on the driver; the ungrouped branches
+    are one-row by construction and wrap with ``from_pandas``)."""
     import numpy as np
     from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    def one_row(frame: pd.DataFrame):
+        return ray.data.from_pandas(frame) if as_dataset else frame
 
     groups = q.group_by or (q.variables[:1] if q.variables else [])
 
@@ -1705,9 +1748,9 @@ def _run_aggregates(bindings: "ray.data.Dataset", q: SelectQuery) -> pd.DataFram
         projected, cols, key = _project_agg_cols(bindings, groups, v)
         deduped = dedup_pairs(projected, cols=tuple(cols), num_buckets=16)
         if not groups:
-            return pd.DataFrame({alias: [deduped.count()]})
+            return one_row(pd.DataFrame({alias: [deduped.count()]}))
         out = deduped.groupby(key).aggregate(Count(alias_name=alias))
-        return out.to_pandas()[[*groups, alias]]
+        return _agg_out(out, [*groups, alias], as_dataset)
 
     if any(f in ("GROUP_CONCAT", "SAMPLE") for f, _, _ in q.aggregates):
         # GROUP_CONCAT / SAMPLE have no Ray-native aggregate: run ONE
@@ -1733,7 +1776,7 @@ def _run_aggregates(bindings: "ray.data.Dataset", q: SelectQuery) -> pd.DataFram
             out_val = sep.join(vals) if f == "GROUP_CONCAT" else (
                 vals[0] if vals else None
             )
-            return pd.DataFrame({alias: [out_val]})
+            return one_row(pd.DataFrame({alias: [out_val]}))
 
         def per_group(g: pd.DataFrame) -> pd.DataFrame:
             vals = sorted(g[v].dropna().astype(str))
@@ -1747,7 +1790,7 @@ def _run_aggregates(bindings: "ray.data.Dataset", q: SelectQuery) -> pd.DataFram
         out = projected.groupby(key).map_groups(
             per_group, batch_format="pandas"
         )
-        return out.to_pandas()[[*groups, alias]]
+        return _agg_out(out, [*groups, alias], as_dataset)
 
     num_vars = sorted({v for f, v, _ in q.aggregates if f != "COUNT"})
     count_vars = sorted({v for f, v, _ in q.aggregates if f == "COUNT"})
@@ -1787,10 +1830,10 @@ def _run_aggregates(bindings: "ray.data.Dataset", q: SelectQuery) -> pd.DataFram
     aliases = [a for _, _, a in q.aggregates]
     if not groups:
         res = bindings.aggregate(*aggs)
-        return pd.DataFrame({a: [res[a]] for a in aliases})
+        return one_row(pd.DataFrame({a: [res[a]] for a in aliases}))
     key = groups if len(groups) > 1 else groups[0]
-    out = bindings.groupby(key).aggregate(*aggs).to_pandas()
-    return out[[*groups, *aliases]]
+    out = bindings.groupby(key).aggregate(*aggs)
+    return _agg_out(out, [*groups, *aliases], as_dataset)
 
 
 def _order_dataset_topk(
@@ -2417,20 +2460,34 @@ def run_select(
     ``collect=False`` → the bindings as a ray.data.Dataset — SELECT
     results that are themselves corpus-sized never land on the driver
     (the one operator family that was driver-bound in r3). Supported
-    for the plain / DISTINCT / LIMIT paths; aggregates, ORDER BY and
-    OFFSET return presentation-sized frames by design — use
+    for the plain / DISTINCT / LIMIT paths AND for GROUP BY aggregates
+    (the aggregated Dataset is returned; HAVING runs as a post-aggregate
+    filter stage, LIMIT pushes down) — a ``GROUP BY ?s`` over a corpus
+    is itself corpus-sized and must not land on the driver. ORDER BY
+    and OFFSET return presentation-sized frames by design — use
     ``collect=True`` for those (loud refusal otherwise)."""
     q = compile_select(query, prefixes)
     bindings = _eval_where(triples, q)
 
-    if not collect and (q.aggregates or q.order_by or q.offset):
+    if not collect and (q.order_by or q.offset):
         raise ValueError(
             "collect=False supports plain SELECT (with DISTINCT/LIMIT) "
-            "only; aggregate / ORDER BY / OFFSET results are "
+            "and GROUP BY aggregates; ORDER BY / OFFSET results are "
             "presentation-sized — call with collect=True"
         )
 
     if q.aggregates:
+        if not collect:
+            out_ds = _run_aggregates(bindings, q, as_dataset=True)
+            if q.having:
+                out_ds = out_ds.map_batches(
+                    lambda df, _h=tuple(q.having): _apply_filters(
+                        df, list(_h)),
+                    batch_format="pandas",
+                )
+            if q.limit is not None:
+                out_ds = limit_op(out_ds, q.limit)
+            return out_ds
         out = _run_aggregates(bindings, q)
         if q.having:
             out = _apply_filters(out, q.having)

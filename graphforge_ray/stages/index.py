@@ -147,9 +147,11 @@ def bm25_topk(
         ),
         batch_format="pandas",
     ).to_pandas()
-    n_docs = float(agg["n"].sum())
-    if n_docs == 0:
+    # all-empty input never runs the UDF → frame keeps the input schema
+    # (no 'n' column); guard BEFORE indexing (mirrors pearson_corr)
+    if "n" not in agg.columns or float(agg["n"].sum()) == 0:
         return pd.DataFrame({"rank": [], "id": [], "score": []})
+    n_docs = float(agg["n"].sum())
     avgdl = float(agg["toks"].sum()) / n_docs
     idf = {
         i: math.log((n_docs - float(agg[f"df{i}"].sum()) + 0.5)

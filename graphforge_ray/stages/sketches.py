@@ -155,7 +155,14 @@ def approx_distinct_kmv(
         .groupby("_one")
         .map_groups(reduce_all, batch_format="pandas")
     )
-    df = out.to_pandas()  # one row by construction
+    df = out.to_pandas()
+    if df.empty or "k" not in df.columns:
+        # all-empty/all-null input → zero groups; honor the documented
+        # one-row (k, n_hashes, est_distinct) contract
+        return pd.DataFrame(
+            {"k": [np.int64(k)], "n_hashes": [np.int64(0)],
+             "est_distinct": [np.int64(0)]}
+        )
     for c in ("k", "n_hashes", "est_distinct"):
         df[c] = df[c].astype(np.int64)
     return df.reset_index(drop=True)

@@ -154,9 +154,11 @@ def zscore_standardize(
         )
 
     m = ds.map_batches(moments, batch_format="pandas").to_pandas()
-    n = float(m["n"].sum())
-    if n == 0:
+    # all-empty input never runs the UDF → frame keeps the input schema
+    # (no 'n' column); guard BEFORE indexing (mirrors pearson_corr)
+    if "n" not in m.columns or float(m["n"].sum()) == 0:
         raise ValueError(f"zscore_standardize: no rows in {col!r}")
+    n = float(m["n"].sum())
     mean = float(m["s"].sum()) / n
     var = float(m["ss"].sum()) / n - mean * mean
     if ddof:

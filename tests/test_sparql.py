@@ -1406,12 +1406,70 @@ def test_collect_false_distinct_and_limit(score_triples):
 
 def test_collect_false_refuses_presentation_paths(score_triples):
     for q in (
-        "SELECT (COUNT(?s) AS ?n) WHERE { ?s <e/name> ?o }",
         "SELECT ?s WHERE { ?s <e/name> ?o } ORDER BY ?s",
         "SELECT ?s WHERE { ?s <e/name> ?o } LIMIT 5 OFFSET 2",
+        "SELECT ?p (COUNT(?s) AS ?n) WHERE { ?s ?p ?o } "
+        "GROUP BY ?p ORDER BY ?n",
     ):
         with pytest.raises(ValueError, match="collect"):
             run_select(score_triples, q, collect=False)
+
+
+def test_collect_false_group_aggregate_dataset(score_triples):
+    # r5: GROUP BY aggregates return the aggregated Dataset — a
+    # high-cardinality key result never lands on the driver
+    import ray.data
+
+    q = ("SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?s")
+    ds = run_select(score_triples, q, collect=False)
+    assert isinstance(ds, ray.data.Dataset)
+    got = ds.to_pandas()
+    exp = run_select(score_triples, q)
+    assert list(got.columns) == ["s", "n"]
+    key = lambda df: sorted(map(tuple, df[["s", "n"]].to_numpy()))
+    assert key(got) == key(exp)
+
+
+def test_collect_false_aggregate_having_and_limit(score_triples):
+    import ray.data
+
+    q = ("SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?s "
+         "HAVING (?n > 1)")
+    ds = run_select(score_triples, q, collect=False)
+    assert isinstance(ds, ray.data.Dataset)
+    got = ds.to_pandas()
+    exp = run_select(score_triples, q)
+    key = lambda df: sorted(map(tuple, df[["s", "n"]].to_numpy()))
+    assert key(got) == key(exp)
+    assert len(got) > 0
+
+
+def test_collect_false_ungrouped_aggregate_one_row(score_triples):
+    import ray.data
+
+    ds = run_select(
+        score_triples,
+        "SELECT (COUNT(?s) AS ?n) WHERE { ?s <e/name> ?o }",
+        collect=False,
+    )
+    assert isinstance(ds, ray.data.Dataset)
+    got = ds.to_pandas()
+    assert len(got) == 1 and int(got["n"].iloc[0]) == 3
+
+
+def test_order_by_over_aggregate_alias_expression_refused(score_triples):
+    # ADVICE r4: pre-grouping BIND of an aggregate alias is unbound —
+    # must refuse loudly at compile time, not fail with a BIND error
+    with pytest.raises(ValueError, match="aggregate-result"):
+        compile_select(
+            "SELECT ?p (COUNT(?s) AS ?c) WHERE { ?s ?p ?o } "
+            "GROUP BY ?p ORDER BY DESC(?c + 1)"
+        )
+
+
+def test_lone_question_mark_projection_refused():
+    with pytest.raises(ValueError, match="projection"):
+        compile_select("SELECT ? WHERE { ?s ?p ?o }")
 
 
 def test_path_distributed_threshold_same_result(score_triples, monkeypatch):
