@@ -2874,15 +2874,20 @@ FROM documents WHERE doc_id % 2 = 0
 """
 
 
+VOCAB_TIER = "http://graft.example/vocab#tier"
+
+
 def _customer_quads(sf_dir: str):
     """customer → (subj, pred, obj, graph) quads: one NAMED graph per
     market segment (the multi-project-corpus shape of SURVEY §1.3 —
-    the reference's store is quads, document.js:736-740)."""
+    the reference's store is quads, document.js:736-740). Even custkeys
+    additionally carry a ``tier`` quad in the SAME graph, giving
+    OPTIONAL-inside-GRAPH a half-populated companion pattern."""
     cust = _t(sf_dir, "customer",
               ["c_custkey", "c_nationkey", "c_mktsegment"])
 
     def to_quads(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+        base = pd.DataFrame(
             {
                 "subj": "cust:" + df["c_custkey"].astype(str),
                 "pred": VOCAB_INNATION,
@@ -2890,6 +2895,16 @@ def _customer_quads(sf_dir: str):
                 "graph": "graph:" + df["c_mktsegment"].astype(str),
             }
         )
+        even = df[df["c_custkey"] % 2 == 0]
+        tiers = pd.DataFrame(
+            {
+                "subj": "cust:" + even["c_custkey"].astype(str),
+                "pred": VOCAB_TIER,
+                "obj": "tier:" + (even["c_custkey"] % 3).astype(str),
+                "graph": "graph:" + even["c_mktsegment"].astype(str),
+            }
+        )
+        return pd.concat([base, tiers], ignore_index=True)
 
     return cust.map_batches(to_quads, batch_format="pandas")
 
@@ -2929,6 +2944,54 @@ SQL_SPARQL_GRAPH_CONST = """
 SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS s,
        'nation:' || CAST(c_nationkey AS VARCHAR) AS o
 FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+def q_sparql_graph_filter(sf_dir: str):
+    """FILTER inside GRAPH ?g (r4 verdict item #2): the filter is
+    scoped to the graph group and applies before the group joins
+    outward."""
+    from ..query.sparql import run_select
+
+    return run_select(
+        _customer_quads(sf_dir),
+        f"SELECT ?g ?s WHERE {{ GRAPH ?g {{ ?s <{VOCAB_INNATION}> ?o . "
+        'FILTER(?o = "nation:3") } }',
+    )
+
+
+SQL_SPARQL_GRAPH_FILTER = """
+SELECT 'graph:' || c_mktsegment AS g,
+       'cust:' || CAST(c_custkey AS VARCHAR) AS s
+FROM customer WHERE c_nationkey = 3
+"""
+
+
+def q_sparql_graph_optional(sf_dir: str):
+    """OPTIONAL inside GRAPH ?g (r4 verdict item #2): the optional
+    pattern evaluates in the SAME named-graph scope — tier quads exist
+    only for even custkeys, so odd customers keep ?t unbound."""
+    from ..query.sparql import run_select
+
+    out = run_select(
+        _customer_quads(sf_dir),
+        f"SELECT ?g ?s ?o ?t WHERE {{ GRAPH ?g {{ "
+        f"?s <{VOCAB_INNATION}> ?o . "
+        f"OPTIONAL {{ ?s <{VOCAB_TIER}> ?t }} }} }}",
+    )
+    # normalize unbound (NaN) to empty string for the oracle compare
+    out["t"] = out["t"].fillna("")
+    return out
+
+
+SQL_SPARQL_GRAPH_OPTIONAL = """
+SELECT 'graph:' || c_mktsegment AS g,
+       'cust:' || CAST(c_custkey AS VARCHAR) AS s,
+       'nation:' || CAST(c_nationkey AS VARCHAR) AS o,
+       CASE WHEN c_custkey % 2 = 0
+            THEN 'tier:' || CAST(c_custkey % 3 AS VARCHAR)
+            ELSE '' END AS t
+FROM customer
 """
 
 
@@ -4385,6 +4448,8 @@ QUERIES = {
     "sparql_lang_filter": q_sparql_lang_filter,
     "sparql_datatype_filter": q_sparql_datatype_filter,
     "sparql_graph_var": q_sparql_graph_var,
+    "sparql_graph_filter": q_sparql_graph_filter,
+    "sparql_graph_optional": q_sparql_graph_optional,
     "sparql_select_dataset": q_sparql_select_dataset,
     "sparql_group_agg_dataset": q_sparql_group_agg_dataset,
     "sparql_select_expr": q_sparql_select_expr,
@@ -4504,6 +4569,8 @@ ORACLES = {
     "sparql_lang_filter": SQL_SPARQL_LANG_FILTER,
     "sparql_datatype_filter": SQL_SPARQL_DATATYPE_FILTER,
     "sparql_graph_var": SQL_SPARQL_GRAPH_VAR,
+    "sparql_graph_filter": SQL_SPARQL_GRAPH_FILTER,
+    "sparql_graph_optional": SQL_SPARQL_GRAPH_OPTIONAL,
     "sparql_graph_const": SQL_SPARQL_GRAPH_CONST,
     "sparql_zeroone_path": SQL_SPARQL_ZEROONE_PATH,
     "sparql_neg_path": SQL_SPARQL_NEG_PATH,

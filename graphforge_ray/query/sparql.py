@@ -139,7 +139,8 @@ class SelectQuery:
     subselects: list[str] = field(default_factory=list)
     # raw '{ SELECT … }' group texts, compiled+evaluated recursively
     graph_groups: list[tuple] = field(default_factory=list)
-    # each: (graph term — '?var' or IRI, pattern list) from GRAPH { … }
+    # each: (graph term — '?var' or IRI, pattern list, group-scoped
+    # filter list, group-scoped OPTIONAL groups) from GRAPH { … }
 
 
 @dataclass
@@ -831,8 +832,9 @@ def _guard_cross_scopes(body: str) -> None:
          (("OPTIONAL", _OPTIONAL_KW), ("GRAPH", _GRAPH_KW))),
         ("FILTER EXISTS", _EXISTS_KW,
          (("OPTIONAL", _OPTIONAL_KW), ("GRAPH", _GRAPH_KW))),
-        ("GRAPH", _GRAPH_KW,
-         (("OPTIONAL", _OPTIONAL_KW), ("MINUS", _MINUS_KW))),
+        # OPTIONAL inside GRAPH is scope-correct since r5 (evaluated
+        # inside the graph scope) — only MINUS remains unimplemented
+        ("GRAPH", _GRAPH_KW, (("MINUS", _MINUS_KW),)),
         ("OPTIONAL", _OPTIONAL_KW, (("GRAPH", _GRAPH_KW),)),
     )
     for outer, orx, inner_checks in checks:
@@ -1401,20 +1403,39 @@ def compile_select(
             offset=_tail_offset(tail, query),
         )
 
-    # GRAPH groups (quad scoping): brace-scan cut first — the group
-    # contains triple patterns only (FILTER/OPTIONAL inside GRAPH are
-    # refused, not hoisted)
+    # GRAPH groups (quad scoping): brace-scan cut first. FILTER and
+    # OPTIONAL compose inside GRAPH { } (r4 verdict item #2): OPTIONAL
+    # groups are cut first (their bodies may hold their own FILTERs),
+    # then graph-scoped FILTERs, then the plain patterns. Both evaluate
+    # INSIDE the graph scope (SPARQL: GRAPH applies to every enclosed
+    # pattern). VALUES / BIND / MINUS stay loud refusals.
     graph_groups_parsed: list[tuple] = []
     graph_raw, body = _cut_keyword_groups(body, _GRAPH_KW)
     for gm, inner in graph_raw:
-        if _FILTER_TOKEN.search(inner) or _OPTIONAL_KW.search(inner):
+        g_opt_raw, inner = _cut_keyword_groups(inner, _OPTIONAL_KW)
+        g_optionals = [
+            _parse_optional_group(t, decl, extract_filters)
+            for _m, t in g_opt_raw
+        ]
+        for rx, nm in (
+            (_VALUES, "VALUES"), (_BIND, "BIND"), (_MINUS, "MINUS"),
+        ):
+            if rx.search(inner):
+                raise ValueError(
+                    f"{nm} inside GRAPH {{ }} is not supported; move it "
+                    "outside the GRAPH group"
+                )
+        g_filters, inner = extract_filters(inner)
+        if _FILTER_TOKEN.search(inner):
             raise ValueError(
-                "only triple patterns are supported inside GRAPH { }; "
-                "move FILTER / OPTIONAL outside the GRAPH group"
+                "unsupported FILTER form inside GRAPH { }: "
+                f"{inner.strip()[:60]!r}"
             )
         gtok = gm.group(1)
         gterm = gtok if gtok.startswith("?") else _term(gtok, decl)
-        graph_groups_parsed.append((gterm, _parse_patterns(inner, decl)))
+        graph_groups_parsed.append(
+            (gterm, _parse_patterns(inner, decl), g_filters, g_optionals)
+        )
 
     # OPTIONAL groups: brace scan (nesting supported), cut BEFORE the
     # VALUES/BIND/EXISTS/MINUS extraction so a group-scoped construct
@@ -2012,6 +2033,111 @@ def _path_pairs_single_hop(
     return dedup_pairs(edges, cols=("s", "o"))
 
 
+# separator for graph-scoped composite node ids (closure paths inside
+# GRAPH ?g): US control char — cannot appear in an IRI and is vanishingly
+# unlikely in literals
+_GRAPH_NODE_SEP = "\x1f"
+
+
+def _require_graph_column(triples: "ray.data.Dataset") -> None:
+    if "graph" not in triples.schema().names:
+        raise ValueError(
+            "GRAPH pattern requires a 'graph' column on the triples "
+            "dataset"
+        )
+
+
+def _graph_const_triples(
+    triples: "ray.data.Dataset", gterm: str
+) -> "ray.data.Dataset":
+    """Triples scoped to ONE named graph — property-path machinery over
+    this source computes the closure within that graph only."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    _require_graph_column(triples)
+
+    def f(batch: "pa.Table") -> "pa.Table":
+        return batch.filter(pc.equal(batch["graph"], pa.scalar(gterm)))
+
+    return triples.map_batches(f, batch_format="pyarrow")
+
+
+def _graph_encoded_triples(
+    triples: "ray.data.Dataset",
+) -> "ray.data.Dataset":
+    """NAMED-graph triples with subj/obj prefixed by their graph id
+    (``g<US>term``). Closure machinery over these composite nodes stays
+    within one graph by construction — an edge only ever connects
+    same-graph nodes — so ``GRAPH ?g { ?s p+ ?o }`` is ONE closure over
+    the union of named graphs, not a closure per graph."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    _require_graph_column(triples)
+
+    def f(batch: "pa.Table") -> "pa.Table":
+        named = batch.filter(
+            pc.not_equal(batch["graph"], pa.scalar(""))
+        )
+        g = pc.cast(named["graph"], pa.string())
+        subj = pc.binary_join_element_wise(
+            g, pc.cast(named["subj"], pa.string()), _GRAPH_NODE_SEP
+        )
+        obj = pc.binary_join_element_wise(
+            g, pc.cast(named["obj"], pa.string()), _GRAPH_NODE_SEP
+        )
+        return pa.Table.from_arrays(
+            [subj, named["pred"], obj], names=["subj", "pred", "obj"]
+        )
+
+    return triples.map_batches(f, batch_format="pyarrow")
+
+
+def _decode_graph_pairs_frame(frame: pd.DataFrame) -> pd.DataFrame:
+    """Composite (s, o) closure pairs → (g, s, o) columns. Both sides
+    carry the same graph id by construction."""
+    sp = frame["s"].str.split(_GRAPH_NODE_SEP, n=1, expand=True)
+    op_ = frame["o"].str.split(_GRAPH_NODE_SEP, n=1, expand=True)
+    return pd.DataFrame({"g": sp[0], "s": sp[1], "o": op_[1]})
+
+
+def _bind_graph_pairs(
+    pairs: "ray.data.Dataset", gvar: str, s_t: str, o_t: str
+) -> "ray.data.Dataset":
+    """Bind a composite-node (s, o) pair Dataset from a GRAPH ?g closure
+    to pattern terms: decode (g, s, o), then constants filter, variables
+    rename, repeated variables (including the graph var) add equality
+    filters."""
+    s_var = s_t.startswith("?")
+    o_var = o_t.startswith("?")
+    if not s_var and not o_var:
+        raise ValueError(
+            "a property path with two constant endpoints is unsupported"
+        )
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = _decode_graph_pairs_frame(df)
+        if not s_var:
+            df = df[df["s"] == s_t]
+        if not o_var:
+            df = df[df["o"] == o_t]
+        if s_var and o_var and s_t == o_t:
+            df = df[df["s"] == df["o"]]
+        if s_var and gvar == s_t[1:]:
+            df = df[df["g"] == df["s"]]
+        if o_var and gvar == o_t[1:]:
+            df = df[df["g"] == df["o"]]
+        out = {gvar: df["g"]}
+        if s_var:
+            out[s_t[1:]] = df["s"]
+        if o_var and not (s_var and s_t == o_t):
+            out[o_t[1:]] = df["o"]
+        return pd.DataFrame(out)
+
+    return pairs.map_batches(fn, batch_format="pandas")
+
+
 # closure edge-relation size above which property paths stay a Dataset
 # end-to-end (distributed join) instead of a driver frame + broadcast;
 # module-level so tests can force the distributed path
@@ -2052,14 +2178,17 @@ def _eval_patterns(
         p for p in patterns
         if isinstance(p[1], PathExpr) and p[1].op in ("star", "plus")
     ]
-    if graph_term is not None and (hops or zero_or_one or closures):
-        # only the single-hop forms thread a graph filter today; the
-        # closure machinery is graph-oblivious — refuse loudly
-        if zero_or_one or closures:
-            raise ValueError(
-                "property paths with */+/? inside GRAPH { } are not "
-                "supported"
-            )
+    # closure / zero-or-one paths inside GRAPH (r4 verdict item #2):
+    # a CONSTANT graph term scopes the triple source before the closure
+    # runs; a VARIABLE graph term rides composite (graph<US>node) ids —
+    # one closure over the union of named graphs, decoded after.
+    graph_is_var = graph_term is not None and graph_term.startswith("?")
+    path_src = triples
+    if graph_term is not None and (zero_or_one or closures):
+        path_src = (
+            _graph_encoded_triples(triples) if graph_is_var
+            else _graph_const_triples(triples, graph_term)
+        )
 
     def pattern_vars(pat) -> set[str]:
         vs = {
@@ -2130,8 +2259,15 @@ def _eval_patterns(
 
     # (p)? zero-or-one: hop ∪ reflexive pairs, set semantics
     for s_t, path, o_t in zero_or_one:
-        pairs = _path_pairs_single_hop(triples, path.preds, reflexive=True)
-        part = _bind_pairs(pairs, str(s_t), str(o_t))
+        pairs = _path_pairs_single_hop(
+            path_src, path.preds, reflexive=True
+        )
+        if graph_is_var:
+            part = _bind_graph_pairs(
+                pairs, graph_term[1:], str(s_t), str(o_t)
+            )
+        else:
+            part = _bind_pairs(pairs, str(s_t), str(o_t))
         join_part(part, pattern_vars((s_t, None, o_t)), "zero-or-one path")
 
     # (p)* / (p)+ closure paths; grouped sequence alternatives
@@ -2141,24 +2277,33 @@ def _eval_patterns(
             from .ops import closure_of_edges_ds
 
             closure_ds, frame = closure_of_edges_ds(
-                _path_alt_edges(triples, path.preds),
+                _path_alt_edges(path_src, path.preds),
                 include_reflexive=path.star,
                 distributed_threshold=path_threshold,
             )
         else:
             closure_ds, frame = property_path_closure_ds(
-                triples, path.preds, include_reflexive=path.star,
+                path_src, path.preds, include_reflexive=path.star,
                 distributed_threshold=path_threshold,
             )
         if frame is not None:
             # small closure: broadcast merge — no shuffle
             cols = {}
+            if graph_is_var:
+                frame = _decode_graph_pairs_frame(frame)
+                cols["g"] = graph_term[1:]
             if str(s_t).startswith("?"):
-                cols["s"] = s_t[1:]
+                if graph_is_var and graph_term[1:] == s_t[1:]:
+                    frame = frame[frame["g"] == frame["s"]]
+                else:
+                    cols["s"] = s_t[1:]
             else:
                 frame = frame[frame["s"] == s_t]
             if str(o_t).startswith("?"):
-                cols["o"] = o_t[1:]
+                if graph_is_var and graph_term[1:] == o_t[1:]:
+                    frame = frame[frame["g"] == frame["o"]]
+                else:
+                    cols["o"] = o_t[1:]
             else:
                 frame = frame[frame["o"] == o_t]
             if not cols:
@@ -2186,7 +2331,12 @@ def _eval_patterns(
             bound_vars |= set(frame.columns)
         else:
             # big closure: stays a Dataset, joins distributed
-            part = _bind_pairs(closure_ds, str(s_t), str(o_t))
+            if graph_is_var:
+                part = _bind_graph_pairs(
+                    closure_ds, graph_term[1:], str(s_t), str(o_t)
+                )
+            else:
+                part = _bind_pairs(closure_ds, str(s_t), str(o_t))
             join_part(part, pattern_vars((s_t, None, o_t)), "path pattern")
 
     return bindings
@@ -2238,17 +2388,57 @@ def _eval_where(
     elif q.patterns:
         bindings = _eval_patterns(triples, q.patterns, meta_vars)
 
+    def eval_optional(group, graph_term=None) -> "ray.data.Dataset":
+        """One OPTIONAL group (patterns, filters, nested) → its bindings:
+        paths are allowed (shared _eval_patterns), nested OPTIONALs
+        left-join INSIDE the group, group-scoped filters apply before
+        the group joins its parent. ``graph_term`` scopes the whole
+        group to a named graph (OPTIONAL inside GRAPH)."""
+        opt_patterns, opt_filters, nested = group
+        opt_b = _eval_patterns(
+            triples, opt_patterns, meta_vars, graph_term=graph_term
+        )
+        if opt_b is None:
+            raise ValueError("empty OPTIONAL group")
+        for sub in nested:
+            sub_b = eval_optional(sub, graph_term)
+            shared = sorted(
+                set(opt_b.schema().names) & set(sub_b.schema().names)
+            )
+            opt_b = optional_join(opt_b, sub_b, on=shared)
+        if opt_filters:  # group-scoped: filter BEFORE the outer left join
+            _of = opt_filters
+            opt_b = opt_b.map_batches(
+                lambda df, _f=tuple(_of): _apply_filters(df, list(_f)),
+                batch_format="pandas",
+            )
+        return opt_b
+
     # GRAPH <g> { … } / GRAPH ?g { … } groups: quad-scoped BGPs, joined
     # into the outer bindings on shared variables (a variable graph
-    # term binds the graph column like any other variable)
+    # term binds the graph column like any other variable). Group-scoped
+    # OPTIONALs evaluate inside the SAME graph scope; group-scoped
+    # FILTERs apply to the group solution before it joins outward.
     from ..shuffle import bindings_join as _bjoin
 
-    for gterm, gpatterns in q.graph_groups:
+    for gterm, gpatterns, gfilters, goptionals in q.graph_groups:
         part = _eval_patterns(
             triples, gpatterns, meta_vars, graph_term=gterm
         )
         if part is None:
             raise ValueError("empty GRAPH group")
+        for grp in goptionals:
+            opt_b = eval_optional(grp, graph_term=gterm)
+            shared = sorted(
+                set(part.schema().names) & set(opt_b.schema().names)
+            )
+            part = optional_join(part, opt_b, on=shared)
+        if gfilters:
+            part = part.map_batches(
+                lambda df, _f=tuple(gfilters): _apply_filters(
+                    df, list(_f)),
+                batch_format="pandas",
+            )
         if bindings is None:
             bindings = part
             continue
@@ -2295,28 +2485,6 @@ def _eval_where(
                 batch_format="pandas",
             )
 
-    def eval_optional(group) -> "ray.data.Dataset":
-        """One OPTIONAL group (patterns, filters, nested) → its bindings:
-        paths are allowed (shared _eval_patterns), nested OPTIONALs
-        left-join INSIDE the group, group-scoped filters apply before
-        the group joins its parent."""
-        opt_patterns, opt_filters, nested = group
-        opt_b = _eval_patterns(triples, opt_patterns, meta_vars)
-        if opt_b is None:
-            raise ValueError("empty OPTIONAL group")
-        for sub in nested:
-            sub_b = eval_optional(sub)
-            shared = sorted(
-                set(opt_b.schema().names) & set(sub_b.schema().names)
-            )
-            opt_b = optional_join(opt_b, sub_b, on=shared)
-        if opt_filters:  # group-scoped: filter BEFORE the outer left join
-            _of = opt_filters
-            opt_b = opt_b.map_batches(
-                lambda df, _f=tuple(_of): _apply_filters(df, list(_f)),
-                batch_format="pandas",
-            )
-        return opt_b
 
     for group in q.optionals:
         opt_b = eval_optional(group)

@@ -1368,13 +1368,133 @@ def test_graph_joined_with_outer_pattern(quad_triples):
     assert set(zip(out["s"], out["o"], out["x"])) == {("e/a", "1", "3")}
 
 
-def test_graph_group_refuses_filters(quad_triples):
-    with pytest.raises(ValueError, match="GRAPH"):
-        run_select(
-            quad_triples,
-            'SELECT ?s WHERE { GRAPH ?g { ?s <e/p> ?o . '
-            'FILTER(?o = "1") } }',
-        )
+def test_graph_group_filter_inside(quad_triples):
+    # r5: FILTER composes inside GRAPH { } (scoped to the group)
+    out = run_select(
+        quad_triples,
+        'SELECT ?g ?s WHERE { GRAPH ?g { ?s <e/p> ?o . '
+        'FILTER(?o = "1") } }',
+    )
+    assert set(zip(out["g"], out["s"])) == {("g/one", "e/a")}
+
+
+def test_graph_group_filter_inside_const(quad_triples):
+    out = run_select(
+        quad_triples,
+        'SELECT ?s WHERE { GRAPH <g/two> { ?s <e/p> ?o . '
+        "FILTER(?o > 2) } }",
+    )
+    assert set(out["s"]) == {"e/a"}
+
+
+def test_graph_group_optional_inside(quad_triples):
+    # OPTIONAL inside GRAPH evaluates in the SAME graph scope: e/a has
+    # an e/q companion only in g/two via e/c? No — give g/one's e/a no
+    # q-triple and g/two's subject a q-triple through pattern sharing.
+    out = run_select(
+        quad_triples,
+        "SELECT ?g ?s ?o ?q WHERE { GRAPH ?g { ?s <e/p> ?o . "
+        "OPTIONAL { ?c <e/q> ?q } } }",
+    )
+    # the OPTIONAL group shares only the graph var ?g: in g/two every
+    # e/p row pairs with the q-value 4; in g/one ?q stays unbound
+    rows = set(
+        (g, s, o, None if pd.isna(q) else q)
+        for g, s, o, q in zip(out["g"], out["s"], out["o"], out["q"])
+    )
+    assert rows == {
+        ("g/one", "e/a", "1", None),
+        ("g/one", "e/b", "2", None),
+        ("g/two", "e/a", "3", "4"),
+    }
+
+
+def test_graph_group_refuses_bind_values(quad_triples):
+    for frag in ('BIND("x" AS ?b)', 'VALUES ?o { "1" }'):
+        with pytest.raises(ValueError, match="GRAPH"):
+            run_select(
+                quad_triples,
+                "SELECT ?s WHERE { GRAPH ?g { ?s <e/p> ?o . "
+                f"{frag} }} }}",
+            )
+
+
+@pytest.fixture(scope="module")
+def quad_edges(ray_session):
+    import ray.data as rd
+
+    rows = [
+        ("n/a", "e/link", "n/b", "g/one"),
+        ("n/b", "e/link", "n/c", "g/one"),
+        ("n/a", "e/link", "n/c", "g/two"),   # shortcut exists in g/two only
+        ("n/x", "e/link", "n/y", ""),        # default graph must not leak
+    ]
+    return rd.from_pandas(
+        pd.DataFrame(rows, columns=["subj", "pred", "obj", "graph"])
+    )
+
+
+def test_graph_const_closure_path(quad_edges):
+    # r5: (p)+ inside GRAPH <const> — closure computed within the graph
+    out = run_select(
+        quad_edges,
+        "SELECT ?s ?o WHERE { GRAPH <g/one> { ?s <e/link>+ ?o } }",
+    )
+    assert set(zip(out["s"], out["o"])) == {
+        ("n/a", "n/b"), ("n/b", "n/c"), ("n/a", "n/c")
+    }
+
+
+def test_graph_var_closure_path(quad_edges):
+    # (p)+ inside GRAPH ?g: per-graph closure, default graph excluded
+    out = run_select(
+        quad_edges,
+        "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s <e/link>+ ?o } }",
+    )
+    assert set(zip(out["g"], out["s"], out["o"])) == {
+        ("g/one", "n/a", "n/b"), ("g/one", "n/b", "n/c"),
+        ("g/one", "n/a", "n/c"), ("g/two", "n/a", "n/c"),
+    }
+
+
+def test_graph_var_closure_path_distributed(quad_edges, monkeypatch):
+    import graphforge_ray.query.sparql as sq
+
+    monkeypatch.setattr(sq, "PATH_DISTRIBUTED_THRESHOLD", 0)
+    out = run_select(
+        quad_edges,
+        "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s <e/link>+ ?o } }",
+    )
+    assert set(zip(out["g"], out["s"], out["o"])) == {
+        ("g/one", "n/a", "n/b"), ("g/one", "n/b", "n/c"),
+        ("g/one", "n/a", "n/c"), ("g/two", "n/a", "n/c"),
+    }
+
+
+def test_graph_var_zero_or_one_path(quad_edges):
+    out = run_select(
+        quad_edges,
+        "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s <e/link>? ?o } }",
+    )
+    got = set(zip(out["g"], out["s"], out["o"]))
+    # hops + reflexive pairs over each graph's incident nodes
+    assert got == {
+        ("g/one", "n/a", "n/b"), ("g/one", "n/b", "n/c"),
+        ("g/one", "n/a", "n/a"), ("g/one", "n/b", "n/b"),
+        ("g/one", "n/c", "n/c"),
+        ("g/two", "n/a", "n/c"),
+        ("g/two", "n/a", "n/a"), ("g/two", "n/c", "n/c"),
+    }
+
+
+def test_graph_const_star_path_joined(quad_edges):
+    # (p)* inside constant GRAPH joined with an outer-scope filter var
+    out = run_select(
+        quad_edges,
+        "SELECT ?o WHERE { GRAPH <g/one> { ?s <e/link>* ?o . "
+        'FILTER(?s = "n/a") } }',
+    )
+    assert set(out["o"]) == {"n/a", "n/b", "n/c"}
 
 
 def test_collect_false_returns_dataset(score_triples):
@@ -1707,8 +1827,9 @@ def test_describe_prefixed_where(score_triples):
     # same hoist through FILTER EXISTS
     "SELECT * WHERE { ?s <p> ?v . FILTER EXISTS { ?s <r> ?x . "
     "OPTIONAL { ?x <t> ?y } } }",
-    # OPTIONAL inside GRAPH
-    "SELECT * WHERE { GRAPH ?g { ?s <q> ?o . OPTIONAL { ?s <z> ?w } } }",
+    # MINUS inside GRAPH (OPTIONAL inside GRAPH is scope-correct
+    # since r5 and compiles)
+    "SELECT * WHERE { GRAPH ?g { ?s <q> ?o . MINUS { ?s <z> ?w } } }",
 ])
 def test_cross_scope_hoists_refused(query):
     from graphforge_ray.query.sparql import compile_select
