@@ -3095,6 +3095,42 @@ FROM r
 """
 
 
+def q_sparql_neg_inverse(sf_dir: str):
+    """Negated property set with an INVERSE member ``!(^childOf)``
+    (r4 verdict item #6): a reverse hop over any predicate not in the
+    inverse set — here the pname reversals only."""
+    from ..query.sparql import run_select
+
+    return run_select(
+        _part_triples(sf_dir),
+        f"SELECT ?s ?o WHERE {{ ?s !(^<{VOCAB_CHILDOF}>) ?o }}",
+    )
+
+
+SQL_SPARQL_NEG_INVERSE = """
+SELECT p_name AS s, 'part:' || CAST(p_partkey AS VARCHAR) AS o
+FROM part
+"""
+
+
+def q_sparql_lang_alt_path(sf_dir: str):
+    """LANG() over a variable bound by an ALTERNATION path (r4 verdict
+    item #6): literal metadata rides through single-hop path forms."""
+    from ..query.sparql import run_select
+
+    return run_select(
+        _lang_triples(sf_dir),
+        f"SELECT ?s ?v WHERE {{ ?s (<{VOCAB_LABEL}>|<{VOCAB_NCHARS}>) "
+        '?v . FILTER(LANG(?v) = "en") }',
+    )
+
+
+SQL_SPARQL_LANG_ALT_PATH = """
+SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS s, source AS v
+FROM documents WHERE lang = 'en'
+"""
+
+
 def q_sparql_select_expr(sf_dir: str):
     """SELECT expression projections — (STRLEN(?n) AS ?len) and
     (CONCAT(…) AS ?tag) — through the BIND-rewrite pre-pass (these were
@@ -4452,6 +4488,8 @@ QUERIES = {
     "sparql_graph_optional": q_sparql_graph_optional,
     "sparql_select_dataset": q_sparql_select_dataset,
     "sparql_group_agg_dataset": q_sparql_group_agg_dataset,
+    "sparql_neg_inverse": q_sparql_neg_inverse,
+    "sparql_lang_alt_path": q_sparql_lang_alt_path,
     "sparql_select_expr": q_sparql_select_expr,
     "sparql_agg_expr": q_sparql_agg_expr,
     "docs_budget_select": q_docs_budget_select,
@@ -4578,6 +4616,8 @@ ORACLES = {
     "sparql_grouped_path": SQL_SPARQL_GROUPED_PATH,
     "sparql_select_dataset": SQL_SPARQL_SELECT_DATASET,
     "sparql_group_agg_dataset": SQL_SPARQL_GROUP_AGG_DATASET,
+    "sparql_neg_inverse": SQL_SPARQL_NEG_INVERSE,
+    "sparql_lang_alt_path": SQL_SPARQL_LANG_ALT_PATH,
     "sparql_select_expr": SQL_SPARQL_SELECT_EXPR,
     "sparql_agg_expr": SQL_SPARQL_AGG_EXPR,
     "count_by_event_type": SQL_COUNT_BY_EVENT_TYPE,

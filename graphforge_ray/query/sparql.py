@@ -157,8 +157,11 @@ class PathExpr:
       edges (the same reflexive domain as ``star``; strict SPARQL's
       zero-length path ranges over every graph term — documented
       narrowing, consistent across both reflexive ops);
-    * ``op='neg'``  — ``!(p1|p2)`` / ``!<p>``: negated property set —
-      ONE hop over any predicate NOT listed.
+    * ``op='neg'``  — ``!(p1|^p2)`` / ``!<p>`` / ``!^<p>``: negated
+      property set — preds are (pred, inverse) pairs; SPARQL 1.1 §9.1
+      semantics: one forward hop over any predicate not in the forward
+      members ∪ one REVERSE hop over any predicate not in the inverse
+      members (each half present iff its member set is non-empty).
 
     Sequence ``p1/p2`` and inverse ``^p`` are compile-time rewrites in
     ``_parse_patterns`` (fresh intermediate variables / swapped terms),
@@ -192,7 +195,7 @@ _OFFSET = re.compile(r"OFFSET\s+(\d+)", re.I)
 _OPTIONAL = re.compile(r"OPTIONAL\s*\{([^}]*)\}", re.S | re.I)
 _PATH = re.compile(r"^(!?)\(([^)]+)\)([*+?]?)$")
 _PATH_BARE = re.compile(r"^(<[^>]+>|\w+:[\w-]+)([*+?])$")
-_PATH_NEG_BARE = re.compile(r"^!(<[^>]+>|\w+:[\w-]+)$")
+_PATH_NEG_BARE = re.compile(r"^!(\^?)(<[^>]+>|\w+:[\w-]+)$")
 _FILTER = re.compile(
     r"FILTER\s*\(\s*(\?\w+)\s*(!=|<=|>=|=|<|>)\s*"
     r"(\?\w+|\"[^\"]*\"|[-+]?\d+(?:\.\d+)?)\s*\)",
@@ -659,18 +662,27 @@ def _term(tok: str, prefixes: dict[str, str], allow_path: bool = False):
                             for s in segs
                         ]
                     )
-            if m.group(1):  # !(p1|p2) — negated property set
+            if m.group(1):  # !(p1|^p2) — negated property set
                 if m.group(3):
                     raise ValueError(
                         f"a negated property set cannot take a path "
                         f"modifier: {tok!r}"
                     )
-                if any(not isinstance(p, str) for p in preds):
-                    raise ValueError(
-                        f"sequences inside a negated property set are "
-                        f"not supported: {tok!r}"
-                    )
-                return PathExpr(preds=preds, op="neg")
+                # normalize to (pred, inverse) pairs; forward and
+                # inverse members evaluate as separate halves (SPARQL
+                # 1.1 §9.1: NPS(fwd) UNION inv(NPS(inv)))
+                norm: list[tuple] = []
+                for p in preds:
+                    if isinstance(p, str):
+                        norm.append((p, False))
+                    elif len(p) == 1:
+                        norm.append(p[0])
+                    else:
+                        raise ValueError(
+                            f"sequences inside a negated property set "
+                            f"are not supported: {tok!r}"
+                        )
+                return PathExpr(preds=norm, op="neg")
             if m.group(3) == "" and any(
                 not isinstance(p, str) for p in preds
             ):
@@ -686,7 +698,10 @@ def _term(tok: str, prefixes: dict[str, str], allow_path: bool = False):
             )
         m = _PATH_NEG_BARE.match(tok)
         if m:
-            return PathExpr(preds=[_term(m.group(1), prefixes)], op="neg")
+            return PathExpr(
+                preds=[(_term(m.group(2), prefixes), bool(m.group(1)))],
+                op="neg",
+            )
     if ":" in tok:
         pfx, local = tok.split(":", 1)
         if pfx in prefixes:
@@ -2229,33 +2244,111 @@ def _eval_patterns(
         )
         join_part(part, pattern_vars(pat), "pattern")
 
-    # (p1|p2) alternation / !(p1|p2) negated set: ONE hop — a union of
-    # single-hop matches (alternation keeps duplicates: SPARQL alt-path
-    # solutions are a multiset), hash-joined on shared variables
-    for s_t, path, o_t in hops:
-        for t in (s_t, o_t):
-            v = t[1:] if str(t).startswith("?") else None
-            if v and v in meta_vars:
-                raise ValueError(
-                    f"LANG()/DATATYPE() over path-bound ?{v} is "
-                    "unsupported"
+    def _with_null_meta(part, vars_: tuple[str, ...]):
+        """Append NULL ``_lang_/_dt_`` columns for meta vars a hop binds
+        at SUBJECT position (IRIs/bnodes carry no literal metadata —
+        SPARQL type error, so the filter drops those rows; mirrors
+        match_pattern's IRI-object behavior)."""
+        if not vars_:
+            return part
+
+        def add(df: pd.DataFrame, _v=vars_) -> pd.DataFrame:
+            df = df.copy()
+            for v in _v:
+                df[f"_lang_{v}"] = pd.Series(
+                    [None] * len(df), index=df.index, dtype=object
                 )
+                df[f"_dt_{v}"] = pd.Series(
+                    [None] * len(df), index=df.index, dtype=object
+                )
+            return df
+
+        return part.map_batches(add, batch_format="pandas")
+
+    # (p1|p2) alternation / !(p1|^p2) negated set: ONE hop — a union of
+    # single-hop matches (alternation keeps duplicates: SPARQL alt-path
+    # solutions are a multiset), hash-joined on shared variables.
+    # LANG()/DATATYPE() metadata rides along: the object-position var
+    # gets real metadata from match_pattern, a subject-position var gets
+    # NULL metadata (r4 verdict item #6 — previously a loud refusal).
+    for s_t, path, o_t in hops:
+        s_v = s_t[1:] if str(s_t).startswith("?") else None
+        o_v = o_t[1:] if str(o_t).startswith("?") else None
+        need_meta = tuple(
+            v for v in (s_v, o_v)
+            if v and v in meta_vars and v not in emitted_meta
+        )
         if path.op == "neg":
             from .ops import NotPreds
 
-            part = match_pattern(
-                triples, s_t, NotPreds(path.preds), o_t, graph=graph_term
-            )
+            # SPARQL 1.1 §9.1: !(fwd…|^inv…) = NPS(fwd) ∪ inv(NPS(inv)),
+            # each half present iff its member set is non-empty
+            fwd = [p for p, inv_ in path.preds if not inv_]
+            invs = [p for p, inv_ in path.preds if inv_]
+            halves = []
+            if fwd:
+                seg = match_pattern(
+                    triples, s_t, NotPreds(fwd), o_t, graph=graph_term,
+                    meta_vars=tuple(v for v in need_meta if v == o_v),
+                )
+                halves.append(_with_null_meta(
+                    seg, tuple(v for v in need_meta if v != o_v)
+                ))
+            if invs:
+                # inverse half: swapped endpoints — o_t is the subject
+                seg = match_pattern(
+                    triples, o_t, NotPreds(invs), s_t, graph=graph_term,
+                    meta_vars=tuple(v for v in need_meta if v == s_v),
+                )
+                halves.append(_with_null_meta(
+                    seg, tuple(v for v in need_meta if v != s_v)
+                ))
+            if len(halves) > 1:
+                # the halves bind the same vars in swapped column order;
+                # align schemas before the union
+                def _sorted_cols(ds):
+                    names = tuple(sorted(ds.schema().names))
+                    return ds.map_batches(
+                        lambda df, _n=names: df[list(_n)],
+                        batch_format="pandas",
+                    )
+
+                halves = [_sorted_cols(h) for h in halves]
+                part = halves[0].union(*halves[1:])
+            else:
+                part = halves[0]
         else:
+            mv_o = tuple(v for v in need_meta if v == o_v)
             parts = [
-                match_pattern(triples, s_t, p, o_t, graph=graph_term)
+                match_pattern(
+                    triples, s_t, p, o_t, graph=graph_term, meta_vars=mv_o
+                )
                 for p in path.preds
+            ]
+            parts = [
+                _with_null_meta(
+                    p, tuple(v for v in need_meta if v != o_v)
+                )
+                for p in parts
             ]
             part = (
                 parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
             )
+        emitted_meta.update(need_meta)
         join_part(part, pattern_vars((s_t, None, o_t)),
                   "alternation/negated path")
+
+    # closure / zero-or-one machinery drops literal metadata (pairs are
+    # node ids only) — refuse meta vars loudly instead of a downstream
+    # missing-column error
+    for s_t, _path, o_t in zero_or_one + closures:
+        for t in (s_t, o_t):
+            v = t[1:] if str(t).startswith("?") else None
+            if v and v in meta_vars:
+                raise ValueError(
+                    f"LANG()/DATATYPE() over closure-path-bound ?{v} "
+                    "is unsupported"
+                )
 
     # (p)? zero-or-one: hop ∪ reflexive pairs, set semantics
     for s_t, path, o_t in zero_or_one:

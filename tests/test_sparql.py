@@ -1205,6 +1205,53 @@ def test_negated_property_set_bare(score_triples):
     assert ("e/A", "alpha") not in got
 
 
+def test_neg_inverse_path(score_triples):
+    # r5: !(^p) — REVERSE hop over any predicate not in the inverse set
+    out = run_select(
+        score_triples, "SELECT ?s ?o WHERE { ?s !(^<e/childOf>) ?o }"
+    )
+    got = set(zip(out["s"], out["o"]))
+    # reverse of the 3 name + 4 score triples; childOf reversals excluded
+    assert len(out) == 7
+    assert ("alpha", "e/A") in got and ("10", "e/A") in got
+    assert ("e/B", "e/A") not in got  # ^childOf member excluded
+
+
+def test_neg_inverse_bare(score_triples):
+    out = run_select(
+        score_triples, "SELECT ?s ?o WHERE { ?s !^<e/childOf> ?o }"
+    )
+    assert len(out) == 7
+
+
+def test_neg_mixed_property_set(score_triples):
+    # !(name|^childOf): forward hop (pred ∉ {name}: 2 childOf + 4
+    # score) ∪ reverse hop (pred ∉ {childOf}: 3 name + 4 score)
+    out = run_select(
+        score_triples,
+        "SELECT ?s ?o WHERE { ?s !(<e/name>|^<e/childOf>) ?o }",
+    )
+    assert len(out) == 13
+    got = set(zip(out["s"], out["o"]))
+    assert ("e/A", "e/B") in got          # forward childOf hop kept
+    assert ("alpha", "e/A") in got        # reverse name hop kept
+    assert ("e/A", "alpha") not in got    # forward name excluded
+
+
+def test_neg_path_compiles_to_pairs():
+    from graphforge_ray.query.sparql import PathExpr, _term
+
+    p = _term("!(^<e/p>)", {}, allow_path=True)
+    assert isinstance(p, PathExpr) and p.op == "neg"
+    assert p.preds == [("e/p", True)]
+    p = _term("!^<e/p>", {}, allow_path=True)
+    assert p.preds == [("e/p", True)]
+    p = _term("!(<e/a>|^<e/b>)", {}, allow_path=True)
+    assert p.preds == [("e/a", False), ("e/b", True)]
+    p = _term("!<e/a>", {}, allow_path=True)
+    assert p.preds == [("e/a", False)]
+
+
 def test_nested_optional(score_triples):
     out = run_select(
         score_triples,
@@ -1281,6 +1328,37 @@ def test_lang_filter(lang_triples):
         'SELECT ?s WHERE { ?s <e/label> ?v . FILTER(LANG(?v) != "en") }',
     )
     assert sorted(out["s"]) == ["e/b", "e/c", "e/d"]
+
+
+def test_lang_filter_over_alt_path(lang_triples):
+    # r5: LANG() metadata rides through single-hop path forms — the
+    # alternation binds ?v at object position with real metadata
+    out = run_select(
+        lang_triples,
+        "SELECT ?s ?v WHERE { ?s (<e/label>|<e/size>) ?v . "
+        'FILTER(LANG(?v) = "en") }',
+    )
+    assert list(out["s"]) == ["e/a"] and list(out["v"]) == ["cat"]
+
+
+def test_datatype_filter_over_neg_path(lang_triples):
+    # !(nope) matches every hop; DATATYPE filter keeps the integer one
+    out = run_select(
+        lang_triples,
+        "SELECT ?s ?v WHERE { ?s !(<e/nope>) ?v . "
+        "FILTER(DATATYPE(?v) = <http://www.w3.org/2001/XMLSchema#integer>)"
+        " }",
+    )
+    assert list(out["s"]) == ["e/a"] and list(out["v"]) == ["5"]
+
+
+def test_lang_filter_over_closure_path_refused(lang_triples):
+    with pytest.raises(ValueError, match="closure-path-bound"):
+        run_select(
+            lang_triples,
+            "SELECT ?s ?v WHERE { ?s <e/label>+ ?v . "
+            'FILTER(LANG(?v) = "en") }',
+        )
 
 
 def test_datatype_filter(lang_triples):
