@@ -110,18 +110,67 @@ def _merge_pattern(left: str, right: str) -> "re.Pattern[str]":
     )
 
 
+def _select_compatible(
+    top: pd.DataFrame, budget: int
+) -> list[tuple[str, str, int]]:
+    """Greedy batch selection over one round's candidate pairs (already
+    count-desc, pair-asc sorted): take up to ``budget`` pairs that are
+    pairwise SYMBOL-DISJOINT — no chosen pair shares a left/right symbol
+    with another, and no chosen pair's merged symbol collides with
+    another's symbols. Disjoint merges leave each other's occurrence
+    counts exactly invariant (replacing ``a b``→``ab`` can neither
+    create nor destroy a ``c d`` adjacency when {a,b,ab}∩{c,d,cd}=∅),
+    so applying the batch in one pass equals applying its members
+    sequentially in selection order."""
+    chosen: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    for pair, c in zip(top["pair"], top["c"]):
+        if c < 2:
+            break
+        left, right = pair.split(" ", 1)
+        merged = left + right
+        if left in used or right in used or merged in used:
+            continue
+        chosen.append((left, right, int(c)))
+        used.update((left, right, merged))
+        if len(chosen) >= budget:
+            break
+    return chosen
+
+
 def bpe_learn(
     docs: "ray.data.Dataset",
     num_merges: int = 50,
     text_col: str = "text",
     num_buckets: int = 16,
-) -> pd.DataFrame:
+    merges_per_round: int = 1,
+    return_rounds: bool = False,
+) -> "pd.DataFrame | tuple[pd.DataFrame, int]":
     """Learn ``num_merges`` BPE merges → DataFrame (rank:int64, left,
     right, count:int64), rank in merge order. Stops early (fewer rows)
     when no pair occurs twice. Ties at a round's max count break by
-    pair string asc — byte-deterministic across cluster layouts."""
+    pair string asc — byte-deterministic across cluster layouts.
+
+    ``merges_per_round`` (B) batches COMPATIBLE merges per distributed
+    round (r4 verdict item #3 — a production 32k-merge vocab at B=1 is
+    32k sequential executions): each round collects the top-B candidate
+    pairs per bucket, greedily selects up to B pairwise symbol-disjoint
+    pairs in (count desc, pair asc) order, and applies them in ONE
+    map-side pass. B=1 reproduces the sequential algorithm exactly
+    (byte-identical goldens). B>1 is the standard batched-training
+    approximation: merges within a round are ranked by ROUND-START
+    counts, so a batch may defer a just-created pair (e.g. ``x + ab``)
+    that strict sequential greedy would have taken next; disjointness
+    guarantees the counts it DOES use are exact.
+
+    ``return_rounds=True`` additionally returns the number of
+    distributed rounds executed."""
     if num_merges < 1:
         raise ValueError(f"num_merges must be ≥ 1: {num_merges}")
+    if merges_per_round < 1:
+        raise ValueError(
+            f"merges_per_round must be ≥ 1: {merges_per_round}"
+        )
 
     vocab = snap_lineage(
         word_counts(docs, text_col=text_col, num_buckets=num_buckets)
@@ -134,7 +183,9 @@ def bpe_learn(
     )
 
     merges: list[tuple[str, str, int]] = []
-    for _ in range(num_merges):
+    rounds = 0
+    while len(merges) < num_merges:
+        budget = min(merges_per_round, num_merges - len(merges))
         top = (
             vocab.map_batches(
                 lambda d, _b=num_buckets: _pair_counts(d, _b),
@@ -142,36 +193,42 @@ def bpe_learn(
             )
             .groupby("_bucket")
             .map_groups(
-                lambda g: g.groupby("pair", as_index=False)["c"].sum()
+                lambda g, _k=budget:
+                g.groupby("pair", as_index=False)["c"].sum()
                 .sort_values(["c", "pair"], ascending=[False, True])
-                .head(1),
+                .head(_k),
                 batch_format="pandas",
             )
-            .to_pandas()  # ≤ num_buckets single-row candidates
+            .to_pandas()  # ≤ budget × num_buckets candidate rows
         )
+        rounds += 1
         if top.empty:
             break
         top = top.sort_values(["c", "pair"], ascending=[False, True])
-        best_pair, best_c = top.iloc[0]["pair"], int(top.iloc[0]["c"])
-        if best_c < 2:
+        batch = _select_compatible(top, budget)
+        if not batch:
             break  # nothing left worth merging
-        left, right = best_pair.split(" ", 1)
-        merges.append((left, right, best_c))
+        merges.extend(batch)
 
-        pat = _merge_pattern(left, right)
-        repl = (left + right).replace("\\", "\\\\")
+        # one map-side pass applies the whole batch (regex chain in
+        # selection order — disjointness makes the order immaterial,
+        # the fixed order keeps it deterministic anyway)
+        pats = [
+            (_merge_pattern(l, r), (l + r).replace("\\", "\\\\"))
+            for l, r, _c in batch
+        ]
 
-        def apply_merge(d: pd.DataFrame, _p=pat, _r=repl) -> pd.DataFrame:
-            return pd.DataFrame(
-                {"sym_seq": d["sym_seq"].str.replace(_p, _r, regex=True),
-                 "n": d["n"]}
-            )
+        def apply_batch(d: pd.DataFrame, _ps=tuple(pats)) -> pd.DataFrame:
+            s = d["sym_seq"]
+            for p, rep in _ps:
+                s = s.str.replace(p, rep, regex=True)
+            return pd.DataFrame({"sym_seq": s, "n": d["n"]})
 
         vocab = snap_lineage(
-            vocab.map_batches(apply_merge, batch_format="pandas")
+            vocab.map_batches(apply_batch, batch_format="pandas")
         )
 
-    return pd.DataFrame(
+    out = pd.DataFrame(
         {
             "rank": np.arange(1, len(merges) + 1, dtype=np.int64),
             "left": [m[0] for m in merges],
@@ -179,6 +236,7 @@ def bpe_learn(
             "count": np.asarray([m[2] for m in merges], dtype=np.int64),
         }
     )
+    return (out, rounds) if return_rounds else out
 
 
 def _encode_word(word: str, merge_ranks: dict[tuple[str, str], int]):

@@ -96,6 +96,66 @@ def test_consecutive_pairs_all_merge(ray_session):
     assert int(got.iloc[0]["count"]) == 9
 
 
+def test_batched_rounds_shrink_10x(ray_session):
+    # r5 (r4 verdict item #3): 20 symbol-disjoint merges collapse into
+    # ONE distributed round at merges_per_round=32 — a ≥10× round-count
+    # reduction on this vocab vs the sequential path's 20 rounds.
+    import string
+
+    letters = string.ascii_lowercase + string.ascii_uppercase
+    words = [letters[2 * i] + letters[2 * i + 1] for i in range(20)]
+    # word i repeated (100 − i) times: strictly decreasing counts, and
+    # the (x1 x2) pair of each word alphabetically precedes its
+    # (x2 </w>) tie, so the greedy batch takes all 20 letter pairs
+    text = " ".join(
+        w for i, w in enumerate(words) for _ in range(100 - i)
+    )
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": [0], "text": [text]}))
+
+    batched, rounds = bpe_learn(
+        ds, num_merges=20, num_buckets=4, merges_per_round=32,
+        return_rounds=True,
+    )
+    assert rounds == 1
+    assert list(zip(batched["left"], batched["right"])) == [
+        (w[0], w[1]) for w in words
+    ]
+    assert list(batched["count"]) == [100 - i for i in range(20)]
+
+    _seq, seq_rounds = bpe_learn(
+        ds, num_merges=20, num_buckets=4, return_rounds=True
+    )
+    assert seq_rounds == 20
+    assert seq_rounds / rounds >= 10
+
+
+def test_batched_b1_identical_to_sequential(ray_session, corpus_texts):
+    # merges_per_round=1 must be byte-identical to the default path
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": range(len(corpus_texts)),
+                      "text": corpus_texts})
+    ).repartition(3)
+    a = bpe_learn(ds, num_merges=8, num_buckets=4)
+    b = bpe_learn(ds, num_merges=8, num_buckets=4, merges_per_round=1)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_batched_skips_symbol_sharing_pairs(ray_session):
+    # 'aa' and 'ab' share symbol a: only ONE of their pairs can merge
+    # per round; the other waits for the next round with fresh counts
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [0], "text": ["ab ab ab ac ac"]}))
+    got, rounds = bpe_learn(
+        ds, num_merges=2, num_buckets=2, merges_per_round=8,
+        return_rounds=True,
+    )
+    # round 1: (a b) c=3 wins, (a c) c=2 shares 'a' → deferred;
+    # (b </w>) shares b, (c </w>) is disjoint → also taken in round 1
+    pairs = list(zip(got["left"], got["right"]))
+    assert pairs[0] == ("a", "b")
+    assert ("a", "c") not in pairs[:2] or rounds >= 2
+
+
 def test_tokenize_roundtrip_and_counts(ray_session, corpus_texts):
     ds = rd.from_pandas(
         pd.DataFrame({"doc_id": range(len(corpus_texts)),
