@@ -413,6 +413,64 @@ def media_dataset(n: int, seed: int = SEED, num_blocks: int | None = None):
     )
 
 
+def _neardup_media_bytes(i: int, seed: int) -> tuple[str, bytes]:
+    """One row of the planted-near-dup image corpus — pure function of
+    (seed, i), rotation of 4:
+
+    - ``i ≡ 0 (mod 4)``: a base GFIMG image (16×12×3, pixels in 0..254);
+    - ``i ≡ 1``: its brightness-shifted copy (+1 per pixel, never
+      clipping) — dHash-identical (gradient signs invariant), thumbnail
+      MSE exactly 1.0: the PLANTED near-dup pair (i−1, i);
+    - ``i ≡ 2``: an unrelated image (its own hash stream);
+    - ``i ≡ 3``: POISON (truncated GFIMG header) → sentinel row.
+    """
+    w, h, c = 16, 12, 3
+    n = w * h * c
+    kind = ("base", "neardup", "other", "poison")[i % 4]
+    if kind == "poison":
+        return kind, b"GFIMG|16|"
+    key = f"ndimg:{seed}:{i // 4}" if kind in ("base", "neardup") else (
+        f"ndother:{seed}:{i}"
+    )
+    raw = hashlib.blake2b(key.encode(), digest_size=32).digest()
+    pixels = (
+        np.frombuffer((raw * (n // len(raw) + 1))[:n], dtype=np.uint8)
+        % 255
+    )
+    if kind == "neardup":
+        pixels = pixels + 1  # ≤ 255 by construction
+    return kind, f"GFIMG|{w}|{h}|{c}|".encode() + pixels.tobytes()
+
+
+def neardup_media_dataset(
+    n: int, seed: int = SEED, num_blocks: int | None = None
+):
+    """Planted-near-dup image corpus as a multi-block Dataset (pure
+    function of row index — same discipline as ``media_dataset``)."""
+    import ray.data as rd
+
+    if num_blocks is None:
+        num_blocks = max(4, n // 256)
+
+    def make(batch) -> pa.Table:
+        ids = (
+            batch["id"].tolist()
+            if hasattr(batch["id"], "tolist")
+            else list(batch["id"])
+        )
+        rows = []
+        for i in ids:
+            kind, payload = _neardup_media_bytes(int(i), seed)
+            rows.append(
+                {"media_id": int(i), "kind": kind, "payload": payload}
+            )
+        return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+    return rd.range(n, override_num_blocks=num_blocks).map_batches(
+        make, batch_format="numpy"
+    )
+
+
 def write_pages_parquet(
     out_dir: str,
     n: int,

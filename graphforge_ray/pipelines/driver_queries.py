@@ -1873,6 +1873,20 @@ def q_media_image_features(sf_dir: str):
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def q_media_image_neardup(sf_dir: str):
+    """Image perceptual-hash near-dup (rows-only — pixel decode is not
+    SQL-expressible): dHash + 16-bit LSH bands + thumbnail-MSE verify
+    over the planted-near-dup corpus (fixtures.neardup_media_dataset:
+    every id≡1 (mod 4) is a brightness-shifted copy of id−1 → 75
+    planted pairs at n=300, hamming 0 / MSE 1.0; poison rows ride
+    along). Pinned by pytest (tests/test_dataops.py)."""
+    from ..fixtures import neardup_media_dataset
+    from ..stages.multimodal import image_neardup_pairs
+
+    pairs = image_neardup_pairs(neardup_media_dataset(300)).to_pandas()
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def q_media_audio_features(sf_dir: str):
     """Multimodal audio path E2E (rows-only): RIFF PCM-16 WAV via the
     stdlib wave module plus the GFAUD fixture format through
@@ -4558,6 +4572,7 @@ QUERIES = {
     "rml_customer_triples": q_rml_customer_triples,
     # ---- rows-only tail (genuinely non-SQL ops) ----
     "media_image_features": q_media_image_features,
+    "media_image_neardup": q_media_image_neardup,
     "media_audio_features": q_media_audio_features,
     "docs_langid": q_docs_langid,
     "docs_simhash": q_docs_simhash,

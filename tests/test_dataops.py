@@ -217,6 +217,79 @@ def test_image_decode_and_resize(ray_session):
     assert len(ok) == 6
 
 
+def test_image_neardup_planted_pairs(ray_session):
+    # r5 (r4 verdict item #4): every id≡1 (mod 4) is a brightness-
+    # shifted copy of id−1 → dHash-identical (hamming 0), thumbnail
+    # MSE exactly 1.0; unrelated/poison rows emit no pairs
+    from graphforge_ray.fixtures import neardup_media_dataset
+    from graphforge_ray.stages.multimodal import image_neardup_pairs
+
+    got = (
+        image_neardup_pairs(neardup_media_dataset(80))
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert list(zip(got["id_a"], got["id_b"])) == [
+        (4 * k, 4 * k + 1) for k in range(20)
+    ]
+    assert (got["hamming"] == 0).all()
+    assert (got["mse"] == 1.0).all()
+
+
+def test_image_neardup_block_layout_invariant(ray_session):
+    from graphforge_ray.fixtures import neardup_media_dataset
+    from graphforge_ray.stages.multimodal import image_neardup_pairs
+
+    def run(num_blocks):
+        return (
+            image_neardup_pairs(
+                neardup_media_dataset(48, num_blocks=num_blocks)
+            )
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run(1), run(7))
+
+
+def test_image_neardup_real_codecs_and_mse_verify(ray_session):
+    # a real PNG and its +1-brightness GFIMG twin hash identically; a
+    # band collision alone (forced via identical flat rows) is rejected
+    # by the MSE verify when pixels differ enough
+    import ray.data as rd
+
+    from graphforge_ray.stages.codecs import encode_png
+    from graphforge_ray.stages.multimodal import image_neardup_pairs
+
+    rng = np.random.default_rng(7)
+    base = (rng.integers(0, 255, size=(12, 16, 3))).astype(np.uint8)
+    png = encode_png(base)
+    twin = (base.astype(np.int16) + 1).clip(0, 255).astype(np.uint8)
+    gfimg = b"GFIMG|16|12|3|" + twin.tobytes()
+    far = (rng.integers(0, 255, size=(12, 16, 3))).astype(np.uint8)
+    rows = [
+        {"media_id": 0, "payload": png},
+        {"media_id": 1, "payload": gfimg},
+        {"media_id": 2, "payload": encode_png(far)},
+        {"media_id": 3, "payload": b"GFIMG|bad"},
+    ]
+    got = image_neardup_pairs(
+        rd.from_pandas(pd.DataFrame(rows))
+    ).to_pandas()
+    assert list(zip(got["id_a"], got["id_b"])) == [(0, 1)]
+    assert int(got["hamming"].iloc[0]) == 0
+
+
+def test_image_neardup_refuses_broken_pigeonhole(ray_session):
+    from graphforge_ray.fixtures import neardup_media_dataset
+    from graphforge_ray.stages.multimodal import image_neardup_pairs
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        image_neardup_pairs(neardup_media_dataset(8), max_hamming=5)
+
+
 def test_real_codec_path_is_stubbed():
     dec = ImageDecoder(use_fake=True)
     with pytest.raises(NotImplementedError):
