@@ -1191,6 +1191,61 @@ FROM grams a JOIN grams b ON a.doc_id < b.doc_id
 """
 
 
+def q_docs_incremental_neardup(sf_dir: str):
+    """Incremental near-dup (r4 verdict item #5): the FULL documents
+    table is the indexed base corpus; 25 probe copies (doc_id+200000 of
+    doc_id<25) arrive as NEW docs and are band-equi-joined against the
+    persisted MinHash index — base signatures never recomputed. The
+    oracle is the FULL-RECLUSTER ground truth: brute-force trigram
+    Jaccard ≥ 0.8 over base∪new, filtered to pairs with ≥1 new side
+    (same stable-LSH argument as docs_minhash_dedup's oracle)."""
+    import tempfile
+
+    from ..stages.dedup import build_band_index, probe_band_index
+
+    base = _t(sf_dir, "documents", ["doc_id", "text"])
+    new = base.filter(expr="doc_id < 25").map_batches(
+        lambda df: df.assign(doc_id=df["doc_id"] + 200000),
+        batch_format="pandas",
+    )
+    idx_dir = tempfile.mkdtemp(prefix="graft_ndindex_")
+    build_band_index(base, idx_dir)
+    out = probe_band_index(new, idx_dir, base).to_pandas()
+    out["jaccard"] = np.floor(out["jaccard"] * 1e6) / 1e6
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+SQL_DOCS_INCREMENTAL_NEARDUP = r"""
+WITH docs2 AS (
+    SELECT doc_id, text, 0 AS is_new FROM documents
+    UNION ALL
+    SELECT doc_id + 200000, text, 1 FROM documents WHERE doc_id < 25
+),
+tok AS (
+    SELECT doc_id, is_new,
+           regexp_extract_all(lower(text), '\w+') AS w
+    FROM docs2
+),
+grams AS (
+    SELECT doc_id, is_new,
+           CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_distinct(list_transform(generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+           END AS g
+    FROM tok
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       FLOOR(len(list_intersect(a.g, b.g)) * 1.0
+             / len(list_distinct(a.g || b.g)) * 1000000)
+       / 1000000 AS jaccard
+FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+WHERE (a.is_new = 1 OR b.is_new = 1)
+  AND len(list_intersect(a.g, b.g)) * 1.0
+      / len(list_distinct(a.g || b.g)) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
 def q_docs_fingerprint(sf_dir: str):
     """Winnowing-style document fingerprints (min-k of rolling hashes;
     stages.text_analysis.fingerprint_batch). Rows-only: the rolling-hash
@@ -4464,6 +4519,7 @@ QUERIES = {
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
     "docs_minhash_dedup": q_docs_minhash_dedup,
+    "docs_incremental_neardup": q_docs_incremental_neardup,
     "docs_ngram_jaccard": q_docs_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
     "docs_span_dedup": q_docs_span_dedup,
@@ -4695,6 +4751,7 @@ ORACLES = {
     "rml_customer_triples": SQL_RML_CUSTOMER_TRIPLES,
     "docs_ngram_jaccard": SQL_DOCS_NGRAM_JACCARD,
     "docs_minhash_dedup": SQL_DOCS_MINHASH_DEDUP,
+    "docs_incremental_neardup": SQL_DOCS_INCREMENTAL_NEARDUP,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     # docs_langid / docs_simhash / ann_ivf / sparql_pred_counts /
     # forge_pages: genuinely non-SQL ops → rows-only checks

@@ -241,15 +241,17 @@ def run_forge_pipeline(
     linker_concurrency: int | tuple[int, int] | None = None,
     num_adjacency_partitions: int = 64,
     write_nt: bool = True,
+    neardup_index: bool = True,
 ) -> StageRunner:
     """Checkpoint-resumable production pipeline. Stage layout::
 
-        <out_dir>/extract/      EXTRACT_SCHEMA parquet  + MANIFEST.json
-        <out_dir>/linked/       linked rows parquet     + MANIFEST.json
-        <out_dir>/text/         (url, text) parquet     + MANIFEST.json
-        <out_dir>/canonical/    canonical triples       + MANIFEST.json
-        <out_dir>/adjacency/    part=<k>/ parquet       + MANIFEST.json
-        <out_dir>/ntriples/     part-*.nt               + MANIFEST.json
+        <out_dir>/extract/        EXTRACT_SCHEMA parquet  + MANIFEST.json
+        <out_dir>/linked/         linked rows parquet     + MANIFEST.json
+        <out_dir>/text/           (url, text) parquet     + MANIFEST.json
+        <out_dir>/neardup_index/  MinHash band index      + MANIFEST.json
+        <out_dir>/canonical/      canonical triples       + MANIFEST.json
+        <out_dir>/adjacency/      part=<k>/ parquet       + MANIFEST.json
+        <out_dir>/ntriples/       part-*.nt               + MANIFEST.json
     """
     import graphforge_ray
 
@@ -386,6 +388,23 @@ def run_forge_pipeline(
         return -1, {}
 
     runner.run("text", stage_inputs("linked"), build_text)
+
+    # -- stage 3b: MinHash band index over the extracted text -------------
+    # (r4 verdict item #5) persisted at forge time so the incremental
+    # update path probes NEW pages against it with a band equi-join
+    # instead of re-clustering the corpus (stages/dedup.probe_band_index)
+    if neardup_index:
+
+        def build_ndindex(tmp_dir):
+            from ..stages.dedup import build_band_index
+
+            texts = ray.data.read_parquet(stage_inputs("text"))
+            stats = build_band_index(
+                texts, tmp_dir, id_col="url", text_col="text"
+            )
+            return stats["rows"], stats
+
+        runner.run("neardup_index", stage_inputs("text"), build_ndindex)
 
     # -- stage 4: canonicalize (dedup shuffle + surface-form merge) -------
     def build_canonical(tmp_dir):

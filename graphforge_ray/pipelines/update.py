@@ -116,6 +116,36 @@ def run_update_pipeline(
 
     runner.run("delta", delta_inputs, build_delta)
 
+    # stage 2b: incremental near-dup (r4 verdict item #5) — when the
+    # base run persisted a MinHash band index, probe ONLY the new
+    # snapshot's pages against it (band equi-join + exact-Jaccard
+    # verify): O(new) signature work, no base re-clustering. Written as
+    # (id_a, id_b, jaccard) parquet; pair count in the manifest.
+    base_index = os.path.join(base_dir, "neardup_index")
+    if os.path.exists(os.path.join(base_index, "INDEX.json")):
+        new_texts = _parquet_under(os.path.join(snap_dir, "text"))
+        base_texts = _parquet_under(os.path.join(base_dir, "text"))
+
+        def build_neardup(tmp_dir):
+            from ..stages.dedup import probe_band_index
+
+            pairs = probe_band_index(
+                ray.data.read_parquet(new_texts),
+                base_index,
+                ray.data.read_parquet(base_texts),
+                id_col="url", text_col="text",
+            ).materialize()
+            n = pairs.count()
+            if n:
+                pairs.write_parquet(tmp_dir)
+            return n, {"pairs": int(n)}
+
+        runner.run(
+            "neardup",
+            sorted(new_texts + _parquet_under(base_index)),
+            build_neardup,
+        )
+
     # stage 3 (optional): closed new graph
     if ontology is not None:
         onto_snap = ontology.materialize()

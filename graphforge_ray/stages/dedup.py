@@ -58,6 +58,7 @@ __all__ = [
     "verify_candidate_pairs", "connected_components",
     "minhash_dedup", "simhash_batch", "simhash_neardup_candidates",
     "ngram_jaccard", "embedding_neardup",
+    "build_band_index", "probe_band_index",
 ]
 
 _TOKEN = re.compile(r"\w+")
@@ -312,6 +313,137 @@ def minhash_lsh_candidates(
         pairs.drop_duplicates()
         .sort_values(["id_a", "id_b"])
         .reset_index(drop=True)
+    )
+
+
+def build_band_index(
+    docs: "ray.data.Dataset",
+    out_dir: str,
+    num_perm: int = 64,
+    num_bands: int = 16,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Persist the MinHash LSH band index as parquet (r4 verdict item
+    #5): ``(k:string — "band_id:band_hash", v — doc id)`` rows plus an
+    ``INDEX.json`` pinning the signature parameters. Built once at
+    forge/curation time; the incremental-update path then probes ONLY
+    new documents against it with a band equi-join
+    (``probe_band_index``) instead of re-clustering the corpus.
+
+    The index is mergeable by construction — append a new shard's rows
+    and the equi-join keeps working — and its rows are narrow (one
+    short string + an id per (doc, band))."""
+    import json
+    import os
+
+    sigs = docs.map_batches(
+        lambda df: shingle_minhash_batch(
+            df, num_perm, shingle_k, id_col, text_col
+        ),
+        batch_format="pandas",
+    )
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        b = _band_rows(df, num_bands, id_col)
+        return pd.DataFrame(
+            {
+                "k": b["band_id"].astype(str) + ":"
+                + b["band_hash"].astype(str),
+                "v": b[id_col],
+            }
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    bands = sigs.map_batches(keyed, batch_format="pandas").materialize()
+    n = bands.count()
+    bands.write_parquet(out_dir)
+    params = {
+        "num_perm": num_perm, "num_bands": num_bands,
+        "shingle_k": shingle_k, "rows": int(n),
+    }
+    with open(os.path.join(out_dir, "INDEX.json"), "w") as f:
+        json.dump(params, f)
+    return params
+
+
+def probe_band_index(
+    new_docs: "ray.data.Dataset",
+    index_dir: str,
+    base_docs: "ray.data.Dataset",
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Incremental near-dup: verified pairs ``(id_a, id_b, jaccard)``
+    where at least one side is a NEW document — O(new) signature work.
+
+    New docs are shingled/minhashed map-side (the base corpus's
+    signatures are NEVER recomputed), their band rows equi-join the
+    persisted index (one kv_join bucket shuffle → new-vs-old
+    candidates), new-vs-new candidates come from plain LSH over the new
+    docs alone, and the union is exact-verified with the distributed
+    n-gram Jaccard shuffle (base text contributes only through the
+    candidate-distillation semi-join — one narrow pass, no signatures,
+    no clustering). Signature parameters come from the index's
+    ``INDEX.json`` so probe and build can never drift."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "INDEX.json")) as f:
+        params = json.load(f)
+    num_perm = params["num_perm"]
+    num_bands = params["num_bands"]
+    shingle_k = params["shingle_k"]
+
+    sigs = new_docs.map_batches(
+        lambda df: shingle_minhash_batch(
+            df, num_perm, shingle_k, id_col, text_col
+        ),
+        batch_format="pandas",
+    )
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        b = _band_rows(df, num_bands, id_col)
+        return pd.DataFrame(
+            {
+                "k": b["band_id"].astype(str) + ":"
+                + b["band_hash"].astype(str),
+                "v": b[id_col],
+            }
+        )
+
+    new_bands = _snap_lineage(
+        sigs.map_batches(keyed, batch_format="pandas")
+    )
+    index = ray.data.read_parquet(
+        sorted(
+            os.path.join(index_dir, f)
+            for f in os.listdir(index_dir)
+            if f.endswith(".parquet")
+        )
+    )
+    # (node=new_id, label=old_id) per colliding band
+    new_old = _kv_join(new_bands, index).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "id_a": np.minimum(df["node"], df["label"]),
+                "id_b": np.maximum(df["node"], df["label"]),
+            }
+        ).loc[lambda d: d["id_a"] != d["id_b"]],
+        batch_format="pandas",
+    )
+    new_new = minhash_lsh_candidates(
+        new_docs, num_perm=num_perm, num_bands=num_bands,
+        shingle_k=shingle_k, id_col=id_col, text_col=text_col,
+        as_dataset=True, dedup=False,
+    )
+    candidates = new_old.union(new_new)
+    # verify dedups pairs in-bucket (merge1), so no pre-dedup shuffle
+    return verify_candidate_pairs(
+        candidates, base_docs.union(new_docs), threshold=threshold,
+        shingle_k=shingle_k, id_col=id_col, text_col=text_col,
     )
 
 

@@ -149,3 +149,122 @@ def test_update_identical_snapshot_publishes_empty(base_run):
     p = json.load(open(os.path.join(out, "publish", "MANIFEST.json")))
     assert p["status"] == "done"
     assert p["extra"]["adds"] == 0 and p["extra"]["dels"] == 0
+
+
+def test_update_incremental_neardup_probes_index(base_run):
+    # r5 (r4 verdict item #5): the base forge run persisted a MinHash
+    # band index; an update whose shard duplicates base pages (urls
+    # rewritten) must surface the (old_url, new_url) near-dup pairs by
+    # PROBING the index — O(new) signature work, no base re-clustering.
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    root, pages_v1, base, pages_v2 = base_run
+    assert os.path.exists(
+        os.path.join(base, "neardup_index", "INDEX.json")
+    )
+
+    t = pq_.read_table(pages_v1[0])  # whole first shard, 20 pages
+    urls = [u + "?v2" for u in t["url"].to_pylist()]
+    t2 = t.set_column(
+        t.schema.get_field_index("url"), "url", pa.array(urls)
+    )
+    dup_dir = root / "pages_dup"
+    os.makedirs(dup_dir, exist_ok=True)
+    dup_path = str(dup_dir / "pages-000000000-20.parquet")
+    pq_.write_table(t2, dup_path)
+
+    out = str(root / "kg_dup")
+    runner = run_update_pipeline([dup_path], base, out, write_nt=False)
+
+    nd_dir = os.path.join(out, "neardup")
+    man = json.load(open(os.path.join(nd_dir, "MANIFEST.json")))
+    # only pages whose extract yields a text row participate (~a third
+    # of the fixture corpus); the expected-pairs check below is exact
+    assert man["status"] == "done" and man["rows_out"] >= 1
+
+    pairs = rd.read_parquet(_pq(nd_dir)).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    new_texts = rd.read_parquet(
+        _pq(os.path.join(out, "snapshot", "text"))
+    ).to_pandas()
+    # every duplicated page whose extract produced text must pair with
+    # its original at jaccard 1.0 (url < url?v2 lexicographically)
+    expected = {
+        (u[: -len("?v2")], u) for u in new_texts["url"] if u.endswith("?v2")
+    }
+    assert expected and expected <= got
+    j = pairs.set_index(["id_a", "id_b"])["jaccard"]
+    for p in expected:
+        assert j.loc[p] == 1.0
+    # every pair involves at least one NEW url
+    assert all(a.endswith("?v2") or b.endswith("?v2") for a, b in got)
+
+    # O(new) evidence: the probe stage's checkpoint inputs are the new
+    # snapshot text + the index files only — base text/signatures are
+    # not inputs, so a base-side change never re-triggers the probe
+    # (and the probe never recomputes base signatures by construction)
+    runner2 = run_update_pipeline([dup_path], base, out, write_nt=False)
+    nd_lines = [l for l in runner2.log if l.startswith(("skip neardup",
+                                                        "ran neardup"))]
+    assert nd_lines and nd_lines[0].startswith("skip neardup")
+
+
+def test_probe_band_index_matches_bruteforce(ray_session, tmp_path):
+    # direct stage parity: probe(new) == brute-force jaccard≥0.8 pairs
+    # with ≥1 new side (deterministic seeded minhash → stable LSH)
+    from graphforge_ray.stages.dedup import (
+        build_band_index, ngram_jaccard, probe_band_index,
+    )
+
+    base_rows = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "text": [
+                "the quick brown fox jumps over the lazy dog "
+                f"variant {i} " + "filler words " * 10
+                for i in range(8)
+            ],
+        }
+    )
+    new_rows = pd.DataFrame(
+        {
+            "doc_id": [100, 101, 102],
+            # 100 duplicates base doc 3; 101 near-dups base doc 5 (one
+            # word changed); 102 is unrelated
+            "text": [
+                base_rows.loc[3, "text"],
+                base_rows.loc[5, "text"].replace("variant", "varianz"),
+                "completely different content about something else "
+                "entirely with no shared trigrams at all",
+            ],
+        }
+    )
+    idx_dir = str(tmp_path / "ndidx")
+    build_band_index(rd.from_pandas(base_rows), idx_dir)
+    got = (
+        probe_band_index(
+            rd.from_pandas(new_rows), idx_dir, rd.from_pandas(base_rows)
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    texts = dict(
+        zip(
+            list(base_rows["doc_id"]) + list(new_rows["doc_id"]),
+            list(base_rows["text"]) + list(new_rows["text"]),
+        )
+    )
+    ids = sorted(texts)
+    new_ids = set(new_rows["doc_id"])
+    want = sorted(
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if (a in new_ids or b in new_ids)
+        and ngram_jaccard(texts[a], texts[b]) >= 0.8
+    )
+    assert list(zip(got["id_a"], got["id_b"])) == want
+    assert (100 in {a for a, _ in want}
+            or 100 in {b for _, b in want})  # planted dup surfaced
