@@ -2035,6 +2035,52 @@ FROM documents
 # per-source (per-domain) quota sampling
 # ---------------------------------------------------------------------------
 
+def q_lineitem_price_quantiles(sf_dir: str):
+    """Approximate per-flag quantiles of the CONTINUOUS extendedprice
+    column via the fixed-grid histogram sketch (r4 verdict item #7 —
+    the documented continuous-column seam): the shuffle is bounded by
+    bins×groups, and every double-precision step (global lo/hi, bin
+    rule, midpoint) is replayed verbatim by the SQL oracle."""
+    from ..stages.stats import group_quantiles_sketch
+
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    out = group_quantiles_sketch(
+        ds, key="l_returnflag", col="l_extendedprice",
+        qs=(0.25, 0.5, 0.75, 0.9), num_bins=4096,
+    )
+    return (
+        out.to_pandas()
+        .rename(columns={"l_returnflag": "flag"})
+        .sort_values(["flag", "q_pct"])
+        .reset_index(drop=True)[["flag", "q_pct", "value"]]
+    )
+
+
+SQL_LINEITEM_PRICE_QUANTILES = """
+WITH m AS (
+    SELECT MIN(l_extendedprice) AS lo,
+           (MAX(l_extendedprice) - MIN(l_extendedprice)) / 4096.0 AS w
+    FROM lineitem
+),
+b AS (
+    SELECT l_returnflag AS flag,
+           LEAST(CAST(FLOOR((l_extendedprice - m.lo) / m.w) AS BIGINT),
+                 4095) AS bin
+    FROM lineitem, m
+    WHERE l_extendedprice IS NOT NULL
+),
+q AS (
+    SELECT flag, unnest([25, 50, 75, 90]) AS q_pct,
+           unnest(quantile_disc(bin, [0.25, 0.5, 0.75, 0.9])) AS bin
+    FROM b GROUP BY flag
+)
+SELECT q.flag, CAST(q.q_pct AS BIGINT) AS q_pct,
+       FLOOR((m.lo + (q.bin + 0.5) * m.w) * 1000000) / 1000000 AS value
+FROM q, m
+ORDER BY flag, q_pct
+"""
+
+
 def q_docs_length_quantiles(sf_dir: str):
     """Exact per-language length quantiles (percentile_disc semantics)
     via the distributed counting-sort histogram (stages/stats) — the
@@ -4608,6 +4654,7 @@ QUERIES = {
     "docs_quality_filter": q_docs_quality_filter,
     "docs_hash_split": q_docs_hash_split,
     "docs_length_quantiles": q_docs_length_quantiles,
+    "lineitem_price_quantiles": q_lineitem_price_quantiles,
     "docs_repetition": q_docs_repetition,
     "docs_decontaminate": q_docs_decontaminate,
     "docs_source_quota": q_docs_source_quota,
@@ -4741,6 +4788,7 @@ ORACLES = {
     "docs_quality_filter": SQL_DOCS_QUALITY_FILTER,
     "docs_hash_split": SQL_DOCS_HASH_SPLIT,
     "docs_length_quantiles": SQL_DOCS_LENGTH_QUANTILES,
+    "lineitem_price_quantiles": SQL_LINEITEM_PRICE_QUANTILES,
     "docs_repetition": SQL_DOCS_REPETITION,
     "docs_decontaminate": SQL_DOCS_DECONTAMINATE,
     "docs_source_quota": SQL_DOCS_SOURCE_QUOTA,

@@ -10,9 +10,11 @@ cumsum+searchsorted per group picks the order statistics. The shuffle
 moves one row per (batch, group, distinct value) — the counting-sort
 shape, not the corpus.
 
-For genuinely continuous high-cardinality columns, quantize first
-(``round(col, k)`` bounds distinct values and the error) — documented
-seam; a t-digest sketch would slot into the same combiner/reduce shape.
+For genuinely continuous high-cardinality columns,
+``group_quantiles_sketch`` closes the documented r4 seam: a fixed-grid
+histogram sketch with the SAME combiner/reduce shape (the grid plays
+the t-digest's role with a deterministic, SQL-replayable rule — error
+bounded by the bin width, shuffle bounded by bins×groups).
 """
 
 from __future__ import annotations
@@ -24,7 +26,10 @@ import pandas as pd
 
 from ..shuffle import bucket_tag
 
-__all__ = ["group_quantiles", "group_topk", "zscore_standardize", "pearson_corr"]
+__all__ = [
+    "group_quantiles", "group_quantiles_sketch", "group_topk",
+    "zscore_standardize", "pearson_corr",
+]
 
 
 def group_quantiles(
@@ -73,6 +78,100 @@ def group_quantiles(
                         "q_pct": (np.asarray(q_list) * 100).round()
                         .astype(np.int64),
                         "value": values[idx],
+                    }
+                )
+            )
+        if not out_rows:
+            return pd.DataFrame({key: [], "q_pct": [], "value": []})
+        return pd.concat(out_rows, ignore_index=True)
+
+    return (
+        ds.map_batches(combine, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def group_quantiles_sketch(
+    ds: "ray.data.Dataset",
+    key: str,
+    col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+    num_bins: int = 4096,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """→ Dataset (key, q_pct:int64, value:float64) — approximate
+    per-group quantiles of a CONTINUOUS column via a fixed-grid
+    histogram sketch (r4 verdict item #7).
+
+    One streaming moments pass finds the global [lo, hi] (two driver
+    scalars); values bin to ``floor((x − lo)/width)`` clipped to the
+    last bin; the (key, bin) count combiner + bucket shuffle + per-group
+    cumsum/searchsorted are EXACTLY ``group_quantiles``' shape, but the
+    shuffle is bounded by bins×groups regardless of value cardinality.
+    The reported value is the selected bin's midpoint, FLOOR-truncated
+    at 1e-6 — error ≤ width/2 = (hi−lo)/(2·num_bins). Every step is a
+    deterministic double-precision rule a SQL oracle replays verbatim
+    (no rank interpolation, no data-dependent centroids — the reason a
+    fixed grid beats a t-digest for the correctness contract; the
+    combiner/reduce shape is the same one a t-digest would use)."""
+    if not qs or any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError(f"quantiles must be in (0, 1]: {qs}")
+    if num_bins < 2:
+        raise ValueError(f"num_bins must be ≥ 2: {num_bins}")
+    q_list = sorted(qs)
+
+    def extremes(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[col].dropna().to_numpy(dtype=np.float64)
+        if not len(x):
+            return pd.DataFrame({"lo": [], "hi": []})
+        return pd.DataFrame({"lo": [x.min()], "hi": [x.max()]})
+
+    m = ds.map_batches(extremes, batch_format="pandas").to_pandas()
+    if "lo" not in m.columns or m.empty:
+        raise ValueError(f"group_quantiles_sketch: no rows in {col!r}")
+    lo = float(m["lo"].min())
+    hi = float(m["hi"].max())
+    width = (hi - lo) / num_bins  # exact doubles on both engine + SQL
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[key, col]].dropna()
+        x = d[col].to_numpy(dtype=np.float64)
+        if width > 0:
+            bins = np.minimum(
+                np.floor((x - lo) / width), num_bins - 1
+            ).astype(np.int64)
+        else:  # constant column: one bin
+            bins = np.zeros(len(x), dtype=np.int64)
+        g = (
+            pd.DataFrame({key: d[key].to_numpy(), "bin": bins})
+            .groupby([key, "bin"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g.assign(_bucket=bucket_tag(g, key, num_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        hist = g.groupby([key, "bin"], as_index=False)["n"].sum()
+        out_rows = []
+        for k, grp in hist.groupby(key, sort=False):
+            grp = grp.sort_values("bin")
+            cum = np.cumsum(grp["n"].to_numpy())
+            n = int(cum[-1])
+            ranks = np.array([math.ceil(q * n) for q in q_list])
+            idx = np.searchsorted(cum, ranks, side="left")
+            sel = grp["bin"].to_numpy()[idx].astype(np.float64)
+            vals = lo + (sel + 0.5) * width if width > 0 else (
+                np.full(len(sel), lo)
+            )
+            out_rows.append(
+                pd.DataFrame(
+                    {
+                        key: k,
+                        "q_pct": (np.asarray(q_list) * 100).round()
+                        .astype(np.int64),
+                        "value": np.floor(vals * 1e6) / 1e6,
                     }
                 )
             )
