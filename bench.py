@@ -182,6 +182,56 @@ def run_bench() -> dict:
         "images_per_sec": round(n_decoded / queries["media_decode"], 1),
     }
 
+    # 6. standing 10× scale-stress row (r4 verdict item #9): ONE
+    # single-rep forge at 10× the headline corpus plus one MinHash-LSH
+    # candidate pass over a 10× documents union — scale regressions
+    # land in the per-round artifact instead of BASELINE prose. Kept
+    # OUT of `queries`/`value` so the headline total stays comparable
+    # round over round; disable with GRAFT_STRESS=0.
+    if os.environ.get("GRAFT_STRESS", "1") != "0":
+        stress_pages = int(
+            os.environ.get("GRAFT_STRESS_PAGES", str(n_pages * 10))
+        )
+        sdir = os.environ.get(
+            "GRAFT_STRESS_CORPUS",
+            f"/tmp/graft_bench_pages_{stress_pages}_r{rich}",
+        )
+        spaths = write_pages_parquet(
+            sdir, stress_pages, rows_per_file=2000, rich=rich
+        )
+        t0 = time.perf_counter()
+        s_triples = forge_triples(
+            _rd.read_parquet(spaths, columns=["url", "html"])
+        ).count()
+        s_forge = round(time.perf_counter() - t0, 3)
+
+        def shift(df: "pd.DataFrame", k: int):
+            return df.assign(doc_id=df["doc_id"] + k * 1_000_000)
+
+        import pandas as pd  # noqa: F401 (type for the closure above)
+
+        docs10 = docs.union(*[
+            docs.map_batches(
+                lambda df, _k=k: shift(df, _k), batch_format="pandas"
+            )
+            for k in range(1, 10)
+        ])
+        t0 = time.perf_counter()
+        n_cand = minhash_lsh_candidates(
+            docs10, as_dataset=True, dedup=True
+        ).count()
+        s_mh = round(time.perf_counter() - t0, 3)
+        detail["scale_stress"] = {
+            "pages": stress_pages,
+            "forge_sec": s_forge,
+            "forge_triples": int(s_triples),
+            "forge_pages_per_sec": round(stress_pages / s_forge, 1),
+            "minhash_docs": "10x sf documents (shifted-id union)",
+            "minhash_sec": s_mh,
+            "minhash_candidate_pairs": int(n_cand),
+            "load_avg": [round(x, 2) for x in os.getloadavg()],
+        }
+
     total = round(sum(queries.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
