@@ -4551,21 +4551,70 @@ def q_docs_bpe_tokens(sf_dir: str):
 # Registry
 # ---------------------------------------------------------------------------
 
-# Ordering contract: every SQL-ORACLED query sits BEFORE the rows-only
-# tail, and the near-dup family sits in the first 10 — the r3 driver
-# artifact recorded only the first 50 registry entries, silently
-# skipping three oracled dedup queries that happened to be last
-# (VERDICT r3 bookkeeping note / next-round item 4). The first 50
-# entries are all SQL-oracled and front-load every operator family that
-# is NEW this round (no prior driver-artifact evidence); queries beyond
-# position 50 are either already green in CORRECTNESS_r03 or rows-only,
-# and ALL registry entries (len(QUERIES) of them — never a hand count)
-# are verified locally by tools/check_contract.py.
+# Ordering contract (VERDICT r4 next-round item 8): the driver artifact
+# records only the FIRST 50 registry entries, so ordering is a rotation
+# policy — every query gets a driver artifact at least every two rounds.
+# Round-5 top 50 = the 24 queries with NO driver artifact yet (new this
+# round, or r3/r4 additions past the cap) followed by 26 queries whose
+# last artifact is CORRECTNESS_r03 (graph algorithms, the r3 SPARQL
+# tranche, media, curation, lm/asof). Everything recorded green in
+# CORRECTNESS_r04 sits past position 50. ALL registry entries
+# (len(QUERIES) of them — never a hand count) are verified locally by
+# tools/check_contract.py regardless of position.
 QUERIES = {
+    "docs_incremental_neardup": q_docs_incremental_neardup,
+    "sparql_graph_filter": q_sparql_graph_filter,
+    "sparql_graph_optional": q_sparql_graph_optional,
+    "sparql_group_agg_dataset": q_sparql_group_agg_dataset,
+    "sparql_neg_inverse": q_sparql_neg_inverse,
+    "sparql_lang_alt_path": q_sparql_lang_alt_path,
+    "sparql_describe": q_sparql_describe,
+    "sparql_grouped_path": q_sparql_grouped_path,
+    "sparql_zeroone_path": q_sparql_zeroone_path,
+    "sparql_neg_path": q_sparql_neg_path,
+    "sparql_optional_path": q_sparql_optional_path,
+    "sparql_graph_const": q_sparql_graph_const,
+    "lineitem_price_quantiles": q_lineitem_price_quantiles,
+    "media_image_neardup": q_media_image_neardup,
+    "docs_langid": q_docs_langid,
+    "docs_simhash": q_docs_simhash,
+    "docs_fingerprint": q_docs_fingerprint,
+    "docs_bpe_merges": q_docs_bpe_merges,
+    "docs_bpe_tokens": q_docs_bpe_tokens,
+    "ann_ivf": q_ann_ivf,
+    "embeddings_kmeans": q_embeddings_kmeans,
+    "docs_logreg_score": q_docs_logreg_score,
+    "sparql_pred_counts": q_sparql_pred_counts,
+    "forge_pages": q_forge_pages,
+    "graph_degree_hist": q_graph_degree_hist,
+    "graph_pagerank": q_graph_pagerank,
+    "graph_triangles": q_graph_triangles,
+    "graph_components": q_graph_components,
+    "sparql_filter_orderby": q_sparql_filter_orderby,
+    "sparql_path_bgp": q_sparql_path_bgp,
+    "sparql_union_distinct": q_sparql_union_distinct,
+    "sparql_group_agg": q_sparql_group_agg,
+    "sparql_string_filter": q_sparql_string_filter,
+    "sparql_seq_path": q_sparql_seq_path,
+    "sparql_having": q_sparql_having,
+    "sparql_subselect": q_sparql_subselect,
+    "sparql_expr_filter": q_sparql_expr_filter,
+    "sparql_not_exists": q_sparql_not_exists,
+    "sparql_values_bind": q_sparql_values_bind,
+    "sparql_count_distinct": q_sparql_count_distinct,
+    "sparql_construct": q_sparql_construct,
+    "media_image_features": q_media_image_features,
+    "media_audio_features": q_media_audio_features,
+    "docs_quality_filter": q_docs_quality_filter,
+    "docs_repetition": q_docs_repetition,
+    "docs_decontaminate": q_docs_decontaminate,
+    "docs_source_quota": q_docs_source_quota,
+    "docs_tfidf": q_docs_tfidf,
+    "docs_lm_score": q_docs_lm_score,
+    "events_asof_click": q_events_asof_click,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
     "docs_minhash_dedup": q_docs_minhash_dedup,
-    "docs_incremental_neardup": q_docs_incremental_neardup,
     "docs_ngram_jaccard": q_docs_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
     "docs_span_dedup": q_docs_span_dedup,
@@ -4600,12 +4649,7 @@ QUERIES = {
     "sparql_lang_filter": q_sparql_lang_filter,
     "sparql_datatype_filter": q_sparql_datatype_filter,
     "sparql_graph_var": q_sparql_graph_var,
-    "sparql_graph_filter": q_sparql_graph_filter,
-    "sparql_graph_optional": q_sparql_graph_optional,
     "sparql_select_dataset": q_sparql_select_dataset,
-    "sparql_group_agg_dataset": q_sparql_group_agg_dataset,
-    "sparql_neg_inverse": q_sparql_neg_inverse,
-    "sparql_lang_alt_path": q_sparql_lang_alt_path,
     "sparql_select_expr": q_sparql_select_expr,
     "sparql_agg_expr": q_sparql_agg_expr,
     "docs_budget_select": q_docs_budget_select,
@@ -4618,19 +4662,9 @@ QUERIES = {
     "graph_sssp": q_graph_sssp,
     "graph_jaccard": q_graph_jaccard,
     "graph_kcore": q_graph_kcore,
-    "graph_degree_hist": q_graph_degree_hist,
-    "sparql_describe": q_sparql_describe,
-    "sparql_grouped_path": q_sparql_grouped_path,
-    "sparql_zeroone_path": q_sparql_zeroone_path,
-    "sparql_neg_path": q_sparql_neg_path,
-    "sparql_optional_path": q_sparql_optional_path,
-    "sparql_graph_const": q_sparql_graph_const,
     "rml_documents_triples": q_rml_documents_triples,
     "triples_pred_counts": q_triples_pred_counts,
     "revenue_filter": q_revenue_filter,
-    "graph_pagerank": q_graph_pagerank,
-    "graph_triangles": q_graph_triangles,
-    "graph_components": q_graph_components,
     "count_by_event_type": q_count_by_event_type,
     "lineitem_agg": q_lineitem_agg,
     "part_hierarchy_closure": q_part_hierarchy_closure,
@@ -4638,27 +4672,8 @@ QUERIES = {
     "doc_token_stats": q_doc_token_stats,
     "doc_char_classes": q_doc_char_classes,
     "ann_topk": q_ann_topk,
-    "sparql_filter_orderby": q_sparql_filter_orderby,
-    "sparql_path_bgp": q_sparql_path_bgp,
-    "sparql_union_distinct": q_sparql_union_distinct,
-    "sparql_group_agg": q_sparql_group_agg,
-    "sparql_string_filter": q_sparql_string_filter,
-    "sparql_seq_path": q_sparql_seq_path,
-    "sparql_having": q_sparql_having,
-    "sparql_subselect": q_sparql_subselect,
-    "sparql_expr_filter": q_sparql_expr_filter,
-    "sparql_not_exists": q_sparql_not_exists,
-    "sparql_values_bind": q_sparql_values_bind,
-    "sparql_count_distinct": q_sparql_count_distinct,
-    "sparql_construct": q_sparql_construct,
-    "docs_quality_filter": q_docs_quality_filter,
     "docs_hash_split": q_docs_hash_split,
     "docs_length_quantiles": q_docs_length_quantiles,
-    "lineitem_price_quantiles": q_lineitem_price_quantiles,
-    "docs_repetition": q_docs_repetition,
-    "docs_decontaminate": q_docs_decontaminate,
-    "docs_source_quota": q_docs_source_quota,
-    "docs_tfidf": q_docs_tfidf,
     "docs_shuffle_shards": q_docs_shuffle_shards,
     "customer_order_counts": q_customer_order_counts,
     "top_parts_by_qty": q_top_parts_by_qty,
@@ -4666,27 +4681,11 @@ QUERIES = {
     "distinct_flags": q_distinct_flags,
     "union_names": q_union_names,
     "events_hourly": q_events_hourly,
-    "events_asof_click": q_events_asof_click,
     "user_sessions": q_user_sessions,
     "events_session_join": q_events_session_join,
     "events_sliding": q_events_sliding,
     "docs_pack_sequences": q_docs_pack_sequences,
-    "docs_lm_score": q_docs_lm_score,
     "rml_customer_triples": q_rml_customer_triples,
-    # ---- rows-only tail (genuinely non-SQL ops) ----
-    "media_image_features": q_media_image_features,
-    "media_image_neardup": q_media_image_neardup,
-    "media_audio_features": q_media_audio_features,
-    "docs_langid": q_docs_langid,
-    "docs_simhash": q_docs_simhash,
-    "docs_fingerprint": q_docs_fingerprint,
-    "docs_bpe_merges": q_docs_bpe_merges,
-    "docs_bpe_tokens": q_docs_bpe_tokens,
-    "ann_ivf": q_ann_ivf,
-    "embeddings_kmeans": q_embeddings_kmeans,
-    "docs_logreg_score": q_docs_logreg_score,
-    "sparql_pred_counts": q_sparql_pred_counts,
-    "forge_pages": q_forge_pages,
 }
 
 ORACLES = {
