@@ -4547,6 +4547,72 @@ def q_docs_bpe_tokens(sf_dir: str):
     )
 
 
+def q_warc_ingest(sf_dir: str):
+    """WARC source parity (ISO 28500, sources/warc.py): the documents
+    table is serialized to .warc.gz shards (one gzip member per record,
+    deterministic bytes — url/ts/body all pure functions of the row),
+    read back through the from-scratch WARC parser, and summarized as
+    (url, n_bytes, ts_s). The oracle replays the url / utf-8-byte-length
+    / timestamp rules over documents directly in SQL — matching values
+    prove the serializer/parser pair is lossless over the corpus."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from ..sources.warc import read_warc, write_warc
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        n = batch.num_rows
+        return pa.table(
+            {
+                "url": pc.binary_join_element_wise(
+                    pa.array(["http://corpus.local/"] * n),
+                    ids.cast(pa.string()),
+                    "",
+                ),
+                "warc_ts": pc.multiply(ids, 1_000_000).cast(
+                    pa.timestamp("us")
+                ),
+                "html": batch["text"].cast(pa.binary()),
+                "text": pa.array([""] * n, pa.string()),
+                "lang": pa.array([""] * n, pa.string()),
+            }
+        )
+
+    arc_dir = tempfile.mkdtemp(prefix="graft_warc_")
+    write_warc(docs.map_batches(to_pages, batch_format="pyarrow"), arc_dir)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": batch["url"],
+                "n_bytes": pc.binary_length(batch["html"]).cast(pa.int64()),
+                "ts_s": pc.divide(
+                    batch["warc_ts"].cast(pa.int64()), 1_000_000
+                ),
+            }
+        )
+
+    out = (
+        read_warc(arc_dir)
+        .map_batches(summarize, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("url").reset_index(drop=True)
+
+
+SQL_WARC_INGEST = """
+SELECT 'http://corpus.local/' || doc_id AS url,
+       octet_length(encode(text)) AS n_bytes,
+       doc_id AS ts_s
+FROM documents
+ORDER BY url
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4562,6 +4628,7 @@ def q_docs_bpe_tokens(sf_dir: str):
 # (len(QUERIES) of them — never a hand count) are verified locally by
 # tools/check_contract.py regardless of position.
 QUERIES = {
+    "warc_ingest": q_warc_ingest,
     "docs_incremental_neardup": q_docs_incremental_neardup,
     "sparql_graph_filter": q_sparql_graph_filter,
     "sparql_graph_optional": q_sparql_graph_optional,
@@ -4798,6 +4865,7 @@ ORACLES = {
     "rml_customer_triples": SQL_RML_CUSTOMER_TRIPLES,
     "docs_ngram_jaccard": SQL_DOCS_NGRAM_JACCARD,
     "docs_minhash_dedup": SQL_DOCS_MINHASH_DEDUP,
+    "warc_ingest": SQL_WARC_INGEST,
     "docs_incremental_neardup": SQL_DOCS_INCREMENTAL_NEARDUP,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     # docs_langid / docs_simhash / ann_ivf / sparql_pred_counts /
