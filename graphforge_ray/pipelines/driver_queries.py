@@ -4613,6 +4613,63 @@ ORDER BY url
 """
 
 
+def q_docs_dup_substrings(sf_dir: str):
+    """Exact duplicated-substring dedup (Lee et al. 2021, stride-1
+    k-gram form — stages/curation.dup_kgram_stats): per-doc counts of
+    duplicated 8-token windows plus the merged-span rollup. Every rule
+    (raw \\S+ tokens, corpus-wide occurrence >= 2, touching-merge with
+    fixed k) is replayed verbatim by the SQL oracle's lag() window."""
+    from ..stages.curation import dup_kgram_stats
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = dup_kgram_stats(docs, k=8).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOCS_DUP_SUBSTRINGS = r"""
+WITH tok AS (
+    SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
+),
+g2 AS (
+    SELECT doc_id,
+           unnest(generate_series(1, len(w) - 7)) AS i1,
+           w
+    FROM tok WHERE len(w) >= 8
+),
+grams AS (
+    SELECT doc_id, i1 - 1 AS i,
+           array_to_string(w[i1:i1 + 7], ' ') AS g
+    FROM g2
+),
+cnt AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+dup AS (
+    SELECT doc_id, i FROM grams JOIN cnt USING (g) WHERE c >= 2
+),
+lagd AS (
+    SELECT doc_id, i,
+           lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS pi
+    FROM dup
+),
+spans AS (
+    SELECT doc_id,
+           count(*) AS n_dup_grams,
+           sum(CASE WHEN pi IS NULL OR i - pi > 8 THEN 1 ELSE 0 END)
+               AS n_dup_spans,
+           sum(CASE WHEN pi IS NULL THEN 8 ELSE least(i - pi, 8) END)
+               AS n_dup_tokens
+    FROM lagd GROUP BY doc_id
+),
+tot AS (SELECT doc_id, greatest(len(w) - 7, 0) AS n_grams FROM tok)
+SELECT t.doc_id,
+       CAST(t.n_grams AS BIGINT) AS n_grams,
+       CAST(s.n_dup_grams AS BIGINT) AS n_dup_grams,
+       CAST(s.n_dup_spans AS BIGINT) AS n_dup_spans,
+       CAST(s.n_dup_tokens AS BIGINT) AS n_dup_tokens
+FROM spans s JOIN tot t ON s.doc_id = t.doc_id
+ORDER BY t.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4629,6 +4686,7 @@ ORDER BY url
 # tools/check_contract.py regardless of position.
 QUERIES = {
     "warc_ingest": q_warc_ingest,
+    "docs_dup_substrings": q_docs_dup_substrings,
     "docs_incremental_neardup": q_docs_incremental_neardup,
     "sparql_graph_filter": q_sparql_graph_filter,
     "sparql_graph_optional": q_sparql_graph_optional,
@@ -4866,6 +4924,7 @@ ORACLES = {
     "docs_ngram_jaccard": SQL_DOCS_NGRAM_JACCARD,
     "docs_minhash_dedup": SQL_DOCS_MINHASH_DEDUP,
     "warc_ingest": SQL_WARC_INGEST,
+    "docs_dup_substrings": SQL_DOCS_DUP_SUBSTRINGS,
     "docs_incremental_neardup": SQL_DOCS_INCREMENTAL_NEARDUP,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     # docs_langid / docs_simhash / ann_ivf / sparql_pred_counts /

@@ -28,6 +28,8 @@ __all__ = [
     "per_source_quota",
     "tfidf_topk",
     "span_dedup",
+    "dup_kgram_spans",
+    "dup_kgram_stats",
 ]
 
 
@@ -309,6 +311,255 @@ def span_dedup(
         flagged.map_batches(roll_combine, batch_format="pandas")
         .groupby("_bucket")
         .map_groups(roll_reduce, batch_format="pandas")
+    )
+
+
+def _kgram_rows(
+    df: pd.DataFrame, k: int, id_col: str, text_col: str
+) -> pd.DataFrame:
+    """All stride-1 k-token-gram rows of a batch:
+    ``(id, i, h)`` with ``i`` the 0-based start TOKEN index and ``h``
+    the md5 of the space-joined gram. Fully vectorized: one explode +
+    ``k − 1`` gathered-concat passes (the span_dedup construction with
+    stride 1 instead of ``window``)."""
+    from .fasthash import md5_hex
+
+    empty = pd.DataFrame(
+        {
+            id_col: pd.Series([], dtype=np.int64),
+            "i": pd.Series([], dtype=np.int64),
+            "h": pd.Series([], dtype=object),
+        }
+    )
+    words = df[text_col].fillna("").str.findall(r"\S+")
+    ex = words.explode().dropna()
+    if ex.empty:
+        return empty
+    row = ex.index.to_numpy()
+    w = ex.to_numpy(dtype=object)
+    ids = df[id_col].reindex(row).to_numpy()
+    pos = (
+        pd.Series(np.ones(len(w)), index=row).groupby(level=0).cumcount()
+    ).to_numpy()
+    n = len(w)
+    idx = np.arange(n - k + 1) if n >= k else np.array([], dtype=np.int64)
+    start = idx[row[idx + k - 1] == row[idx]] if len(idx) else idx
+    if not len(start):
+        return empty
+    gram = w[start].copy()
+    for t in range(1, k):
+        gram = gram + " " + w[start + t]
+    return pd.DataFrame(
+        {
+            id_col: ids[start].astype(np.int64),
+            "i": pos[start].astype(np.int64),
+            "h": md5_hex(gram).astype(object),
+        }
+    )
+
+
+def _merge_token_intervals(
+    doc: np.ndarray, s: np.ndarray, e: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Merge token intervals [s, e) per doc (rows pre-sorted by
+    (doc, s)). Touching intervals merge (s == running end); strict gaps
+    split — the rule an SQL lag() replay can express with fixed-width
+    grams. Vectorized: cummax running end per doc + cumsum group ids."""
+    if not len(doc):
+        return doc, s, e
+    # Segmented cummax of e via a per-doc int64 offset (token indices
+    # ≪ 2^40, doc count per batch ≪ 2^23 — offsets can't collide):
+    # accumulate globally on (e + seg·OFF), subtract the offset back.
+    doc_change = np.ones(len(doc), dtype=bool)
+    doc_change[1:] = doc[1:] != doc[:-1]
+    seg = np.cumsum(doc_change) - 1
+    OFF = np.int64(1) << 40
+    lifted = e + seg * OFF
+    run = np.maximum.accumulate(lifted) - seg * OFF
+    new = np.ones(len(doc), dtype=bool)
+    new[1:] = doc_change[1:] | (s[1:] > run[:-1])
+    gs = s[new]
+    ge = np.maximum.reduceat(lifted, np.flatnonzero(new)) - seg[new] * OFF
+    gd = doc[new]
+    return gd, gs, ge
+
+
+def dup_kgram_spans(
+    docs: "ray.data.Dataset",
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 32,
+    min_count: int = 2,
+) -> "ray.data.Dataset":
+    """Exact duplicated-substring detection (the Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better" recipe,
+    re-expressed with stride-1 k-gram hashing instead of a suffix
+    array): a token span is duplicated iff its exact k-token window
+    text occurs ≥ ``min_count`` times corpus-wide (intra- or
+    cross-document). Stride 1 makes k-gram detection EXACT for
+    "contains a duplicated run of ≥ k tokens": every such run yields
+    all of its aligned k-grams, so the union of duplicated windows is
+    precisely the duplicated region. Returns merged maximal spans
+    ``(id, tok_start, tok_end)`` in token coordinates (end exclusive);
+    touching spans merge.
+
+    Scale shape: gram rows travel as md5 digests (never text); the
+    duplicate marks are a per-batch (h → partial count) combiner + one
+    digest-bucket groupby emitting ONLY hot digests; marks semi-join
+    back via the acero-safe ``bindings_join``; interval merging is
+    associative, so each post-join batch pre-merges its rows into
+    intervals BEFORE the per-doc shuffle — the final exchange moves
+    interval rows, not gram rows."""
+    return _dup_intervals(
+        docs, k, id_col, text_col, num_buckets, min_count
+    )[1]
+
+
+def _dup_intervals(docs, k, id_col, text_col, num_buckets, min_count):
+    from ..shuffle import bindings_join, bucket_tag
+
+    grams = docs.map_batches(
+        lambda df: _kgram_rows(df, k, id_col, text_col),
+        batch_format="pandas",
+    ).materialize()  # feeds the marks pipeline AND the join probe side
+
+    def mark_combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("h", as_index=False).size().rename(
+            columns={"size": "c"}
+        )
+        return g.assign(_bucket=bucket_tag(g, "h", num_buckets))
+
+    def mark_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("h")["c"].sum()
+        hot = tot.index[tot.to_numpy() >= min_count]
+        return pd.DataFrame({"h": hot.to_numpy(dtype=object)})
+
+    marks = (
+        grams.map_batches(mark_combine, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(mark_reduce, batch_format="pandas")
+    )
+
+    dup_rows = bindings_join(
+        grams, marks, on=["h"], how="semi", num_buckets=num_buckets
+    )
+
+    def interval_combine(df: pd.DataFrame) -> pd.DataFrame:
+        # bindings_join output: restore numeric dtypes FIRST (see
+        # CLAUDE.md post-join dtype lesson), then pre-merge this
+        # batch's duplicated windows into intervals.
+        d = pd.to_numeric(df[id_col]).to_numpy(dtype=np.int64)
+        i = pd.to_numeric(df["i"]).to_numpy(dtype=np.int64)
+        order = np.lexsort((i, d))
+        gd, gs, ge = _merge_token_intervals(d[order], i[order], i[order] + k)
+        out = pd.DataFrame(
+            {id_col: gd, "tok_start": gs, "tok_end": ge}
+        )
+        return out.assign(_bucket=bucket_tag(out, id_col, num_buckets))
+
+    def interval_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[id_col].to_numpy(dtype=np.int64)
+        s = g["tok_start"].to_numpy(dtype=np.int64)
+        e = g["tok_end"].to_numpy(dtype=np.int64)
+        order = np.lexsort((s, d))
+        gd, gs, ge = _merge_token_intervals(d[order], s[order], e[order])
+        return pd.DataFrame({id_col: gd, "tok_start": gs, "tok_end": ge})
+
+    intervals = (
+        dup_rows.map_batches(interval_combine, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(interval_reduce, batch_format="pandas")
+    )
+    return grams, intervals, dup_rows
+
+
+def dup_kgram_stats(
+    docs: "ray.data.Dataset",
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 32,
+    min_count: int = 2,
+) -> "ray.data.Dataset":
+    """Per-document duplicated-substring rollup over ``dup_kgram_spans``
+    internals: ``(id, n_grams, n_dup_grams, n_dup_spans, n_dup_tokens)``
+    for documents with ≥ 1 duplicated k-gram. ``n_dup_tokens`` is the
+    union coverage of the merged spans — every rule here (stride-1
+    grams, ≥ min_count marks, touching-merge) is SQL-replayable, which
+    is the correctness contract for the operator family."""
+    from ..shuffle import bucket_tag
+
+    grams, intervals, dup_rows = _dup_intervals(
+        docs, k, id_col, text_col, num_buckets, min_count
+    )
+
+    def gram_partials(df: pd.DataFrame) -> pd.DataFrame:
+        # every doc's grams sit in one batch (grams are emitted per
+        # input batch), so this per-doc count is already exact
+        g = df.groupby(id_col, as_index=False).size()
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(dtype=np.int64),
+                "n_grams": g["size"].to_numpy(dtype=np.int64),
+                "n_dup_grams": np.zeros(len(g), dtype=np.int64),
+                "n_dup_spans": np.zeros(len(g), dtype=np.int64),
+                "n_dup_tokens": np.zeros(len(g), dtype=np.int64),
+            }
+        )
+
+    def dup_partials(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.to_numeric(df[id_col]).to_numpy(dtype=np.int64)
+        g = pd.DataFrame({id_col: d}).groupby(
+            id_col, as_index=False
+        ).size()
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(dtype=np.int64),
+                "n_grams": np.zeros(len(g), dtype=np.int64),
+                "n_dup_grams": g["size"].to_numpy(dtype=np.int64),
+                "n_dup_spans": np.zeros(len(g), dtype=np.int64),
+                "n_dup_tokens": np.zeros(len(g), dtype=np.int64),
+            }
+        )
+
+    def span_partials(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[id_col].to_numpy(dtype=np.int64)
+        cov = (
+            df["tok_end"].to_numpy(dtype=np.int64)
+            - df["tok_start"].to_numpy(dtype=np.int64)
+        )
+        g = pd.DataFrame(
+            {id_col: d, "n_dup_spans": 1, "n_dup_tokens": cov}
+        ).groupby(id_col, as_index=False).sum()
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(dtype=np.int64),
+                "n_grams": np.zeros(len(g), dtype=np.int64),
+                "n_dup_grams": np.zeros(len(g), dtype=np.int64),
+                "n_dup_spans": g["n_dup_spans"].to_numpy(dtype=np.int64),
+                "n_dup_tokens": g["n_dup_tokens"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    parts = (
+        grams.map_batches(gram_partials, batch_format="pandas")
+        .union(dup_rows.map_batches(dup_partials, batch_format="pandas"))
+        .union(intervals.map_batches(span_partials, batch_format="pandas"))
+    )
+
+    def final_combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(id_col, as_index=False).sum()
+        return g.assign(_bucket=bucket_tag(g, id_col, num_buckets))
+
+    def final_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="_bucket").groupby(id_col, as_index=False).sum()
+        return out[out["n_dup_grams"] > 0].reset_index(drop=True)
+
+    return (
+        parts.map_batches(final_combine, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(final_reduce, batch_format="pandas")
     )
 
 

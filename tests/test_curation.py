@@ -553,3 +553,104 @@ def test_source_mixture_negative_weight_raises():
     )
     with pytest.raises(ValueError, match="negative"):
         source_mixture(ds, {"a": -1.0})
+
+
+# ---------------------------------------------------------------------------
+# dup_kgram_spans / dup_kgram_stats (Lee-et-al-style exact substring dedup)
+# ---------------------------------------------------------------------------
+
+def _dup_kgram_oracle(docs: dict, k: int, min_count: int = 2):
+    """Brute-force: count every stride-1 k-gram, mark starts whose gram
+    occurs >= min_count corpus-wide, merge per-doc intervals (touching
+    merge). Returns ({doc: [(s, e), ...]}, {doc: (n_grams, n_dup)})."""
+    cnt = Counter()
+    toks = {d: (t or "").split() for d, t in docs.items()}
+    for w in toks.values():
+        for i in range(len(w) - k + 1):
+            cnt[" ".join(w[i : i + k])] += 1
+    spans, stats = {}, {}
+    for d, w in toks.items():
+        ng = max(len(w) - k + 1, 0)
+        starts = [
+            i for i in range(ng) if cnt[" ".join(w[i : i + k])] >= min_count
+        ]
+        merged = []
+        for i in starts:
+            if merged and i <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], i + k)
+            else:
+                merged.append([i, i + k])
+        if starts:
+            spans[d] = [tuple(s) for s in merged]
+            stats[d] = (ng, len(starts))
+    return spans, stats
+
+
+def test_dup_kgram_spans_matches_bruteforce():
+    from graphforge_ray.stages.curation import dup_kgram_spans
+
+    docs = {
+        1: "the quick brown fox jumps over the lazy dog again and again ok",
+        2: "intro words the quick brown fox jumps over the cliff end here",
+        3: "totally unique content nothing shared with anyone else at all",
+        4: "again and again ok again and again ok padding pad pad pad",
+        5: "x y z the quick brown fox jumps over the lazy dog tail",
+        6: "",
+        7: None,
+    }
+    want, _ = _dup_kgram_oracle(docs, k=4)
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    ).repartition(3)
+    out = dup_kgram_spans(ds, k=4).to_pandas().sort_values(
+        ["doc_id", "tok_start"]
+    )
+    got = {}
+    for _, r in out.iterrows():
+        got.setdefault(int(r.doc_id), []).append(
+            (int(r.tok_start), int(r.tok_end))
+        )
+    assert got == want
+
+
+def test_dup_kgram_spans_intra_doc_repeat_counts():
+    # a gram repeated only WITHIN one doc is duplicated (min_count is
+    # corpus-wide occurrences, the Lee-et-al semantics)
+    from graphforge_ray.stages.curation import dup_kgram_spans
+
+    docs = {1: "p q r s junk p q r s", 2: "nothing in common here ok"}
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    )
+    out = dup_kgram_spans(ds, k=4).to_pandas()
+    assert set(zip(out.doc_id, out.tok_start, out.tok_end)) == {
+        (1, 0, 4),
+        (1, 5, 9),
+    }
+
+
+def test_dup_kgram_stats_random_corpus_matches_bruteforce():
+    from graphforge_ray.stages.curation import dup_kgram_stats
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{j}" for j in range(30)]
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = {}
+    for d in range(40):
+        words = list(rng.choice(vocab, size=rng.randint(3, 25)))
+        if d % 3 == 0:  # plant a shared run
+            at = rng.randint(0, len(words) + 1)
+            words[at:at] = shared.split()
+        docs[d] = " ".join(words)
+    k = 5
+    want_spans, want_stats = _dup_kgram_oracle(docs, k=k)
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    ).repartition(5)
+    st = dup_kgram_stats(ds, k=k).to_pandas().set_index("doc_id")
+    assert set(st.index) == set(want_stats)
+    for d, (ng, ndg) in want_stats.items():
+        row = st.loc[d]
+        assert row.n_grams == ng and row.n_dup_grams == ndg
+        assert row.n_dup_spans == len(want_spans[d])
+        assert row.n_dup_tokens == sum(e - s for s, e in want_spans[d])
