@@ -2423,6 +2423,113 @@ FROM d ORDER BY doc_id
 """
 
 
+def q_docs_gopher_rules(sf_dir: str):
+    """Gopher/MassiveText document-quality rules (Rae et al. 2021
+    §A1.1) over deterministically-dirtied fixture text: stopword tail
+    on even ids, bullet lines on %3, ellipsis line-ends on %4, symbol
+    runs on %5, and %25 docs replaced by an all-bullet list (so the
+    bullet rule actually fires false). Every ratio threshold is a
+    cross-multiplied integer comparison, so the oracle replays each
+    rule exactly — no float seam."""
+    from ..stages.text_analysis import gopher_rules_batch
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    rules = [
+        "r_words", "r_mean_len", "r_symbol", "r_alpha", "r_stop",
+        "r_bullet", "r_ellipsis", "gopher_pass",
+    ]
+
+    def dirty_and_rule(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        u = (
+            df["text"].fillna("")
+            + np.where(ids % 2 == 0, " to be of and that have with", "")
+            + np.where(
+                ids % 3 == 0, "\n- bullet item\n* second one", ""
+            )
+            + np.where(ids % 4 == 0, "\ntrailing thought...", "")
+            + np.where(ids % 5 == 0, " ## ## ...", "")
+        )
+        u = pd.Series(
+            np.where(
+                ids % 25 == 0,
+                "- alpha beta\n- gamma delta\n- epsilon zeta",
+                u,
+            ),
+            index=df.index,
+        )
+        out = gopher_rules_batch(
+            pd.DataFrame({"doc_id": df["doc_id"], "text": u}),
+            min_words=40,
+        )
+        for c in rules:
+            out[c] = out[c].astype(np.int64)
+        return out[["doc_id", "n_words", *rules]]
+
+    out = docs.map_batches(
+        dirty_and_rule, batch_format="pandas"
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOCS_GOPHER_RULES = r"""
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 25 = 0 THEN
+      '- alpha beta' || chr(10) || '- gamma delta' || chr(10) ||
+      '- epsilon zeta'
+    ELSE text
+      || CASE WHEN doc_id % 2 = 0
+              THEN ' to be of and that have with' ELSE '' END
+      || CASE WHEN doc_id % 3 = 0
+              THEN chr(10) || '- bullet item' || chr(10) ||
+                   '* second one' ELSE '' END
+      || CASE WHEN doc_id % 4 = 0
+              THEN chr(10) || 'trailing thought...' ELSE '' END
+      || CASE WHEN doc_id % 5 = 0 THEN ' ## ## ...' ELSE '' END
+    END AS u
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    len(regexp_extract_all(u, '\S+')) AS n_words,
+    length(regexp_replace(u, '\s', '', 'g')) AS word_chars,
+    len(list_filter(regexp_extract_all(u, '\S+'),
+        w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+    len(regexp_extract_all(u, '#'))
+      + len(regexp_extract_all(u, '\.\.\.')) AS symbols,
+    length(u) - length(replace(u, chr(10), '')) + 1 AS n_lines,
+    len(regexp_extract_all(u,
+        '(?m)^[ \t]*[-*' || chr(8226) || ']')) AS bullet_lines,
+    len(regexp_extract_all(u, '(?m)\.\.\.[ \t]*$')) AS ellipsis_lines,
+    ((CASE WHEN regexp_matches(u, '\bthe\b') THEN 1 ELSE 0 END)
+     + (CASE WHEN regexp_matches(u, '\bbe\b') THEN 1 ELSE 0 END)
+     + (CASE WHEN regexp_matches(u, '\bto\b') THEN 1 ELSE 0 END)
+     + (CASE WHEN regexp_matches(u, '\bof\b') THEN 1 ELSE 0 END)
+     + (CASE WHEN regexp_matches(u, '\band\b') THEN 1 ELSE 0 END)
+     + (CASE WHEN regexp_matches(u, '\bthat\b') THEN 1 ELSE 0 END)
+     + (CASE WHEN regexp_matches(u, '\bhave\b') THEN 1 ELSE 0 END)
+     + (CASE WHEN regexp_matches(u, '\bwith\b') THEN 1 ELSE 0 END)
+    ) AS n_stop
+  FROM d
+)
+SELECT doc_id, n_words,
+  (n_words >= 40 AND n_words <= 100000)::BIGINT AS r_words,
+  (3*n_words <= word_chars AND word_chars <= 10*n_words)::BIGINT
+    AS r_mean_len,
+  (10*symbols <= n_words)::BIGINT AS r_symbol,
+  (5*alpha_words >= 4*n_words)::BIGINT AS r_alpha,
+  (n_stop >= 2)::BIGINT AS r_stop,
+  (10*bullet_lines <= 9*n_lines)::BIGINT AS r_bullet,
+  (10*ellipsis_lines <= 3*n_lines)::BIGINT AS r_ellipsis,
+  (n_words >= 40 AND n_words <= 100000
+   AND 3*n_words <= word_chars AND word_chars <= 10*n_words
+   AND 10*symbols <= n_words AND 5*alpha_words >= 4*n_words
+   AND n_stop >= 2 AND 10*bullet_lines <= 9*n_lines
+   AND 10*ellipsis_lines <= 3*n_lines)::BIGINT AS gopher_pass
+FROM m ORDER BY doc_id
+"""
+
+
 _MIX_WEIGHTS = {"src0": 2.5, "src1": 0.3, "src2": 2.0}
 _MIX_DEFAULT = 1.0
 
@@ -4688,6 +4795,7 @@ QUERIES = {
     "warc_ingest": q_warc_ingest,
     "docs_dup_substrings": q_docs_dup_substrings,
     "docs_incremental_neardup": q_docs_incremental_neardup,
+    "docs_gopher_rules": q_docs_gopher_rules,
     "sparql_graph_filter": q_sparql_graph_filter,
     "sparql_graph_optional": q_sparql_graph_optional,
     "sparql_group_agg_dataset": q_sparql_group_agg_dataset,
@@ -4818,6 +4926,7 @@ ORACLES = {
     "docs_url_dedup": SQL_DOCS_URL_DEDUP,
     "docs_source_mixture": SQL_DOCS_SOURCE_MIXTURE,
     "docs_normalize": SQL_DOCS_NORMALIZE,
+    "docs_gopher_rules": SQL_DOCS_GOPHER_RULES,
     "docs_pii_scrub": SQL_DOCS_PII_SCRUB,
     "docs_top_terms": SQL_DOCS_TOP_TERMS,
     "events_distinct_kmv": SQL_EVENTS_DISTINCT_KMV,

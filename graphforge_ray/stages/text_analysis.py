@@ -23,6 +23,7 @@ __all__ = [
     "fingerprint_batch", "content_hash_batch", "pii_scrub_batch",
     "normalize_text_batch",
     "chunk_documents",
+    "gopher_rules_batch", "GOPHER_STOPWORDS",
 ]
 
 _WS_TOKEN = re.compile(r"\S+")
@@ -264,6 +265,75 @@ def normalize_text_batch(
     t = t.str.strip(" ")
     out = df.copy()
     out[out_col] = t.astype(object)
+    return out
+
+
+# The eight "must contain >= 2 of" stopwords from the Gopher /
+# MassiveText quality filter (Rae et al. 2021, arXiv:2112.11446 §A1.1).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+_GOPHER_ALPHA_WORD = re.compile(r"(?<!\S)(?=\S*[A-Za-z])\S+")
+_GOPHER_BULLET = re.compile(r"(?m)^[ \t]*[-*•]")
+_GOPHER_ELLIPSIS_EOL = re.compile(r"(?m)\.\.\.[ \t]*$")
+_GOPHER_ELLIPSIS = re.compile(r"\.\.\.")
+
+
+def gopher_rules_batch(
+    df: pd.DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> pd.DataFrame:
+    """The published Gopher/MassiveText document-quality rules
+    (Rae et al. 2021 §A1.1), one boolean column per rule plus the
+    conjunction ``gopher_pass``. Deliberately INTEGER-EXACT: every
+    ratio threshold is evaluated as a cross-multiplied integer
+    comparison (e.g. alpha-word fraction ≥ 0.8 ⇔ 5·alpha ≥ 4·words),
+    so an SQL oracle replays each rule with no float-rounding seam.
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [3, 10] (⇔ 3·words ≤ word_chars ≤ 10·words); symbol-to-word ratio
+    (# or …) ≤ 0.1; ≥ 80 % of words contain an alphabetic character;
+    ≥ 2 distinct Gopher stopwords present; ≤ 90 % of lines start with
+    a bullet; ≤ 30 % of lines end with an ellipsis. Pure map-side,
+    fully vectorized pandas str kernels."""
+    text = df[text_col].fillna("")
+    n_words = text.str.count(_WS_TOKEN).astype("int64")
+    word_chars = text.str.replace(r"\s", "", regex=True).str.len().astype(
+        "int64"
+    )
+    alpha_words = text.str.count(_GOPHER_ALPHA_WORD).astype("int64")
+    symbols = (
+        text.str.count("#") + text.str.count(_GOPHER_ELLIPSIS)
+    ).astype("int64")
+    n_lines = (text.str.count("\n") + 1).astype("int64")
+    bullet_lines = text.str.count(_GOPHER_BULLET).astype("int64")
+    ellipsis_lines = text.str.count(_GOPHER_ELLIPSIS_EOL).astype("int64")
+    n_stop = sum(
+        text.str.contains(rf"\b{w}\b", regex=True).astype("int64")
+        for w in GOPHER_STOPWORDS
+    )
+
+    out = df.copy()
+    out["n_words"] = n_words
+    out["r_words"] = (n_words >= min_words) & (n_words <= max_words)
+    out["r_mean_len"] = (3 * n_words <= word_chars) & (
+        word_chars <= 10 * n_words
+    )
+    out["r_symbol"] = 10 * symbols <= n_words
+    out["r_alpha"] = 5 * alpha_words >= 4 * n_words
+    out["r_stop"] = n_stop >= 2
+    out["r_bullet"] = 10 * bullet_lines <= 9 * n_lines
+    out["r_ellipsis"] = 10 * ellipsis_lines <= 3 * n_lines
+    out["gopher_pass"] = (
+        out["r_words"]
+        & out["r_mean_len"]
+        & out["r_symbol"]
+        & out["r_alpha"]
+        & out["r_stop"]
+        & out["r_bullet"]
+        & out["r_ellipsis"]
+    )
     return out
 
 

@@ -1029,3 +1029,75 @@ def test_group_centroids_empty_block_safe():
     # more blocks than rows → empty blocks flow through the partial
     got = group_centroids(rd.from_pandas(df).repartition(6)).to_pandas()
     assert len(got) == 3 and np.allclose(got["value"], 1.0)
+
+
+def test_gopher_rules_each_rule_boundary():
+    from graphforge_ray.stages.text_analysis import gopher_rules_batch
+
+    words10 = " ".join(f"word{i}" for i in range(10))
+    df = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "text": [
+                # 0: too few words (min_words=5 → 4 words fails)
+                "one two three four",
+                # 1: mean word length < 3 (10 words of 1 char = 10 chars)
+                "a b c d e f g h i j",
+                # 2: symbol ratio > 0.1 (2 symbols / 10 words)
+                words10 + " # ...",
+                # 3: alpha fraction < 0.8 (3 of 10 words numeric)
+                "w1 w2 w3 w4 w5 w6 w7 111 222 333",
+                # 4: fewer than 2 distinct stopwords ("the" only)
+                "the " + words10,
+                # 5: > 90% bullet lines (every line bullets)
+                "- the cat\n- of dog\n- be cow\n- to hen",
+                # 6: > 30% ellipsis line-ends (1 of 2 lines)
+                "the of line one...\nplain second line here now",
+                # 7: passes everything
+                "the cat sat of the mat with room to spare today",
+            ],
+        }
+    )
+    out = gopher_rules_batch(df, min_words=5)
+    assert out.loc[0, "r_words"] == False  # noqa: E712
+    assert out.loc[1, "r_mean_len"] == False  # noqa: E712
+    assert out.loc[2, "r_symbol"] == False  # noqa: E712
+    assert out.loc[3, "r_alpha"] == False  # noqa: E712
+    assert out.loc[4, "r_stop"] == False  # noqa: E712
+    assert out.loc[5, "r_bullet"] == False  # noqa: E712
+    assert out.loc[6, "r_ellipsis"] == False  # noqa: E712
+    assert bool(out.loc[7, "gopher_pass"])
+    # the conjunction is exactly the AND of the seven rules
+    rules = ["r_words", "r_mean_len", "r_symbol", "r_alpha", "r_stop",
+             "r_bullet", "r_ellipsis"]
+    assert (out["gopher_pass"] == out[rules].all(axis=1)).all()
+    # every rule-violating doc fails the conjunction
+    assert not out.loc[:6, "gopher_pass"].any()
+
+
+def test_gopher_rules_integer_exact_thresholds():
+    from graphforge_ray.stages.text_analysis import gopher_rules_batch
+
+    # exactly 80% alpha words (8/10) passes; 7/10 fails — the 5*alpha
+    # >= 4*words cross-multiplication with no float epsilon
+    base = "the of w1 w2 w3 w4 w5 w6"
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [base + " 11 22", base + " 11 22 33"],
+        }
+    )
+    out = gopher_rules_batch(df, min_words=5)
+    assert bool(out.loc[0, "r_alpha"])
+    # 11 words, 8 alpha → 40 < 44 fails
+    assert not out.loc[1, "r_alpha"]
+
+
+def test_gopher_rules_null_and_empty_safe():
+    from graphforge_ray.stages.text_analysis import gopher_rules_batch
+
+    df = pd.DataFrame({"doc_id": [0, 1], "text": [None, ""]})
+    out = gopher_rules_batch(df)
+    assert len(out) == 2
+    assert (out["n_words"] == 0).all()
+    assert not out["gopher_pass"].any()
