@@ -471,6 +471,66 @@ def neardup_media_dataset(
     )
 
 
+def _neardup_audio_bytes(i: int, seed: int) -> tuple[str, bytes]:
+    """One row of the planted-near-dup audio corpus — pure function of
+    (seed, i), rotation of 4 (the audio sibling of
+    ``_neardup_media_bytes``):
+
+    - ``i ≡ 0 (mod 4)``: a base GFAUD clip (8 kHz, 512 uint8 samples in
+      0..254);
+    - ``i ≡ 1``: its amplitude-shifted copy (+1 per sample, never
+      clipping) — fingerprint-identical (frame-mean GRADIENT signs are
+      DC-shift invariant), envelope MSE exactly (1/128)²: the PLANTED
+      near-dup pair (i−1, i);
+    - ``i ≡ 2``: an unrelated clip (its own sample stream);
+    - ``i ≡ 3``: POISON (truncated GFAUD header) → sentinel row.
+    """
+    n = 512
+    kind = ("base", "neardup", "other", "poison")[i % 4]
+    if kind == "poison":
+        return kind, b"GFAUD|8000|"
+    key = f"ndaud:{seed}:{i // 4}" if kind in ("base", "neardup") else (
+        f"ndaudother:{seed}:{i}"
+    )
+    raw = hashlib.blake2b(key.encode(), digest_size=32).digest()
+    samples = (
+        np.frombuffer((raw * (n // len(raw) + 1))[:n], dtype=np.uint8)
+        % 255
+    )
+    if kind == "neardup":
+        samples = samples + 1  # ≤ 255 by construction
+    return kind, b"GFAUD|8000|512|" + samples.tobytes()
+
+
+def neardup_audio_dataset(
+    n: int, seed: int = SEED, num_blocks: int | None = None
+):
+    """Planted-near-dup audio corpus as a multi-block Dataset (pure
+    function of row index — same discipline as ``media_dataset``)."""
+    import ray.data as rd
+
+    if num_blocks is None:
+        num_blocks = max(4, n // 256)
+
+    def make(batch) -> pa.Table:
+        ids = (
+            batch["id"].tolist()
+            if hasattr(batch["id"], "tolist")
+            else list(batch["id"])
+        )
+        rows = []
+        for i in ids:
+            kind, payload = _neardup_audio_bytes(int(i), seed)
+            rows.append(
+                {"media_id": int(i), "kind": kind, "payload": payload}
+            )
+        return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+    return rd.range(n, override_num_blocks=num_blocks).map_batches(
+        make, batch_format="numpy"
+    )
+
+
 def write_pages_parquet(
     out_dir: str,
     n: int,

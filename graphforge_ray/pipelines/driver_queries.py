@@ -1942,6 +1942,21 @@ def q_media_image_neardup(sf_dir: str):
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_media_audio_neardup(sf_dir: str):
+    """Audio fingerprint near-dup (rows-only — sample decode is not
+    SQL-expressible): 64-bit gradient-sign fingerprint + 16-bit LSH
+    bands + envelope-MSE verify over the planted-near-dup corpus
+    (fixtures.neardup_audio_dataset: every id≡1 (mod 4) is an
+    amplitude-shifted copy of id−1 → 75 planted pairs at n=300,
+    hamming 0 / MSE (1/128)²; poison rows ride along). Pinned by
+    pytest (tests/test_dataops.py)."""
+    from ..fixtures import neardup_audio_dataset
+    from ..stages.multimodal import audio_neardup_pairs
+
+    pairs = audio_neardup_pairs(neardup_audio_dataset(300)).to_pandas()
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def q_media_audio_features(sf_dir: str):
     """Multimodal audio path E2E (rows-only): RIFF PCM-16 WAV via the
     stdlib wave module plus the GFAUD fixture format through
@@ -4809,6 +4824,7 @@ QUERIES = {
     "sparql_graph_const": q_sparql_graph_const,
     "lineitem_price_quantiles": q_lineitem_price_quantiles,
     "media_image_neardup": q_media_image_neardup,
+    "media_audio_neardup": q_media_audio_neardup,
     "docs_langid": q_docs_langid,
     "docs_simhash": q_docs_simhash,
     "docs_fingerprint": q_docs_fingerprint,

@@ -1101,3 +1101,87 @@ def test_gopher_rules_null_and_empty_safe():
     assert len(out) == 2
     assert (out["n_words"] == 0).all()
     assert not out["gopher_pass"].any()
+
+
+def test_audio_neardup_planted_pairs(ray_session):
+    # every id≡1 (mod 4) is an amplitude-shifted (+1 sample) copy of
+    # id−1 → fingerprint-identical (gradient signs are DC-invariant),
+    # envelope MSE exactly (1/128)²; unrelated/poison rows emit none
+    from graphforge_ray.fixtures import neardup_audio_dataset
+    from graphforge_ray.stages.multimodal import audio_neardup_pairs
+
+    got = (
+        audio_neardup_pairs(neardup_audio_dataset(80))
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert list(zip(got["id_a"], got["id_b"])) == [
+        (4 * k, 4 * k + 1) for k in range(20)
+    ]
+    assert (got["hamming"] == 0).all()
+    # +1/128 DC shift on every envelope value; envelopes are 6-dp
+    # rounded so each value's shift wobbles ±1e-6 → MSE within ~2e-8
+    assert np.allclose(got["mse"], (1.0 / 128.0) ** 2, atol=5e-8)
+
+
+def test_audio_neardup_block_layout_invariant(ray_session):
+    from graphforge_ray.fixtures import neardup_audio_dataset
+    from graphforge_ray.stages.multimodal import audio_neardup_pairs
+
+    def run(num_blocks):
+        return (
+            audio_neardup_pairs(
+                neardup_audio_dataset(48, num_blocks=num_blocks)
+            )
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run(1), run(7))
+
+
+def test_audio_fingerprint_real_wav_dc_invariant():
+    # a real PCM-16 WAV and its +1-quantum DC-shifted twin fingerprint
+    # identically (gradient signs invariant under constant shifts);
+    # a short clip (< 65 samples) and a truncated payload emit the
+    # valid=False sentinel
+    import hashlib
+    import io
+    import wave
+
+    from graphforge_ray.stages.multimodal import AudioFingerprinter
+
+    rng_bytes = hashlib.blake2b(b"wavsrc", digest_size=32).digest()
+    base = (
+        np.frombuffer((rng_bytes * 40)[:520], dtype=np.uint8)
+        .astype(np.int16) * 64 - 8192
+    )
+
+    def to_wav(samples: np.ndarray) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(samples.astype("<i2").tobytes())
+        return buf.getvalue()
+
+    fp = AudioFingerprinter()
+    df = pd.DataFrame(
+        {
+            "media_id": [0, 1, 2, 3],
+            "payload": [
+                to_wav(base),
+                to_wav(base + 1),
+                to_wav(base[:10]),  # too short → sentinel
+                b"GFAUD|8000|",     # truncated fixture → sentinel
+            ],
+        }
+    )
+    out = fp(df)
+    assert out["valid"].tolist() == [True, True, False, False]
+    assert out.loc[0, "afp"] == out.loc[1, "afp"]
+    # fingerprint is non-degenerate (not all zeros / all ones)
+    assert 0 < bin(int(out.loc[0, "afp"])).count("1") < 64
