@@ -4338,6 +4338,104 @@ def q_kg_char_sets(sf_dir: str):
     )
 
 
+def q_kg_sameas_canonical(sf_dir: str):
+    """owl:sameAs entity canonicalization over a customer-derived KG:
+    alias entities a:<k> (k%3==0) assert sameAs c:<k>, second-level
+    aliases b:<k> (k%6==0) assert sameAs a:<k> (3-node transitive
+    chains), plus data triples whose subjects AND objects both need
+    rewriting (p:knows edges point at c:<k+1>). The oracle replays the
+    whole op: recursive-CTE reachability closure → min-label canon →
+    COALESCE rewrite → DISTINCT."""
+    from ..stages.canonicalize import sameas_canonicalize
+
+    cust = _t(sf_dir, "customer",
+              ["c_custkey", "c_nationkey", "c_mktsegment"])
+
+    def to_triples(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].astype("int64")
+        c = "c:" + k.astype(str)
+        parts = [pd.DataFrame(
+            {"subj": c, "pred": "p:nation",
+             "obj": "n:" + df["c_nationkey"].astype(str)})]
+        m7 = (k % 7 == 0).to_numpy()
+        if m7.any():
+            parts.append(pd.DataFrame(
+                {"subj": c[m7], "pred": "p:knows",
+                 "obj": "c:" + (k[m7] + 1).astype(str)}))
+        m3 = (k % 3 == 0).to_numpy()
+        if m3.any():
+            a = "a:" + k[m3].astype(str)
+            parts.append(pd.DataFrame(
+                {"subj": a, "pred": "p:segment",
+                 "obj": df.loc[m3, "c_mktsegment"].to_numpy()}))
+            parts.append(pd.DataFrame(
+                {"subj": a, "pred": "owl:sameAs",
+                 "obj": c[m3].to_numpy()}))
+        m6 = (k % 6 == 0).to_numpy()
+        if m6.any():
+            parts.append(pd.DataFrame(
+                {"subj": "b:" + k[m6].astype(str),
+                 "pred": "owl:sameAs",
+                 "obj": "a:" + k[m6].astype(str)}))
+        return pd.concat(parts, ignore_index=True)
+
+    triples = cust.map_batches(to_triples, batch_format="pandas")
+    out = sameas_canonicalize(
+        triples, sameas_pred="owl:sameAs"
+    ).to_pandas()
+    return out.sort_values(["subj", "pred", "obj"]).reset_index(
+        drop=True
+    )[["subj", "pred", "obj"]]
+
+
+SQL_KG_SAMEAS_CANONICAL = """
+WITH RECURSIVE trip AS (
+    SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS subj,
+           'p:nation' AS pred,
+           'n:' || CAST(c_nationkey AS VARCHAR) AS obj
+    FROM customer
+    UNION ALL
+    SELECT 'c:' || CAST(c_custkey AS VARCHAR), 'p:knows',
+           'c:' || CAST(c_custkey + 1 AS VARCHAR)
+    FROM customer WHERE c_custkey % 7 = 0
+    UNION ALL
+    SELECT 'a:' || CAST(c_custkey AS VARCHAR), 'p:segment',
+           c_mktsegment
+    FROM customer WHERE c_custkey % 3 = 0
+    UNION ALL
+    SELECT 'a:' || CAST(c_custkey AS VARCHAR), 'owl:sameAs',
+           'c:' || CAST(c_custkey AS VARCHAR)
+    FROM customer WHERE c_custkey % 3 = 0
+    UNION ALL
+    SELECT 'b:' || CAST(c_custkey AS VARCHAR), 'owl:sameAs',
+           'a:' || CAST(c_custkey AS VARCHAR)
+    FROM customer WHERE c_custkey % 6 = 0
+),
+e AS (
+    SELECT subj AS x, obj AS y FROM trip WHERE pred = 'owl:sameAs'
+    UNION
+    SELECT obj, subj FROM trip WHERE pred = 'owl:sameAs'
+),
+rr(x, y) AS (
+    SELECT x, y FROM e
+    UNION
+    SELECT rr.x, e.y FROM rr JOIN e ON rr.y = e.x WHERE e.y <> rr.x
+),
+canon AS (
+    SELECT x AS node, LEAST(x, MIN(y)) AS label FROM rr GROUP BY x
+)
+SELECT DISTINCT
+    COALESCE(cs.label, t.subj) AS subj,
+    t.pred,
+    COALESCE(co.label, t.obj) AS obj
+FROM trip t
+LEFT JOIN canon cs ON cs.node = t.subj
+LEFT JOIN canon co ON co.node = t.obj
+WHERE t.pred <> 'owl:sameAs'
+ORDER BY subj, pred, obj
+"""
+
+
 SQL_KG_CHAR_SETS = """
 WITH trip AS (
     SELECT 'ev:' || CAST(event_id AS VARCHAR) AS s, 'p:type' AS p
@@ -4811,6 +4909,7 @@ QUERIES = {
     "docs_dup_substrings": q_docs_dup_substrings,
     "docs_incremental_neardup": q_docs_incremental_neardup,
     "docs_gopher_rules": q_docs_gopher_rules,
+    "kg_sameas_canonical": q_kg_sameas_canonical,
     "sparql_graph_filter": q_sparql_graph_filter,
     "sparql_graph_optional": q_sparql_graph_optional,
     "sparql_group_agg_dataset": q_sparql_group_agg_dataset,
@@ -4943,6 +5042,7 @@ ORACLES = {
     "docs_source_mixture": SQL_DOCS_SOURCE_MIXTURE,
     "docs_normalize": SQL_DOCS_NORMALIZE,
     "docs_gopher_rules": SQL_DOCS_GOPHER_RULES,
+    "kg_sameas_canonical": SQL_KG_SAMEAS_CANONICAL,
     "docs_pii_scrub": SQL_DOCS_PII_SCRUB,
     "docs_top_terms": SQL_DOCS_TOP_TERMS,
     "events_distinct_kmv": SQL_EVENTS_DISTINCT_KMV,

@@ -49,7 +49,7 @@ from ..iri import normalize_iri
 __all__ = [
     "TRIPLE_ID_COLS", "add_triple_hash", "prededup_batch", "dedup_triples",
     "normalize_iri", "build_canonical_mapping", "apply_canonical_mapping",
-    "surface_form_counts",
+    "surface_form_counts", "sameas_canonicalize",
 ]
 
 # Columns defining triple identity (graph included; score/src_url/text are
@@ -326,3 +326,101 @@ def apply_canonical_mapping(
         fn_constructor_kwargs={"mapping_ref": mapping_ref},
         concurrency=concurrency,
     )
+
+
+def sameas_canonicalize(
+    triples: "ray.data.Dataset",
+    sameas_pred: str = "http://www.w3.org/2002/07/owl#sameAs",
+    num_buckets: int = 64,
+    max_rounds: int = 100,
+) -> "ray.data.Dataset":
+    """owl:sameAs entity canonicalization — the KG-merge step after
+    entity linking: identities asserted by ``sameas_pred`` triples are
+    closed transitively (connected components of the UNDIRECTED sameAs
+    graph), every cluster elects its lexicographic-min member as the
+    canonical IRI, and all remaining triples are rewritten through the
+    mapping on BOTH subject and object. sameAs assertions themselves are
+    consumed; the rewrite can create duplicate triples (two aliases
+    asserting the same fact), so the result is set-distinct.
+
+    Scale shape: the identity graph (sameAs edges only — tiny relative
+    to the corpus) goes through the pointer-jumped min-label components
+    (O(log diameter) rounds); the corpus-sized rewrite is two
+    ``bindings_join`` left-outer shuffles (subject, then object) plus
+    one distinct shuffle — the mapping is never collected to the driver
+    and never broadcast. Returns Dataset (subj, pred, obj).
+    """
+    from ..shuffle import bindings_join
+    from .dedup import connected_components
+
+    def sameas_edges(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["pred"] == sameas_pred
+        return pd.DataFrame(
+            {"id_a": df.loc[m, "subj"], "id_b": df.loc[m, "obj"]}
+        )
+
+    comps = connected_components(
+        triples.map_batches(sameas_edges, batch_format="pandas"),
+        max_rounds=max_rounds,
+    )
+
+    data = triples.map_batches(
+        lambda df: df.loc[df["pred"] != sameas_pred,
+                          ["subj", "pred", "obj"]],
+        batch_format="pandas",
+    )
+
+    # no sameAs assertions at all → the components Dataset is fully
+    # empty (schema None, which the join shuffle can't tag); the
+    # mapping is the identity, so only the set-distinct remains
+    if comps.schema(fetch_if_missing=True) is None:
+        return dedup_triples(data, num_buckets=num_buckets)
+
+    # a representative maps to itself (label rows exist for every node
+    # incident to a sameAs edge), so COALESCE(label, original) is total
+    subj_map = comps.map_batches(
+        lambda df: pd.DataFrame(
+            {"subj": df["node"], "_canon_s": df["label"]}
+        ),
+        batch_format="pandas",
+    )
+    j1 = bindings_join(
+        data, subj_map, on=["subj"], how="left_outer",
+        num_buckets=num_buckets,
+    )
+    step1 = j1.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "subj": df["_canon_s"].where(
+                    df["_canon_s"].notna(), df["subj"]
+                ),
+                "pred": df["pred"],
+                "obj": df["obj"],
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    obj_map = comps.map_batches(
+        lambda df: pd.DataFrame(
+            {"obj": df["node"], "_canon_o": df["label"]}
+        ),
+        batch_format="pandas",
+    )
+    j2 = bindings_join(
+        step1, obj_map, on=["obj"], how="left_outer",
+        num_buckets=num_buckets,
+    )
+    rewritten = j2.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "subj": df["subj"],
+                "pred": df["pred"],
+                "obj": df["_canon_o"].where(
+                    df["_canon_o"].notna(), df["obj"]
+                ),
+            }
+        ),
+        batch_format="pandas",
+    )
+    return dedup_triples(rewritten, num_buckets=num_buckets)

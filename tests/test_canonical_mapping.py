@@ -79,3 +79,56 @@ def test_forge_variant_merge_flag(ray_session):
     # variant-merge pass must be a no-op on the triple set
     assert set(map(tuple, merged[key].to_numpy())) == \
         set(map(tuple, plain[key].to_numpy()))
+
+
+def test_sameas_canonicalize_transitive_chain(ray_session):
+    # b—a—c chain: all three collapse to the lexicographic-min member
+    # 'a:1'; both SUBJECT and OBJECT positions are rewritten; sameAs
+    # assertions are consumed; rewrite-created duplicates collapse
+    import ray.data as rd
+
+    from graphforge_ray.stages.canonicalize import sameas_canonicalize
+
+    rows = [
+        ("a:1", "owl:sameAs", "c:1"),
+        ("b:1", "owl:sameAs", "a:1"),
+        ("c:1", "p:city", "x:berlin"),
+        ("b:1", "p:city", "x:berlin"),      # duplicate after rewrite
+        ("y:2", "p:likes", "b:1"),          # object-position rewrite
+        ("z:3", "p:free", "z:4"),           # untouched by any mapping
+    ]
+    ds = rd.from_pandas(
+        pd.DataFrame(rows, columns=["subj", "pred", "obj"])
+    ).repartition(3)
+    got = (
+        sameas_canonicalize(ds, sameas_pred="owl:sameAs")
+        .to_pandas()
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, got[["subj", "pred", "obj"]].to_numpy())) == [
+        ("a:1", "p:city", "x:berlin"),
+        ("y:2", "p:likes", "a:1"),
+        ("z:3", "p:free", "z:4"),
+    ]
+
+
+def test_sameas_canonicalize_no_sameas_passthrough(ray_session):
+    import ray.data as rd
+
+    from graphforge_ray.stages.canonicalize import sameas_canonicalize
+
+    df = pd.DataFrame(
+        {
+            "subj": ["s:1", "s:2"],
+            "pred": ["p:a", "p:b"],
+            "obj": ["o:1", "o:2"],
+        }
+    )
+    got = (
+        sameas_canonicalize(rd.from_pandas(df), sameas_pred="owl:sameAs")
+        .to_pandas()
+        .sort_values("subj")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["subj", "pred", "obj"]], df)
