@@ -4388,6 +4388,92 @@ def q_kg_sameas_canonical(sf_dir: str):
     )[["subj", "pred", "obj"]]
 
 
+_SHACL_SHAPES = [
+    {"shape_id": "sh_lines", "target_class": "s:Order",
+     "pred": "p:line", "min_count": 2, "max_count": 6},
+    {"shape_id": "sh_priority", "target_class": "s:Order",
+     "pred": "p:priority", "min_count": 1, "max_count": 1},
+    {"shape_id": "sh_bigspend", "target_class": "s:Order",
+     "pred": "p:bigspend", "min_count": 1},
+]
+
+
+def q_kg_shacl_validate(sf_dir: str):
+    """SHACL cardinality validation over an orders/lineitem-derived KG:
+    sh_lines (2 <= lineitems <= 6 - TPC-H orders carry 1..7, so BOTH
+    violation kinds fire), sh_priority (exactly one - always satisfied,
+    the no-violation path), sh_bigspend (minCount 1 where the triple is
+    only emitted for totalprice > 150k - the ZERO-count outer-join
+    path). Oracle recomputes each shape's violations directly."""
+    from ..stages.shacl import shacl_validate
+
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    line = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def order_triples(df: pd.DataFrame) -> pd.DataFrame:
+        o = "o:" + df["o_orderkey"].astype(str)
+        parts = [
+            pd.DataFrame({"subj": o, "pred": "rdf:type",
+                          "obj": "s:Order"}),
+            pd.DataFrame({"subj": o, "pred": "p:priority",
+                          "obj": df["o_orderpriority"]}),
+        ]
+        hi = (df["o_totalprice"].to_numpy() > 150000.0)
+        if hi.any():
+            parts.append(pd.DataFrame(
+                {"subj": o[hi], "pred": "p:bigspend",
+                 "obj": "x:flag"}))
+        return pd.concat(parts, ignore_index=True)
+
+    def line_triples(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "subj": "o:" + df["l_orderkey"].astype(str),
+                "pred": "p:line",
+                "obj": "li:" + df["l_orderkey"].astype(str) + ":"
+                       + df["l_linenumber"].astype(str),
+            }
+        )
+
+    triples = orders.map_batches(
+        order_triples, batch_format="pandas"
+    ).union(line.map_batches(line_triples, batch_format="pandas"))
+    out = shacl_validate(triples, _SHACL_SHAPES).to_pandas()
+    return out.sort_values(
+        ["subj", "shape_id"]
+    ).reset_index(drop=True)[
+        ["subj", "shape_id", "pred", "n_values", "violation"]
+    ]
+
+
+SQL_KG_SHACL_VALIDATE = """
+WITH lc AS (
+    SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_orderkey
+),
+v_lines AS (
+    SELECT 'o:' || CAST(o.o_orderkey AS VARCHAR) AS subj,
+           'sh_lines' AS shape_id, 'p:line' AS pred,
+           COALESCE(lc.n, 0) AS n_values,
+           CASE WHEN COALESCE(lc.n, 0) < 2 THEN 'minCount'
+                ELSE 'maxCount' END AS violation
+    FROM orders o LEFT JOIN lc ON lc.k = o.o_orderkey
+    WHERE COALESCE(lc.n, 0) < 2 OR COALESCE(lc.n, 0) > 6
+),
+v_bigspend AS (
+    SELECT 'o:' || CAST(o_orderkey AS VARCHAR) AS subj,
+           'sh_bigspend' AS shape_id, 'p:bigspend' AS pred,
+           CAST(0 AS BIGINT) AS n_values, 'minCount' AS violation
+    FROM orders WHERE o_totalprice <= 150000.0
+)
+SELECT * FROM v_lines
+UNION ALL
+SELECT * FROM v_bigspend
+ORDER BY subj, shape_id
+"""
+
+
 SQL_KG_SAMEAS_CANONICAL = """
 WITH RECURSIVE trip AS (
     SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS subj,
@@ -4910,6 +4996,7 @@ QUERIES = {
     "docs_incremental_neardup": q_docs_incremental_neardup,
     "docs_gopher_rules": q_docs_gopher_rules,
     "kg_sameas_canonical": q_kg_sameas_canonical,
+    "kg_shacl_validate": q_kg_shacl_validate,
     "sparql_graph_filter": q_sparql_graph_filter,
     "sparql_graph_optional": q_sparql_graph_optional,
     "sparql_group_agg_dataset": q_sparql_group_agg_dataset,
@@ -5043,6 +5130,7 @@ ORACLES = {
     "docs_normalize": SQL_DOCS_NORMALIZE,
     "docs_gopher_rules": SQL_DOCS_GOPHER_RULES,
     "kg_sameas_canonical": SQL_KG_SAMEAS_CANONICAL,
+    "kg_shacl_validate": SQL_KG_SHACL_VALIDATE,
     "docs_pii_scrub": SQL_DOCS_PII_SCRUB,
     "docs_top_terms": SQL_DOCS_TOP_TERMS,
     "events_distinct_kmv": SQL_EVENTS_DISTINCT_KMV,

@@ -112,3 +112,67 @@ def test_rdfs_entail_schema_cap_raises(ray_session):
     ds = _ds(ONTOLOGY)
     with pytest.raises(ValueError, match="ontology too large"):
         rdfs_entail(ds, max_schema_rows=2)
+
+
+def test_shacl_validate_all_violation_kinds(ray_session):
+    # minCount via low count, minCount via ZERO count (outer-join null
+    # side), maxCount, and a fully-satisfied shape emitting nothing
+    import ray.data as rd
+
+    from graphforge_ray.stages.shacl import shacl_validate
+
+    rows = [
+        ("s:1", "rdf:type", "s:T"),
+        ("s:2", "rdf:type", "s:T"),
+        ("s:3", "rdf:type", "s:T"),
+        ("x:9", "p:val", "v"),          # not targeted: no type triple
+        ("s:1", "p:val", "v1"),         # count 1 → minCount (needs 2)
+        ("s:2", "p:val", "v1"),
+        ("s:2", "p:val", "v2"),
+        ("s:2", "p:val", "v3"),         # count 3 → maxCount (cap 2)
+        # s:3 has ZERO p:val rows → minCount via the outer-join path
+        ("s:1", "p:ok", "o1"),
+        ("s:2", "p:ok", "o1"),
+        ("s:3", "p:ok", "o1"),          # p:ok satisfied everywhere
+    ]
+    shapes = [
+        {"shape_id": "sv", "target_class": "s:T", "pred": "p:val",
+         "min_count": 2, "max_count": 2},
+        {"shape_id": "so", "target_class": "s:T", "pred": "p:ok",
+         "min_count": 1, "max_count": 1},
+    ]
+    ds = rd.from_pandas(
+        pd.DataFrame(rows, columns=["subj", "pred", "obj"])
+    ).repartition(3)
+    got = (
+        shacl_validate(ds, shapes)
+        .to_pandas()
+        .sort_values(["subj", "shape_id"])
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, got.to_numpy())) == [
+        ("s:1", "sv", "p:val", 1, "minCount"),
+        ("s:2", "sv", "p:val", 3, "maxCount"),
+        ("s:3", "sv", "p:val", 0, "minCount"),
+    ]
+
+
+def test_shacl_validate_rejects_bad_shapes(ray_session):
+    import ray.data as rd
+
+    from graphforge_ray.stages.shacl import shacl_validate
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"subj": ["a"], "pred": ["p"], "obj": ["b"]})
+    )
+    with pytest.raises(ValueError, match="non-empty"):
+        shacl_validate(ds, [])
+    with pytest.raises(ValueError, match="missing"):
+        shacl_validate(ds, [{"shape_id": "x"}])
+    with pytest.raises(ValueError, match="duplicate"):
+        shacl_validate(ds, [
+            {"shape_id": "x", "target_class": "t", "pred": "p",
+             "min_count": 1},
+            {"shape_id": "x", "target_class": "t", "pred": "q",
+             "min_count": 1},
+        ])
