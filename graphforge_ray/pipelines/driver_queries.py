@@ -2545,6 +2545,80 @@ FROM m ORDER BY doc_id
 """
 
 
+def q_docs_domain_stats(sf_dir: str):
+    """Per-registered-domain corpus stats (crawl governance): URLs
+    derived deterministically from doc_id rotate through plain TLDs AND
+    two-level-registry suffixes (co.uk/com.au) with optional subdomain
+    prefixes, plus junk non-URL rows (counted, dropped). The oracle
+    replays host + registered-domain extraction with the IDENTICAL RE2
+    regexes, then the same exact n_docs / distinct-host / min rollup."""
+    from ..stages.urls import domain_stats
+
+    docs = _t(sf_dir, "documents", ["doc_id"])
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].astype(np.int64)
+        suffix = np.select(
+            [i % 5 == 0, i % 5 == 1, i % 5 == 2, i % 5 == 3],
+            ["com", "co.uk", "org", "com.au"], default="de",
+        )
+        sub = np.where(i % 2 == 0, "sub" + (i % 3).astype(str) + ".", "")
+        url = pd.Series(
+            np.where(
+                i % 97 == 0,
+                "not a url",
+                "http://" + sub + "Site" + (i % 7).astype(str) + "."
+                + suffix + "/p/" + (i % 10).astype(str),
+            ),
+            index=df.index,
+        )
+        return pd.DataFrame({"doc_id": i, "url": url})
+
+    out = domain_stats(
+        docs.map_batches(derive, batch_format="pandas")
+    ).to_pandas()
+    return out.sort_values("domain").reset_index(drop=True)[
+        ["domain", "n_docs", "n_hosts", "min_doc"]
+    ]
+
+
+SQL_DOCS_DOMAIN_STATS = r"""
+WITH u AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 97 = 0 THEN 'not a url'
+    ELSE 'http://' ||
+      CASE WHEN doc_id % 2 = 0
+           THEN 'sub' || CAST(doc_id % 3 AS VARCHAR) || '.'
+           ELSE '' END ||
+      'Site' || CAST(doc_id % 7 AS VARCHAR) || '.' ||
+      CASE doc_id % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+           WHEN 2 THEN 'org' WHEN 3 THEN 'com.au' ELSE 'de' END ||
+      '/p/' || CAST(doc_id % 10 AS VARCHAR)
+    END AS url
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+    NULLIF(rtrim(lower(regexp_extract(url,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)),
+      '.'), '') AS host
+  FROM u
+),
+d AS (
+  SELECT doc_id, host,
+    COALESCE(NULLIF(regexp_extract(host,
+      '([^.]+\.(?:co\.uk|org\.uk|ac\.uk|gov\.uk|com\.au|net\.au|org\.au|co\.jp|co\.in|co\.kr|com\.br|com\.cn|com\.mx)|[^.]+\.[^.]+)$',
+      1), ''), host) AS domain
+  FROM h WHERE host IS NOT NULL
+)
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+       MIN(doc_id) AS min_doc
+FROM d GROUP BY domain ORDER BY domain
+"""
+
+
 _MIX_WEIGHTS = {"src0": 2.5, "src1": 0.3, "src2": 2.0}
 _MIX_DEFAULT = 1.0
 
@@ -4997,6 +5071,7 @@ QUERIES = {
     "docs_gopher_rules": q_docs_gopher_rules,
     "kg_sameas_canonical": q_kg_sameas_canonical,
     "kg_shacl_validate": q_kg_shacl_validate,
+    "docs_domain_stats": q_docs_domain_stats,
     "sparql_graph_filter": q_sparql_graph_filter,
     "sparql_graph_optional": q_sparql_graph_optional,
     "sparql_group_agg_dataset": q_sparql_group_agg_dataset,
@@ -5131,6 +5206,7 @@ ORACLES = {
     "docs_gopher_rules": SQL_DOCS_GOPHER_RULES,
     "kg_sameas_canonical": SQL_KG_SAMEAS_CANONICAL,
     "kg_shacl_validate": SQL_KG_SHACL_VALIDATE,
+    "docs_domain_stats": SQL_DOCS_DOMAIN_STATS,
     "docs_pii_scrub": SQL_DOCS_PII_SCRUB,
     "docs_top_terms": SQL_DOCS_TOP_TERMS,
     "events_distinct_kmv": SQL_EVENTS_DISTINCT_KMV,

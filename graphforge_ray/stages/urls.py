@@ -29,7 +29,10 @@ import pandas as pd
 
 from ..shuffle import bucket_tag
 
-__all__ = ["canonical_url_batch", "url_dedup"]
+__all__ = [
+    "canonical_url_batch", "url_dedup",
+    "registered_domain_batch", "domain_stats",
+]
 
 _TRACKING = r"([?&])(utm_[a-zA-Z0-9_]+|fbclid|gclid|msclkid)=[^&]*"
 _AUTHORITY = r"^[a-zA-Z]+://[^/?#]*"
@@ -92,6 +95,105 @@ def url_dedup(
 
     return (
         ds.map_batches(combine, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
+
+
+# Fixed two-level public-suffix APPROXIMATION (the full PSL is ~10k
+# entries and changes monthly — at production scale, ship the real list
+# as a broadcast set; the regex form here keeps the rule SQL-replayable
+# and covers the common ccTLD second-level registries).
+_TWO_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au",
+    "org.au", "co.jp", "co.in", "co.kr", "com.br", "com.cn", "com.mx",
+)
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+_DOMAIN_RE = (
+    r"([^.]+\.(?:"
+    + "|".join(s.replace(".", r"\.") for s in _TWO_LEVEL_SUFFIXES)
+    + r")|[^.]+\.[^.]+)$"
+)
+
+
+def registered_domain_batch(urls: pd.Series) -> pd.Series:
+    """Vectorized registered-domain extraction: host from the authority
+    (userinfo/port stripped, lowercased, trailing-dot trimmed), then the
+    last two labels — three when the host ends in a two-level-registry
+    suffix from the fixed approximation list. Single-label hosts
+    (``localhost``) fall back to the host itself; non-URLs → NaN.
+
+    Both regexes are RE2-compatible and alternation-order-safe (the
+    two branches can never match at the same start position), so a
+    DuckDB oracle replays the rule verbatim."""
+    host = (
+        urls.astype("string")
+        .str.extract(_HOST_RE, expand=False)
+        .str.lower()
+        .str.rstrip(".")
+    )
+    dom = host.str.extract(_DOMAIN_RE, expand=False)
+    return dom.where(dom.notna(), host).astype(object)
+
+
+def domain_stats(
+    docs: "ray.data.Dataset",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Per-registered-domain corpus statistics — the crawl-governance
+    pass (per-domain quotas, blocklists, head-domain analysis) run
+    before content curation. → Dataset (domain, n_docs:int64,
+    n_hosts:int64, min_doc) — exact, including the distinct-host count.
+
+    Shape: map-side (domain, host) combiner (docs collapse to ≤1 row
+    per pair per batch — head domains like popular hosts stay skew-free
+    on the reduce side), ONE domain-bucket shuffle, vectorized groupby
+    per bucket. Rows with no parseable host are dropped and counted in
+    metrics ``domain_stats.unparsed``."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        dom = registered_domain_batch(df[url_col])
+        host = (
+            df[url_col].astype("string")
+            .str.extract(_HOST_RE, expand=False)
+            .str.lower()
+            .str.rstrip(".")
+            .astype(object)
+        )
+        g = pd.DataFrame(
+            {"domain": dom, "host": host, id_col: df[id_col]}
+        )
+        bad = int(g["domain"].isna().sum())
+        if bad:
+            from .. import metrics
+
+            metrics.incr("domain_stats.unparsed", bad)
+        g = g.dropna(subset=["domain"])
+        out = g.groupby(["domain", "host"], as_index=False).agg(
+            n_docs=(id_col, "size"), min_doc=(id_col, "min")
+        )
+        out["_bucket"] = bucket_tag(out, "domain", num_buckets)
+        return out
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # re-combine per (domain, host) first (pairs split across
+        # upstream batches), then roll up to the domain
+        ph = g.groupby(["domain", "host"], as_index=False).agg(
+            n_docs=("n_docs", "sum"), min_doc=("min_doc", "min")
+        )
+        out = ph.groupby("domain", as_index=False).agg(
+            n_docs=("n_docs", "sum"),
+            n_hosts=("host", "nunique"),
+            min_doc=("min_doc", "min"),
+        )
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        out["n_hosts"] = out["n_hosts"].astype(np.int64)
+        return out
+
+    return (
+        docs.map_batches(partial, batch_format="pandas")
         .groupby("_bucket")
         .map_groups(reduce_bucket, batch_format="pandas")
     )

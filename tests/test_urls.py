@@ -134,3 +134,53 @@ def test_normalize_text_null_safe():
         pd.DataFrame({"text": ["  a  b ", None]})
     )["norm_text"]
     assert out.iloc[0] == "a b" and pd.isna(out.iloc[1])
+
+
+def test_registered_domain_extraction():
+    from graphforge_ray.stages.urls import registered_domain_batch
+
+    u = pd.Series([
+        "http://www.Example.COM/path",        # www is just a label
+        "https://a.b.co.uk:443/x",            # two-level registry suffix
+        "http://user@sub.site.com.au/p?q=1",  # userinfo + suffix list
+        "http://localhost/x",                 # single label → itself
+        "not a url",                          # junk → NA
+        "http://host.de./y",                  # trailing dot trimmed
+    ])
+    got = registered_domain_batch(u)
+    assert got.tolist()[:4] == [
+        "example.com", "b.co.uk", "site.com.au", "localhost"
+    ]
+    assert pd.isna(got.iloc[4])
+    assert got.iloc[5] == "host.de"
+
+
+def test_domain_stats_exact_counts(ray_session):
+    import ray.data as rd
+
+    from graphforge_ray import metrics
+    from graphforge_ray.stages.urls import domain_stats
+
+    rows = [
+        (0, "http://a.example.com/1"),
+        (1, "http://b.example.com/2"),
+        (2, "http://a.example.com/3"),   # same host again
+        (3, "https://shop.co.uk/x"),
+        (4, "junk"),                     # unparsed → counted, dropped
+    ]
+    ds = rd.from_pandas(
+        pd.DataFrame(rows, columns=["doc_id", "url"])
+    ).repartition(3)
+    before = metrics.snapshot()
+    got = (
+        domain_stats(ds)
+        .to_pandas()
+        .sort_values("domain")
+        .reset_index(drop=True)
+    )
+    after = metrics.snapshot()
+    assert list(map(tuple, got.to_numpy())) == [
+        ("example.com", 3, 2, 0),
+        ("shop.co.uk", 1, 1, 3),
+    ]
+    assert metrics.delta(before, after).get("domain_stats.unparsed") == 1
