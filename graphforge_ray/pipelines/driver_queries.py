@@ -4596,6 +4596,92 @@ ORDER BY subj, pred, obj
 """
 
 
+def q_kg_predicate_profile(sf_dir: str):
+    """Predicate cardinality profile over an events-derived KG with all
+    four functionality combinations: p:type (functional — one type per
+    event — but many events per type object), p:uniq (functional AND
+    inverse-functional — a 1:1 identifier edge), p:did (inverse-
+    functional only — a user did many events, each event done once),
+    p:tag (neither — multi-valued both ways: each event carries 1-2
+    tags drawn from a small set)."""
+    from ..stages.profile import predicate_profile
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "event_type"])
+
+    def to_triples(df: pd.DataFrame) -> pd.DataFrame:
+        e = "ev:" + df["event_id"].astype(str)
+        u = "u:" + df["user_id"].astype(str)
+        i = df["event_id"].astype(np.int64)
+        parts = [
+            pd.DataFrame({"subj": e, "pred": "p:type",
+                          "obj": df["event_type"]}),
+            pd.DataFrame({"subj": e, "pred": "p:uniq",
+                          "obj": "x:" + i.astype(str)}),
+            pd.DataFrame({"subj": u, "pred": "p:did", "obj": e}),
+            pd.DataFrame({"subj": e, "pred": "p:tag",
+                          "obj": "t:" + (i % 5).astype(str)}),
+        ]
+        m2 = (i % 2 == 0).to_numpy()
+        if m2.any():
+            parts.append(pd.DataFrame(
+                {"subj": e[m2], "pred": "p:tag",
+                 "obj": "t:" + ((i[m2] + 1) % 5).astype(str)}))
+        return pd.concat(parts, ignore_index=True)
+
+    out = predicate_profile(
+        ev.map_batches(to_triples, batch_format="pandas")
+    ).to_pandas()
+    return out.sort_values("pred").reset_index(drop=True)
+
+
+SQL_KG_PREDICATE_PROFILE = """
+WITH trip AS (
+    SELECT 'ev:' || CAST(event_id AS VARCHAR) AS subj,
+           'p:type' AS pred, event_type AS obj FROM events
+    UNION ALL
+    SELECT 'ev:' || CAST(event_id AS VARCHAR), 'p:uniq',
+           'x:' || CAST(event_id AS VARCHAR) FROM events
+    UNION ALL
+    SELECT 'u:' || CAST(user_id AS VARCHAR), 'p:did',
+           'ev:' || CAST(event_id AS VARCHAR) FROM events
+    UNION ALL
+    SELECT 'ev:' || CAST(event_id AS VARCHAR), 'p:tag',
+           't:' || CAST(event_id % 5 AS VARCHAR) FROM events
+    UNION ALL
+    SELECT 'ev:' || CAST(event_id AS VARCHAR), 'p:tag',
+           't:' || CAST((event_id + 1) % 5 AS VARCHAR)
+    FROM events WHERE event_id % 2 = 0
+),
+sc AS (
+    SELECT pred, subj, CAST(COUNT(*) AS BIGINT) AS n
+    FROM trip GROUP BY pred, subj
+),
+oc AS (
+    SELECT pred, obj, CAST(COUNT(*) AS BIGINT) AS n
+    FROM trip GROUP BY pred, obj
+),
+s AS (
+    SELECT pred, CAST(SUM(n) AS BIGINT) AS n_triples,
+           CAST(COUNT(*) AS BIGINT) AS n_subjects,
+           CAST(MAX(n) AS BIGINT) AS max_subj_card
+    FROM sc GROUP BY pred
+),
+o AS (
+    SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_objects,
+           CAST(MAX(n) AS BIGINT) AS max_obj_card
+    FROM oc GROUP BY pred
+)
+SELECT s.pred, s.n_triples, s.n_subjects, o.n_objects,
+       s.max_subj_card, o.max_obj_card,
+       CAST(CASE WHEN s.max_subj_card = 1 THEN 1 ELSE 0 END AS BIGINT)
+           AS functional,
+       CAST(CASE WHEN o.max_obj_card = 1 THEN 1 ELSE 0 END AS BIGINT)
+           AS inverse_functional
+FROM s JOIN o ON o.pred = s.pred
+ORDER BY s.pred
+"""
+
+
 SQL_KG_CHAR_SETS = """
 WITH trip AS (
     SELECT 'ev:' || CAST(event_id AS VARCHAR) AS s, 'p:type' AS p
@@ -5072,6 +5158,7 @@ QUERIES = {
     "kg_sameas_canonical": q_kg_sameas_canonical,
     "kg_shacl_validate": q_kg_shacl_validate,
     "docs_domain_stats": q_docs_domain_stats,
+    "kg_predicate_profile": q_kg_predicate_profile,
     "sparql_graph_filter": q_sparql_graph_filter,
     "sparql_graph_optional": q_sparql_graph_optional,
     "sparql_group_agg_dataset": q_sparql_group_agg_dataset,
@@ -5207,6 +5294,7 @@ ORACLES = {
     "kg_sameas_canonical": SQL_KG_SAMEAS_CANONICAL,
     "kg_shacl_validate": SQL_KG_SHACL_VALIDATE,
     "docs_domain_stats": SQL_DOCS_DOMAIN_STATS,
+    "kg_predicate_profile": SQL_KG_PREDICATE_PROFILE,
     "docs_pii_scrub": SQL_DOCS_PII_SCRUB,
     "docs_top_terms": SQL_DOCS_TOP_TERMS,
     "events_distinct_kmv": SQL_EVENTS_DISTINCT_KMV,

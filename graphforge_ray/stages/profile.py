@@ -22,7 +22,7 @@ import pandas as pd
 
 from ..shuffle import pair_bucket_tag
 
-__all__ = ["profile_columns", "characteristic_sets", "group_distinct_count", "group_mode"]
+__all__ = ["profile_columns", "characteristic_sets", "group_distinct_count", "group_mode", "predicate_profile"]
 
 
 def profile_columns(
@@ -264,3 +264,104 @@ def group_mode(
         .groupby("_gb")
         .map_groups(pick, batch_format="pandas")
     )
+
+
+def _pred_side_profile(
+    triples: "ray.data.Dataset",
+    key_col: str,
+    n_keys_name: str,
+    max_card_name: str,
+    num_buckets: int,
+) -> "ray.data.Dataset":
+    """Per-predicate cardinality facts for ONE triple side → Dataset
+    (pred, n_triples, <n_keys>, <max_card>). Exact: (pred, key) partial
+    counts combine map-side, each pair lives in one bucket so per-pair
+    totals are exact there, and the per-pred fold (distinct keys, max
+    per-key count, triple count) reduces through one tiny pred
+    shuffle."""
+    from ..shuffle import bucket_tag
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[["pred", key_col]].dropna()
+        g = m.groupby(["pred", key_col], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g.assign(
+            _bucket=pair_bucket_tag(g, ["pred", key_col], num_buckets)
+        )
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby(["pred", key_col], as_index=False)["n"].sum()
+        out = d.groupby("pred", as_index=False).agg(
+            n_triples=("n", "sum"), _nk=(key_col, "nunique"),
+            _mx=("n", "max"),
+        )
+        for c in ("n_triples", "_nk", "_mx"):
+            out[c] = out[c].astype(np.int64)
+        return out.assign(_gb=bucket_tag(out, "pred", num_buckets))
+
+    def reduce_pred(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("pred", as_index=False).agg(
+            n_triples=("n_triples", "sum"), _nk=("_nk", "sum"),
+            _mx=("_mx", "max"),
+        )
+        out = out.rename(columns={"_nk": n_keys_name,
+                                  "_mx": max_card_name})
+        for c in ("n_triples", n_keys_name, max_card_name):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return (
+        triples.map_batches(partial, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(bucket_fold, batch_format="pandas")
+        .groupby("_gb")
+        .map_groups(reduce_pred, batch_format="pandas")
+    )
+
+
+def predicate_profile(
+    triples: "ray.data.Dataset",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Per-predicate cardinality profile — the KG schema-discovery
+    statistic that detects FUNCTIONAL (≤1 value per subject, i.e.
+    owl:FunctionalProperty candidates) and INVERSE-FUNCTIONAL (≤1
+    subject per object — identifier-like) predicates, plus the
+    subject/object distinct counts query optimizers need.
+
+    → Dataset (pred, n_triples, n_subjects, n_objects, max_subj_card,
+    max_obj_card, functional:int64, inverse_functional:int64). Exact;
+    two (pred, key)-bucket shuffles (one per side) joined back on pred
+    through one more bucket shuffle — per-pred rows only, nothing
+    corpus-sized on the driver."""
+    from ..shuffle import bindings_join
+
+    subj_side = _pred_side_profile(
+        triples, "subj", "n_subjects", "max_subj_card", num_buckets
+    )
+    obj_side = _pred_side_profile(
+        triples, "obj", "n_objects", "max_obj_card", num_buckets
+    ).map_batches(
+        lambda df: df.drop(columns=["n_triples"]),
+        batch_format="pandas",
+    )
+
+    joined = bindings_join(subj_side, obj_side, on=["pred"],
+                           how="inner", num_buckets=16)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"pred": df["pred"]})
+        for c in ("n_triples", "n_subjects", "n_objects",
+                  "max_subj_card", "max_obj_card"):
+            # bindings_join's union-fill widens numerics to object —
+            # restore int64 (terminal columns, no further shuffle)
+            out[c] = pd.to_numeric(df[c]).astype(np.int64)
+        out["functional"] = (
+            out["max_subj_card"] == 1).astype(np.int64)
+        out["inverse_functional"] = (
+            out["max_obj_card"] == 1).astype(np.int64)
+        return out
+
+    return joined.map_batches(finish, batch_format="pandas")

@@ -139,3 +139,45 @@ def test_group_mode_with_ties(ray_session):
     # a: x=2, y=2 tie → 'x' (value asc); b: p=2, q=2 tie → 'p'
     assert out.loc["a", "mode"] == "x" and out.loc["a", "n"] == 2
     assert out.loc["b", "mode"] == "p" and out.loc["b", "n"] == 2
+
+
+def test_predicate_profile_functionality_quadrants(ray_session):
+    # the four functionality combinations, exact counts, multi-block
+    import ray.data as rd
+
+    from graphforge_ray.stages.profile import predicate_profile
+
+    rows = [
+        # p:one — functional AND inverse-functional (1:1)
+        ("s:1", "p:one", "o:1"), ("s:2", "p:one", "o:2"),
+        # p:fn — functional only (two subjects share one object)
+        ("s:1", "p:fn", "o:x"), ("s:2", "p:fn", "o:x"),
+        # p:inv — inverse-functional only (one subject, distinct objects)
+        ("s:1", "p:inv", "o:a"), ("s:1", "p:inv", "o:b"),
+        # p:many — neither (and a repeated triple counts twice)
+        ("s:1", "p:many", "o:m"), ("s:1", "p:many", "o:m"),
+        ("s:2", "p:many", "o:m"),
+    ]
+    ds = rd.from_pandas(
+        pd.DataFrame(rows, columns=["subj", "pred", "obj"])
+    ).repartition(4)
+    got = (
+        predicate_profile(ds)
+        .to_pandas()
+        .sort_values("pred")
+        .reset_index(drop=True)
+    )
+    exp = pd.DataFrame(
+        [
+            ("p:fn", 2, 2, 1, 1, 2, 1, 0),
+            ("p:inv", 2, 1, 2, 2, 1, 0, 1),
+            ("p:many", 3, 2, 1, 2, 3, 0, 0),
+            ("p:one", 2, 2, 2, 1, 1, 1, 1),
+        ],
+        columns=["pred", "n_triples", "n_subjects", "n_objects",
+                 "max_subj_card", "max_obj_card", "functional",
+                 "inverse_functional"],
+    )
+    for c in exp.columns[1:]:
+        exp[c] = exp[c].astype("int64")
+    pd.testing.assert_frame_equal(got, exp)
