@@ -2215,6 +2215,103 @@ def q_docs_decontaminate(sf_dir: str):
     )
 
 
+def q_docs_ngram_overlap(sf_dir: str):
+    """N-gram-overlap decontamination (fraction form): the benchmark =
+    every doc_id % 50 == 0 document; docs with doc_id % 9 == 0 get a
+    12-word snippet of the first probe APPENDED (planted partial
+    overlap — ≥5 hit 8-grams), probe docs themselves overlap ~100 %.
+    Threshold 1/20 of distinct 8-grams, integer-exact. Oracle rebuilds
+    probe and doc gram sets with the same slice/unnest chain."""
+    from ..stages.curation import ngram_overlap_flags
+
+    probe_df = (
+        _t(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(
+            lambda df: df[df["doc_id"] % 50 == 0],
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    probes = probe_df["text"].fillna("").tolist()
+    snippet = " ".join(probes[0].split()[:12])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": i,
+                "text": df["text"].fillna("")
+                + np.where(i % 9 == 0, " " + snippet, ""),
+            }
+        )
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        plant, batch_format="pandas"
+    )
+    out = ngram_overlap_flags(
+        ds, probes, n=8, threshold_num=1, threshold_den=20
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "n_grams", "n_hit", "contaminated"]
+    ]
+
+
+SQL_DOCS_NGRAM_OVERLAP = r"""
+WITH sn AS (
+    SELECT array_to_string(
+        list_slice(regexp_extract_all(COALESCE(text, ''), '\S+'),
+                   1, 12), ' ') AS s
+    FROM documents WHERE doc_id = 0
+),
+d AS (
+    SELECT doc_id,
+           COALESCE(text, '') ||
+           CASE WHEN doc_id % 9 = 0
+                THEN ' ' || (SELECT s FROM sn) ELSE '' END AS u
+    FROM documents
+),
+pw AS (
+    SELECT regexp_extract_all(COALESCE(text, ''), '\S+') AS ws,
+           CAST(len(regexp_extract_all(COALESCE(text, ''), '\S+'))
+                AS BIGINT) AS n
+    FROM documents WHERE doc_id % 50 = 0
+),
+pg AS (
+    SELECT DISTINCT array_to_string(
+        ws[CAST(s.i AS INT) : CAST(s.i + 7 AS INT)], ' ') AS g
+    FROM pw, unnest(generate_series(1, n - 7)) s(i)
+    WHERE n >= 8
+),
+dw AS (
+    SELECT doc_id, regexp_extract_all(u, '\S+') AS ws,
+           CAST(len(regexp_extract_all(u, '\S+')) AS BIGINT) AS n
+    FROM d
+),
+dg AS (
+    SELECT DISTINCT doc_id, array_to_string(
+        ws[CAST(s.i AS INT) : CAST(s.i + 7 AS INT)], ' ') AS g
+    FROM dw, unnest(generate_series(1, n - 7)) s(i)
+    WHERE n >= 8
+),
+agg AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN g IN (SELECT g FROM pg)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+    FROM dg GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_grams, 0) AS n_grams,
+       COALESCE(a.n_hit, 0) AS n_hit,
+       CAST(CASE WHEN COALESCE(a.n_grams, 0) > 0
+                  AND 20 * COALESCE(a.n_hit, 0)
+                      >= COALESCE(a.n_grams, 0)
+                 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 SQL_DOCS_DECONTAMINATE = """
 WITH probes AS (
     SELECT substr(text, 1, 48) AS p FROM documents WHERE doc_id % 50 = 0
@@ -5159,6 +5256,7 @@ QUERIES = {
     "kg_shacl_validate": q_kg_shacl_validate,
     "docs_domain_stats": q_docs_domain_stats,
     "kg_predicate_profile": q_kg_predicate_profile,
+    "docs_ngram_overlap": q_docs_ngram_overlap,
     "sparql_graph_filter": q_sparql_graph_filter,
     "sparql_graph_optional": q_sparql_graph_optional,
     "sparql_group_agg_dataset": q_sparql_group_agg_dataset,
@@ -5295,6 +5393,7 @@ ORACLES = {
     "kg_shacl_validate": SQL_KG_SHACL_VALIDATE,
     "docs_domain_stats": SQL_DOCS_DOMAIN_STATS,
     "kg_predicate_profile": SQL_KG_PREDICATE_PROFILE,
+    "docs_ngram_overlap": SQL_DOCS_NGRAM_OVERLAP,
     "docs_pii_scrub": SQL_DOCS_PII_SCRUB,
     "docs_top_terms": SQL_DOCS_TOP_TERMS,
     "events_distinct_kmv": SQL_EVENTS_DISTINCT_KMV,

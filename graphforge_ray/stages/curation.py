@@ -25,6 +25,7 @@ import pandas as pd
 __all__ = [
     "repetition_stats_batch",
     "contamination_flags",
+    "ngram_overlap_flags",
     "per_source_quota",
     "tfidf_topk",
     "span_dedup",
@@ -669,3 +670,93 @@ def tfidf_topk(
         .groupby("_bucket")
         .map_groups(final_topk, batch_format="pandas")
     )
+
+
+def ngram_overlap_flags(
+    docs: "ray.data.Dataset",
+    probes: list[str],
+    n: int = 8,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """N-gram-overlap decontamination — the published fraction form
+    (GPT-3 appx. C uses 13-gram collision, Llama/FLAN report the
+    fraction of a doc's n-grams found in the eval set): a document is
+    contaminated when ≥ ``threshold_num/threshold_den`` of its DISTINCT
+    word n-grams appear in the benchmark's n-gram set. The threshold is
+    a cross-multiplied INTEGER comparison (den·hits ≥ num·grams), so an
+    SQL oracle replays it with no float seam. Complements
+    ``contamination_flags`` (exact-substring form).
+
+    → adds columns n_grams, n_hit (int64) and ``contaminated`` (0/1;
+    docs shorter than ``n`` words have 0 grams → clean by definition).
+    The benchmark gram set is built ONCE on the driver (eval sets are
+    small and bounded by construction — same contract as the probe
+    broadcast above) and shipped via ``ray.put``; the corpus pass is
+    map-side only."""
+    if n < 1:
+        raise ValueError(f"n must be ≥ 1: {n}")
+    if threshold_num < 0 or threshold_den < 1:
+        raise ValueError(
+            f"bad threshold {threshold_num}/{threshold_den}"
+        )
+    import ray as _ray
+
+    def grams_of(text: str) -> set:
+        ws = text.split()
+        return {
+            " ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)
+        }
+
+    bench: set = set()
+    for p in probes:
+        if p:
+            bench |= grams_of(p)
+    ref = _ray.put(bench)
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        bs: set = _ray.get(ref)
+        out = df.copy()
+        words = df[text_col].fillna("").str.split()
+        lens = words.str.len().to_numpy(np.int64)
+        n_grams = np.zeros(len(df), dtype=np.int64)
+        n_hit = np.zeros(len(df), dtype=np.int64)
+        if lens.sum() > 0:
+            # flattened-corpus gram build (cooccur's shift-pair shape):
+            # n-1 vectorized string concats over ALL words of the batch,
+            # doc boundaries masked by position arithmetic — no per-row
+            # Python
+            flat = pd.Series(
+                np.concatenate([np.asarray(w, dtype=object)
+                                for w in words if len(w)]),
+                dtype=object,
+            )
+            doc_idx = np.repeat(np.arange(len(df)), lens)
+            gram = flat.copy()
+            for k in range(1, n):
+                gram = gram + " " + flat.shift(-k)
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            pos = np.arange(len(flat)) - np.repeat(starts, lens)
+            valid = pos + n <= np.repeat(lens, lens)
+            g = pd.DataFrame(
+                {"d": doc_idx[valid],
+                 "g": gram.to_numpy(object)[valid]}
+            ).drop_duplicates()
+            g["hit"] = g["g"].isin(bs)
+            agg = g.groupby("d").agg(
+                n_grams=("g", "size"), n_hit=("hit", "sum")
+            )
+            n_grams[agg.index.to_numpy()] = agg["n_grams"].to_numpy()
+            n_hit[agg.index.to_numpy()] = agg["n_hit"].to_numpy()
+        out["n_grams"] = n_grams
+        out["n_hit"] = n_hit
+        out["contaminated"] = (
+            (threshold_den * n_hit >= threshold_num * n_grams)
+            & (n_grams > 0)
+        ).astype(np.int64)
+        return out
+
+    return docs.map_batches(scan, batch_format="pandas")

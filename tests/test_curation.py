@@ -654,3 +654,50 @@ def test_dup_kgram_stats_random_corpus_matches_bruteforce():
         assert row.n_grams == ng and row.n_dup_grams == ndg
         assert row.n_dup_spans == len(want_spans[d])
         assert row.n_dup_tokens == sum(e - s for s, e in want_spans[d])
+
+
+def test_ngram_overlap_flags_exact_counts(ray_session):
+    import ray.data as rd
+
+    from graphforge_ray.stages.curation import ngram_overlap_flags
+
+    bench = "w1 w2 w3 w4 w5"          # 3 distinct 3-grams
+    rows = [
+        (0, bench),                    # full overlap: 3/3
+        (1, "w1 w2 w3 x y z"),         # one hit gram of 4
+        (2, "a b c d e f"),            # zero hits, 4 grams
+        (3, "short"),                  # < n words → 0 grams, clean
+        (4, None),                     # null-safe
+        (5, "w1 w2 w3 w1 w2 w3 w4"),   # DISTINCT grams: 4 not 5
+    ]
+    ds = rd.from_pandas(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    ).repartition(3)
+    got = (
+        ngram_overlap_flags(
+            ds, [bench], n=3, threshold_num=1, threshold_den=4
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_grams"].tolist() == [3, 4, 4, 0, 0, 4]
+    # doc 5's distinct grams: 'w1 w2 w3' (hit), 'w2 w3 w1',
+    # 'w3 w1 w2', 'w3 w4 ...'? → grams: w1w2w3, w2w3w1, w3w1w2,
+    # w1w2w3(dup), w2w3w4 → 4 distinct, hits: w1w2w3 + w2w3w4? no —
+    # bench grams are w1w2w3, w2w3w4, w3w4w5 → hits = 2
+    assert got["n_hit"].tolist() == [3, 1, 0, 0, 0, 2]
+    # threshold 1/4: contaminated iff 4*hits >= grams (and grams > 0)
+    assert got["contaminated"].tolist() == [1, 1, 0, 0, 0, 1]
+
+
+def test_ngram_overlap_rejects_bad_params(ray_session):
+    import ray.data as rd
+
+    from graphforge_ray.stages.curation import ngram_overlap_flags
+
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": [0], "text": ["x"]}))
+    with pytest.raises(ValueError, match="n must be"):
+        ngram_overlap_flags(ds, ["p"], n=0)
+    with pytest.raises(ValueError, match="bad threshold"):
+        ngram_overlap_flags(ds, ["p"], threshold_den=0)
