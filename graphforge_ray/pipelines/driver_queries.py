@@ -2716,6 +2716,34 @@ FROM d GROUP BY domain ORDER BY domain
 """
 
 
+def q_docs_compression_ratio(sf_dir: str):
+    """Compression-ratio quality signal (rows-only — deflate is not
+    SQL-expressible): zlib level-6 size ratio per document, the
+    CCNet/RefinedWeb boilerplate/repetition detector. Repetitive docs
+    (planted: doc_id % 11 == 0 get their text DOUBLED 8x) compress far
+    below the natural-text band; pinned by pytest goldens."""
+    from ..stages.text_analysis import compression_ratio_batch
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant_and_score(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].astype(np.int64)
+        t = df["text"].fillna("")
+        d = pd.DataFrame(
+            {"doc_id": i,
+             "text": pd.Series(
+                 np.where(i % 11 == 0, (t + " ") * 8, t),
+                 index=df.index)}
+        )
+        out = compression_ratio_batch(d)
+        return out[["doc_id", "raw_bytes", "zip_bytes", "zlib_ratio"]]
+
+    out = docs.map_batches(
+        plant_and_score, batch_format="pandas"
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 _MIX_WEIGHTS = {"src0": 2.5, "src1": 0.3, "src2": 2.0}
 _MIX_DEFAULT = 1.0
 
@@ -5257,6 +5285,7 @@ QUERIES = {
     "docs_domain_stats": q_docs_domain_stats,
     "kg_predicate_profile": q_kg_predicate_profile,
     "docs_ngram_overlap": q_docs_ngram_overlap,
+    "docs_compression_ratio": q_docs_compression_ratio,
     "sparql_graph_filter": q_sparql_graph_filter,
     "sparql_graph_optional": q_sparql_graph_optional,
     "sparql_group_agg_dataset": q_sparql_group_agg_dataset,

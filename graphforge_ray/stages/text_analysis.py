@@ -24,6 +24,7 @@ __all__ = [
     "normalize_text_batch",
     "chunk_documents",
     "gopher_rules_batch", "GOPHER_STOPWORDS",
+    "compression_ratio_batch",
 ]
 
 _WS_TOKEN = re.compile(r"\S+")
@@ -381,3 +382,38 @@ def chunk_documents(
         )
 
     return docs.map_batches(chunk, batch_format="pandas")
+
+
+def compression_ratio_batch(
+    df: pd.DataFrame,
+    text_col: str = "text",
+    level: int = 6,
+) -> pd.DataFrame:
+    """Compression-ratio quality signal: ``zlib_ratio`` = deflated size
+    / raw utf-8 size (level-``level`` zlib, 6 dp). Web pipelines use it
+    to catch boilerplate/template mass and degenerate repetition that
+    word-level filters miss (highly compressible ⇒ ratio → 0) and
+    binary-ish junk (ratio ≥ ~1). Adds ``raw_bytes``, ``zip_bytes``
+    (int64) and ``zlib_ratio`` (float64; empty/null text → ratio 1.0 by
+    convention so it never flags as degenerate).
+
+    Deterministic: zlib output for a fixed (input, level) is stable
+    across platforms for the reference zlib, and the RATIO contract is
+    pinned by pytest goldens (no SQL oracle — deflate is not
+    SQL-expressible). Per-row zlib.compress is one C call per document
+    (the loop is not the hot path; deflate itself is)."""
+    import zlib
+
+    raw = df[text_col].fillna("").str.encode("utf-8")
+    raw_n = raw.str.len().astype("int64")
+    zip_n = np.fromiter(
+        (len(zlib.compress(b, level)) for b in raw),
+        dtype=np.int64,
+        count=len(raw),
+    )
+    out = df.copy()
+    out["raw_bytes"] = raw_n
+    out["zip_bytes"] = zip_n
+    ratio = np.where(raw_n > 0, zip_n / raw_n.replace(0, 1), 1.0)
+    out["zlib_ratio"] = np.round(ratio, 6)
+    return out

@@ -1185,3 +1185,31 @@ def test_audio_fingerprint_real_wav_dc_invariant():
     assert out.loc[0, "afp"] == out.loc[1, "afp"]
     # fingerprint is non-degenerate (not all zeros / all ones)
     assert 0 < bin(int(out.loc[0, "afp"])).count("1") < 64
+
+
+def test_compression_ratio_signal():
+    from graphforge_ray.stages.text_analysis import (
+        compression_ratio_batch,
+    )
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "abc " * 500,        # degenerate repetition
+                "the quick brown fox jumps over the lazy dog and more "
+                "varied natural words follow here without any repeats",
+                None,                 # null-safe → ratio 1.0
+                "",                   # empty → ratio 1.0
+            ],
+        }
+    )
+    out = compression_ratio_batch(df)
+    assert out["raw_bytes"].tolist()[0] == 2000
+    assert out.loc[0, "zlib_ratio"] < 0.05          # collapses
+    assert 0.5 < out.loc[1, "zlib_ratio"] < 1.3     # natural band
+    assert out.loc[2, "zlib_ratio"] == 1.0
+    assert out.loc[3, "zlib_ratio"] == 1.0
+    # determinism: identical input → identical bytes
+    again = compression_ratio_batch(df)
+    assert (again["zip_bytes"] == out["zip_bytes"]).all()
