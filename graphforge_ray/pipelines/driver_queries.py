@@ -3657,6 +3657,33 @@ def q_sparql_group_agg_dataset(sf_dir: str):
     )
 
 
+def q_sparql_orderby_dataset(sf_dir: str):
+    """Dataset-returning ORDER BY + LIMIT (collect=False): the sorted
+    result stays distributed (full Dataset.sort + top-k) — set equality
+    with the oracle's ORDER BY/LIMIT proves the GLOBAL ordering was
+    right (a wrong sort returns a different top-40 set). Closes the
+    last collect=False refusal short of OFFSET."""
+    from ..query.sparql import run_select
+
+    ds = run_select(
+        _part_triples(sf_dir),
+        f"SELECT ?s ?o WHERE {{ ?s <{VOCAB_PNAME}> ?o }} "
+        "ORDER BY DESC(?o) ?s LIMIT 40",
+        collect=False,
+    )
+    out = ds.to_pandas()  # presentation edge only — 40 rows
+    return out.sort_values(["s", "o"]).reset_index(drop=True)
+
+
+SQL_SPARQL_ORDERBY_DATASET = """
+SELECT s, o FROM (
+    SELECT 'part:' || CAST(p_partkey AS VARCHAR) AS s, p_name AS o
+    FROM part
+    ORDER BY p_name DESC, s LIMIT 40
+) ORDER BY s, o
+"""
+
+
 # every part subject carries a pname triple, plus a childOf edge when
 # p_partkey > 1 — so COUNT(?o) per subject is 2 iff p_partkey > 1, and
 # HAVING (?n > 1) keeps exactly those
@@ -5289,6 +5316,7 @@ QUERIES = {
     "sparql_graph_filter": q_sparql_graph_filter,
     "sparql_graph_optional": q_sparql_graph_optional,
     "sparql_group_agg_dataset": q_sparql_group_agg_dataset,
+    "sparql_orderby_dataset": q_sparql_orderby_dataset,
     "sparql_neg_inverse": q_sparql_neg_inverse,
     "sparql_lang_alt_path": q_sparql_lang_alt_path,
     "sparql_describe": q_sparql_describe,
@@ -5463,6 +5491,7 @@ ORACLES = {
     "sparql_grouped_path": SQL_SPARQL_GROUPED_PATH,
     "sparql_select_dataset": SQL_SPARQL_SELECT_DATASET,
     "sparql_group_agg_dataset": SQL_SPARQL_GROUP_AGG_DATASET,
+    "sparql_orderby_dataset": SQL_SPARQL_ORDERBY_DATASET,
     "sparql_neg_inverse": SQL_SPARQL_NEG_INVERSE,
     "sparql_lang_alt_path": SQL_SPARQL_LANG_ALT_PATH,
     "sparql_select_expr": SQL_SPARQL_SELECT_EXPR,

@@ -1873,10 +1873,14 @@ def _run_aggregates(
 
 
 def _order_dataset_topk(
-    bindings: "ray.data.Dataset", order_by: list[tuple], limit: int
+    bindings: "ray.data.Dataset", order_by: list[tuple],
+    limit: int | None,
 ) -> "ray.data.Dataset":
-    """Distributed ORDER BY + LIMIT (top-k): derive (isnan, numeric, str)
-    sort keys per batch, Dataset.sort + limit, drop the keys."""
+    """Distributed ORDER BY (+ LIMIT when given — top-k): derive
+    (isnan, numeric, str) sort keys per batch, Dataset.sort (+ limit),
+    drop the keys. ``limit=None`` returns the FULL sorted Dataset (the
+    collect=False ORDER BY path — corpus-sized sorted results never
+    land on the driver)."""
     sort_cols: list[str] = []
     desc_flags: list[bool] = []
     varnames = [v for v, _ in order_by]
@@ -1895,7 +1899,9 @@ def _order_dataset_topk(
         desc_flags += [False, desc, desc]
 
     keyed = bindings.map_batches(add_keys, batch_format="pandas")
-    topk = keyed.sort(sort_cols, descending=desc_flags).limit(limit)
+    topk = keyed.sort(sort_cols, descending=desc_flags)
+    if limit is not None:
+        topk = topk.limit(limit)
     return topk.map_batches(
         lambda df: df[
             [c for c in df.columns
@@ -2721,20 +2727,27 @@ def run_select(
     ``collect=False`` → the bindings as a ray.data.Dataset — SELECT
     results that are themselves corpus-sized never land on the driver
     (the one operator family that was driver-bound in r3). Supported
-    for the plain / DISTINCT / LIMIT paths AND for GROUP BY aggregates
-    (the aggregated Dataset is returned; HAVING runs as a post-aggregate
-    filter stage, LIMIT pushes down) — a ``GROUP BY ?s`` over a corpus
-    is itself corpus-sized and must not land on the driver. ORDER BY
-    and OFFSET return presentation-sized frames by design — use
-    ``collect=True`` for those (loud refusal otherwise)."""
+    for the plain / DISTINCT / LIMIT / ORDER BY paths (ORDER BY returns
+    the fully SORTED Dataset — with LIMIT it is the distributed top-k)
+    AND for GROUP BY aggregates (the aggregated Dataset is returned;
+    HAVING runs as a post-aggregate filter stage, LIMIT pushes down) —
+    a ``GROUP BY ?s`` over a corpus is itself corpus-sized and must not
+    land on the driver. OFFSET (and ORDER BY combined with aggregates)
+    returns presentation-sized frames by design — use ``collect=True``
+    for those (loud refusal otherwise)."""
     q = compile_select(query, prefixes)
     bindings = _eval_where(triples, q)
 
-    if not collect and (q.order_by or q.offset):
+    if not collect and q.offset:
         raise ValueError(
-            "collect=False supports plain SELECT (with DISTINCT/LIMIT) "
-            "and GROUP BY aggregates; ORDER BY / OFFSET results are "
-            "presentation-sized — call with collect=True"
+            "collect=False does not support OFFSET (offsets are a "
+            "presentation concept — call with collect=True)"
+        )
+    if not collect and q.order_by and q.aggregates:
+        raise ValueError(
+            "collect=False supports ORDER BY on plain SELECT (sorted "
+            "Dataset) but not combined with GROUP BY aggregates — "
+            "call with collect=True"
         )
 
     if q.aggregates:
@@ -2786,7 +2799,11 @@ def run_select(
         cols = keep
         bindings = dedup_pairs(bindings, cols=tuple(cols), num_buckets=16)
     if not collect:
-        if q.limit is not None:
+        if q.order_by:
+            # full distributed sort (+ top-k when LIMIT given) — the
+            # sorted result stays a Dataset end to end
+            bindings = _order_dataset_topk(bindings, q.order_by, q.limit)
+        elif q.limit is not None:
             bindings = limit_op(bindings, q.limit)
         names = bindings.schema().names
         if q.variables:

@@ -1604,13 +1604,28 @@ def test_collect_false_distinct_and_limit(score_triples):
 
 def test_collect_false_refuses_presentation_paths(score_triples):
     for q in (
-        "SELECT ?s WHERE { ?s <e/name> ?o } ORDER BY ?s",
         "SELECT ?s WHERE { ?s <e/name> ?o } LIMIT 5 OFFSET 2",
         "SELECT ?p (COUNT(?s) AS ?n) WHERE { ?s ?p ?o } "
         "GROUP BY ?p ORDER BY ?n",
     ):
         with pytest.raises(ValueError, match="collect"):
             run_select(score_triples, q, collect=False)
+
+
+def test_collect_false_order_by_sorted_dataset(score_triples):
+    # r5: plain ORDER BY returns the FULL sorted Dataset; with LIMIT it
+    # is the distributed top-k — row ORDER must match collect=True
+    import ray.data
+
+    q = "SELECT ?s ?o WHERE { ?s <e/name> ?o } ORDER BY DESC(?o) ?s"
+    ds = run_select(score_triples, q, collect=False)
+    assert isinstance(ds, ray.data.Dataset)
+    got = ds.to_pandas()
+    exp = run_select(score_triples, q)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+
+    top = run_select(score_triples, q + " LIMIT 2", collect=False)
+    assert top.to_pandas().equals(exp.head(2))
 
 
 def test_collect_false_group_aggregate_dataset(score_triples):
