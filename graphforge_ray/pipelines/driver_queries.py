@@ -1133,6 +1133,62 @@ LIMIT 10
 """
 
 
+def q_ann_topk_multi(sf_dir: str):
+    """Multi-query exact ANN (the batched form production retrieval
+    uses): 5 query vectors broadcast as ONE matrix, per-block matmul
+    scoring, distributed per-query top-k merge forced on (the
+    many-query scale path). query_id = row index of the query matrix =
+    vec_id here (queries are vec_id < 5 sorted)."""
+    from ..stages.similarity import brute_force_topk
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = (
+        emb.map_batches(
+            lambda df: df[df["vec_id"] < 5], batch_format="pandas"
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    queries = np.stack(qdf["embedding"].to_numpy())
+    out = brute_force_topk(emb, queries, k=10, distributed_merge=True)
+    # hash on (query_id, rank, vec_id), NOT the score: DuckDB's
+    # list_cosine_similarity computes in float32 (≤ 5e-7 off the numpy
+    # float64 value — measured), while the smallest top-15 score gap in
+    # the fixture is 9e-5, so rank/membership is noise-stable where the
+    # rounded score is not
+    out = out.sort_values(
+        ["query_id", "cosine", "vec_id"],
+        ascending=[True, False, True],
+    ).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount().astype(np.int64) + 1
+    out["query_id"] = out["query_id"].astype(np.int64)
+    return out[["query_id", "rank", "vec_id"]].sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+
+
+SQL_ANN_TOPK_MULTI = """
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qe
+    FROM embeddings WHERE vec_id < 5
+),
+s AS (
+    SELECT q.query_id, e.vec_id,
+           list_cosine_similarity(e.embedding, q.qe) AS c
+    FROM embeddings e, q
+),
+r AS (
+    SELECT query_id, vec_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY c DESC, vec_id) AS BIGINT)
+               AS rank
+    FROM s
+)
+SELECT query_id, rank, vec_id FROM r WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
 # -- rows-only checks (no clean ANSI-SQL equivalent) ------------------------
 
 def q_docs_langid(sf_dir: str):
@@ -5313,6 +5369,7 @@ QUERIES = {
     "kg_predicate_profile": q_kg_predicate_profile,
     "docs_ngram_overlap": q_docs_ngram_overlap,
     "docs_compression_ratio": q_docs_compression_ratio,
+    "ann_topk_multi": q_ann_topk_multi,
     "sparql_graph_filter": q_sparql_graph_filter,
     "sparql_graph_optional": q_sparql_graph_optional,
     "sparql_group_agg_dataset": q_sparql_group_agg_dataset,
@@ -5451,6 +5508,7 @@ ORACLES = {
     "docs_domain_stats": SQL_DOCS_DOMAIN_STATS,
     "kg_predicate_profile": SQL_KG_PREDICATE_PROFILE,
     "docs_ngram_overlap": SQL_DOCS_NGRAM_OVERLAP,
+    "ann_topk_multi": SQL_ANN_TOPK_MULTI,
     "docs_pii_scrub": SQL_DOCS_PII_SCRUB,
     "docs_top_terms": SQL_DOCS_TOP_TERMS,
     "events_distinct_kmv": SQL_EVENTS_DISTINCT_KMV,
