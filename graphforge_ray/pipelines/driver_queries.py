@@ -531,6 +531,71 @@ def _pagerank_sql(num_iters: int = 3) -> str:
 
 SQL_GRAPH_PAGERANK = _pagerank_sql(3)
 
+_PPR_SEEDS = [1, 2, 3]
+
+
+def q_graph_ppr(sf_dir: str, num_iters: int = 3):
+    """Personalized PageRank (restart to seeds {1,2,3}) over the
+    part-derived graph vs an unrolled-iteration SQL oracle; ranks
+    round to 8 decimals (float parity rule, same as graph_pagerank)."""
+    from ..stages.graph import personalized_pagerank
+
+    ranks = personalized_pagerank(
+        _part_graph_edges(sf_dir), _PPR_SEEDS,
+        num_iters=num_iters, damping=0.85,
+    )
+    df = ranks.to_pandas()
+    df["rank"] = df["rank"].round(8)
+    return df.sort_values("node").reset_index(drop=True)[
+        ["node", "rank"]
+    ]
+
+
+def _ppr_sql(num_iters: int = 3, seeds: list | None = None) -> str:
+    """Unrolled personalized-PageRank oracle: r_{i+1} = (1-d)·p(v) +
+    d·(Σ_in r_i/deg + dangling_i·p(v)), p(v) = 1/|S| on the seed set —
+    mirroring stages/graph.personalized_pagerank term for term."""
+    seeds = seeds or _PPR_SEEDS
+    in_list = ", ".join(str(s) for s in seeds)
+    ctes = [
+        f"WITH e AS ({_PART_GRAPH_SQL}),",
+        "nodes AS (SELECT s AS node FROM e UNION SELECT o AS node FROM e),",
+        "deg AS (SELECT s AS node, COUNT(*) AS d FROM e GROUP BY s),",
+        f"sv AS (SELECT node, CASE WHEN node IN ({in_list}) "
+        "THEN 1.0 ELSE 0.0 END AS sf FROM nodes),",
+        "ns AS (SELECT CAST(SUM(sf) AS DOUBLE) AS n FROM sv),",
+        "p AS (SELECT node, sf / (SELECT n FROM ns) AS pv FROM sv),",
+        "r0 AS (SELECT node, pv AS r FROM p),",
+    ]
+    for i in range(num_iters):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        ctes.append(
+            f"dm{i} AS (SELECT COALESCE(SUM({prev}.r), 0) AS dm "
+            f"FROM {prev} LEFT JOIN deg USING (node) "
+            f"WHERE deg.d IS NULL),"
+        )
+        ctes.append(
+            f"i{i} AS (SELECT e.o AS node, SUM({prev}.r / deg.d) AS m "
+            f"FROM e JOIN {prev} ON {prev}.node = e.s "
+            f"JOIN deg ON deg.node = e.s GROUP BY e.o),"
+        )
+        ctes.append(
+            f"{cur} AS (SELECT nodes.node, (1 - 0.85) * p.pv "
+            f"+ 0.85 * (COALESCE(i{i}.m, 0) "
+            f"+ (SELECT dm FROM dm{i}) * p.pv) AS r "
+            f"FROM nodes JOIN p USING (node) "
+            f"LEFT JOIN i{i} ON i{i}.node = nodes.node),"
+        )
+    ctes[-1] = ctes[-1].rstrip(",")
+    return (
+        "\n".join(ctes)
+        + f"\nSELECT node, ROUND(r, 8) AS rank FROM r{num_iters} "
+        "ORDER BY node"
+    )
+
+
+SQL_GRAPH_PPR = _ppr_sql(3)
+
 
 def q_graph_triangles(sf_dir: str):
     """Distributed triangle count (canonicalize → wedge join → closing
@@ -5370,6 +5435,7 @@ QUERIES = {
     "docs_ngram_overlap": q_docs_ngram_overlap,
     "docs_compression_ratio": q_docs_compression_ratio,
     "ann_topk_multi": q_ann_topk_multi,
+    "graph_ppr": q_graph_ppr,
     "sparql_graph_filter": q_sparql_graph_filter,
     "sparql_graph_optional": q_sparql_graph_optional,
     "sparql_group_agg_dataset": q_sparql_group_agg_dataset,
@@ -5509,6 +5575,7 @@ ORACLES = {
     "kg_predicate_profile": SQL_KG_PREDICATE_PROFILE,
     "docs_ngram_overlap": SQL_DOCS_NGRAM_OVERLAP,
     "ann_topk_multi": SQL_ANN_TOPK_MULTI,
+    "graph_ppr": SQL_GRAPH_PPR,
     "docs_pii_scrub": SQL_DOCS_PII_SCRUB,
     "docs_top_terms": SQL_DOCS_TOP_TERMS,
     "events_distinct_kmv": SQL_EVENTS_DISTINCT_KMV,

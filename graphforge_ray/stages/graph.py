@@ -33,6 +33,7 @@ __all__ = [
     "out_degrees",
     "degree_histogram",
     "pagerank",
+    "personalized_pagerank",
     "hits",
     "triangle_count",
     "bfs_depths",
@@ -1366,4 +1367,204 @@ def k_core(
     return out_degrees(adj, src="n", num_buckets=num_partitions).map_batches(
         lambda df: df.rename(columns={"out_deg": "deg"}),
         batch_format="pandas",
+    )
+
+
+def personalized_pagerank(
+    edges: "ray.data.Dataset",
+    seeds: list,
+    num_iters: int = 3,
+    damping: float = 0.85,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Personalized PageRank (random walk with restart to a SEED set —
+    the KG entity-relatedness score: "importance relative to these
+    entities", Haveliwala 2002 topic-sensitive PageRank with a uniform
+    seed restart vector). Same power-iteration/shuffle shape as
+    ``pagerank``; the restart vector p(v) = 1/|S| for seed nodes
+    present in the graph (0 elsewhere) replaces the uniform 1/N:
+
+        rank' = (1-d)·p(v) + d·(Σ_in rank/out_deg + dangling·p(v))
+
+    → Dataset (node, rank), exactly ``num_iters`` rounds (fixed so an
+    SQL oracle unrolls the identical computation). Seeds are a small
+    bounded list (they ride task closures); raises loudly when NO seed
+    is incident to an edge. Per round: two all-to-all shuffles + one
+    O(blocks) dangling-mass scalar — identical scale shape to
+    ``pagerank``, the seed flag rides the existing carrier rows."""
+    from ..shuffle import snap_lineage
+
+    if not seeds:
+        raise ValueError("seeds must be non-empty")
+    seed_set = frozenset(seeds)
+
+    edges = edges.materialize()
+    if num_partitions is None:
+        num_partitions = _auto_partitions(edges.count())
+    edges = edges.repartition(num_partitions).materialize()
+
+    def seed_deg(df: pd.DataFrame) -> pd.DataFrame:
+        both = pd.DataFrame(
+            {
+                "node": pd.concat([df["s"], df["o"]], ignore_index=True),
+                "d": np.concatenate(
+                    [np.ones(len(df), np.int64),
+                     np.zeros(len(df), np.int64)]
+                ),
+            }
+        )
+        g = both.groupby("node", as_index=False)["d"].sum()
+        return g.assign(_bucket=bucket_tag(g, "node", num_partitions))
+
+    def seed_reduce(g: pd.DataFrame, _s=seed_set) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False)["d"].sum().rename(
+            columns={"d": "out_deg"}
+        )
+        out["sd"] = out["node"].isin(_s).astype(np.int8)
+        return out
+
+    state = (
+        edges.map_batches(seed_deg, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(seed_reduce, batch_format="pandas")
+        .repartition(num_partitions)
+        .materialize()
+    )
+
+    def block_scalar(st, col_fn):
+        return float(
+            sum(r["m"] for r in st.map_batches(
+                lambda df: pd.DataFrame({"m": [col_fn(df)]}),
+                batch_format="pandas",
+            ).take_all())
+        )
+
+    n_seed = block_scalar(state, lambda df: float(df["sd"].sum()))
+    if n_seed == 0:
+        raise ValueError(
+            f"no seed of {sorted(seed_set)!r} is incident to any edge"
+        )
+    p_seed = 1.0 / n_seed
+
+    state = state.map_batches(
+        lambda df, _p=p_seed: df.assign(
+            rank=df["sd"].astype(np.float64) * _p
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "k": df["s"],
+                "dst": df["o"],
+                "w": np.float64(0.0),
+                "deg": np.int64(0),
+                "sd": np.int8(0),
+                "_side": np.int8(0),
+            }
+        )
+        return out.assign(_bucket=bucket_tag(out, "k", num_partitions))
+
+    def scatter_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        el = g.loc[g["_side"] == 0, ["k", "dst"]]
+        st = g.loc[g["_side"] == 1, ["k", "w", "deg", "sd"]]
+        sent = el.merge(st[["k", "w"]], on="k", how="inner")
+        return pd.concat(
+            [
+                pd.DataFrame(
+                    {
+                        "dst": sent["dst"],
+                        "contrib": sent["w"],
+                        "deg": np.int64(0),
+                        "sd": np.int8(0),
+                    }
+                ),
+                # carrier: keeps in-degree-0 nodes alive, ships static
+                # out_deg AND the seed flag into the gather
+                pd.DataFrame(
+                    {
+                        "dst": st["k"],
+                        "contrib": np.float64(0.0),
+                        "deg": st["deg"],
+                        "sd": st["sd"],
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+
+    for _ in range(num_iters):
+        dm = block_scalar(
+            state,
+            lambda df: float(
+                df.loc[df["out_deg"] == 0, "rank"].to_numpy().sum()
+            ),
+        )
+        # rank' = d·Σin + p(v)·((1-d) + d·dm); the p(v) term applies
+        # only where the carried seed flag is set
+        seed_term = p_seed * ((1.0 - damping) + damping * dm)
+
+        def tag_state(df: pd.DataFrame) -> pd.DataFrame:
+            deg = df["out_deg"].to_numpy()
+            rank = df["rank"].to_numpy()
+            w = np.divide(
+                rank, deg, out=np.zeros_like(rank), where=deg > 0
+            )
+            out = pd.DataFrame(
+                {
+                    "k": df["node"],
+                    "dst": df["node"],
+                    "w": w,
+                    "deg": df["out_deg"].astype(np.int64),
+                    "sd": df["sd"].astype(np.int8),
+                    "_side": np.int8(1),
+                }
+            )
+            return out.assign(
+                _bucket=bucket_tag(out, "k", num_partitions)
+            )
+
+        scattered = (
+            edges.map_batches(tag_edges, batch_format="pandas")
+            .union(state.map_batches(tag_state, batch_format="pandas"))
+            .groupby("_bucket")
+            .map_groups(scatter_bucket, batch_format="pandas")
+        )
+
+        def gather_tag(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("dst", as_index=False).agg(
+                contrib=("contrib", "sum"), deg=("deg", "max"),
+                sd=("sd", "max"),
+            )
+            return g.assign(
+                _bucket=bucket_tag(g, "dst", num_partitions)
+            )
+
+        def gather_bucket(
+            g: pd.DataFrame, _st=seed_term, _d=damping
+        ) -> pd.DataFrame:
+            out = g.groupby("dst", as_index=False).agg(
+                contrib=("contrib", "sum"), deg=("deg", "max"),
+                sd=("sd", "max"),
+            )
+            return pd.DataFrame(
+                {
+                    "node": out["dst"],
+                    "out_deg": out["deg"].astype(np.int64),
+                    "sd": out["sd"].astype(np.int8),
+                    "rank": _d * out["contrib"]
+                    + _st * out["sd"].astype(np.float64),
+                }
+            )
+
+        state = snap_lineage(
+            scattered.map_batches(gather_tag, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(gather_bucket, batch_format="pandas")
+            .repartition(num_partitions)
+        )
+
+    return state.map_batches(
+        lambda df: df[["node", "rank"]], batch_format="pandas"
     )

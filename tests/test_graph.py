@@ -477,3 +477,72 @@ def test_triangle_count_hub_presplit():
     assert after > before  # the hub was detected and split
     # default threshold: same result, no split
     assert triangle_count(_edges_ds(pairs, num_blocks=4)) == k
+
+
+def test_personalized_pagerank_localizes_to_seed(ray_session):
+    # two disconnected 3-cycles; restart to a seed in cycle A → ALL
+    # mass stays in cycle A (cycle B gets exactly 0), total mass 1
+    import ray.data as rd
+
+    from graphforge_ray.stages.graph import personalized_pagerank
+
+    edges = pd.DataFrame(
+        {"s": [1, 2, 3, 10, 11, 12], "o": [2, 3, 1, 11, 12, 10]}
+    )
+    got = (
+        personalized_pagerank(rd.from_pandas(edges), seeds=[1],
+                              num_iters=4)
+        .to_pandas()
+        .set_index("node")["rank"]
+    )
+    assert abs(got.sum() - 1.0) < 1e-9
+    assert got.loc[10] == 0 and got.loc[11] == 0 and got.loc[12] == 0
+    # all mass lives in the seed's cycle (it rotates around the cycle
+    # for small iteration counts — no per-node ordering claim)
+    assert got.loc[1] > 0 and got.loc[[1, 2, 3]].sum() > 0.999
+
+
+def test_personalized_pagerank_matches_numpy_replay(ray_session):
+    import ray.data as rd
+
+    from graphforge_ray.stages.graph import personalized_pagerank
+
+    # chain with a dangling tail: 1→2→3→4 (4 dangles), seeds {1, 3}
+    edges = pd.DataFrame({"s": [1, 2, 3], "o": [2, 3, 4]})
+    d, iters = 0.85, 3
+    nodes = [1, 2, 3, 4]
+    p = {1: 0.5, 2: 0.0, 3: 0.5, 4: 0.0}
+    deg = {1: 1, 2: 1, 3: 1, 4: 0}
+    r = dict(p)
+    for _ in range(iters):
+        dm = sum(r[n] for n in nodes if deg[n] == 0)
+        nxt = {}
+        for n in nodes:
+            inc = sum(
+                r[s] / deg[s]
+                for s, o in zip(edges["s"], edges["o"])
+                if o == n
+            )
+            nxt[n] = (1 - d) * p[n] + d * (inc + dm * p[n])
+        r = nxt
+    got = (
+        personalized_pagerank(
+            rd.from_pandas(edges), seeds=[1, 3], num_iters=iters
+        )
+        .to_pandas()
+        .set_index("node")["rank"]
+    )
+    for n in nodes:
+        assert abs(got.loc[n] - r[n]) < 1e-12, (n, got.loc[n], r[n])
+
+
+def test_personalized_pagerank_rejects_absent_seeds(ray_session):
+    import ray.data as rd
+
+    from graphforge_ray.stages.graph import personalized_pagerank
+
+    edges = rd.from_pandas(pd.DataFrame({"s": [1], "o": [2]}))
+    with pytest.raises(ValueError, match="non-empty"):
+        personalized_pagerank(edges, seeds=[])
+    with pytest.raises(ValueError, match="incident"):
+        personalized_pagerank(edges, seeds=[99])
