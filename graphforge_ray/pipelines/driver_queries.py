@@ -1501,6 +1501,20 @@ def q_ann_ivf(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def q_ann_quantized(sf_dir: str):
+    """int8-quantized exact top-10 (rows-only — approximate by design):
+    per-vector symmetric quantization (4× less vector volume through
+    the object store at corpus scale), scoring on the dequantized grid.
+    Recall vs the float path pinned by pytest."""
+    from ..stages.similarity import quantize_embeddings, quantized_topk
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = quantized_topk(quantize_embeddings(emb), _query_vec(sf_dir), k=10)
+    out = out[["rank", "vec_id", "cosine"]].copy()
+    out["cosine"] = out["cosine"].round(4)
+    return out.reset_index(drop=True)
+
+
 def q_sparql_describe(sf_dir: str):
     """SPARQL DESCRIBE (subject-slice form) mixing both shapes in one
     query: a constant IRI plus a variable bound by a WHERE group — the
@@ -5457,6 +5471,7 @@ QUERIES = {
     "docs_bpe_merges": q_docs_bpe_merges,
     "docs_bpe_tokens": q_docs_bpe_tokens,
     "ann_ivf": q_ann_ivf,
+    "ann_quantized": q_ann_quantized,
     "embeddings_kmeans": q_embeddings_kmeans,
     "docs_logreg_score": q_docs_logreg_score,
     "sparql_pred_counts": q_sparql_pred_counts,

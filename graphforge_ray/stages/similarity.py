@@ -25,6 +25,7 @@ import ray.data
 __all__ = [
     "brute_force_topk", "train_centroids", "assign_clusters", "ivf_topk",
     "kmeans_fit", "group_centroids",
+    "quantize_embeddings", "quantized_topk",
 ]
 
 
@@ -400,3 +401,70 @@ def group_centroids(
         .groupby("_bucket")
         .map_groups(reduce_bucket, batch_format="pandas")
     )
+
+
+def quantize_embeddings(
+    embeddings: "ray.data.Dataset",
+    vec_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """Per-vector symmetric int8 quantization: ``q_emb`` (list<int8>,
+    round(x · 127 / max|x|)) + ``q_scale`` (float64, max|x| / 127) —
+    4× less object-store/network volume per vector on the 100-TB scale
+    path, at the cost of ≤ 1/254 relative per-component error.
+    All-zero vectors quantize to zeros with scale 0. Pure map-side."""
+
+    def quant(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        amax = np.abs(m).max(axis=1)
+        scale = amax / 127.0
+        safe = np.where(scale > 0, scale, 1.0)
+        q = np.clip(
+            np.round(m / safe[:, None]), -127, 127
+        ).astype(np.int8)
+        out = df.drop(columns=[vec_col]).copy()
+        out["q_emb"] = list(q)
+        out["q_scale"] = scale
+        return out
+
+    return embeddings.map_batches(quant, batch_format="pandas")
+
+
+def quantized_topk(
+    quantized: "ray.data.Dataset",
+    query: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Exact cosine top-k over int8-QUANTIZED vectors (the memory-bound
+    scale path: dot products run on the dequantized int8 grid —
+    q_doc · q_query · scale_doc · scale_query — so only int8 payloads
+    move through the object store). → (rank, vec_id, cosine) like
+    ``brute_force_topk``; cosine is the QUANTIZED-grid value, within
+    ~1% of the float value (recall pinned by pytest)."""
+    qv = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(qv)
+    if qn == 0:
+        raise ValueError("zero query vector")
+    qv = qv / qn
+    import ray as _ray
+
+    q_ref = _ray.put(qv)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        q = _ray.get(q_ref)
+        m = np.stack(df["q_emb"].to_numpy()).astype(np.float64)
+        m *= df["q_scale"].to_numpy()[:, None]
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        cos = (m @ q) / norms
+        out = pd.DataFrame({id_col: df[id_col], "cosine": cos})
+        return out.sort_values(
+            ["cosine", id_col], ascending=[False, True]
+        ).head(k)
+
+    parts = quantized.map_batches(score, batch_format="pandas").to_pandas()
+    top = parts.sort_values(
+        ["cosine", id_col], ascending=[False, True]
+    ).head(k).reset_index(drop=True)
+    top.insert(0, "rank", np.arange(1, len(top) + 1, dtype=np.int64))
+    return top

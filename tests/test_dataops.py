@@ -1213,3 +1213,43 @@ def test_compression_ratio_signal():
     # determinism: identical input → identical bytes
     again = compression_ratio_batch(df)
     assert (again["zip_bytes"] == out["zip_bytes"]).all()
+
+
+def test_quantized_topk_recall_vs_float(embeds_ds):
+    from graphforge_ray.stages.similarity import (
+        brute_force_topk,
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    q = np.asarray(
+        embeds_ds.to_pandas().set_index("vec_id").loc[0, "embedding"]
+    )
+    exact = brute_force_topk(embeds_ds, q, k=5)
+    quant = quantized_topk(quantize_embeddings(embeds_ds), q, k=5)
+    # int8 grid keeps the neighborhood: recall@5 ≥ 4/5 and the top-1
+    # (the vector itself + its planted near-dup) is preserved
+    overlap = set(exact["vec_id"][:5]) & set(quant["vec_id"][:5])
+    assert len(overlap) >= 4
+    assert quant.loc[0, "vec_id"] in (0, 20)
+    # quantized cosine within 2% of the float value for the overlap
+    e = exact.set_index("vec_id")["cosine"]
+    qq = quant.set_index("vec_id")["cosine"]
+    for v in overlap:
+        assert abs(e.loc[v] - qq.loc[v]) < 0.02
+
+
+def test_quantize_embeddings_zero_vector_safe(ray_session):
+    import ray.data as rd
+
+    from graphforge_ray.stages.similarity import quantize_embeddings
+
+    df = pd.DataFrame(
+        {"vec_id": [0, 1],
+         "embedding": [np.zeros(4).tolist(), [1.0, -2.0, 0.5, 2.0]]}
+    )
+    out = quantize_embeddings(rd.from_pandas(df)).to_pandas()
+    assert out.loc[0, "q_scale"] == 0.0
+    assert list(out.loc[0, "q_emb"]) == [0, 0, 0, 0]
+    assert out.loc[1, "q_scale"] == 2.0 / 127.0
+    assert list(out.loc[1, "q_emb"]) == [64, -127, 32, 127]
