@@ -531,6 +531,75 @@ def _pagerank_sql(num_iters: int = 3) -> str:
 
 SQL_GRAPH_PAGERANK = _pagerank_sql(3)
 
+_LP_GRAPH_SQL = """
+    SELECT p_partkey AS s,
+           p_partkey - (p_partkey % 10)
+             + ((p_partkey % 10) + 1) % 10 AS o
+    FROM part
+    UNION ALL
+    SELECT p_partkey, p_partkey - (p_partkey % 10)
+    FROM part WHERE p_partkey % 10 <> 0
+"""
+
+
+def q_graph_label_prop(sf_dir: str, num_iters: int = 3):
+    """Synchronous label propagation over a decade-structured graph
+    (10-rings + spokes to each decade hub → real majority votes, not
+    just ties) vs an unrolled-round SQL oracle with the identical
+    (count DESC, label ASC) tie rule."""
+    from ..stages.graph import label_propagation
+
+    part = _t(sf_dir, "part", ["p_partkey"])
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["p_partkey"].astype(np.int64)
+        ring = pd.DataFrame(
+            {"s": k, "o": k - (k % 10) + ((k % 10) + 1) % 10}
+        )
+        m = (k % 10 != 0).to_numpy()
+        spoke = pd.DataFrame(
+            {"s": k[m], "o": (k[m] - (k[m] % 10))}
+        )
+        return pd.concat([ring, spoke], ignore_index=True)
+
+    out = label_propagation(
+        part.map_batches(to_edges, batch_format="pandas"),
+        num_iters=num_iters,
+    ).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)[
+        ["node", "label"]
+    ]
+
+
+def _label_prop_sql(num_iters: int = 3) -> str:
+    """Unrolled synchronous-LP oracle: per round, each node adopts the
+    most frequent neighbor label (ties → smallest), mirroring
+    stages/graph.label_propagation round for round."""
+    ctes = [
+        f"WITH e0 AS ({_LP_GRAPH_SQL}),",
+        "eu AS (SELECT s, o FROM e0 UNION ALL SELECT o, s FROM e0),",
+        "l0 AS (SELECT DISTINCT s AS node, s AS label FROM eu),",
+    ]
+    for i in range(num_iters):
+        prev, cur = f"l{i}", f"l{i + 1}"
+        ctes.append(
+            f"{cur} AS (SELECT dst AS node, label FROM ("
+            f"SELECT e.o AS dst, l.label, COUNT(*) AS c, "
+            f"ROW_NUMBER() OVER (PARTITION BY e.o "
+            f"ORDER BY COUNT(*) DESC, l.label) AS rn "
+            f"FROM eu e JOIN {prev} l ON l.node = e.s "
+            f"GROUP BY e.o, l.label) WHERE rn = 1),"
+        )
+    ctes[-1] = ctes[-1].rstrip(",")
+    return (
+        "\n".join(ctes)
+        + f"\nSELECT node, label FROM l{num_iters} ORDER BY node"
+    )
+
+
+SQL_GRAPH_LABEL_PROP = _label_prop_sql(3)
+
+
 _PPR_SEEDS = [1, 2, 3]
 
 
@@ -5450,6 +5519,7 @@ QUERIES = {
     "docs_compression_ratio": q_docs_compression_ratio,
     "ann_topk_multi": q_ann_topk_multi,
     "graph_ppr": q_graph_ppr,
+    "graph_label_prop": q_graph_label_prop,
     "sparql_graph_filter": q_sparql_graph_filter,
     "sparql_graph_optional": q_sparql_graph_optional,
     "sparql_group_agg_dataset": q_sparql_group_agg_dataset,
@@ -5591,6 +5661,7 @@ ORACLES = {
     "docs_ngram_overlap": SQL_DOCS_NGRAM_OVERLAP,
     "ann_topk_multi": SQL_ANN_TOPK_MULTI,
     "graph_ppr": SQL_GRAPH_PPR,
+    "graph_label_prop": SQL_GRAPH_LABEL_PROP,
     "docs_pii_scrub": SQL_DOCS_PII_SCRUB,
     "docs_top_terms": SQL_DOCS_TOP_TERMS,
     "events_distinct_kmv": SQL_EVENTS_DISTINCT_KMV,

@@ -34,6 +34,7 @@ __all__ = [
     "degree_histogram",
     "pagerank",
     "personalized_pagerank",
+    "label_propagation",
     "hits",
     "triangle_count",
     "bfs_depths",
@@ -1568,3 +1569,128 @@ def personalized_pagerank(
     return state.map_batches(
         lambda df: df[["node", "rank"]], batch_format="pandas"
     )
+
+
+def label_propagation(
+    edges: "ray.data.Dataset",
+    num_iters: int = 3,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, the deterministic synchronous variant): label⁰(v) = v;
+    each round every node adopts the most frequent label among its
+    UNDIRECTED neighbors (parallel edges weigh individually), ties
+    break to the smallest label. Fixed ``num_iters`` rounds and
+    deterministic ties so an SQL oracle unrolls the identical
+    computation (the classic async variant is order-dependent and
+    unreplayable). → Dataset (node, label).
+
+    Scale shape: the undirected edge expansion materializes once; per
+    round ONE tag-union-bucket scatter (labels meet edges on the source
+    node) + ONE dest-bucket gather (vectorized (dst, label) counts →
+    per-dst argmax), lineage snapped — the same two-shuffle discipline
+    as ``pagerank``. Labels never land on the driver."""
+    from ..shuffle import snap_lineage
+
+    def undirect(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "s": pd.concat([df["s"], df["o"]], ignore_index=True),
+                "o": pd.concat([df["o"], df["s"]], ignore_index=True),
+            }
+        )
+
+    eu = edges.map_batches(undirect, batch_format="pandas").materialize()
+    if num_partitions is None:
+        num_partitions = _auto_partitions(eu.count())
+    eu = eu.repartition(num_partitions).materialize()
+
+    labels = (
+        eu.map_batches(
+            lambda df: df[["s"]].drop_duplicates().rename(
+                columns={"s": "node"}
+            ),
+            batch_format="pandas",
+        )
+        .map_batches(
+            lambda df: df.assign(
+                _bucket=bucket_tag(df, "node", num_partitions)
+            ),
+            batch_format="pandas",
+        )
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: g.drop_duplicates(subset=["node"]).assign(
+                label=lambda d: d["node"]
+            )[["node", "label"]],
+            batch_format="pandas",
+        )
+        .repartition(num_partitions)
+        .materialize()
+    )
+
+    def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "k": df["s"],
+                "dst": df["o"],
+                "label": df["s"],  # placeholder on the edge side
+                "_side": np.int8(0),
+            }
+        )
+        return out.assign(_bucket=bucket_tag(out, "k", num_partitions))
+
+    def scatter_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        el = g.loc[g["_side"] == 0, ["k", "dst"]]
+        st = g.loc[g["_side"] == 1, ["k", "label"]]
+        sent = el.merge(st, on="k", how="inner")
+        # within-bucket combiner: (dst, label) partial counts
+        out = sent.groupby(["dst", "label"], as_index=False).size()
+        out = out.rename(columns={"size": "c"})
+        out["c"] = out["c"].astype(np.int64)
+        return out
+
+    for _ in range(num_iters):
+        def tag_labels(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {
+                    "k": df["node"],
+                    "dst": df["node"],
+                    "label": df["label"],
+                    "_side": np.int8(1),
+                }
+            )
+            return out.assign(
+                _bucket=bucket_tag(out, "k", num_partitions)
+            )
+
+        scattered = (
+            eu.map_batches(tag_edges, batch_format="pandas")
+            .union(labels.map_batches(tag_labels, batch_format="pandas"))
+            .groupby("_bucket")
+            .map_groups(scatter_bucket, batch_format="pandas")
+        )
+
+        def gather_tag(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(["dst", "label"], as_index=False)["c"].sum()
+            return g.assign(
+                _bucket=bucket_tag(g, "dst", num_partitions)
+            )
+
+        def gather_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            d = g.groupby(["dst", "label"], as_index=False)["c"].sum()
+            d = d.sort_values(
+                ["dst", "c", "label"], ascending=[True, False, True]
+            ).drop_duplicates("dst")
+            return pd.DataFrame(
+                {"node": d["dst"], "label": d["label"]}
+            )
+
+        labels = snap_lineage(
+            scattered.map_batches(gather_tag, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(gather_bucket, batch_format="pandas")
+            .repartition(num_partitions)
+        )
+
+    return labels

@@ -546,3 +546,54 @@ def test_personalized_pagerank_rejects_absent_seeds(ray_session):
         personalized_pagerank(edges, seeds=[])
     with pytest.raises(ValueError, match="incident"):
         personalized_pagerank(edges, seeds=[99])
+
+
+def test_label_propagation_two_cliques(ray_session):
+    # two 4-cliques joined by one bridge edge: synchronous LP with the
+    # (count desc, label asc) tie rule converges each clique to its
+    # min member's label; the bridge does not merge them
+    import itertools
+
+    import ray.data as rd
+
+    from graphforge_ray.stages.graph import label_propagation
+
+    a = list(itertools.combinations([1, 2, 3, 4], 2))
+    b = list(itertools.combinations([10, 11, 12, 13], 2))
+    edges = pd.DataFrame(a + b + [(4, 10)], columns=["s", "o"])
+    got = (
+        label_propagation(rd.from_pandas(edges), num_iters=4)
+        .to_pandas()
+        .set_index("node")["label"]
+    )
+    assert set(got.loc[[1, 2, 3, 4]]) == {1}
+    assert set(got.loc[[11, 12, 13]]) == {10}
+
+
+def test_label_propagation_matches_sequential_replay(ray_session):
+    import ray.data as rd
+
+    from graphforge_ray.stages.graph import label_propagation
+
+    rng_edges = [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4), (5, 1)]
+    edges = pd.DataFrame(rng_edges, columns=["s", "o"])
+    und = rng_edges + [(o, s) for s, o in rng_edges]
+    labels = {n: n for e in und for n in e}
+    for _ in range(3):
+        nxt = {}
+        for v in labels:
+            counts = {}
+            for s, o in und:
+                if o == v:
+                    lab = labels[s]
+                    counts[lab] = counts.get(lab, 0) + 1
+            best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            nxt[v] = best[0][0]
+        labels = nxt
+    got = (
+        label_propagation(rd.from_pandas(edges), num_iters=3)
+        .to_pandas()
+        .set_index("node")["label"]
+    )
+    for n, lab in labels.items():
+        assert got.loc[n] == lab, (n, got.loc[n], lab)
