@@ -531,6 +531,86 @@ def _pagerank_sql(num_iters: int = 3) -> str:
 
 SQL_GRAPH_PAGERANK = _pagerank_sql(3)
 
+def q_nation_full_outer(sf_dir: str):
+    """Distributed FULL OUTER join (completes the bindings_join type
+    matrix: inner/left/semi/anti existed; this exercises 'full_outer'
+    where BOTH sides have exclusive keys): per-nation customer counts
+    (even nation keys only) ⟗ per-nation supplier counts (keys % 3 == 0
+    only) — matches exist at keys % 6 == 0, exclusives on both sides,
+    missing counts coalesce to 0."""
+    from ..shuffle import bindings_join
+
+    def counts(ds, key, out):
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(key, as_index=False).size().rename(
+                columns={key: "nation_key", "size": out}
+            )
+            g["nation_key"] = g["nation_key"].astype(str)
+            return g
+
+        from ..shuffle import bucket_tag
+
+        def reduce_b(g: pd.DataFrame) -> pd.DataFrame:
+            out_f = g.groupby("nation_key", as_index=False)[out].sum()
+            out_f[out] = out_f[out].astype(np.int64)
+            return out_f
+
+        return (
+            ds.map_batches(partial, batch_format="pandas")
+            .map_batches(
+                lambda df: df.assign(
+                    _bucket=bucket_tag(df, "nation_key", 8)
+                ),
+                batch_format="pandas",
+            )
+            .groupby("_bucket")
+            .map_groups(reduce_b, batch_format="pandas")
+        )
+
+    cust = _t(sf_dir, "customer", ["c_nationkey"]).map_batches(
+        lambda df: df[df["c_nationkey"] % 2 == 0],
+        batch_format="pandas",
+    )
+    supp = _t(sf_dir, "supplier", ["s_nationkey"]).map_batches(
+        lambda df: df[df["s_nationkey"] % 3 == 0],
+        batch_format="pandas",
+    )
+    joined = bindings_join(
+        counts(cust, "c_nationkey", "n_cust"),
+        counts(supp, "s_nationkey", "n_supp"),
+        on=["nation_key"], how="full_outer", num_buckets=8,
+    ).to_pandas()
+    for c in ("n_cust", "n_supp"):
+        joined[c] = (
+            pd.to_numeric(joined[c], errors="coerce")
+            .fillna(0)
+            .astype(np.int64)
+        )
+    joined["nation_key"] = joined["nation_key"].astype(np.int64)
+    return joined.sort_values("nation_key").reset_index(drop=True)[
+        ["nation_key", "n_cust", "n_supp"]
+    ]
+
+
+SQL_NATION_FULL_OUTER = """
+WITH c AS (
+    SELECT c_nationkey AS nation_key,
+           CAST(COUNT(*) AS BIGINT) AS n_cust
+    FROM customer WHERE c_nationkey % 2 = 0 GROUP BY c_nationkey
+),
+s AS (
+    SELECT s_nationkey AS nation_key,
+           CAST(COUNT(*) AS BIGINT) AS n_supp
+    FROM supplier WHERE s_nationkey % 3 = 0 GROUP BY s_nationkey
+)
+SELECT COALESCE(c.nation_key, s.nation_key) AS nation_key,
+       COALESCE(c.n_cust, 0) AS n_cust,
+       COALESCE(s.n_supp, 0) AS n_supp
+FROM c FULL OUTER JOIN s ON s.nation_key = c.nation_key
+ORDER BY nation_key
+"""
+
+
 _LP_GRAPH_SQL = """
     SELECT p_partkey AS s,
            p_partkey - (p_partkey % 10)
@@ -5520,6 +5600,7 @@ QUERIES = {
     "ann_topk_multi": q_ann_topk_multi,
     "graph_ppr": q_graph_ppr,
     "graph_label_prop": q_graph_label_prop,
+    "nation_full_outer": q_nation_full_outer,
     "sparql_graph_filter": q_sparql_graph_filter,
     "sparql_graph_optional": q_sparql_graph_optional,
     "sparql_group_agg_dataset": q_sparql_group_agg_dataset,
@@ -5662,6 +5743,7 @@ ORACLES = {
     "ann_topk_multi": SQL_ANN_TOPK_MULTI,
     "graph_ppr": SQL_GRAPH_PPR,
     "graph_label_prop": SQL_GRAPH_LABEL_PROP,
+    "nation_full_outer": SQL_NATION_FULL_OUTER,
     "docs_pii_scrub": SQL_DOCS_PII_SCRUB,
     "docs_top_terms": SQL_DOCS_TOP_TERMS,
     "events_distinct_kmv": SQL_EVENTS_DISTINCT_KMV,

@@ -150,8 +150,10 @@ def bindings_join(
     Shape: tag each side, normalize both to the union of their columns
     (missing → NaN) so the union has ONE schema, bucket on the composite
     key hash, and run one vectorized pandas merge per bucket. ``how`` is
-    'inner', 'left_outer', 'semi' (keep left rows WITH a right match —
-    left columns only), or 'anti' (keep left rows WITHOUT a match).
+    'inner', 'left_outer', 'full_outer' (rows from BOTH sides survive,
+    the key column comes from whichever side has it), 'semi' (keep left
+    rows WITH a right match — left columns only), or 'anti' (keep left
+    rows WITHOUT a match).
     Non-key column overlap between the sides is not supported (callers
     join on ALL shared variables).
 
@@ -164,6 +166,8 @@ def bindings_join(
     which would silently split equal keys across buckets (measured:
     triangle wedge-close semi-join returned 1/4 matches)."""
     on = list(on)
+    if how not in ("inner", "left_outer", "full_outer", "semi", "anti"):
+        raise ValueError(f"unsupported join how: {how!r}")
     lcols = list(left.schema().names)
     rcols = list(right.schema().names)
     overlap = (set(lcols) & set(rcols)) - set(on)
@@ -206,7 +210,9 @@ def bindings_join(
                                         else "left_only")
             return merged.loc[keep, lcols]
         r = g.loc[g["_side"] == 1, rcols]
-        merged = l.merge(r, on=on, how="left" if how == "left_outer" else how)
+        pd_how = {"inner": "inner", "left_outer": "left",
+                  "full_outer": "outer"}[how]
+        merged = l.merge(r, on=on, how=pd_how)
         for c in out_cols:
             if c not in merged.columns:
                 merged[c] = pd.Series(np.nan, index=merged.index,

@@ -205,6 +205,30 @@ def test_bindings_join_semi_anti(join_sides):
     assert sorted(anti["k"]) == ["a"]
 
 
+def test_bindings_join_full_outer(join_sides):
+    from graphforge_ray.shuffle import bindings_join
+
+    left, right = join_sides
+    out = bindings_join(
+        left, right, on=["k"], how="full_outer"
+    ).to_pandas()
+    # a: left-only, d: right-only, b/c: matched (c twice)
+    assert len(out) == 5
+    assert sorted(out["k"]) == ["a", "b", "c", "c", "d"]
+    d_row = out.loc[out["k"] == "d"].iloc[0]
+    assert pd.isna(d_row["lv"]) and d_row["rv"] == "z"
+    a_row = out.loc[out["k"] == "a"].iloc[0]
+    assert a_row["lv"] == "1" and pd.isna(a_row["rv"])
+
+
+def test_bindings_join_rejects_unknown_how(join_sides):
+    from graphforge_ray.shuffle import bindings_join
+
+    left, right = join_sides
+    with pytest.raises(ValueError, match="unsupported join how"):
+        bindings_join(left, right, on=["k"], how="right_outer")
+
+
 def test_bindings_join_overlapping_nonkey_rejected(join_sides):
     from graphforge_ray.shuffle import bindings_join
 
