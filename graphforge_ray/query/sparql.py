@@ -2730,11 +2730,11 @@ def run_select(
     for the plain / DISTINCT / LIMIT / ORDER BY paths (ORDER BY returns
     the fully SORTED Dataset — with LIMIT it is the distributed top-k)
     AND for GROUP BY aggregates (the aggregated Dataset is returned;
-    HAVING runs as a post-aggregate filter stage, LIMIT pushes down) —
-    a ``GROUP BY ?s`` over a corpus is itself corpus-sized and must not
-    land on the driver. OFFSET (and ORDER BY combined with aggregates)
-    returns presentation-sized frames by design — use ``collect=True``
-    for those (loud refusal otherwise)."""
+    HAVING runs as a post-aggregate filter stage, ORDER BY sorts the
+    aggregated Dataset, LIMIT pushes down) — a ``GROUP BY ?s`` over a
+    corpus is itself corpus-sized and must not land on the driver.
+    OFFSET alone remains a presentation concept — use ``collect=True``
+    for it (loud refusal otherwise)."""
     q = compile_select(query, prefixes)
     bindings = _eval_where(triples, q)
 
@@ -2742,12 +2742,6 @@ def run_select(
         raise ValueError(
             "collect=False does not support OFFSET (offsets are a "
             "presentation concept — call with collect=True)"
-        )
-    if not collect and q.order_by and q.aggregates:
-        raise ValueError(
-            "collect=False supports ORDER BY on plain SELECT (sorted "
-            "Dataset) but not combined with GROUP BY aggregates — "
-            "call with collect=True"
         )
 
     if q.aggregates:
@@ -2759,7 +2753,11 @@ def run_select(
                         df, list(_h)),
                     batch_format="pandas",
                 )
-            if q.limit is not None:
+            if q.order_by:
+                # aggregate aliases are plain columns post-grouping —
+                # the same distributed sort (+ top-k) applies
+                out_ds = _order_dataset_topk(out_ds, q.order_by, q.limit)
+            elif q.limit is not None:
                 out_ds = limit_op(out_ds, q.limit)
             return out_ds
         out = _run_aggregates(bindings, q)

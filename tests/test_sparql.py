@@ -1603,13 +1603,28 @@ def test_collect_false_distinct_and_limit(score_triples):
 
 
 def test_collect_false_refuses_presentation_paths(score_triples):
-    for q in (
-        "SELECT ?s WHERE { ?s <e/name> ?o } LIMIT 5 OFFSET 2",
-        "SELECT ?p (COUNT(?s) AS ?n) WHERE { ?s ?p ?o } "
-        "GROUP BY ?p ORDER BY ?n",
-    ):
-        with pytest.raises(ValueError, match="collect"):
-            run_select(score_triples, q, collect=False)
+    with pytest.raises(ValueError, match="collect"):
+        run_select(
+            score_triples,
+            "SELECT ?s WHERE { ?s <e/name> ?o } LIMIT 5 OFFSET 2",
+            collect=False,
+        )
+
+
+def test_collect_false_aggregate_order_by_dataset(score_triples):
+    # r5: ORDER BY over the aggregated Dataset — sorted rows match the
+    # collect=True frame exactly, LIMIT is the distributed top-k
+    import ray.data
+
+    q = ("SELECT ?p (COUNT(?s) AS ?n) WHERE { ?s ?p ?o } "
+         "GROUP BY ?p ORDER BY DESC(?n) ?p")
+    ds = run_select(score_triples, q, collect=False)
+    assert isinstance(ds, ray.data.Dataset)
+    got = ds.to_pandas().reset_index(drop=True)
+    exp = run_select(score_triples, q)
+    pd.testing.assert_frame_equal(got[["p", "n"]], exp[["p", "n"]])
+    top = run_select(score_triples, q + " LIMIT 1", collect=False)
+    assert top.to_pandas()[["p", "n"]].equals(exp[["p", "n"]].head(1))
 
 
 def test_collect_false_order_by_sorted_dataset(score_triples):
