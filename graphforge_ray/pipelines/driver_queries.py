@@ -4984,6 +4984,129 @@ ORDER BY subj, shape_id
 """
 
 
+def _shacl_kg(sf_dir: str, updated: bool = False):
+    """The orders/lineitem KG of q_kg_shacl_validate; ``updated=True``
+    applies a deterministic snapshot edit (orders %13 lose all lines
+    past the first → new minCount violations; orders %17 gain 3 extra
+    lines → some cross maxCount 6)."""
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    line = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def order_triples(df: pd.DataFrame, _upd=updated) -> pd.DataFrame:
+        o = "o:" + df["o_orderkey"].astype(str)
+        parts = [
+            pd.DataFrame({"subj": o, "pred": "rdf:type",
+                          "obj": "s:Order"}),
+            pd.DataFrame({"subj": o, "pred": "p:priority",
+                          "obj": df["o_orderpriority"]}),
+        ]
+        hi = (df["o_totalprice"].to_numpy() > 150000.0)
+        if hi.any():
+            parts.append(pd.DataFrame(
+                {"subj": o[hi], "pred": "p:bigspend",
+                 "obj": "x:flag"}))
+        if _upd:
+            # extra lines come from the ORDERS side (each order appears
+            # in exactly one batch) — emitting them per lineitem batch
+            # would duplicate the triples for orders spanning blocks
+            x = df.loc[df["o_orderkey"] % 17 == 0, "o_orderkey"]
+            if len(x):
+                xs = np.repeat(x.to_numpy(np.int64), 3)
+                xi = np.tile(np.arange(1, 4), len(x))
+                parts.append(pd.DataFrame(
+                    {
+                        "subj": "o:" + pd.Series(xs).astype(str),
+                        "pred": "p:line",
+                        "obj": "li:" + pd.Series(xs).astype(str)
+                               + ":x" + pd.Series(xi).astype(str),
+                    }
+                ))
+        return pd.concat(parts, ignore_index=True)
+
+    def line_triples(df: pd.DataFrame, _upd=updated) -> pd.DataFrame:
+        k = df["l_orderkey"].astype(np.int64)
+        n = df["l_linenumber"].astype(np.int64)
+        if _upd:
+            keep = ~((k % 13 == 0) & (n > 1))
+            k, n = k[keep], n[keep]
+        return pd.DataFrame(
+            {
+                "subj": "o:" + k.astype(str),
+                "pred": "p:line",
+                "obj": "li:" + k.astype(str) + ":" + n.astype(str),
+            }
+        )
+
+    return orders.map_batches(
+        order_triples, batch_format="pandas"
+    ).union(line.map_batches(line_triples, batch_format="pandas"))
+
+
+def q_kg_shacl_incremental(sf_dir: str):
+    """Incremental SHACL revalidation: the base KG's violations plus a
+    snapshot delta (orders %13 lose lines, %17 gain them) revalidated
+    via kg_delta → affected subjects → semi-scoped validate → anti
+    merge — O(delta) work. The ORACLE is a FULL revalidation of the new
+    snapshot: incremental ≡ full is the contract."""
+    from ..stages.delta import kg_delta
+    from ..stages.shacl import shacl_validate, shacl_validate_incremental
+
+    base = _shacl_kg(sf_dir, updated=False)
+    new = _shacl_kg(sf_dir, updated=True)
+    prev = shacl_validate(base, _SHACL_SHAPES)
+    delta = kg_delta(base, new)
+    affected = delta.map_batches(
+        lambda df: df[["subj"]].drop_duplicates(),
+        batch_format="pandas",
+    )
+    out = shacl_validate_incremental(
+        new, _SHACL_SHAPES, affected, prev
+    ).to_pandas()
+    return out.sort_values(
+        ["subj", "shape_id"]
+    ).reset_index(drop=True)[
+        ["subj", "shape_id", "pred", "n_values", "violation"]
+    ]
+
+
+SQL_KG_SHACL_INCREMENTAL = """
+WITH kept AS (
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE NOT (l_orderkey % 13 = 0 AND l_linenumber > 1)
+),
+lc AS (
+    SELECT k, CAST(SUM(n) AS BIGINT) AS n FROM (
+        SELECT l_orderkey AS k, COUNT(*) AS n
+        FROM kept GROUP BY l_orderkey
+        UNION ALL
+        -- extras are emitted from the ORDERS side (incl. orders with
+        -- no lineitem rows at all)
+        SELECT o_orderkey, 3 FROM orders WHERE o_orderkey % 17 = 0
+    ) GROUP BY k
+),
+v_lines AS (
+    SELECT 'o:' || CAST(o.o_orderkey AS VARCHAR) AS subj,
+           'sh_lines' AS shape_id, 'p:line' AS pred,
+           COALESCE(lc.n, 0) AS n_values,
+           CASE WHEN COALESCE(lc.n, 0) < 2 THEN 'minCount'
+                ELSE 'maxCount' END AS violation
+    FROM orders o LEFT JOIN lc ON lc.k = o.o_orderkey
+    WHERE COALESCE(lc.n, 0) < 2 OR COALESCE(lc.n, 0) > 6
+),
+v_bigspend AS (
+    SELECT 'o:' || CAST(o_orderkey AS VARCHAR) AS subj,
+           'sh_bigspend' AS shape_id, 'p:bigspend' AS pred,
+           CAST(0 AS BIGINT) AS n_values, 'minCount' AS violation
+    FROM orders WHERE o_totalprice <= 150000.0
+)
+SELECT * FROM v_lines
+UNION ALL
+SELECT * FROM v_bigspend
+ORDER BY subj, shape_id
+"""
+
+
 SQL_KG_SAMEAS_CANONICAL = """
 WITH RECURSIVE trip AS (
     SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS subj,
@@ -5593,6 +5716,7 @@ QUERIES = {
     "docs_gopher_rules": q_docs_gopher_rules,
     "kg_sameas_canonical": q_kg_sameas_canonical,
     "kg_shacl_validate": q_kg_shacl_validate,
+    "kg_shacl_incremental": q_kg_shacl_incremental,
     "docs_domain_stats": q_docs_domain_stats,
     "kg_predicate_profile": q_kg_predicate_profile,
     "docs_ngram_overlap": q_docs_ngram_overlap,
@@ -5737,6 +5861,7 @@ ORACLES = {
     "docs_gopher_rules": SQL_DOCS_GOPHER_RULES,
     "kg_sameas_canonical": SQL_KG_SAMEAS_CANONICAL,
     "kg_shacl_validate": SQL_KG_SHACL_VALIDATE,
+    "kg_shacl_incremental": SQL_KG_SHACL_INCREMENTAL,
     "docs_domain_stats": SQL_DOCS_DOMAIN_STATS,
     "kg_predicate_profile": SQL_KG_PREDICATE_PROFILE,
     "docs_ngram_overlap": SQL_DOCS_NGRAM_OVERLAP,

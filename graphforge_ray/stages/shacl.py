@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["shacl_validate"]
+__all__ = ["shacl_validate", "shacl_validate_incremental"]
 
 _REQUIRED = ("shape_id", "target_class", "pred", "min_count")
 
@@ -134,3 +134,59 @@ def shacl_validate(
         return out[under | over]
 
     return joined.map_batches(violations, batch_format="pandas")
+
+
+def shacl_validate_incremental(
+    new_triples: "ray.data.Dataset",
+    shapes: list[dict],
+    affected_subjects: "ray.data.Dataset",
+    prev_violations: "ray.data.Dataset",
+    type_pred: str = "rdf:type",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Incremental SHACL revalidation for the update pipeline: every
+    cardinality constraint is SUBJECT-scoped, so only subjects touched
+    by a snapshot delta (any add/del row — including type changes,
+    which move subjects in/out of the target set) can change verdicts.
+
+    → the NEW snapshot's full violation set, computed as: previous
+    violations MINUS affected subjects (one anti bucket join) UNION a
+    fresh ``shacl_validate`` over ONLY the affected subjects' triples
+    (one semi bucket join scopes the corpus). Work is O(delta-subject
+    triples), not corpus-sized; equality with a full revalidation is
+    the driver-query contract.
+
+    ``affected_subjects``: Dataset with a ``subj`` column (typically
+    the distinct subjects of both kg_delta directions).
+    ``prev_violations``: the previous snapshot's validator output
+    (same 5-column schema this module emits)."""
+    from ..shuffle import bindings_join
+
+    aff = affected_subjects.map_batches(
+        lambda df: df[["subj"]].drop_duplicates(),
+        batch_format="pandas",
+    )
+    # empty delta (schema-less Dataset) → no subject can change
+    # verdict: the previous violations ARE the new snapshot's
+    if aff.schema(fetch_if_missing=True) is None:
+        return prev_violations
+    scoped = bindings_join(
+        new_triples, aff, on=["subj"], how="semi",
+        num_buckets=num_buckets,
+    )
+    fresh = shacl_validate(
+        scoped, shapes, type_pred=type_pred, num_buckets=num_buckets
+    )
+    kept = bindings_join(
+        prev_violations, aff, on=["subj"], how="anti",
+        num_buckets=num_buckets,
+    ).map_batches(
+        # bindings_join's side-normalization widens n_values to object
+        # (documented dtype caveat) — restore int64 so the union with
+        # the fresh side keeps ONE schema
+        lambda df: df.assign(
+            n_values=pd.to_numeric(df["n_values"]).astype(np.int64)
+        ),
+        batch_format="pandas",
+    )
+    return kept.union(fresh)

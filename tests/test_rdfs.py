@@ -176,3 +176,69 @@ def test_shacl_validate_rejects_bad_shapes(ray_session):
             {"shape_id": "x", "target_class": "t", "pred": "q",
              "min_count": 1},
         ])
+
+
+def test_shacl_incremental_equals_full(ray_session):
+    from graphforge_ray.stages.shacl import (
+        shacl_validate,
+        shacl_validate_incremental,
+    )
+
+    shapes = [{"shape_id": "sv", "target_class": "s:T",
+               "pred": "p:v", "min_count": 1, "max_count": 2}]
+    base_rows = [
+        ("s:1", "rdf:type", "s:T"), ("s:2", "rdf:type", "s:T"),
+        ("s:3", "rdf:type", "s:T"),
+        ("s:1", "p:v", "a"),
+        # s:2 has none → minCount in base
+        ("s:3", "p:v", "a"), ("s:3", "p:v", "b"),
+    ]
+    # delta: s:2 gains a value (violation clears); s:3 gains a third
+    # (new maxCount); s:1 untouched (verdict must carry over unchanged)
+    new_rows = base_rows + [("s:2", "p:v", "x"), ("s:3", "p:v", "c")]
+    base = rd.from_pandas(
+        pd.DataFrame(base_rows, columns=["subj", "pred", "obj"])
+    ).repartition(2)
+    new = rd.from_pandas(
+        pd.DataFrame(new_rows, columns=["subj", "pred", "obj"])
+    ).repartition(3)
+    prev = shacl_validate(base, shapes)
+    affected = rd.from_pandas(pd.DataFrame({"subj": ["s:2", "s:3"]}))
+    inc = (
+        shacl_validate_incremental(new, shapes, affected, prev)
+        .to_pandas()
+        .sort_values(["subj", "shape_id"])
+        .reset_index(drop=True)
+    )
+    full = (
+        shacl_validate(new, shapes)
+        .to_pandas()
+        .sort_values(["subj", "shape_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(inc, full)
+    assert list(inc["subj"]) == ["s:3"]
+    assert inc.loc[0, "violation"] == "maxCount"
+
+
+def test_shacl_incremental_empty_delta_keeps_prev(ray_session):
+    from graphforge_ray.stages.shacl import (
+        shacl_validate,
+        shacl_validate_incremental,
+    )
+
+    shapes = [{"shape_id": "sv", "target_class": "s:T",
+               "pred": "p:v", "min_count": 2}]
+    rows = [("s:1", "rdf:type", "s:T"), ("s:1", "p:v", "a")]
+    ds = rd.from_pandas(
+        pd.DataFrame(rows, columns=["subj", "pred", "obj"])
+    )
+    prev = shacl_validate(ds, shapes)
+    affected = rd.from_pandas(
+        pd.DataFrame({"subj": pd.Series(dtype=object)})
+    )
+    inc = shacl_validate_incremental(
+        ds, shapes, affected, prev
+    ).to_pandas()
+    assert len(inc) == 1 and inc.loc[0, "subj"] == "s:1"
+    assert inc["n_values"].dtype == "int64"
