@@ -14,6 +14,8 @@ float equality is not a contract.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -2816,6 +2818,41 @@ SELECT doc_id,
             '[ \t\n\r\f\v\x{00A0}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+',
             ' ', 'g')) AS norm_text
 FROM d ORDER BY doc_id
+"""
+
+
+def q_docs_jsonl_roundtrip(sf_dir: str):
+    """JSONL source/sink roundtrip: documents → per-block .jsonl files
+    under a scratch dir → read back with a DECLARED schema → must equal
+    the parquet table (the oracle reads the parquet directly). Proves
+    null-safe typed parsing, atomic per-block files, and strict-JSON
+    output."""
+    import shutil
+    import tempfile
+
+    from ..sources.jsonl import read_jsonl, write_jsonl
+
+    docs = _t(sf_dir, "documents",
+              ["doc_id", "text", "lang", "source"])
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "graft_jsonl_rt",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_jsonl(docs, out_dir)
+    back = read_jsonl(
+        out_dir,
+        {"doc_id": "int64", "text": "str", "lang": "str",
+         "source": "str"},
+    ).to_pandas()
+    back["doc_id"] = back["doc_id"].astype(np.int64)
+    return back.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "text", "lang", "source"]
+    ]
+
+
+SQL_DOCS_JSONL_ROUNDTRIP = """
+SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id
 """
 
 
@@ -5714,6 +5751,7 @@ QUERIES = {
     "docs_dup_substrings": q_docs_dup_substrings,
     "docs_incremental_neardup": q_docs_incremental_neardup,
     "docs_gopher_rules": q_docs_gopher_rules,
+    "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
     "kg_sameas_canonical": q_kg_sameas_canonical,
     "kg_shacl_validate": q_kg_shacl_validate,
     "kg_shacl_incremental": q_kg_shacl_incremental,
@@ -5859,6 +5897,7 @@ ORACLES = {
     "docs_source_mixture": SQL_DOCS_SOURCE_MIXTURE,
     "docs_normalize": SQL_DOCS_NORMALIZE,
     "docs_gopher_rules": SQL_DOCS_GOPHER_RULES,
+    "docs_jsonl_roundtrip": SQL_DOCS_JSONL_ROUNDTRIP,
     "kg_sameas_canonical": SQL_KG_SAMEAS_CANONICAL,
     "kg_shacl_validate": SQL_KG_SHACL_VALIDATE,
     "kg_shacl_incremental": SQL_KG_SHACL_INCREMENTAL,

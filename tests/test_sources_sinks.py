@@ -214,3 +214,50 @@ def test_arrow_formatter_byte_identical_to_reference(ray_session):
         pa.Table.from_pandas(df3)
     ).to_pylist()
     assert got3 == ref3
+
+
+def test_jsonl_roundtrip_and_poison(ray_session, tmp_path):
+    import json as _json
+
+    import ray.data as rd
+
+    from graphforge_ray import metrics
+    from graphforge_ray.sources.jsonl import read_jsonl, write_jsonl
+
+    src = tmp_path / "in"
+    src.mkdir()
+    lines = [
+        _json.dumps({"doc_id": 1, "text": "hello", "score": 0.5}),
+        _json.dumps({"doc_id": 2, "text": None, "extra": "ignored"}),
+        _json.dumps({"doc_id": 3}),                     # missing keys
+        "{not json",                                     # poison
+        _json.dumps([1, 2, 3]),                          # not an object
+        "",
+    ]
+    (src / "a.jsonl").write_text("\n".join(lines))
+    fields = {"doc_id": "int64", "text": "str", "score": "float64"}
+    before = metrics.snapshot()
+    ds = read_jsonl(str(src / "a.jsonl"), fields)
+    got = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    after = metrics.snapshot()
+    assert len(got) == 3
+    assert got["doc_id"].tolist() == [1, 2, 3]
+    assert got.loc[0, "text"] == "hello" and pd.isna(got.loc[2, "text"])
+    assert got.loc[0, "score"] == 0.5 and pd.isna(got.loc[1, "score"])
+    assert metrics.delta(before, after).get("jsonl.bad_lines") == 2
+
+    out = tmp_path / "out"
+    acc = write_jsonl(ds, str(out))
+    assert acc["rows"] == 3
+    back = read_jsonl(
+        str(out), fields
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, got)
+
+    import ray
+
+    # strict mode surfaces through Ray's task-error wrapper
+    with pytest.raises(ray.exceptions.RayTaskError, match="bad JSONL"):
+        read_jsonl(str(src / "a.jsonl"), fields, strict=True).to_pandas()
+    with pytest.raises(ValueError, match="unsupported field types"):
+        read_jsonl(str(src / "a.jsonl"), {"x": "list"})
