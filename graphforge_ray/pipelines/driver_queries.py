@@ -3065,6 +3065,39 @@ def q_docs_compression_ratio(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_docs_weighted_sample(sf_dir: str):
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    exponential keys, md5-derived uniforms — fully deterministic and
+    reshard-stable): 40 documents drawn proportional to n_chars. The
+    oracle replays the EXACT rule — same md5, same 48-bit uniform, same
+    ln(u)/w key — and takes the same top-40."""
+    from ..stages.sampling import weighted_sample
+
+    docs = _t(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = weighted_sample(
+        docs, k=40, weight_col="n_chars", id_col="doc_id"
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "n_chars", "es_key"]
+    ]
+
+
+SQL_DOCS_WEIGHTED_SAMPLE = """
+WITH keys AS (
+    SELECT doc_id, n_chars,
+           ln((CAST(CONCAT('0x',
+                 substr(md5(CAST(doc_id AS VARCHAR) || ':graft-wsample'),
+                        1, 12)) AS BIGINT) + 1.0)
+              / 281474976710656.0) / n_chars AS es_key
+    FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, es_key FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS rn
+    FROM keys
+) WHERE rn <= 40 ORDER BY doc_id
+"""
+
+
 _MIX_WEIGHTS = {"src0": 2.5, "src1": 0.3, "src2": 2.0}
 _MIX_DEFAULT = 1.0
 
@@ -5759,6 +5792,7 @@ QUERIES = {
     "kg_predicate_profile": q_kg_predicate_profile,
     "docs_ngram_overlap": q_docs_ngram_overlap,
     "docs_compression_ratio": q_docs_compression_ratio,
+    "docs_weighted_sample": q_docs_weighted_sample,
     "ann_topk_multi": q_ann_topk_multi,
     "graph_ppr": q_graph_ppr,
     "graph_label_prop": q_graph_label_prop,
@@ -5904,6 +5938,7 @@ ORACLES = {
     "docs_domain_stats": SQL_DOCS_DOMAIN_STATS,
     "kg_predicate_profile": SQL_KG_PREDICATE_PROFILE,
     "docs_ngram_overlap": SQL_DOCS_NGRAM_OVERLAP,
+    "docs_weighted_sample": SQL_DOCS_WEIGHTED_SAMPLE,
     "ann_topk_multi": SQL_ANN_TOPK_MULTI,
     "graph_ppr": SQL_GRAPH_PPR,
     "graph_label_prop": SQL_GRAPH_LABEL_PROP,

@@ -29,7 +29,8 @@ from .fasthash import hex_prefix_int, md5_hex, md5_hex_keyed
 
 __all__ = ["hash_split_column", "hash_split", "deterministic_shuffle",
            "pack_sequences", "budget_select", "stratified_sample",
-           "source_mixture", "negative_sample", "global_rank"]
+           "source_mixture", "negative_sample", "global_rank",
+           "weighted_sample"]
 
 
 def _threshold_hex(test_pct: float) -> str:
@@ -624,4 +625,64 @@ def global_rank(
 
     return tagged.groupby("_bucket").map_groups(
         rank_bucket, batch_format="pandas"
+    )
+
+
+def weighted_sample(
+    docs: "ray.data.Dataset",
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "graft-wsample",
+    num_buckets: int = 8,
+) -> "ray.data.Dataset":
+    """Weighted sampling WITHOUT replacement, deterministic: the
+    Efraimidis–Spirakis exponential-keys method (Efraimidis & Spirakis
+    2006) with md5-derived uniforms — each row gets
+    ``es_key = ln(u) / w`` where ``u ∈ (0,1)`` comes from the first 12
+    hex digits of ``md5(id:salt)``; the k LARGEST keys (closest to 0)
+    are exactly a weight-proportional sample without replacement, and
+    the whole rule replays in SQL (same md5, same ln expression).
+    Reproducible across reshardings (keyed on id, not position).
+
+    Rows with weight ≤ 0 or null can never be drawn — dropped and
+    counted in metrics ``weighted_sample.nonpositive``. → the selected
+    rows with their ``es_key``, via the same partial-top-k combiner
+    shape as ``group_topk`` (≤ k rows leave each batch)."""
+    from .fasthash import hex_prefix_int, md5_hex_keyed
+    from .stats import group_topk
+
+    if k < 1:
+        raise ValueError(f"k must be ≥ 1: {k}")
+
+    def key_batch(df: pd.DataFrame) -> pd.DataFrame:
+        w = pd.to_numeric(df[weight_col], errors="coerce")
+        ok = (w > 0).fillna(False).to_numpy()
+        bad = int((~ok).sum())
+        if bad:
+            from .. import metrics
+
+            metrics.incr("weighted_sample.nonpositive", bad)
+        df = df.loc[ok].copy()
+        if df.empty:
+            df["es_key"] = pd.Series(dtype="float64")
+            df["_one"] = pd.Series(dtype="int8")
+            return df
+        hexes = md5_hex_keyed(df[id_col], salt)
+        u = hex_prefix_int(hexes, 12).astype(np.float64)
+        # (frac + 1) / 2^48: u ∈ (0, 1], never exactly 0 → ln finite
+        u = (u + 1.0) / float(1 << 48)
+        df["es_key"] = np.log(u) / pd.to_numeric(
+            df[weight_col]
+        ).to_numpy(np.float64)
+        df["_one"] = np.int8(0)
+        return df
+
+    keyed = docs.map_batches(key_batch, batch_format="pandas")
+    out = group_topk(
+        keyed, key="_one", score_col="es_key", k=k, id_col=id_col,
+        descending=True, num_buckets=num_buckets,
+    )
+    return out.map_batches(
+        lambda df: df.drop(columns=["_one"]), batch_format="pandas"
     )

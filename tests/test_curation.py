@@ -701,3 +701,44 @@ def test_ngram_overlap_rejects_bad_params(ray_session):
         ngram_overlap_flags(ds, ["p"], n=0)
     with pytest.raises(ValueError, match="bad threshold"):
         ngram_overlap_flags(ds, ["p"], threshold_den=0)
+
+
+def test_weighted_sample_proportional_and_deterministic(ray_session):
+    import ray.data as rd
+
+    from graphforge_ray import metrics
+    from graphforge_ray.stages.sampling import weighted_sample
+
+    n = 400
+    # half the ids carry 50x the weight → they should dominate the draw
+    df = pd.DataFrame(
+        {"doc_id": range(n),
+         "w": [50.0 if i % 2 == 0 else 1.0 for i in range(n)]}
+    )
+    ds = rd.from_pandas(df).repartition(5)
+    got = weighted_sample(ds, k=60, weight_col="w").to_pandas()
+    assert len(got) == 60
+    heavy = (got["doc_id"] % 2 == 0).sum()
+    assert heavy >= 50  # weight-proportional, not uniform
+    # deterministic + reshard-stable
+    again = weighted_sample(
+        rd.from_pandas(df).repartition(11), k=60, weight_col="w"
+    ).to_pandas()
+    assert sorted(got["doc_id"]) == sorted(again["doc_id"])
+
+    # nonpositive / null weights can never be drawn — counted
+    df2 = pd.DataFrame(
+        {"doc_id": range(10),
+         "w": [1.0] * 6 + [0.0, -1.0, np.nan, 2.0]}
+    )
+    before = metrics.snapshot()
+    got2 = weighted_sample(
+        rd.from_pandas(df2), k=10, weight_col="w"
+    ).to_pandas()
+    after = metrics.snapshot()
+    assert len(got2) == 7
+    assert not set(got2["doc_id"]) & {6, 7, 8}
+    assert metrics.delta(before, after).get(
+        "weighted_sample.nonpositive") == 3
+    with pytest.raises(ValueError, match="k must be"):
+        weighted_sample(rd.from_pandas(df2), k=0, weight_col="w")
