@@ -1599,6 +1599,94 @@ FROM docs2 d LEFT JOIN lab l ON l.doc_id = d.doc_id
 """
 
 
+def q_docs_dedup_survivors(sf_dir: str):
+    """The dedup pipeline's END step: near-dup clusters (minhash_dedup
+    over documents ∪ exact-dup probes) → keep the BEST-quality member
+    per cluster (quality = text length here; ties → min doc_id) with
+    the member count — minhash_dedup ∘ bindings_join ∘ group_topk.
+    The oracle extends the exact recursive-CTE clustering with the
+    same window-rank survivor rule."""
+    from ..shuffle import bindings_join
+    from ..stages.profile import group_distinct_count
+    from ..stages.stats import group_topk
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    probes = ds.filter(expr="doc_id < 25").map_batches(
+        lambda df: df.assign(doc_id=df["doc_id"] + 100000),
+        batch_format="pandas",
+    )
+    union = ds.union(probes)
+    clusters = minhash_dedup(union, threshold=0.8).map_batches(
+        lambda df: df[["doc_id", "cluster_id"]], batch_format="pandas"
+    )
+    qual = union.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64),
+                "quality": df["text"].fillna("").str.len().astype(
+                    np.int64
+                ),
+            }
+        ),
+        batch_format="pandas",
+    )
+    j = bindings_join(clusters, qual, on=["doc_id"]).map_batches(
+        # post-join dtype restore BEFORE the next bucket shuffle
+        # (numeric-key lesson, CLAUDE.md)
+        lambda df: df.assign(
+            doc_id=pd.to_numeric(df["doc_id"]).astype(np.int64),
+            cluster_id=pd.to_numeric(df["cluster_id"]).astype(np.int64),
+            quality=pd.to_numeric(df["quality"]).astype(np.int64),
+        ),
+        batch_format="pandas",
+    )
+    sur = group_topk(
+        j, key="cluster_id", score_col="quality", k=1, id_col="doc_id"
+    ).map_batches(
+        lambda df: df.rename(columns={"doc_id": "survivor"}),
+        batch_format="pandas",
+    )
+    counts = group_distinct_count(
+        clusters, "cluster_id", "doc_id"
+    ).map_batches(
+        lambda df: df.rename(columns={"n_distinct": "n_members"}),
+        batch_format="pandas",
+    )
+    out = bindings_join(sur, counts, on=["cluster_id"]).to_pandas()
+    for c in ("cluster_id", "survivor", "quality", "n_members"):
+        out[c] = pd.to_numeric(out[c]).astype(np.int64)
+    return out.sort_values("cluster_id").reset_index(drop=True)[
+        ["cluster_id", "survivor", "quality", "n_members"]
+    ]
+
+
+# survivor oracle = the exact clustering CTEs of SQL_DOCS_MINHASH_DEDUP
+# + the same window-rank survivor rule (quality desc, id asc)
+SQL_DOCS_DEDUP_SURVIVORS = (
+    SQL_DOCS_MINHASH_DEDUP[
+        : SQL_DOCS_MINHASH_DEDUP.index("SELECT d.doc_id,")
+    ].rstrip().rstrip(")").rstrip()
+    + """
+),
+mem AS (
+    SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+           CAST(length(COALESCE(d.text, '')) AS BIGINT) AS quality
+    FROM docs2 d LEFT JOIN lab l ON l.doc_id = d.doc_id
+),
+sur AS (
+    SELECT cluster_id, doc_id, quality,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                              ORDER BY quality DESC, doc_id) AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS n_members
+    FROM mem
+)
+SELECT cluster_id, doc_id AS survivor, quality, n_members
+FROM sur WHERE rn = 1 ORDER BY cluster_id
+"""
+)
+
+
 def q_docs_simhash(sf_dir: str):
     """64-bit SimHash per document (hex string for portability)."""
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
@@ -5793,6 +5881,7 @@ QUERIES = {
     "docs_ngram_overlap": q_docs_ngram_overlap,
     "docs_compression_ratio": q_docs_compression_ratio,
     "docs_weighted_sample": q_docs_weighted_sample,
+    "docs_dedup_survivors": q_docs_dedup_survivors,
     "ann_topk_multi": q_ann_topk_multi,
     "graph_ppr": q_graph_ppr,
     "graph_label_prop": q_graph_label_prop,
@@ -5939,6 +6028,7 @@ ORACLES = {
     "kg_predicate_profile": SQL_KG_PREDICATE_PROFILE,
     "docs_ngram_overlap": SQL_DOCS_NGRAM_OVERLAP,
     "docs_weighted_sample": SQL_DOCS_WEIGHTED_SAMPLE,
+    "docs_dedup_survivors": SQL_DOCS_DEDUP_SURVIVORS,
     "ann_topk_multi": SQL_ANN_TOPK_MULTI,
     "graph_ppr": SQL_GRAPH_PPR,
     "graph_label_prop": SQL_GRAPH_LABEL_PROP,
