@@ -3033,3 +3033,99 @@ def run_describe(
         )
     out = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
     return dedup_pairs(out, cols=("subj", "pred", "obj"), num_buckets=16)
+
+
+def explain_select(
+    query: str,
+    prefixes: dict[str, str] | None = None,
+) -> str:
+    """Compile a SELECT query and render its logical plan as text —
+    what a user inspects before paying for a distributed run. Pure
+    compile-time (no Ray session, no execution); one line per operator
+    in evaluation order, annotated with the physical strategy each
+    construct maps to (bindings_join bucket shuffle, closure loop,
+    distributed groupby, Dataset.sort top-k …)."""
+    q = compile_select(query, prefixes)
+    lines: list[str] = []
+
+    def term(t) -> str:
+        if isinstance(t, PathExpr):
+            return f"path[{t.op}]({', '.join(map(str, t.preds))})"
+        return str(t)
+
+    def pat_lines(pats, indent="  "):
+        for s, p, o in pats:
+            kind = (
+                "closure loop (semi-naive / path-doubling)"
+                if isinstance(p, PathExpr)
+                and p.op in ("plus", "star", "opt")
+                else "pattern scan + bindings_join on shared vars"
+            )
+            lines.append(f"{indent}{term(s)} {term(p)} {term(o)}"
+                         f"   -> {kind}")
+
+    lines.append(f"SELECT {'DISTINCT ' if q.distinct else ''}"
+                 + (" ".join(q.variables) if q.variables else "*"))
+    if q.patterns:
+        lines.append("WHERE basic graph patterns:")
+        pat_lines(q.patterns)
+    for gterm, pats, gfilters, gopts in q.graph_groups:
+        lines.append(f"GRAPH {gterm}: (graph-scoped triple source)")
+        pat_lines(pats, "    ")
+        for f in gfilters:
+            lines.append(f"    FILTER {f[0]} {f[1]} …")
+        for opats, _of, _nested in gopts:
+            lines.append("    OPTIONAL (left-outer bucket join):")
+            pat_lines(opats, "      ")
+    for vars_, rows in q.values_groups:
+        lines.append(
+            f"VALUES ({' '.join(vars_)}): {len(rows)} inline rows "
+            "(broadcast semi-join)"
+        )
+    for tgt, _expr in q.binds:
+        lines.append(f"BIND(… AS {tgt})   -> map-side expression")
+    for opats, _ofil, nested in q.optionals:
+        lines.append("OPTIONAL (left-outer bucket join):")
+        pat_lines(opats, "    ")
+        for npats, _nf, _nn in nested:
+            lines.append("    nested OPTIONAL:")
+            pat_lines(npats, "      ")
+    for branch in q.union_groups:
+        lines.append("UNION branch:")
+        pat_lines(branch[0], "    ")
+    for pats, negated in q.exists_filters:
+        lines.append(
+            f"FILTER {'NOT ' if negated else ''}EXISTS "
+            f"({'anti' if negated else 'semi'} bucket join):"
+        )
+        pat_lines(pats, "    ")
+    for pats in q.minus_groups:
+        lines.append("MINUS (anti bucket join):")
+        pat_lines(pats, "    ")
+    for f in q.filters:
+        lines.append(f"FILTER {f[0]} {f[1]} …   -> vectorized mask")
+    for sub in q.subselects:
+        lines.append(
+            f"SUBSELECT {{ {sub[:50]}… }} (recursive compile + join)"
+        )
+    if q.aggregates:
+        aggs = ", ".join(f"{f}({v}) AS {a}" for f, v, a in q.aggregates)
+        lines.append(
+            f"AGGREGATE [{aggs}] GROUP BY "
+            f"{' '.join(q.group_by) if q.group_by else '(all)'}"
+            "   -> distributed groupby().aggregate()"
+        )
+    for h in q.having:
+        lines.append(f"HAVING {h[0]} {h[1]} …   -> post-aggregate filter")
+    if q.order_by:
+        keys = ", ".join(
+            f"{v} {'DESC' if d else 'ASC'}" for v, d in q.order_by
+        )
+        strat = ("distributed top-k (sort + limit)"
+                 if q.limit is not None else "full Dataset.sort")
+        lines.append(f"ORDER BY {keys}   -> {strat}")
+    if q.limit is not None:
+        lines.append(f"LIMIT {q.limit}")
+    if q.offset:
+        lines.append(f"OFFSET {q.offset} (collect=True only)")
+    return "\n".join(lines)

@@ -2065,3 +2065,36 @@ def test_unsupported_projection_refused_loudly(triples_ds):
         compile_select(
             "SELECT (SUM(DISTINCT STRLEN(?a)) AS ?t) WHERE { ?s ?p ?a }"
         )
+
+
+def test_explain_select_renders_plan():
+    from graphforge_ray.query.sparql import explain_select
+
+    plan = explain_select(
+        "SELECT DISTINCT ?s WHERE { ?s <e/childOf>+ ?a . "
+        "?s <e/name> ?o . OPTIONAL { ?s <e/alias> ?al } "
+        "FILTER (?o > 3) MINUS { ?s <e/bad> ?x } } "
+        "ORDER BY ?s LIMIT 5"
+    )
+    assert plan.startswith("SELECT DISTINCT s")
+    assert "closure loop" in plan
+    assert "bindings_join" in plan
+    assert "OPTIONAL (left-outer bucket join):" in plan
+    assert "MINUS (anti bucket join):" in plan
+    assert "vectorized mask" in plan
+    assert "distributed top-k" in plan
+    # compile-time only: no ray session, no execution — this test runs
+    # without the ray_session fixture on purpose
+
+
+def test_explain_select_aggregate_and_graph():
+    from graphforge_ray.query.sparql import explain_select
+
+    plan = explain_select(
+        "SELECT ?p (COUNT(?s) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } } "
+        "GROUP BY ?p HAVING (?n > 2) ORDER BY DESC(?n)"
+    )
+    assert "GRAPH ?g" in plan
+    assert "distributed groupby().aggregate()" in plan
+    assert "post-aggregate filter" in plan
+    assert "full Dataset.sort" in plan  # no LIMIT → full sort
