@@ -53,6 +53,7 @@ def run_update_pipeline(
     ontology: "ray.data.Dataset | None" = None,
     ontology_fingerprint: str | None = None,
     write_nt: bool = True,
+    shapes: list[dict] | None = None,
 ) -> StageRunner:
     """``base_dir`` is a completed ``run_forge_pipeline`` output root
     (its ``canonical/`` stage is the old snapshot). Returns the update
@@ -144,6 +145,58 @@ def run_update_pipeline(
             "neardup",
             sorted(new_texts + _parquet_under(base_index)),
             build_neardup,
+        )
+
+    # stage 2c (optional): SHACL gate over the new snapshot. When the
+    # base run carries a prior report (validated/), revalidation is
+    # INCREMENTAL — only delta-touched subjects recompute (cardinality
+    # verdicts are subject-scoped); a first run validates in full.
+    # Each run writes its own validated/ so the NEXT update can go
+    # incremental.
+    if shapes is not None:
+        import hashlib as _hashlib
+        import json as _json
+
+        shapes_fp = _hashlib.md5(
+            _json.dumps(shapes, sort_keys=True).encode()
+        ).hexdigest()
+        prev_report = _parquet_under(os.path.join(base_dir, "validated"))
+
+        def build_validated(tmp_dir):
+            from ..stages.shacl import (
+                shacl_validate,
+                shacl_validate_incremental,
+            )
+
+            new = ray.data.read_parquet(
+                new_canonical, columns=["subj", "pred", "obj"]
+            )
+            delta_files = _parquet_under(runner.stage_dir("delta"))
+            if prev_report and not delta_files:
+                # no-change day: the previous report IS today's
+                v = ray.data.read_parquet(prev_report)
+            elif prev_report:
+                affected = ray.data.read_parquet(
+                    delta_files, columns=["subj"]
+                )
+                prev = ray.data.read_parquet(prev_report)
+                v = shacl_validate_incremental(
+                    new, shapes, affected, prev
+                )
+            else:
+                v = shacl_validate(new, shapes)
+            v = v.materialize()
+            n = v.count()
+            if n:
+                v.write_parquet(tmp_dir)
+            return n, {"violations": int(n)}
+
+        runner.run(
+            "validated",
+            sorted(new_canonical + prev_report
+                   + _parquet_under(runner.stage_dir("delta"))),
+            build_validated,
+            params={"shapes": shapes_fp},
         )
 
     # stage 3 (optional): closed new graph

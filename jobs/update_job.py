@@ -39,6 +39,10 @@ def main() -> int:
     ap.add_argument("--ontology", default=None,
                     help="optional (subj, pred, obj) parquet of RDFS "
                          "schema triples — adds the `entailed` stage")
+    ap.add_argument("--shapes", default=None,
+                    help="JSON file of SHACL cardinality shapes; adds "
+                         "the 'validated' stage (incremental when the "
+                         "base run carries a validated/ report)")
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--no-ntriples", action="store_true")
     args = ap.parse_args()
@@ -67,6 +71,13 @@ def main() -> int:
         onto_fp = fingerprint_paths(sorted(glob.glob(args.ontology))
                                     or [args.ontology])
 
+    shapes = None
+    if args.shapes:
+        import json as _json
+
+        with open(args.shapes) as f:
+            shapes = _json.load(f)
+
     runner = run_update_pipeline(
         inputs,
         args.base,
@@ -74,11 +85,13 @@ def main() -> int:
         ontology=ontology,
         ontology_fingerprint=onto_fp,
         write_nt=not args.no_ntriples,
+        shapes=shapes,
     )
 
     from graphforge_ray.state.manifest import StageManifest
 
     stages = ["delta"] + (["entailed"] if ontology is not None else []) \
+        + (["validated"] if shapes is not None else []) \
         + ([] if args.no_ntriples else ["publish"])
     report = {"log": runner.log, "stages": {}}
     ok = True

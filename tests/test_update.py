@@ -268,3 +268,70 @@ def test_probe_band_index_matches_bruteforce(ray_session, tmp_path):
     assert list(zip(got["id_a"], got["id_b"])) == want
     assert (100 in {a for a, _ in want}
             or 100 in {b for _, b in want})  # planted dup surfaced
+
+
+def test_update_validated_stage_incremental_equals_full(base_run):
+    from graphforge_ray.stages.shacl import shacl_validate
+
+    root, pages_v1, base, pages_v2 = base_run
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+    base_tri = rd.read_parquet(
+        _pq(os.path.join(base, "canonical")),
+        columns=["subj", "pred", "obj"],
+    )
+    # derive a live target class from the forged KG itself
+    classes = (
+        base_tri.to_pandas()
+        .query("pred == @rdf_type")["obj"]
+        .value_counts()
+    )
+    assert len(classes) > 0
+    shapes = [{
+        "shape_id": "sh_m",
+        "target_class": classes.index[0],
+        "pred": "http://graft.example/vocab#mentions",
+        "min_count": 3,
+    }]
+
+    # seed the base run with its own validation report, so the update
+    # takes the INCREMENTAL path
+    prev_dir = os.path.join(base, "validated")
+    os.makedirs(prev_dir, exist_ok=True)
+    shacl_validate(base_tri, shapes).write_parquet(prev_dir)
+
+    out = str(root / "upd_validated")
+    runner = run_update_pipeline(
+        pages_v2, base, out, write_nt=False, shapes=shapes
+    )
+    assert any(l.startswith("ran validated") for l in runner.log), (
+        runner.log
+    )
+    got = (
+        rd.read_parquet(_pq(os.path.join(out, "validated")))
+        .to_pandas()
+        .sort_values(["subj", "shape_id"])
+        .reset_index(drop=True)
+    )
+    new_tri = rd.read_parquet(
+        _pq(os.path.join(out, "snapshot", "canonical")),
+        columns=["subj", "pred", "obj"],
+    )
+    full = (
+        shacl_validate(new_tri, shapes)
+        .to_pandas()
+        .sort_values(["subj", "shape_id"])
+        .reset_index(drop=True)
+    )
+    assert len(full) > 0  # the gate actually fires on this corpus
+    pd.testing.assert_frame_equal(
+        got[full.columns].astype({"n_values": "int64"}),
+        full.astype({"n_values": "int64"}),
+    )
+    # resume probe: same inputs + same shapes → skip
+    r2 = run_update_pipeline(
+        pages_v2, base, out, write_nt=False, shapes=shapes
+    )
+    assert any(
+        l.startswith("skip validated") for l in r2.log
+    ), r2.log
