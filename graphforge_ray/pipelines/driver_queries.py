@@ -3873,6 +3873,28 @@ FROM customer
 """
 
 
+def q_sparql_graph_minus(sf_dir: str):
+    """MINUS inside GRAPH ?g (r5): the anti-join is scoped to the named
+    graph — tier quads exist only for even custkeys (in the same graph),
+    so exactly the odd customers survive."""
+    from ..query.sparql import run_select
+
+    return run_select(
+        _customer_quads(sf_dir),
+        f"SELECT ?g ?s ?o WHERE {{ GRAPH ?g {{ "
+        f"?s <{VOCAB_INNATION}> ?o . "
+        f"MINUS {{ ?s <{VOCAB_TIER}> ?t }} }} }}",
+    )
+
+
+SQL_SPARQL_GRAPH_MINUS = """
+SELECT 'graph:' || c_mktsegment AS g,
+       'cust:' || CAST(c_custkey AS VARCHAR) AS s,
+       'nation:' || CAST(c_nationkey AS VARCHAR) AS o
+FROM customer WHERE c_custkey % 2 = 1
+"""
+
+
 def q_sparql_zeroone_path(sf_dir: str):
     """Zero-or-one path ``childOf?``: single hops ∪ reflexive pairs over
     the nodes incident to childOf edges (set semantics)."""
@@ -5888,6 +5910,7 @@ QUERIES = {
     "nation_full_outer": q_nation_full_outer,
     "sparql_graph_filter": q_sparql_graph_filter,
     "sparql_graph_optional": q_sparql_graph_optional,
+    "sparql_graph_minus": q_sparql_graph_minus,
     "sparql_group_agg_dataset": q_sparql_group_agg_dataset,
     "sparql_orderby_dataset": q_sparql_orderby_dataset,
     "sparql_neg_inverse": q_sparql_neg_inverse,
@@ -6066,6 +6089,7 @@ ORACLES = {
     "sparql_graph_var": SQL_SPARQL_GRAPH_VAR,
     "sparql_graph_filter": SQL_SPARQL_GRAPH_FILTER,
     "sparql_graph_optional": SQL_SPARQL_GRAPH_OPTIONAL,
+    "sparql_graph_minus": SQL_SPARQL_GRAPH_MINUS,
     "sparql_graph_const": SQL_SPARQL_GRAPH_CONST,
     "sparql_zeroone_path": SQL_SPARQL_ZEROONE_PATH,
     "sparql_neg_path": SQL_SPARQL_NEG_PATH,

@@ -847,9 +847,9 @@ def _guard_cross_scopes(body: str) -> None:
          (("OPTIONAL", _OPTIONAL_KW), ("GRAPH", _GRAPH_KW))),
         ("FILTER EXISTS", _EXISTS_KW,
          (("OPTIONAL", _OPTIONAL_KW), ("GRAPH", _GRAPH_KW))),
-        # OPTIONAL inside GRAPH is scope-correct since r5 (evaluated
-        # inside the graph scope) — only MINUS remains unimplemented
-        ("GRAPH", _GRAPH_KW, (("MINUS", _MINUS_KW),)),
+        # OPTIONAL and MINUS inside GRAPH are scope-correct since r5
+        # (both evaluate inside the graph scope; the graph-group parse
+        # guards their own nesting combinations)
         ("OPTIONAL", _OPTIONAL_KW, (("GRAPH", _GRAPH_KW),)),
     )
     for outer, orx, inner_checks in checks:
@@ -1418,22 +1418,45 @@ def compile_select(
             offset=_tail_offset(tail, query),
         )
 
-    # GRAPH groups (quad scoping): brace-scan cut first. FILTER and
-    # OPTIONAL compose inside GRAPH { } (r4 verdict item #2): OPTIONAL
-    # groups are cut first (their bodies may hold their own FILTERs),
-    # then graph-scoped FILTERs, then the plain patterns. Both evaluate
-    # INSIDE the graph scope (SPARQL: GRAPH applies to every enclosed
-    # pattern). VALUES / BIND / MINUS stay loud refusals.
+    # GRAPH groups (quad scoping): brace-scan cut first. FILTER,
+    # OPTIONAL and MINUS compose inside GRAPH { } (r4 verdict item #2
+    # + r5): MINUS groups are cut first (their balanced bodies are
+    # guarded against nested groups), then OPTIONAL groups (their
+    # bodies may hold their own FILTERs), then graph-scoped FILTERs,
+    # then the plain patterns. All evaluate INSIDE the graph scope
+    # (SPARQL: GRAPH applies to every enclosed pattern). VALUES / BIND
+    # stay loud refusals.
     graph_groups_parsed: list[tuple] = []
     graph_raw, body = _cut_keyword_groups(body, _GRAPH_KW)
     for gm, inner in graph_raw:
+        # a MINUS nested inside an OPTIONAL body would be hoisted by
+        # the sequential cuts below — refuse before cutting
+        for _m, opt_body in _cut_keyword_groups(inner, _OPTIONAL_KW)[0]:
+            if _MINUS_KW.search(opt_body):
+                raise ValueError(
+                    "MINUS inside an OPTIONAL inside GRAPH { } is not "
+                    "supported (group scoping would be silently lost)"
+                )
+        g_minus_raw, inner = _cut_keyword_groups(inner, _MINUS_KW)
+        g_minus: list[list] = []
+        for _mm, mbody in g_minus_raw:
+            for rx, nm in (
+                (_OPTIONAL_KW, "OPTIONAL"), (_GRAPH_KW, "GRAPH"),
+                (_MINUS_KW, "MINUS"), (_FILTER_TOKEN, "FILTER"),
+            ):
+                if rx.search(mbody):
+                    raise ValueError(
+                        f"{nm} inside a graph-scoped MINUS body is not "
+                        "supported; use plain triple patterns"
+                    )
+            g_minus.append(_parse_patterns(mbody, decl))
         g_opt_raw, inner = _cut_keyword_groups(inner, _OPTIONAL_KW)
         g_optionals = [
             _parse_optional_group(t, decl, extract_filters)
             for _m, t in g_opt_raw
         ]
         for rx, nm in (
-            (_VALUES, "VALUES"), (_BIND, "BIND"), (_MINUS, "MINUS"),
+            (_VALUES, "VALUES"), (_BIND, "BIND"),
         ):
             if rx.search(inner):
                 raise ValueError(
@@ -1449,7 +1472,8 @@ def compile_select(
         gtok = gm.group(1)
         gterm = gtok if gtok.startswith("?") else _term(gtok, decl)
         graph_groups_parsed.append(
-            (gterm, _parse_patterns(inner, decl), g_filters, g_optionals)
+            (gterm, _parse_patterns(inner, decl), g_filters, g_optionals,
+             g_minus)
         )
 
     # OPTIONAL groups: brace scan (nesting supported), cut BEFORE the
@@ -2516,11 +2540,13 @@ def _eval_where(
     # GRAPH <g> { … } / GRAPH ?g { … } groups: quad-scoped BGPs, joined
     # into the outer bindings on shared variables (a variable graph
     # term binds the graph column like any other variable). Group-scoped
-    # OPTIONALs evaluate inside the SAME graph scope; group-scoped
-    # FILTERs apply to the group solution before it joins outward.
+    # OPTIONALs and MINUS groups evaluate inside the SAME graph scope
+    # (a variable graph term is itself a shared column of the MINUS
+    # anti-join, giving per-graph removal); group-scoped FILTERs apply
+    # to the group solution before it joins outward.
     from ..shuffle import bindings_join as _bjoin
 
-    for gterm, gpatterns, gfilters, goptionals in q.graph_groups:
+    for gterm, gpatterns, gfilters, goptionals, gminus in q.graph_groups:
         part = _eval_patterns(
             triples, gpatterns, meta_vars, graph_term=gterm
         )
@@ -2538,6 +2564,22 @@ def _eval_where(
                     df, list(_f)),
                 batch_format="pandas",
             )
+        for mpats in gminus:
+            m_b = _eval_patterns(
+                triples, mpats, meta_vars, graph_term=gterm
+            )
+            if m_b is None:
+                raise ValueError("empty MINUS group inside GRAPH")
+            shared = sorted(
+                set(part.schema().names) & set(m_b.schema().names)
+            )
+            if not shared:
+                continue  # MINUS over disjoint variables removes nothing
+            m_b = m_b.map_batches(
+                lambda df, _s=tuple(shared): df[list(_s)],
+                batch_format="pandas",
+            )
+            part = _bjoin(part, m_b, on=shared, how="anti")
         if bindings is None:
             bindings = part
             continue
@@ -3069,7 +3111,7 @@ def explain_select(
     if q.patterns:
         lines.append("WHERE basic graph patterns:")
         pat_lines(q.patterns)
-    for gterm, pats, gfilters, gopts in q.graph_groups:
+    for gterm, pats, gfilters, gopts, gminus in q.graph_groups:
         lines.append(f"GRAPH {gterm}: (graph-scoped triple source)")
         pat_lines(pats, "    ")
         for f in gfilters:
@@ -3077,6 +3119,9 @@ def explain_select(
         for opats, _of, _nested in gopts:
             lines.append("    OPTIONAL (left-outer bucket join):")
             pat_lines(opats, "      ")
+        for mpats in gminus:
+            lines.append("    MINUS (graph-scoped anti bucket join):")
+            pat_lines(mpats, "      ")
     for vars_, rows in q.values_groups:
         lines.append(
             f"VALUES ({' '.join(vars_)}): {len(rows)} inline rows "

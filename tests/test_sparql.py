@@ -1487,6 +1487,64 @@ def test_graph_group_optional_inside(quad_triples):
     }
 
 
+def test_graph_group_minus_inside_var(quad_triples):
+    # r5: MINUS inside GRAPH ?g — per-graph anti-join (the graph var is
+    # itself a shared column): e/a has an e/p row in BOTH graphs but a
+    # q-companion in neither; e/c's e/q row lives in g/two, so a minus
+    # on ?s <e/q> ?x removes nothing here (no shared subject) …
+    out = run_select(
+        quad_triples,
+        "SELECT ?g ?s WHERE { GRAPH ?g { ?s <e/p> ?o . "
+        "MINUS { ?s <e/q> ?x } } }",
+    )
+    assert set(zip(out["g"], out["s"])) == {
+        ("g/one", "e/a"), ("g/one", "e/b"), ("g/two", "e/a")
+    }
+
+
+def test_graph_group_minus_scoped_to_graph(quad_edges):
+    # subjects linking to n/c: n/b in g/one, n/a in g/two. The minus
+    # removes per (graph, subject): g/one keeps n/a→n/b (the n/a→n/c
+    # edge is g/two-only — graph scoping), g/two keeps nothing, the
+    # default-graph row never appears under GRAPH ?g.
+    out = run_select(
+        quad_edges,
+        "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s <e/link> ?o . "
+        "MINUS { ?s <e/link> \"n/c\" } } }",
+    )
+    got = set(zip(out["g"], out["s"], out["o"]))
+    assert got == {("g/one", "n/a", "n/b")}
+
+
+def test_graph_group_minus_const(quad_triples):
+    out = run_select(
+        quad_triples,
+        "SELECT ?s WHERE { GRAPH <g/two> { ?s ?p ?o . "
+        "MINUS { ?s <e/q> ?x } } }",
+    )
+    assert set(out["s"]) == {"e/a"}
+
+
+def test_graph_group_minus_in_optional_refused(quad_triples):
+    with pytest.raises(ValueError, match="MINUS inside an OPTIONAL"):
+        run_select(
+            quad_triples,
+            "SELECT ?s WHERE { GRAPH ?g { ?s <e/p> ?o . "
+            "OPTIONAL { ?s <e/q> ?x . MINUS { ?s <e/p> ?y } } } }",
+        )
+
+
+def test_graph_group_minus_nested_group_refused(quad_triples):
+    # the global cross-scope guard fires first (OPTIONAL inside MINUS);
+    # the graph-group parse's own body guard is the backstop
+    with pytest.raises(ValueError, match="MINUS"):
+        run_select(
+            quad_triples,
+            "SELECT ?s WHERE { GRAPH ?g { ?s <e/p> ?o . "
+            "MINUS { ?s <e/q> ?x . OPTIONAL { ?s <e/p> ?y } } } }",
+        )
+
+
 def test_graph_group_refuses_bind_values(quad_triples):
     for frag in ('BIND("x" AS ?b)', 'VALUES ?o { "1" }'):
         with pytest.raises(ValueError, match="GRAPH"):
@@ -1935,9 +1993,10 @@ def test_describe_prefixed_where(score_triples):
     # same hoist through FILTER EXISTS
     "SELECT * WHERE { ?s <p> ?v . FILTER EXISTS { ?s <r> ?x . "
     "OPTIONAL { ?x <t> ?y } } }",
-    # MINUS inside GRAPH (OPTIONAL inside GRAPH is scope-correct
-    # since r5 and compiles)
-    "SELECT * WHERE { GRAPH ?g { ?s <q> ?o . MINUS { ?s <z> ?w } } }",
+    # GRAPH nested inside a MINUS body (OPTIONAL and MINUS inside GRAPH
+    # are scope-correct since r5 and compile)
+    "SELECT * WHERE { ?s <p> ?v . MINUS { ?s <q> ?o . "
+    "GRAPH ?g { ?s <z> ?w } } }",
 ])
 def test_cross_scope_hoists_refused(query):
     from graphforge_ray.query.sparql import compile_select
