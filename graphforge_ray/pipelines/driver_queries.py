@@ -3873,6 +3873,142 @@ FROM customer
 """
 
 
+VOCAB_PARENTOF = "http://graft.example/vocab#parentOf"
+VOCAB_BILLTO = "http://graft.example/vocab#billTo"
+VOCAB_PHONE = "http://graft.example/vocab#phone"
+
+
+def q_kg_owl_entailment(sf_dir: str):
+    """OWL-RL property-axiom closure (prp-inv + prp-trp) over the part
+    childOf hierarchy: childOf is declared transitive with inverse
+    parentOf, so the result is the recursive closure plus its full
+    inverse image plus the axiom triples (stages/owl.owl_entail —
+    composite-keyed single-execution closure)."""
+    from ..stages.owl import OWL_INVERSE_OF, OWL_TRANSITIVE, RDF_TYPE, owl_entail
+
+    onto = pd.DataFrame(
+        [
+            (VOCAB_CHILDOF, OWL_INVERSE_OF, VOCAB_PARENTOF),
+            (VOCAB_CHILDOF, RDF_TYPE, OWL_TRANSITIVE),
+        ],
+        columns=["subj", "pred", "obj"],
+    )
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        child = df[df["p_partkey"] > 1]
+        return pd.DataFrame(
+            {
+                "subj": "part:" + child["p_partkey"].astype(str),
+                "pred": VOCAB_CHILDOF,
+                "obj": "part:" + (child["p_partkey"] // 2).astype(str),
+            }
+        )
+
+    triples = (
+        _t(sf_dir, "part", ["p_partkey"])
+        .map_batches(edges, batch_format="pandas")
+        .union(rd.from_pandas(onto))
+    )
+    return owl_entail(triples)
+
+
+SQL_KG_OWL_ENTAILMENT = """
+WITH RECURSIVE e AS (
+    SELECT 'part:' || CAST(p_partkey AS VARCHAR) AS s,
+           'part:' || CAST(p_partkey // 2 AS VARCHAR) AS o
+    FROM part WHERE p_partkey > 1
+), r(s, o) AS (
+    SELECT s, o FROM e
+    UNION
+    SELECT r.s, e.o FROM r JOIN e ON r.o = e.s
+)
+SELECT s AS subj, 'http://graft.example/vocab#childOf' AS pred,
+       o AS obj FROM r
+UNION
+SELECT o, 'http://graft.example/vocab#parentOf', s FROM r
+UNION
+SELECT 'http://graft.example/vocab#childOf',
+       'http://www.w3.org/2002/07/owl#inverseOf',
+       'http://graft.example/vocab#parentOf'
+UNION
+SELECT 'http://graft.example/vocab#childOf',
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+       'http://www.w3.org/2002/07/owl#TransitiveProperty'
+"""
+
+
+def q_kg_functional_sameas(sf_dir: str):
+    """owl:sameAs inference from property axioms: billTo is FUNCTIONAL
+    (two alias spellings of the bill-to customer per order co-refer)
+    and phone is INVERSE-FUNCTIONAL (customers sharing a phone value
+    co-refer, chained per group, not all-paired — stages/owl
+    .functional_sameas)."""
+    from ..stages.owl import (
+        OWL_FUNCTIONAL, OWL_INV_FUNCTIONAL, RDF_TYPE, functional_sameas,
+    )
+
+    onto = pd.DataFrame(
+        [
+            (VOCAB_BILLTO, RDF_TYPE, OWL_FUNCTIONAL),
+            (VOCAB_PHONE, RDF_TYPE, OWL_INV_FUNCTIONAL),
+        ],
+        columns=["subj", "pred", "obj"],
+    )
+
+    def order_aliases(df: pd.DataFrame) -> pd.DataFrame:
+        subj = "order:" + df["o_orderkey"].astype(str)
+        ck = df["o_custkey"].astype(str)
+        return pd.concat(
+            [
+                pd.DataFrame({"subj": subj, "pred": VOCAB_BILLTO,
+                              "obj": "cust:" + ck}),
+                pd.DataFrame({"subj": subj, "pred": VOCAB_BILLTO,
+                              "obj": "c/" + ck}),
+            ],
+            ignore_index=True,
+        )
+
+    def cust_phones(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "subj": "cust:" + df["c_custkey"].astype(str),
+                "pred": VOCAB_PHONE,
+                "obj": "phone:" + df["c_nationkey"].astype(str),
+            }
+        )
+
+    triples = (
+        _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        .map_batches(order_aliases, batch_format="pandas")
+        .union(
+            _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+                cust_phones, batch_format="pandas"
+            ),
+            rd.from_pandas(onto),
+        )
+    )
+    return functional_sameas(triples)
+
+
+SQL_KG_FUNCTIONAL_SAMEAS = """
+WITH fp AS (
+    SELECT DISTINCT 'c/' || CAST(o_custkey AS VARCHAR) AS subj,
+                    'cust:' || CAST(o_custkey AS VARCHAR) AS obj
+    FROM orders
+), iv AS (
+    SELECT DISTINCT 'phone:' || CAST(c_nationkey AS VARCHAR) AS k,
+                    'cust:' || CAST(c_custkey AS VARCHAR) AS v
+    FROM customer
+), lagd AS (
+    SELECT k, lag(v) OVER (PARTITION BY k ORDER BY v) AS pv, v FROM iv
+)
+SELECT subj, 'http://www.w3.org/2002/07/owl#sameAs' AS pred, obj FROM fp
+UNION
+SELECT pv, 'http://www.w3.org/2002/07/owl#sameAs', v
+FROM lagd WHERE pv IS NOT NULL
+"""
+
+
 def q_sparql_graph_minus(sf_dir: str):
     """MINUS inside GRAPH ?g (r5): the anti-join is scoped to the named
     graph — tier quads exist only for even custkeys (in the same graph),
@@ -5911,6 +6047,8 @@ QUERIES = {
     "sparql_graph_filter": q_sparql_graph_filter,
     "sparql_graph_optional": q_sparql_graph_optional,
     "sparql_graph_minus": q_sparql_graph_minus,
+    "kg_owl_entailment": q_kg_owl_entailment,
+    "kg_functional_sameas": q_kg_functional_sameas,
     "sparql_group_agg_dataset": q_sparql_group_agg_dataset,
     "sparql_orderby_dataset": q_sparql_orderby_dataset,
     "sparql_neg_inverse": q_sparql_neg_inverse,
@@ -6090,6 +6228,8 @@ ORACLES = {
     "sparql_graph_filter": SQL_SPARQL_GRAPH_FILTER,
     "sparql_graph_optional": SQL_SPARQL_GRAPH_OPTIONAL,
     "sparql_graph_minus": SQL_SPARQL_GRAPH_MINUS,
+    "kg_owl_entailment": SQL_KG_OWL_ENTAILMENT,
+    "kg_functional_sameas": SQL_KG_FUNCTIONAL_SAMEAS,
     "sparql_graph_const": SQL_SPARQL_GRAPH_CONST,
     "sparql_zeroone_path": SQL_SPARQL_ZEROONE_PATH,
     "sparql_neg_path": SQL_SPARQL_NEG_PATH,
