@@ -3873,6 +3873,67 @@ FROM customer
 """
 
 
+def q_docs_dsir_select(sf_dir: str):
+    """DSIR importance-resampling selection (Xie et al. 2023): hashed-
+    bigram unigram models for the TARGET (lang='en') vs the RAW corpus,
+    integer-quantized log-likelihood-ratio weights, deterministic top-k
+    (stages/dsir.dsir_select; the md5 feature rule, ln quantization and
+    integer dot are replayed verbatim in SQL)."""
+    from ..stages.dsir import dsir_select
+
+    return dsir_select(
+        _t(sf_dir, "documents", ["doc_id", "text", "lang"]),
+        target_expr="lang == 'en'",
+        k=300,
+        dim=256,
+    )
+
+
+SQL_DOCS_DSIR_SELECT = r"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           regexp_extract_all(COALESCE(text, ''), '\S+') AS ws,
+           CAST(len(regexp_extract_all(COALESCE(text, ''), '\S+'))
+                AS BIGINT) AS n
+    FROM documents
+),
+big AS (
+    SELECT doc_id, lang,
+           ws[CAST(s.i AS INT)] || ' ' || ws[CAST(s.i + 1 AS INT)] AS bg
+    FROM toks, unnest(generate_series(1, n - 1)) s(i)
+    WHERE n >= 2
+),
+hb AS (
+    SELECT doc_id, lang,
+           CAST(CONCAT('0x', substr(md5(bg), 1, 10)) AS BIGINT) % 256 AS f
+    FROM big
+),
+model AS (
+    SELECT f,
+           SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc,
+           COUNT(*) AS rc
+    FROM hb GROUP BY f
+),
+tot AS (SELECT SUM(tc) AS tsum, SUM(rc) AS rsum FROM model),
+lq AS (
+    SELECT f,
+           CAST(FLOOR((ln(tc + 1) - ln(tsum + 256)
+                       - ln(rc + 1) + ln(rsum + 256)) * 1e6) AS BIGINT)
+               AS q
+    FROM model, tot
+),
+wsum AS (
+    SELECT hb.doc_id, SUM(lq.q) AS w
+    FROM hb JOIN lq USING (f) GROUP BY hb.doc_id
+),
+allw AS (
+    SELECT d.doc_id, COALESCE(wsum.w, 0) AS w
+    FROM documents d LEFT JOIN wsum ON d.doc_id = wsum.doc_id
+)
+SELECT doc_id, w FROM allw ORDER BY w DESC, doc_id ASC LIMIT 300
+"""
+
+
 VOCAB_PARENTOF = "http://graft.example/vocab#parentOf"
 VOCAB_BILLTO = "http://graft.example/vocab#billTo"
 VOCAB_PHONE = "http://graft.example/vocab#phone"
@@ -6049,6 +6110,7 @@ QUERIES = {
     "sparql_graph_minus": q_sparql_graph_minus,
     "kg_owl_entailment": q_kg_owl_entailment,
     "kg_functional_sameas": q_kg_functional_sameas,
+    "docs_dsir_select": q_docs_dsir_select,
     "sparql_group_agg_dataset": q_sparql_group_agg_dataset,
     "sparql_orderby_dataset": q_sparql_orderby_dataset,
     "sparql_neg_inverse": q_sparql_neg_inverse,
@@ -6230,6 +6292,7 @@ ORACLES = {
     "sparql_graph_minus": SQL_SPARQL_GRAPH_MINUS,
     "kg_owl_entailment": SQL_KG_OWL_ENTAILMENT,
     "kg_functional_sameas": SQL_KG_FUNCTIONAL_SAMEAS,
+    "docs_dsir_select": SQL_DOCS_DSIR_SELECT,
     "sparql_graph_const": SQL_SPARQL_GRAPH_CONST,
     "sparql_zeroone_path": SQL_SPARQL_ZEROONE_PATH,
     "sparql_neg_path": SQL_SPARQL_NEG_PATH,
