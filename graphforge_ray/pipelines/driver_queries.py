@@ -3873,6 +3873,101 @@ FROM customer
 """
 
 
+def q_docs_ccnet_buckets(sf_dir: str):
+    """CCNet-style per-language quality bucketing (Wenzek et al. 2020):
+    corpus-trained bigram-LM scores → per-language head/middle/tail
+    NTILE(3) by descending score (stages/sampling.grouped_rank — one
+    composite (lang, score-bucket) shuffle, driver sees only the
+    langs×buckets histogram)."""
+    from ..shuffle import bindings_join
+    from ..stages.lm import bigram_logprob_scores
+    from ..stages.sampling import grouped_rank
+
+    scores = bigram_logprob_scores(
+        _t(sf_dir, "documents", ["doc_id", "text"])
+    )
+    langs = _t(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        lambda df: df[df["lang"].notna()], batch_format="pandas"
+    )
+    joined = bindings_join(scores, langs, on=["doc_id"]).map_batches(
+        # post-join dtype restore (bindings_join object-fills)
+        lambda df: pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "lm_score": df["lm_score"].astype("float64"),
+                "lang": df["lang"].astype(str),
+            }
+        ),
+        batch_format="pandas",
+    )
+    out = grouped_rank(
+        joined, "lm_score", "lang", id_col="doc_id",
+        descending=True, ntiles=3,
+    )
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "lang": df["lang"],
+                "lm_score": df["lm_score"].astype("float64"),
+                "rnk": df["rank"].astype("int64"),
+                "tile": df["ntile"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+SQL_DOCS_CCNET_BUCKETS = r"""
+WITH split AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'),
+                       w -> w <> '') AS ws
+    FROM documents
+),
+words AS (
+    SELECT doc_id, unnest(ws) AS w,
+           unnest(range(1, len(ws) + 1)) AS ord
+    FROM split
+),
+uni AS (SELECT w, COUNT(*) AS c1 FROM words GROUP BY w),
+vv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+bi AS (
+    SELECT a.w AS w1, b.w AS w2, COUNT(*) AS c2
+    FROM words a JOIN words b
+      ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+    GROUP BY a.w, b.w
+),
+docbi AS (
+    SELECT a.doc_id, a.w AS w1, b.w AS w2
+    FROM words a JOIN words b
+      ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+),
+lp AS (
+    SELECT d.doc_id,
+           ln((bi.c2 + 1.0) / (uni.c1 + (SELECT v FROM vv))) AS lp
+    FROM docbi d
+    JOIN bi ON bi.w1 = d.w1 AND bi.w2 = d.w2
+    JOIN uni ON uni.w = d.w1
+),
+means AS (
+    SELECT doc_id, FLOOR(AVG(lp) * 1e4) / 1e4 AS lm_score
+    FROM lp GROUP BY doc_id
+),
+scored AS (
+    SELECT d.doc_id, d.lang, COALESCE(m.lm_score, 0.0) AS lm_score
+    FROM documents d LEFT JOIN means m USING (doc_id)
+    WHERE d.lang IS NOT NULL
+)
+SELECT doc_id, lang, lm_score,
+       ROW_NUMBER() OVER (PARTITION BY lang
+                          ORDER BY lm_score DESC, doc_id) AS rnk,
+       NTILE(3) OVER (PARTITION BY lang
+                      ORDER BY lm_score DESC, doc_id) AS tile
+FROM scored
+"""
+
+
 def q_docs_dsir_select(sf_dir: str):
     """DSIR importance-resampling selection (Xie et al. 2023): hashed-
     bigram unigram models for the TARGET (lang='en') vs the RAW corpus,
@@ -6111,6 +6206,7 @@ QUERIES = {
     "kg_owl_entailment": q_kg_owl_entailment,
     "kg_functional_sameas": q_kg_functional_sameas,
     "docs_dsir_select": q_docs_dsir_select,
+    "docs_ccnet_buckets": q_docs_ccnet_buckets,
     "sparql_group_agg_dataset": q_sparql_group_agg_dataset,
     "sparql_orderby_dataset": q_sparql_orderby_dataset,
     "sparql_neg_inverse": q_sparql_neg_inverse,
@@ -6293,6 +6389,7 @@ ORACLES = {
     "kg_owl_entailment": SQL_KG_OWL_ENTAILMENT,
     "kg_functional_sameas": SQL_KG_FUNCTIONAL_SAMEAS,
     "docs_dsir_select": SQL_DOCS_DSIR_SELECT,
+    "docs_ccnet_buckets": SQL_DOCS_CCNET_BUCKETS,
     "sparql_graph_const": SQL_SPARQL_GRAPH_CONST,
     "sparql_zeroone_path": SQL_SPARQL_ZEROONE_PATH,
     "sparql_neg_path": SQL_SPARQL_NEG_PATH,

@@ -30,7 +30,7 @@ from .fasthash import hex_prefix_int, md5_hex, md5_hex_keyed
 __all__ = ["hash_split_column", "hash_split", "deterministic_shuffle",
            "pack_sequences", "budget_select", "stratified_sample",
            "source_mixture", "negative_sample", "global_rank",
-           "weighted_sample"]
+           "grouped_rank", "weighted_sample"]
 
 
 def _threshold_hex(test_pct: float) -> str:
@@ -624,6 +624,116 @@ def global_rank(
         return out
 
     return tagged.groupby("_bucket").map_groups(
+        rank_bucket, batch_format="pandas"
+    )
+
+
+def grouped_rank(
+    ds: "ray.data.Dataset",
+    score_col: str,
+    group_col: str,
+    id_col: str = "doc_id",
+    descending: bool = False,
+    ntiles: int | None = None,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Exact PER-GROUP rank by value → (id, group, score, rank
+    [, ntile]): ``rank`` is SQL ``ROW_NUMBER() OVER (PARTITION BY group
+    ORDER BY score [DESC], id)`` and ``ntile`` is ``NTILE(n)`` over the
+    same window — the CCNet-style per-language quality-bucket step.
+
+    Same no-global-sort protocol as ``global_rank``, generalized to a
+    composite (group, score-bucket) key: GLOBAL linspace bucket edges
+    are order-preserving within every group, the histogram the driver
+    sees is ≤ groups × num_buckets rows (reduced distributed first),
+    and ONE composite-key shuffle sorts each group×bucket cell
+    vectorized. A hot group spreads over num_buckets cells. Group
+    cardinality must be bounded (languages, sources — the per-group
+    totals dict is driver-held); null groups are dropped like SQL
+    PARTITION BY + pandas groupby both do."""
+    import ray as _ray
+
+    from ray.data.aggregate import Sum
+
+    if ntiles is not None and ntiles < 1:
+        raise ValueError(f"ntiles must be ≥ 1: {ntiles}")
+
+    stats = ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"mn": [df[score_col].min()], "mx": [df[score_col].max()]}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    if "mn" not in stats.columns:
+        raise ValueError("grouped_rank: no rows")
+    mn, mx = float(stats["mn"].min()), float(stats["mx"].max())
+    edges = np.linspace(mn, mx, num_buckets + 1)[1:-1]
+    cols = list(dict.fromkeys([id_col, group_col, score_col]))
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[group_col].notna()]
+        s = df[score_col].to_numpy(dtype=np.float64)
+        if np.isnan(s).any():
+            raise ValueError(
+                f"grouped_rank: NaN in {score_col!r} — filter or fill "
+                "nulls first (SQL NULLS FIRST/LAST is caller policy)"
+            )
+        b = np.digitize(s, edges)
+        if descending:
+            b = (num_buckets - 1) - b
+        gb = df[group_col].astype(str) + "\x1f" + pd.Series(
+            b, index=df.index).astype(str)
+        return df[cols].assign(_gb=gb.to_numpy(dtype=object))
+
+    tagged = ds.map_batches(tag, batch_format="pandas").materialize()
+
+    hist = (
+        tagged.map_batches(
+            lambda df: df.groupby("_gb", as_index=False)
+            .size().rename(columns={"size": "c"}),
+            batch_format="pandas",
+        )
+        .groupby("_gb")
+        .aggregate(Sum(on="c", alias_name="c"))
+        .to_pandas()  # ≤ groups × num_buckets rows
+    )
+    if "c" not in hist.columns or not len(hist):
+        raise ValueError("grouped_rank: no rows")
+    parts = hist["_gb"].str.split("\x1f", n=1, expand=True)
+    hist = hist.assign(_g=parts[0], _b=parts[1].astype(int)).sort_values(
+        ["_g", "_b"])
+    hist["base"] = hist.groupby("_g")["c"].cumsum() - hist["c"]
+    offsets = dict(zip(hist["_gb"], hist["base"].astype(np.int64)))
+    totals = hist.groupby("_g")["c"].sum().astype(np.int64).to_dict()
+    ref = _ray.put((offsets, totals))
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        offs, tots = _ray.get(ref)
+        gb = g["_gb"].iloc[0]
+        base = int(offs[gb])
+        total = int(tots[gb.split("\x1f", 1)[0]])
+        g = g.sort_values(
+            [score_col, id_col],
+            ascending=[not descending, True],
+            kind="mergesort",
+        )
+        out = g[cols].copy()
+        r = base + np.arange(1, len(g) + 1, dtype=np.int64)
+        out["rank"] = r
+        if ntiles is not None:
+            q, rem = divmod(total, ntiles)
+            if q == 0:
+                out["ntile"] = r
+            else:
+                cut = rem * (q + 1)
+                out["ntile"] = np.where(
+                    r <= cut,
+                    (r - 1) // (q + 1) + 1,
+                    rem + (r - 1 - cut) // q + 1,
+                ).astype(np.int64)
+        return out
+
+    return tagged.groupby("_gb").map_groups(
         rank_bucket, batch_format="pandas"
     )
 
