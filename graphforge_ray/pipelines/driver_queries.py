@@ -3873,6 +3873,126 @@ FROM customer
 """
 
 
+def q_kg_entity_resolution(sf_dir: str):
+    """E2E entity resolution — the KG-construction core loop: two
+    'sources' assert label triples for overlapping entities under
+    different spellings (pa:<name> vs pb:<name-with-e-dropped>), fuzzy
+    trigram-Jaccard matching (stages/resolve.fuzzy_name_join, exact
+    prefix filtering) emits owl:sameAs candidates, and
+    stages/canonicalize.sameas_canonicalize merges the identities and
+    rewrites the graph to canonical IRIs. The oracle replays the WHOLE
+    chain: trigram Jaccard → sameAs edges → recursive closure →
+    min-label canon → COALESCE rewrite → DISTINCT."""
+    from ..shuffle import bucket_tag
+    from ..stages.canonicalize import sameas_canonicalize
+    from ..stages.resolve import fuzzy_name_join
+
+    part = _t(sf_dir, "part", ["p_name"])
+
+    def distinct_names(ds, make):
+        def tag(df: pd.DataFrame) -> pd.DataFrame:
+            out = make(df).drop_duplicates()
+            return out.assign(_bucket=bucket_tag(out, out.columns[0], 16))
+
+        return (
+            ds.map_batches(tag, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(
+                lambda g: g.drop_duplicates(
+                    subset=[g.columns[0]]).drop(columns=["_bucket"]),
+                batch_format="pandas",
+            )
+        )
+
+    lnames = distinct_names(
+        part, lambda df: pd.DataFrame(
+            {"lid": df["p_name"], "l_name": df["p_name"]})
+    )
+    rnames = distinct_names(
+        part, lambda df: pd.DataFrame(
+            {"rid": df["p_name"].str.replace("e", "", regex=False)}
+        ).assign(r_name=lambda d: d["rid"])
+    )
+    matches = fuzzy_name_join(lnames, rnames, threshold=0.375)
+
+    a_triples = lnames.map_batches(
+        lambda df: pd.DataFrame(
+            {"subj": "pa:" + df["lid"], "pred": "p:label",
+             "obj": df["l_name"]}),
+        batch_format="pandas",
+    )
+    b_triples = rnames.map_batches(
+        lambda df: pd.DataFrame(
+            {"subj": "pb:" + df["rid"], "pred": "p:label",
+             "obj": df["r_name"]}),
+        batch_format="pandas",
+    )
+    sameas = matches.map_batches(
+        lambda df: pd.DataFrame(
+            {"subj": "pb:" + df["rid"].astype(str),
+             "pred": "owl:sameAs",
+             "obj": "pa:" + df["lid"].astype(str)}),
+        batch_format="pandas",
+    )
+    kg = a_triples.union(b_triples, sameas)
+    return sameas_canonicalize(kg, sameas_pred="owl:sameAs")
+
+
+SQL_KG_ENTITY_RESOLUTION = """
+WITH RECURSIVE
+ln AS (SELECT DISTINCT p_name nm FROM part),
+rn AS (SELECT DISTINCT replace(p_name, 'e', '') nm FROM part),
+lg AS (
+    SELECT DISTINCT nm, substr(nm, CAST(i AS INT), 3) g
+    FROM ln, unnest(generate_series(1, GREATEST(length(nm) - 2, 1))) t(i)
+),
+rg AS (
+    SELECT DISTINCT nm, substr(nm, CAST(i AS INT), 3) g
+    FROM rn, unnest(generate_series(1, GREATEST(length(nm) - 2, 1))) t(i)
+),
+ls AS (SELECT nm, COUNT(*) n FROM lg GROUP BY nm),
+rs AS (SELECT nm, COUNT(*) n FROM rg GROUP BY nm),
+inter AS (
+    SELECT a.nm lnm, b.nm rnm, COUNT(*) c
+    FROM lg a JOIN rg b ON a.g = b.g GROUP BY a.nm, b.nm
+),
+mt AS (
+    SELECT i.lnm, i.rnm
+    FROM inter i JOIN ls x ON i.lnm = x.nm JOIN rs y ON i.rnm = y.nm
+    WHERE FLOOR(CAST(i.c AS DOUBLE) / (x.n + y.n - i.c) * 1e6) / 1e6
+          >= 0.375
+),
+trip AS (
+    SELECT 'pa:' || nm AS subj, 'p:label' AS pred, nm AS obj FROM ln
+    UNION ALL
+    SELECT 'pb:' || nm, 'p:label', nm FROM rn
+    UNION ALL
+    SELECT 'pb:' || rnm, 'owl:sameAs', 'pa:' || lnm FROM mt
+),
+e AS (
+    SELECT subj AS x, obj AS y FROM trip WHERE pred = 'owl:sameAs'
+    UNION
+    SELECT obj, subj FROM trip WHERE pred = 'owl:sameAs'
+),
+rr(x, y) AS (
+    SELECT x, y FROM e
+    UNION
+    SELECT rr.x, e.y FROM rr JOIN e ON rr.y = e.x WHERE e.y <> rr.x
+),
+canon AS (
+    SELECT x AS node, LEAST(x, MIN(y)) AS label FROM rr GROUP BY x
+)
+SELECT DISTINCT
+    COALESCE(cs.label, t.subj) AS subj,
+    t.pred,
+    COALESCE(co.label, t.obj) AS obj
+FROM trip t
+LEFT JOIN canon cs ON cs.node = t.subj
+LEFT JOIN canon co ON co.node = t.obj
+WHERE t.pred <> 'owl:sameAs'
+"""
+
+
 def q_docs_ccnet_buckets(sf_dir: str):
     """CCNet-style per-language quality bucketing (Wenzek et al. 2020):
     corpus-trained bigram-LM scores → per-language head/middle/tail
@@ -6207,6 +6327,7 @@ QUERIES = {
     "kg_functional_sameas": q_kg_functional_sameas,
     "docs_dsir_select": q_docs_dsir_select,
     "docs_ccnet_buckets": q_docs_ccnet_buckets,
+    "kg_entity_resolution": q_kg_entity_resolution,
     "sparql_group_agg_dataset": q_sparql_group_agg_dataset,
     "sparql_orderby_dataset": q_sparql_orderby_dataset,
     "sparql_neg_inverse": q_sparql_neg_inverse,
@@ -6390,6 +6511,7 @@ ORACLES = {
     "kg_functional_sameas": SQL_KG_FUNCTIONAL_SAMEAS,
     "docs_dsir_select": SQL_DOCS_DSIR_SELECT,
     "docs_ccnet_buckets": SQL_DOCS_CCNET_BUCKETS,
+    "kg_entity_resolution": SQL_KG_ENTITY_RESOLUTION,
     "sparql_graph_const": SQL_SPARQL_GRAPH_CONST,
     "sparql_zeroone_path": SQL_SPARQL_ZEROONE_PATH,
     "sparql_neg_path": SQL_SPARQL_NEG_PATH,
