@@ -533,6 +533,89 @@ def _pagerank_sql(num_iters: int = 3) -> str:
 
 SQL_GRAPH_PAGERANK = _pagerank_sql(3)
 
+
+def q_graph_pagerank_warm(sf_dir: str):
+    """Warm-started PageRank — the incremental-maintenance path: ranks
+    of the BASE graph (edges with s % 5 != 0, 2 rounds) seed the
+    iteration over the FULL graph (2 more rounds); nodes new to the
+    full graph start at 1/N. Oracle: both phases unrolled in one SQL
+    chain."""
+    from ..stages.graph import pagerank
+
+    full = _part_graph_edges(sf_dir)
+    base = full.map_batches(
+        lambda df: df[df["s"] % 5 != 0], batch_format="pandas"
+    )
+    prior = pagerank(base, num_iters=2, damping=0.85)
+    ranks = pagerank(full, num_iters=2, damping=0.85, init_ranks=prior)
+    df = ranks.to_pandas()
+    df["rank"] = df["rank"].round(8)
+    return df.sort_values("node").reset_index(drop=True)[["node", "rank"]]
+
+
+def _pr_rounds(ctes: list, pfx: str, e: str, nodes: str, deg: str,
+               nn: str, r0: str, n: int) -> str:
+    """Append n unrolled power-iteration rounds over the given edge /
+    node / degree CTE names, starting from rank CTE ``r0``; returns the
+    final rank CTE name."""
+    prev = r0
+    for i in range(n):
+        cur = f"{pfx}{i + 1}"
+        ctes.append(
+            f"dm_{pfx}{i} AS (SELECT COALESCE(SUM({prev}.r), 0) AS dm "
+            f"FROM {prev} LEFT JOIN {deg} USING (node) "
+            f"WHERE {deg}.d IS NULL),"
+        )
+        ctes.append(
+            f"i_{pfx}{i} AS (SELECT {e}.o AS node, "
+            f"SUM({prev}.r / {deg}.d) AS m FROM {e} "
+            f"JOIN {prev} ON {prev}.node = {e}.s "
+            f"JOIN {deg} ON {deg}.node = {e}.s GROUP BY {e}.o),"
+        )
+        ctes.append(
+            f"{cur} AS (SELECT {nodes}.node, "
+            f"(1 - 0.85) / (SELECT n FROM {nn}) "
+            f"+ 0.85 * (COALESCE(i_{pfx}{i}.m, 0) "
+            f"+ (SELECT dm FROM dm_{pfx}{i}) / (SELECT n FROM {nn})) AS r "
+            f"FROM {nodes} LEFT JOIN i_{pfx}{i} "
+            f"ON i_{pfx}{i}.node = {nodes}.node),"
+        )
+        prev = cur
+    return prev
+
+
+def _pagerank_warm_sql(j: int = 2, k: int = 2) -> str:
+    """Two-phase unrolled oracle for q_graph_pagerank_warm: j rounds
+    over the base edge set seed k rounds over the full edge set (new
+    nodes COALESCE to 1/N_full)."""
+    ctes = [
+        f"WITH fe AS ({_PART_GRAPH_SQL}),",
+        "eb AS (SELECT * FROM fe WHERE s % 5 <> 0),",
+        "nodesb AS (SELECT s AS node FROM eb UNION SELECT o FROM eb),",
+        "degb AS (SELECT s AS node, COUNT(*) AS d FROM eb GROUP BY s),",
+        "nnb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodesb),",
+        "b0 AS (SELECT node, 1.0 / (SELECT n FROM nnb) AS r FROM nodesb),",
+    ]
+    last_b = _pr_rounds(ctes, "b", "eb", "nodesb", "degb", "nnb", "b0", j)
+    ctes += [
+        "nodes AS (SELECT s AS node FROM fe UNION SELECT o FROM fe),",
+        "deg AS (SELECT s AS node, COUNT(*) AS d FROM fe GROUP BY s),",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),",
+        f"w0 AS (SELECT nodes.node, COALESCE({last_b}.r, "
+        f"1.0 / (SELECT n FROM nn)) AS r FROM nodes "
+        f"LEFT JOIN {last_b} ON {last_b}.node = nodes.node),",
+    ]
+    last_w = _pr_rounds(ctes, "w", "fe", "nodes", "deg", "nn", "w0", k)
+    ctes[-1] = ctes[-1].rstrip(",")
+    return (
+        "\n".join(ctes)
+        + f"\nSELECT node, ROUND(r, 8) AS rank FROM {last_w} "
+        "ORDER BY node"
+    )
+
+
+SQL_GRAPH_PAGERANK_WARM = _pagerank_warm_sql(2, 2)
+
 def q_nation_full_outer(sf_dir: str):
     """Distributed FULL OUTER join (completes the bindings_join type
     matrix: inner/left/semi/anti existed; this exercises 'full_outer'
@@ -6328,6 +6411,7 @@ QUERIES = {
     "docs_dsir_select": q_docs_dsir_select,
     "docs_ccnet_buckets": q_docs_ccnet_buckets,
     "kg_entity_resolution": q_kg_entity_resolution,
+    "graph_pagerank_warm": q_graph_pagerank_warm,
     "sparql_group_agg_dataset": q_sparql_group_agg_dataset,
     "sparql_orderby_dataset": q_sparql_orderby_dataset,
     "sparql_neg_inverse": q_sparql_neg_inverse,
@@ -6512,6 +6596,7 @@ ORACLES = {
     "docs_dsir_select": SQL_DOCS_DSIR_SELECT,
     "docs_ccnet_buckets": SQL_DOCS_CCNET_BUCKETS,
     "kg_entity_resolution": SQL_KG_ENTITY_RESOLUTION,
+    "graph_pagerank_warm": SQL_GRAPH_PAGERANK_WARM,
     "sparql_graph_const": SQL_SPARQL_GRAPH_CONST,
     "sparql_zeroone_path": SQL_SPARQL_ZEROONE_PATH,
     "sparql_neg_path": SQL_SPARQL_NEG_PATH,
