@@ -3956,6 +3956,86 @@ FROM customer
 """
 
 
+def q_kg_shacl_values(sf_dir: str):
+    """SHACL value-constraint validation (sh:pattern / sh:in /
+    sh:class / sh:nodeKind — stages/shacl.shacl_validate_values) over a
+    customer-derived KG: segments must match an allowed pattern/set,
+    nation values must be typed cls:Nation (only even nation keys
+    are), homepages must be IRIs (odd custkeys carry bare strings)."""
+    from ..stages.shacl import shacl_validate_values
+
+    cust = _t(sf_dir, "customer",
+              ["c_custkey", "c_nationkey", "c_mktsegment"])
+    nation = _t(sf_dir, "nation", ["n_nationkey"])
+
+    def cust_triples(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].astype("int64")
+        c = "cust:" + k.astype(str)
+        home = np.where(
+            (k % 2 == 0).to_numpy(),
+            "http://ex.com/" + k.astype(str),
+            "page-" + k.astype(str),
+        )
+        return pd.concat(
+            [
+                pd.DataFrame({"subj": c, "pred": "rdf:type",
+                              "obj": "cls:Customer"}),
+                pd.DataFrame({"subj": c, "pred": "p:segment",
+                              "obj": df["c_mktsegment"].to_numpy()}),
+                pd.DataFrame({"subj": c, "pred": "p:nation",
+                              "obj": "n:" + df["c_nationkey"].astype(str)}),
+                pd.DataFrame({"subj": c, "pred": "p:home", "obj": home}),
+            ],
+            ignore_index=True,
+        )
+
+    def nation_types(df: pd.DataFrame) -> pd.DataFrame:
+        even = df[df["n_nationkey"] % 2 == 0]
+        return pd.DataFrame(
+            {"subj": "n:" + even["n_nationkey"].astype(str),
+             "pred": "rdf:type", "obj": "cls:Nation"}
+        )
+
+    triples = cust.map_batches(
+        cust_triples, batch_format="pandas"
+    ).union(nation.map_batches(nation_types, batch_format="pandas"))
+    shapes = [
+        {"shape_id": "s-seg", "target_class": "cls:Customer",
+         "pred": "p:segment",
+         "pattern": "(AUTOMOBILE|BUILDING|MACHINERY)",
+         "in_set": ["AUTOMOBILE", "BUILDING", "MACHINERY", "HOUSEHOLD"]},
+        {"shape_id": "s-nat", "target_class": "cls:Customer",
+         "pred": "p:nation", "value_class": "cls:Nation"},
+        {"shape_id": "s-iri", "target_class": "cls:Customer",
+         "pred": "p:home", "node_kind_iri": True},
+    ]
+    return shacl_validate_values(triples, shapes)
+
+
+SQL_KG_SHACL_VALUES = """
+SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS subj,
+       's-seg' AS shape_id, 'p:segment' AS pred,
+       c_mktsegment AS obj, 'pattern' AS violation
+FROM customer
+WHERE NOT regexp_full_match(c_mktsegment,
+                            '(AUTOMOBILE|BUILDING|MACHINERY)')
+UNION ALL
+SELECT 'cust:' || CAST(c_custkey AS VARCHAR), 's-seg', 'p:segment',
+       c_mktsegment, 'in'
+FROM customer
+WHERE c_mktsegment NOT IN
+      ('AUTOMOBILE', 'BUILDING', 'MACHINERY', 'HOUSEHOLD')
+UNION ALL
+SELECT 'cust:' || CAST(c_custkey AS VARCHAR), 's-nat', 'p:nation',
+       'n:' || CAST(c_nationkey AS VARCHAR), 'class'
+FROM customer WHERE c_nationkey % 2 = 1
+UNION ALL
+SELECT 'cust:' || CAST(c_custkey AS VARCHAR), 's-iri', 'p:home',
+       'page-' || CAST(c_custkey AS VARCHAR), 'nodeKind'
+FROM customer WHERE c_custkey % 2 = 1
+"""
+
+
 def q_kg_entity_resolution(sf_dir: str):
     """E2E entity resolution — the KG-construction core loop: two
     'sources' assert label triples for overlapping entities under
@@ -6412,6 +6492,7 @@ QUERIES = {
     "docs_ccnet_buckets": q_docs_ccnet_buckets,
     "kg_entity_resolution": q_kg_entity_resolution,
     "graph_pagerank_warm": q_graph_pagerank_warm,
+    "kg_shacl_values": q_kg_shacl_values,
     "sparql_group_agg_dataset": q_sparql_group_agg_dataset,
     "sparql_orderby_dataset": q_sparql_orderby_dataset,
     "sparql_neg_inverse": q_sparql_neg_inverse,
@@ -6597,6 +6678,7 @@ ORACLES = {
     "docs_ccnet_buckets": SQL_DOCS_CCNET_BUCKETS,
     "kg_entity_resolution": SQL_KG_ENTITY_RESOLUTION,
     "graph_pagerank_warm": SQL_GRAPH_PAGERANK_WARM,
+    "kg_shacl_values": SQL_KG_SHACL_VALUES,
     "sparql_graph_const": SQL_SPARQL_GRAPH_CONST,
     "sparql_zeroone_path": SQL_SPARQL_ZEROONE_PATH,
     "sparql_neg_path": SQL_SPARQL_NEG_PATH,

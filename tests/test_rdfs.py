@@ -242,3 +242,82 @@ def test_shacl_incremental_empty_delta_keeps_prev(ray_session):
     ).to_pandas()
     assert len(inc) == 1 and inc.loc[0, "subj"] == "s:1"
     assert inc["n_values"].dtype == "int64"
+
+
+def test_shacl_values_all_violation_kinds(ray_session):
+    import ray.data as rd
+
+    from graphforge_ray.stages.shacl import shacl_validate_values
+
+    rows = [
+        ("c1", "rdf:type", "cls:Customer"),
+        ("c2", "rdf:type", "cls:Customer"),
+        ("c3", "rdf:type", "cls:Customer"),
+        ("x1", "rdf:type", "cls:Other"),
+        ("c1", "p:seg", "BUILDING"),
+        ("c2", "p:seg", "furniture"),      # pattern + (not in set → in)
+        ("c3", "p:seg", "MACHINERY"),      # in violation only
+        ("x1", "p:seg", "zzz"),            # untargeted → ignored
+        ("c1", "p:nation", "n1"),
+        ("c2", "p:nation", "n2"),          # untyped → class
+        ("c3", "p:nation", "n3"),          # typed wrong class → class
+        ("n1", "rdf:type", "cls:Nation"),
+        ("n3", "rdf:type", "cls:Region"),
+        ("c1", "p:home", "http://ex/1"),
+        ("c2", "p:home", "not-a-url"),     # nodeKind
+    ]
+    ds = rd.from_pandas(
+        pd.DataFrame(rows, columns=["subj", "pred", "obj"])
+    ).repartition(3)
+    shapes = [
+        {"shape_id": "s-pat", "target_class": "cls:Customer",
+         "pred": "p:seg", "pattern": "[A-Z]+",
+         "in_set": ["BUILDING", "furniture"]},
+        {"shape_id": "s-cls", "target_class": "cls:Customer",
+         "pred": "p:nation", "value_class": "cls:Nation"},
+        {"shape_id": "s-iri", "target_class": "cls:Customer",
+         "pred": "p:home", "node_kind_iri": True},
+    ]
+    out = shacl_validate_values(ds, shapes).to_pandas()
+    got = set(zip(out["subj"], out["shape_id"], out["obj"],
+                  out["violation"]))
+    assert got == {
+        ("c2", "s-pat", "furniture", "pattern"),
+        ("c3", "s-pat", "MACHINERY", "in"),
+        ("c2", "s-cls", "n2", "class"),
+        ("c3", "s-cls", "n3", "class"),
+        ("c2", "s-iri", "not-a-url", "nodeKind"),
+    }
+
+
+def test_shacl_values_multi_typed_value_satisfies(ray_session):
+    import ray.data as rd
+
+    from graphforge_ray.stages.shacl import shacl_validate_values
+
+    rows = [
+        ("c1", "rdf:type", "cls:Customer"),
+        ("c1", "p:nation", "n1"),
+        ("n1", "rdf:type", "cls:Region"),   # extra type must not hurt
+        ("n1", "rdf:type", "cls:Nation"),
+    ]
+    ds = rd.from_pandas(pd.DataFrame(rows, columns=["subj", "pred", "obj"]))
+    out = shacl_validate_values(
+        ds,
+        [{"shape_id": "s", "target_class": "cls:Customer",
+          "pred": "p:nation", "value_class": "cls:Nation"}],
+    ).to_pandas()
+    assert len(out) == 0
+
+
+def test_shacl_values_rejects_constraintless_shape(ray_session):
+    import ray.data as rd
+
+    from graphforge_ray.stages.shacl import shacl_validate_values
+
+    ds = rd.from_pandas(pd.DataFrame(
+        {"subj": ["a"], "pred": ["p"], "obj": ["b"]}))
+    with pytest.raises(ValueError, match="no value constraint"):
+        shacl_validate_values(
+            ds, [{"shape_id": "s", "target_class": "c", "pred": "p"}]
+        )
