@@ -4305,7 +4305,7 @@ wsum AS (
     FROM hb JOIN lq USING (f) GROUP BY hb.doc_id
 ),
 allw AS (
-    SELECT d.doc_id, COALESCE(wsum.w, 0) AS w
+    SELECT d.doc_id, CAST(COALESCE(wsum.w, 0) AS BIGINT) AS w
     FROM documents d LEFT JOIN wsum ON d.doc_id = wsum.doc_id
 )
 SELECT doc_id, w FROM allw ORDER BY w DESC, doc_id ASC LIMIT 300
