@@ -4046,7 +4046,7 @@ def q_kg_entity_resolution(sf_dir: str):
     rewrites the graph to canonical IRIs. The oracle replays the WHOLE
     chain: trigram Jaccard → sameAs edges → recursive closure →
     min-label canon → COALESCE rewrite → DISTINCT."""
-    from ..shuffle import bucket_tag
+    from ..shuffle import bucket_tag, snap_lineage
     from ..stages.canonicalize import sameas_canonicalize
     from ..stages.resolve import fuzzy_name_join
 
@@ -4067,15 +4067,18 @@ def q_kg_entity_resolution(sf_dir: str):
             )
         )
 
-    lnames = distinct_names(
+    # each side feeds BOTH the fuzzy join and its triple emitter —
+    # snap or Ray replays the whole distinct sub-plan per consumer
+    # (CLAUDE.md multi-consumer lesson)
+    lnames = snap_lineage(distinct_names(
         part, lambda df: pd.DataFrame(
             {"lid": df["p_name"], "l_name": df["p_name"]})
-    )
-    rnames = distinct_names(
+    ))
+    rnames = snap_lineage(distinct_names(
         part, lambda df: pd.DataFrame(
             {"rid": df["p_name"].str.replace("e", "", regex=False)}
         ).assign(r_name=lambda d: d["rid"])
-    )
+    ))
     matches = fuzzy_name_join(lnames, rnames, threshold=0.375)
 
     a_triples = lnames.map_batches(
