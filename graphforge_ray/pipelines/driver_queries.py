@@ -6460,13 +6460,14 @@ ORDER BY t.doc_id
 # Ordering contract (VERDICT r4 next-round item 8): the driver artifact
 # records only the FIRST 50 registry entries, so ordering is a rotation
 # policy — every query gets a driver artifact at least every two rounds.
-# Round-5 top 50 = the 24 queries with NO driver artifact yet (new this
-# round, or r3/r4 additions past the cap) followed by 26 queries whose
-# last artifact is CORRECTNESS_r03 (graph algorithms, the r3 SPARQL
-# tranche, media, curation, lm/asof). Everything recorded green in
-# CORRECTNESS_r04 sits past position 50. ALL registry entries
-# (len(QUERIES) of them — never a hand count) are verified locally by
-# tools/check_contract.py regardless of position.
+# Round-5 top 50 prioritizes queries with NO driver artifact in any
+# round (every r5 addition, including the closing-session tranche:
+# graph-scoped MINUS, OWL entailment, functional sameAs, DSIR, CCNet
+# buckets, entity resolution E2E, warm PageRank, SHACL value
+# constraints), then r3-last-artifact entries fill the remaining
+# slots; CORRECTNESS_r04-green entries sit past position 50. ALL
+# registry entries (len(QUERIES) of them — never a hand count) are
+# verified locally by tools/check_contract.py regardless of position.
 QUERIES = {
     "warc_ingest": q_warc_ingest,
     "docs_dup_substrings": q_docs_dup_substrings,
