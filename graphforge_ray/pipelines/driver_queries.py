@@ -3956,6 +3956,39 @@ FROM customer
 """
 
 
+def q_graph_harmonic(sf_dir: str):
+    """Sampled harmonic centrality (Boldi-Vigna) over the part graph:
+    8 md5-chosen seeds, radius 4, |S| BFS traversals fused in ONE
+    composite-key bfs_depths execution; contributions scaled by
+    lcm(1..4)=12 so the sum is integer-exact on both engines."""
+    from ..stages.graph import harmonic_centrality
+
+    return harmonic_centrality(
+        _part_graph_edges(sf_dir), num_seeds=8, max_depth=4
+    )
+
+
+SQL_GRAPH_HARMONIC = f"""
+WITH RECURSIVE fe AS ({_PART_GRAPH_SQL}),
+ev AS (SELECT CAST(s AS VARCHAR) s, CAST(o AS VARCHAR) o FROM fe),
+-- DISTINCT, not UNION: inside a WITH RECURSIVE list DuckDB gives a
+-- UNION CTE recursive (non-deduplicating) semantics even without a
+-- self-reference, which would duplicate seed rows
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT s AS node FROM ev UNION ALL SELECT o FROM ev)),
+sd AS (SELECT node FROM nodes ORDER BY md5(node), node LIMIT 8),
+r(seed, node, d) AS (
+    SELECT node, node, 0 FROM sd
+    UNION
+    SELECT r.seed, ev.o, r.d + 1 FROM r JOIN ev ON ev.s = r.node
+    WHERE r.d < 4
+),
+md AS (SELECT seed, node, MIN(d) AS d FROM r GROUP BY seed, node)
+SELECT node, CAST(SUM(12 // d) AS BIGINT) AS h_scaled
+FROM md WHERE d > 0 GROUP BY node
+"""
+
+
 def q_kg_shacl_values(sf_dir: str):
     """SHACL value-constraint validation (sh:pattern / sh:in /
     sh:class / sh:nodeKind — stages/shacl.shacl_validate_values) over a
@@ -6497,6 +6530,7 @@ QUERIES = {
     "kg_entity_resolution": q_kg_entity_resolution,
     "graph_pagerank_warm": q_graph_pagerank_warm,
     "kg_shacl_values": q_kg_shacl_values,
+    "graph_harmonic": q_graph_harmonic,
     "sparql_group_agg_dataset": q_sparql_group_agg_dataset,
     "sparql_orderby_dataset": q_sparql_orderby_dataset,
     "sparql_neg_inverse": q_sparql_neg_inverse,
@@ -6683,6 +6717,7 @@ ORACLES = {
     "kg_entity_resolution": SQL_KG_ENTITY_RESOLUTION,
     "graph_pagerank_warm": SQL_GRAPH_PAGERANK_WARM,
     "kg_shacl_values": SQL_KG_SHACL_VALUES,
+    "graph_harmonic": SQL_GRAPH_HARMONIC,
     "sparql_graph_const": SQL_SPARQL_GRAPH_CONST,
     "sparql_zeroone_path": SQL_SPARQL_ZEROONE_PATH,
     "sparql_neg_path": SQL_SPARQL_NEG_PATH,

@@ -41,6 +41,7 @@ __all__ = [
     "sssp",
     "node_jaccard",
     "k_core",
+    "harmonic_centrality",
 ]
 
 
@@ -1743,3 +1744,112 @@ def label_propagation(
         )
 
     return labels
+
+
+def harmonic_centrality(
+    edges: "ray.data.Dataset",
+    num_seeds: int = 16,
+    max_depth: int = 6,
+    src: str = "s",
+    dst: str = "o",
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Sampled harmonic centrality (Boldi & Vigna, "Axioms for
+    Centrality", Internet Math 2014 — the centrality that behaves on
+    disconnected graphs): for a deterministic seed sample S,
+    ``h(v) = Σ_{s∈S, 0<d(s,v)≤max_depth} 1/d(s,v)``.
+
+    → Dataset (node, h_scaled:int64) with ``h_scaled = h · lcm(1..
+    max_depth)`` — every 1/d contribution is an INTEGER, so the sum is
+    exact on any engine and the SQL oracle needs no float tolerance.
+
+    Scale shape: seeds are the ``num_seeds`` smallest md5(node) keys
+    (distributed sort+limit; SQL-replayable and growth-stable); all
+    |S| BFS traversals run FUSED in one ``bfs_depths`` execution via
+    composite ``seed\\x1f node`` labels — edges are replicated per seed
+    map-side (cost |S|·E scans, the standard price of sampled
+    centrality), frontier rounds stay O(diameter), and the per-node
+    reduce is one bucket shuffle. Only the seed list (num_seeds rows)
+    touches the driver."""
+    import math
+
+    import ray
+    import ray.data as rd
+
+    from .fasthash import md5_hex
+
+    if num_seeds < 1:
+        raise ValueError(f"num_seeds must be ≥ 1: {num_seeds}")
+    if max_depth < 1:
+        raise ValueError(f"max_depth must be ≥ 1: {max_depth}")
+    scale = math.lcm(*range(1, max_depth + 1))
+
+    edges = edges.materialize()
+    if num_partitions is None:
+        num_partitions = _auto_partitions(edges.count())
+
+    def nodes_of(df: pd.DataFrame) -> pd.DataFrame:
+        n = pd.concat([df[src], df[dst]], ignore_index=True)
+        n = n.drop_duplicates().astype(str)
+        return pd.DataFrame({"node": n, "h": md5_hex(
+            n.to_numpy(dtype=object))})
+
+    from ..shuffle import dedup_pairs
+
+    # per-batch dedup leaves CROSS-batch duplicates — without the
+    # global dedup the top-k rows can repeat a node and silently
+    # shrink the seed set (caught by the sequential-replay oracle)
+    seeds_df = (
+        dedup_pairs(
+            edges.map_batches(nodes_of, batch_format="pandas"),
+            cols=("node", "h"),
+        )
+        .sort(["h", "node"])
+        .limit(num_seeds)
+        .to_pandas()  # num_seeds rows — driver-sized by definition
+    )
+    seeds = seeds_df["node"].tolist()
+
+    sep = "\x1f"
+    seeds_ref = ray.put(seeds)
+
+    def label_edges(df: pd.DataFrame) -> pd.DataFrame:
+        ss = ray.get(seeds_ref)
+        a = df[src].astype(str).to_numpy(dtype=object)
+        b = df[dst].astype(str).to_numpy(dtype=object)
+        parts = [
+            pd.DataFrame({"s": s + sep + a, "o": s + sep + b})
+            for s in ss
+        ]
+        return pd.concat(parts, ignore_index=True)
+
+    labeled = edges.map_batches(label_edges, batch_format="pandas")
+    dist = bfs_depths(
+        labeled, [s + sep + s for s in seeds], max_depth=max_depth,
+        num_partitions=num_partitions,
+    )
+
+    def contrib(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"node": pd.Series([], dtype=object),
+                                 "h_scaled": pd.Series([], np.int64)})
+        d = df["depth"].to_numpy(np.int64)
+        m = d > 0
+        node = df["node"].astype(str).str.split(sep, n=1).str[1]
+        g = pd.DataFrame({
+            "node": node[m].to_numpy(dtype=object),
+            "h_scaled": (scale // d[m]).astype(np.int64),
+        }).groupby("node", as_index=False)["h_scaled"].sum()
+        g["_bucket"] = bucket_tag(g, "node", num_partitions)
+        return g
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False)["h_scaled"].sum()
+        out["h_scaled"] = out["h_scaled"].astype(np.int64)
+        return out
+
+    return (
+        dist.map_batches(contrib, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )

@@ -636,3 +636,57 @@ def test_label_propagation_matches_sequential_replay(ray_session):
     )
     for n, lab in labels.items():
         assert got.loc[n] == lab, (n, got.loc[n], lab)
+
+
+def test_harmonic_centrality_matches_sequential():
+    import collections
+    import hashlib
+    import math
+
+    from graphforge_ray.stages.graph import harmonic_centrality
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 1),
+             (6, 5), (7, 6), (2, 7), (8, 8)]
+    ds = _edges_ds(pairs, num_blocks=3)
+    got = (harmonic_centrality(ds, num_seeds=4, max_depth=3)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+
+    nodes = sorted({str(n) for e in pairs for n in e})
+    seeds = sorted(
+        nodes, key=lambda n: (hashlib.md5(n.encode()).hexdigest(), n)
+    )[:4]
+    scale = math.lcm(1, 2, 3)
+    adj = collections.defaultdict(list)
+    for s, o in pairs:
+        adj[str(s)].append(str(o))
+    h = collections.Counter()
+    for s in seeds:
+        dist = {s: 0}
+        q = [s]
+        while q:
+            nq = []
+            for u in q:
+                if dist[u] >= 3:
+                    continue
+                for v in adj.get(u, []):
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        nq.append(v)
+            q = nq
+        for v, d in dist.items():
+            if d > 0:
+                h[v] += scale // d
+    want = pd.DataFrame(sorted(h.items()), columns=["node", "h_scaled"])
+    got["h_scaled"] = got["h_scaled"].astype(int)
+    assert list(got["node"].astype(str)) == list(want["node"])
+    assert list(got["h_scaled"]) == list(want["h_scaled"])
+
+
+def test_harmonic_centrality_bad_params():
+    ds = _edges_ds([(1, 2)])
+    from graphforge_ray.stages.graph import harmonic_centrality
+
+    with pytest.raises(ValueError):
+        harmonic_centrality(ds, num_seeds=0)
+    with pytest.raises(ValueError):
+        harmonic_centrality(ds, max_depth=0)
