@@ -5549,6 +5549,159 @@ def q_docs_logreg_score(sf_dir: str):
     )
 
 
+def q_kg_transe(sf_dir: str):
+    """One distributed TransE training epoch over supplier→nation
+    triples (stages/transe.transe_epoch): md5-deterministic init,
+    corrupt-tail negatives from negative_sample, integer L1
+    subgradients accumulated through two entity-keyed shuffles.
+    Rows-only — the epoch isn't SQL-expressible; exactness is pinned
+    by the sequential hashlib/numpy replay in tests/test_transe.py."""
+    from ..stages.transe import init_embeddings, transe_epoch
+
+    sup = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def to_triples(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "subj": "sup:" + df["s_suppkey"].astype(str),
+                "pred": "ex:basedIn",
+                "obj": "nat:" + df["s_nationkey"].astype(str),
+            }
+        )
+
+    trips = sup.map_batches(to_triples, batch_format="pandas") \
+        .materialize()
+    ents = (
+        trips.map_batches(
+            lambda df: pd.DataFrame(
+                {"ent": pd.concat([df["subj"], df["obj"]],
+                                  ignore_index=True)}
+            ).drop_duplicates(),
+            batch_format="pandas",
+        )
+        .groupby("ent")
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+    e0 = init_embeddings(ents, dim=8, salt="transe-e")
+    r0 = init_embeddings(
+        rd.from_pandas(pd.DataFrame({"pred": ["ex:basedIn"]})),
+        dim=8, name_col="pred", salt="transe-r", normalize=False,
+    ).to_pandas()
+    e1, _ = transe_epoch(trips, e0, r0, lr=0.01, margin=1.0)
+    return e1.map_batches(
+        lambda df: df.assign(
+            embedding=df["embedding"].map(
+                lambda v: np.floor(
+                    np.asarray(v, np.float64) * 1e6
+                ).tolist()
+            )
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_kg_transe_eval(sf_dir: str):
+    """Filtered link-prediction ranks (TransE eval protocol) over
+    supplier→nation triples on the md5-deterministic INIT embeddings
+    (unnormalized, so the oracle replays every float exactly): for
+    each test triple, rank of the true tail among all entities by
+    ‖h + r − e‖₁, excluding known tails (stages/transe.
+    transe_rank_eval — entity table streams, test-side broadcast).
+    Distance gaps (≥1e-3) dwarf cross-engine float-sum noise
+    (≤1e-15), so strict-< rank counts match DuckDB exactly."""
+    from ..stages.transe import init_embeddings, transe_rank_eval
+
+    sup = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def to_triples(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "subj": "sup:" + df["s_suppkey"].astype(str),
+                "pred": "ex:basedIn",
+                "obj": "nat:" + df["s_nationkey"].astype(str),
+            }
+        )
+
+    trips = sup.map_batches(to_triples, batch_format="pandas") \
+        .materialize()
+    test = sup.map_batches(
+        lambda df: to_triples(df[df["s_suppkey"] % 7 == 0]),
+        batch_format="pandas",
+    )
+    ents = (
+        trips.map_batches(
+            lambda df: pd.DataFrame(
+                {"ent": pd.concat([df["subj"], df["obj"]],
+                                  ignore_index=True)}
+            ).drop_duplicates(),
+            batch_format="pandas",
+        )
+        .groupby("ent")
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+    e0 = init_embeddings(ents, dim=8, salt="te", normalize=False)
+    r0 = init_embeddings(
+        rd.from_pandas(pd.DataFrame({"pred": ["ex:basedIn"]})),
+        dim=8, name_col="pred", salt="tr", normalize=False,
+    ).to_pandas()
+    return transe_rank_eval(test, e0, r0, known_triples=trips)
+
+
+SQL_KG_TRANSE_EVAL = r"""
+WITH trip AS (
+    SELECT 'sup:' || CAST(s_suppkey AS VARCHAR) AS subj,
+           'ex:basedIn' AS pred,
+           'nat:' || CAST(s_nationkey AS VARCHAR) AS obj
+    FROM supplier
+),
+test AS (
+    SELECT 'sup:' || CAST(s_suppkey AS VARCHAR) AS subj,
+           'ex:basedIn' AS pred,
+           'nat:' || CAST(s_nationkey AS VARCHAR) AS obj
+    FROM supplier WHERE s_suppkey % 7 = 0
+),
+ents AS (
+    SELECT DISTINCT e FROM (
+        SELECT subj AS e FROM trip UNION SELECT obj FROM trip
+    )
+),
+dims AS (SELECT UNNEST(generate_series(0, 7)) AS j),
+evec AS (
+    SELECT e, j,
+           ((CAST(CONCAT('0x', substr(md5('te:' || e || ':'
+                 || CAST(j AS VARCHAR)), 1, 10)) AS BIGINT) + 0.5)
+            / 1099511627776.0 * 2.0 - 1.0) * (6.0 / sqrt(8.0)) AS x
+    FROM ents, dims
+),
+rvec AS (
+    SELECT j,
+           ((CAST(CONCAT('0x', substr(md5('tr:ex:basedIn:'
+                 || CAST(j AS VARCHAR)), 1, 10)) AS BIGINT) + 0.5)
+            / 1099511627776.0 * 2.0 - 1.0) * (6.0 / sqrt(8.0)) AS x
+    FROM dims
+),
+dist AS (
+    SELECT t.subj, t.pred, t.obj, cv.e AS cand,
+           SUM(ABS(hv.x + rv.x - cv.x)) AS d
+    FROM test t
+    JOIN evec hv ON hv.e = t.subj
+    JOIN rvec rv ON rv.j = hv.j
+    JOIN evec cv ON cv.j = hv.j
+    GROUP BY t.subj, t.pred, t.obj, cv.e
+),
+dt AS (SELECT subj, pred, obj, d AS dtrue FROM dist WHERE cand = obj)
+SELECT d.subj, d.pred, d.obj,
+       CAST(1 + COUNT(*) FILTER (
+           WHERE d.d < x.dtrue AND d.cand <> d.obj
+                 AND k.subj IS NULL) AS BIGINT) AS rank
+FROM dist d
+JOIN dt x ON x.subj = d.subj AND x.pred = d.pred AND x.obj = d.obj
+LEFT JOIN trip k ON k.subj = d.subj AND k.pred = d.pred
+                AND k.obj = d.cand
+GROUP BY d.subj, d.pred, d.obj
+"""
+
+
 def q_kg_negatives(sf_dir: str):
     """KG-embedding training negatives over supplier→nation triples:
     corrupt-tail sampling from the md5-ranked global entity set
@@ -6553,6 +6706,8 @@ QUERIES = {
     "ann_quantized": q_ann_quantized,
     "embeddings_kmeans": q_embeddings_kmeans,
     "docs_logreg_score": q_docs_logreg_score,
+    "kg_transe": q_kg_transe,
+    "kg_transe_eval": q_kg_transe_eval,
     "sparql_pred_counts": q_sparql_pred_counts,
     "forge_pages": q_forge_pages,
     "graph_degree_hist": q_graph_degree_hist,
@@ -6690,6 +6845,7 @@ ORACLES = {
     "docs_zscore": SQL_DOCS_ZSCORE,
     "kg_char_sets": SQL_KG_CHAR_SETS,
     "kg_negatives": SQL_KG_NEGATIVES,
+    "kg_transe_eval": SQL_KG_TRANSE_EVAL,
     "docs_chunks": SQL_DOCS_CHUNKS,
     "events_intervals": SQL_EVENTS_INTERVALS,
     "docs_quality_ntile": SQL_DOCS_QUALITY_NTILE,

@@ -455,6 +455,7 @@ def negative_sample(
     salt: str = "graft-negrank",
     cols: tuple[str, str, str] = ("subj", "pred", "obj"),
     num_buckets: int = 64,
+    keep_obj: bool = False,
 ) -> "ray.data.Dataset":
     """KG-embedding training negatives: for every triple and
     ``j ∈ [0, k)``, corrupt the tail with a pseudo-random entity —
@@ -510,16 +511,15 @@ def negative_sample(
         for j in range(k):
             keys = np.array([b + f"|{j}" for b in base], dtype=object)
             idx = hex_prefix_int(md5_hex(keys), 10) % n_ents
-            parts.append(
-                pd.DataFrame(
-                    {
-                        s: df[s].to_numpy(),
-                        p: df[p].to_numpy(),
-                        "neg_id": np.int64(j),
-                        "rank": idx.astype(np.int64),
-                    }
-                )
-            )
+            frame = {
+                s: df[s].to_numpy(),
+                p: df[p].to_numpy(),
+                "neg_id": np.int64(j),
+                "rank": idx.astype(np.int64),
+            }
+            if keep_obj:
+                frame[o] = df[o].to_numpy()
+            parts.append(pd.DataFrame(frame))
         return pd.concat(parts, ignore_index=True)
 
     cand = triples.map_batches(candidates, batch_format="pandas")
@@ -527,14 +527,15 @@ def negative_sample(
                            num_buckets=num_buckets)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                s: df[s].to_numpy(),
-                p: df[p].to_numpy(),
-                "neg_obj": df["ent"].to_numpy(),
-                "neg_id": df["neg_id"].astype(np.int64).to_numpy(),
-            }
-        )
+        frame = {
+            s: df[s].to_numpy(),
+            p: df[p].to_numpy(),
+            "neg_obj": df["ent"].to_numpy(),
+            "neg_id": df["neg_id"].astype(np.int64).to_numpy(),
+        }
+        if keep_obj:
+            frame[o] = df[o].to_numpy()
+        return pd.DataFrame(frame)
 
     return joined.map_batches(finish, batch_format="pandas")
 

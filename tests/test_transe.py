@@ -1,0 +1,240 @@
+"""TransE epoch vs an independent sequential hashlib/numpy replay.
+
+The distributed epoch (two entity-keyed shuffles, integer L1
+subgradients) must reproduce the exact floats of a single-threaded
+replay that re-derives the md5 init, the md5-ranked corrupt-tail
+negatives and the full-batch margin subgradient from scratch.
+"""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from graphforge_ray.stages.transe import init_embeddings, transe_epoch
+
+DIM = 6
+LR = 0.05
+MARGIN = 1.0
+
+TRIPS = pd.DataFrame(
+    {
+        "subj": ["a", "a", "b", "b", "c", "d", "d", "e", "f", "g",
+                 "h", "c"],
+        "pred": ["likes", "knows", "likes", "knows", "likes", "knows",
+                 "likes", "knows", "likes", "knows", "likes", "knows"],
+        "obj": ["b", "c", "c", "d", "d", "e", "f", "g", "h", "a",
+                "a", "b"],
+    }
+)
+
+
+def _md5i(sx: str) -> int:
+    return int(hashlib.md5(sx.encode()).hexdigest()[:10], 16)
+
+
+def _vec(name: str, dim: int, salt: str, normalize: bool) -> np.ndarray:
+    u = np.array(
+        [(_md5i(f"{salt}:{name}:{j}") + 0.5) / 2.0 ** 40
+         for j in range(dim)]
+    )
+    v = (2.0 * u - 1.0) * (6.0 / np.sqrt(dim))
+    if normalize:
+        n = np.linalg.norm(v)
+        v = v / (n if n else 1.0)
+    return v
+
+
+def _replay(trips: pd.DataFrame, dim: int, lr: float, margin: float):
+    """Sequential replay of exactly one epoch (k=1 negatives)."""
+    ents = sorted(set(trips["subj"]) | set(trips["obj"]))
+    order = sorted(
+        ents,
+        key=lambda e: (
+            hashlib.md5(f"{e}:graft-negrank".encode()).hexdigest(), e),
+    )
+    E = {e: _vec(e, dim, "e", True) for e in ents}
+    R = {r: _vec(r, dim, "r", False)
+         for r in sorted(set(trips["pred"]))}
+    gE = {e: np.zeros(dim, np.int64) for e in ents}
+    gR = {r: np.zeros(dim, np.int64) for r in R}
+    n_active = 0
+    for s, p, o in trips.itertuples(index=False):
+        idx = _md5i(f"{s}|{p}|{o}|0") % len(ents)
+        neg = order[idx]
+        dp = E[s] + R[p] - E[o]
+        dn = E[s] + R[p] - E[neg]
+        if margin + np.abs(dp).sum() - np.abs(dn).sum() > 0:
+            n_active += 1
+            sp = np.sign(dp).astype(np.int64)
+            sn = np.sign(dn).astype(np.int64)
+            gE[s] += sp - sn
+            gE[o] += -sp
+            gE[neg] += sn
+            gR[p] += sp - sn
+    newE = {}
+    for e in ents:
+        v = E[e] - lr * gE[e]
+        nr = np.linalg.norm(v)
+        newE[e] = v / (nr if nr else 1.0)
+    newR = {r: R[r] - lr * gR[r] for r in R}
+    return newE, newR, n_active
+
+
+def _emb_map(ds) -> dict:
+    df = ds.to_pandas()
+    key = "ent" if "ent" in df.columns else "pred"
+    return {k: np.asarray(v, np.float64)
+            for k, v in zip(df[key], df["embedding"])}
+
+
+def test_init_matches_replay(ray_session):
+    names = rd.from_pandas(
+        pd.DataFrame({"ent": ["a", "b", "c"]})).repartition(2)
+    got = _emb_map(init_embeddings(names, DIM, salt="e"))
+    for e in ("a", "b", "c"):
+        assert np.allclose(got[e], _vec(e, DIM, "e", True), atol=1e-15)
+        assert np.isclose(np.linalg.norm(got[e]), 1.0)
+    raw = _emb_map(
+        init_embeddings(names, DIM, salt="e", normalize=False))
+    assert not np.isclose(np.linalg.norm(raw["a"]), 1.0)
+
+
+def test_transe_epoch_matches_replay(ray_session):
+    ds = rd.from_pandas(TRIPS).repartition(3)
+    ents = pd.DataFrame(
+        {"ent": sorted(set(TRIPS["subj"]) | set(TRIPS["obj"]))})
+    rels = pd.DataFrame({"pred": sorted(set(TRIPS["pred"]))})
+    E0 = init_embeddings(
+        rd.from_pandas(ents).repartition(2), DIM, salt="e")
+    R0 = init_embeddings(
+        rd.from_pandas(rels), DIM, name_col="pred", salt="r",
+        normalize=False,
+    ).to_pandas()
+
+    wantE, wantR, n_active = _replay(TRIPS, DIM, LR, MARGIN)
+    assert n_active > 0  # margin fires — the test is not vacuous
+    assert any(np.abs(g).sum() for g in wantR.values())
+
+    E1, R1 = transe_epoch(ds, E0, R0, lr=LR, margin=MARGIN)
+    gotE = _emb_map(E1)
+    assert set(gotE) == set(wantE)
+    for e, w in wantE.items():
+        assert np.allclose(gotE[e], w, atol=1e-12), e
+        assert np.isclose(np.linalg.norm(gotE[e]), 1.0)
+    gotR = {k: np.asarray(v, np.float64)
+            for k, v in zip(R1["pred"], R1["embedding"])}
+    for r, w in wantR.items():
+        assert np.allclose(gotR[r], w, atol=1e-12), r
+
+
+def test_transe_second_epoch_chains(ray_session):
+    """Epoch 2 consumes epoch 1's Dataset/frame and still changes
+    the embeddings deterministically (loss keeps firing)."""
+    ds = rd.from_pandas(TRIPS).repartition(3)
+    ents = pd.DataFrame(
+        {"ent": sorted(set(TRIPS["subj"]) | set(TRIPS["obj"]))})
+    rels = pd.DataFrame({"pred": sorted(set(TRIPS["pred"]))})
+    E0 = init_embeddings(rd.from_pandas(ents), DIM, salt="e")
+    R0 = init_embeddings(
+        rd.from_pandas(rels), DIM, name_col="pred", salt="r",
+        normalize=False).to_pandas()
+    E1, R1 = transe_epoch(ds, E0, R0, lr=LR, margin=MARGIN)
+    E1 = E1.materialize()
+    E2, _ = transe_epoch(ds, E1, R1, lr=LR, margin=MARGIN)
+    a, b = _emb_map(E1), _emb_map(E2)
+    assert set(a) == set(b)
+    assert any(not np.allclose(a[e], b[e]) for e in a)
+
+
+def test_transe_bad_params(ray_session):
+    names = rd.from_pandas(pd.DataFrame({"ent": ["a"]}))
+    with pytest.raises(ValueError, match="dim"):
+        init_embeddings(names, 0)
+    ds = rd.from_pandas(TRIPS)
+    E0 = init_embeddings(names, DIM, salt="e")
+    R0 = pd.DataFrame(
+        {"pred": ["likes", "knows"],
+         "embedding": [[0.0] * DIM, [0.0] * DIM]})
+    with pytest.raises(ValueError, match="relation table"):
+        transe_epoch(ds, E0, R0, max_relations=1)
+
+
+def _brute_ranks(test, E, R, known):
+    """Brute-force filtered ranks over the full entity set."""
+    ents = sorted(E)
+    out = []
+    for s_, p_, o_ in test.itertuples(index=False):
+        tr = E[s_] + R[p_]
+        dt = np.abs(tr - E[o_]).sum()
+        filt = {t for (h, r, t) in known if h == s_ and r == p_}
+        cnt = 0
+        for e in ents:
+            if e == o_ or e in filt:
+                continue
+            d = np.abs(tr - E[e]).sum()
+            if d < dt or (d == dt and e < o_):
+                cnt += 1
+        out.append(cnt + 1)
+    return out
+
+
+def test_transe_rank_eval_matches_bruteforce(ray_session):
+    from graphforge_ray.stages.transe import transe_rank_eval
+
+    ds = rd.from_pandas(TRIPS).repartition(3)
+    ents = pd.DataFrame(
+        {"ent": sorted(set(TRIPS["subj"]) | set(TRIPS["obj"]))})
+    rels = pd.DataFrame({"pred": sorted(set(TRIPS["pred"]))})
+    E0 = init_embeddings(rd.from_pandas(ents), DIM, salt="e")
+    R0 = init_embeddings(
+        rd.from_pandas(rels), DIM, name_col="pred", salt="r",
+        normalize=False).to_pandas()
+    E1, R1 = transe_epoch(ds, E0, R0, lr=LR, margin=MARGIN)
+    E1 = E1.materialize()
+
+    test = TRIPS.head(6)
+    got = transe_rank_eval(
+        rd.from_pandas(test).repartition(2), E1, R1,
+        known_triples=ds,
+    ).to_pandas().sort_values(["subj", "pred", "obj"])
+
+    Emap = _emb_map(E1)
+    Rmap = {k: np.asarray(v, np.float64)
+            for k, v in zip(R1["pred"], R1["embedding"])}
+    known = set(map(tuple, TRIPS.itertuples(index=False)))
+    want = pd.DataFrame(test)
+    want["rank"] = _brute_ranks(test, Emap, Rmap, known)
+    want = want.sort_values(["subj", "pred", "obj"])
+    assert got["rank"].tolist() == want["rank"].tolist()
+    # unfiltered ranks differ (the filter actually bites somewhere)
+    raw = transe_rank_eval(
+        rd.from_pandas(test).repartition(2), E1, R1,
+    ).to_pandas().sort_values(["subj", "pred", "obj"])
+    assert (raw["rank"].to_numpy() >= got["rank"].to_numpy()).all()
+
+
+def test_transe_rank_eval_guards(ray_session):
+    from graphforge_ray.stages.transe import transe_rank_eval
+
+    ents = pd.DataFrame({"ent": ["a", "b"]})
+    E0 = init_embeddings(rd.from_pandas(ents), DIM, salt="e")
+    R0 = init_embeddings(
+        rd.from_pandas(pd.DataFrame({"pred": ["likes"]})), DIM,
+        name_col="pred", salt="r", normalize=False).to_pandas()
+    good = rd.from_pandas(pd.DataFrame(
+        {"subj": ["a"], "pred": ["likes"], "obj": ["b"]}))
+    with pytest.raises(ValueError, match="empty test"):
+        transe_rank_eval(good.filter(lambda r: False), E0, R0)
+    with pytest.raises(ValueError, match="too large"):
+        transe_rank_eval(good, E0, R0, max_test=0)
+    bad_rel = rd.from_pandas(pd.DataFrame(
+        {"subj": ["a"], "pred": ["hates"], "obj": ["b"]}))
+    with pytest.raises(ValueError, match="relations without"):
+        transe_rank_eval(bad_rel, E0, R0)
+    bad_ent = rd.from_pandas(pd.DataFrame(
+        {"subj": ["zz"], "pred": ["likes"], "obj": ["b"]}))
+    with pytest.raises(ValueError, match="entities without"):
+        transe_rank_eval(bad_ent, E0, R0)
