@@ -5588,16 +5588,21 @@ def q_kg_transe(sf_dir: str):
         dim=8, name_col="pred", salt="transe-r", normalize=False,
     ).to_pandas()
     e1, _ = transe_epoch(trips, e0, r0, lr=0.01, margin=1.0)
-    return e1.map_batches(
-        lambda df: df.assign(
-            embedding=df["embedding"].map(
-                lambda v: np.floor(
-                    np.asarray(v, np.float64) * 1e6
-                ).tolist()
-            )
-        ),
-        batch_format="pandas",
-    )
+
+    # long scalar form (ent, j, x) — list columns are unsortable in
+    # the contract harness's canon(); floor to 1e-6 for float parity
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        V = np.floor(np.stack(
+            [np.asarray(v, np.float64) for v in df["embedding"]]
+        ) * 1e6)
+        n, d = V.shape
+        return pd.DataFrame({
+            "ent": np.repeat(df["ent"].to_numpy(dtype=object), d),
+            "j": np.tile(np.arange(d, dtype=np.int64), n),
+            "x": V.reshape(-1),
+        })
+
+    return e1.map_batches(explode, batch_format="pandas")
 
 
 def q_kg_transe_eval(sf_dir: str):
