@@ -5605,6 +5605,65 @@ def q_kg_transe(sf_dir: str):
     return e1.map_batches(explode, batch_format="pandas")
 
 
+def q_graph_walks(sf_dir: str):
+    """Deterministic DeepWalk-style random walks over the part graph
+    (stages/walks.random_walks): md5-derived neighbor choice over
+    sorted neighbor ranks, one co-bucketed shuffle per step — vs a
+    recursive-CTE oracle replaying the identical md5 choice rule.
+    Starts are p_partkey % 97 == 0 (sf-scaled start count)."""
+    from ..stages.walks import random_walks
+
+    part = _t(sf_dir, "part", ["p_partkey"])
+    starts = part.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df.loc[(df["p_partkey"] % 97 == 0)
+                            & (df["p_partkey"] >= 1),
+                            "p_partkey"].to_numpy()}),
+        batch_format="pandas",
+    )
+    return random_walks(
+        _part_graph_edges(sf_dir), walk_len=6, walks_per_node=2,
+        starts=starts,
+    )
+
+
+SQL_GRAPH_WALKS = r"""
+WITH RECURSIVE e AS (
+    SELECT DISTINCT s, o FROM (
+        SELECT p_partkey AS s, p_partkey // 2 AS o
+        FROM part WHERE p_partkey >= 1
+        UNION ALL
+        SELECT p_partkey, p_partkey - 1
+        FROM part WHERE p_partkey >= 1
+    )
+),
+adj AS (
+    SELECT s, o,
+           ROW_NUMBER() OVER (PARTITION BY s ORDER BY o) - 1 AS idx,
+           COUNT(*) OVER (PARTITION BY s) AS deg
+    FROM e
+),
+wid AS (
+    SELECT CAST(p_partkey AS VARCHAR) || '#'
+               || CAST(w AS VARCHAR) AS walk_id,
+           p_partkey AS n
+    FROM part, UNNEST(generate_series(0, 1)) t(w)
+    WHERE p_partkey % 97 = 0 AND p_partkey >= 1
+),
+walks(walk_id, step, node) AS (
+    SELECT walk_id, CAST(0 AS BIGINT) AS step, n AS node FROM wid
+    UNION ALL
+    SELECT w.walk_id, w.step + 1, a.o
+    FROM walks w JOIN adj a ON a.s = w.node
+     AND a.idx = CAST(CONCAT('0x', substr(md5('graft-walk|'
+            || w.walk_id || '|' || CAST(w.step AS VARCHAR)), 1, 10))
+            AS BIGINT) % a.deg
+    WHERE w.step < 6
+)
+SELECT walk_id, step, node FROM walks
+"""
+
+
 def q_kg_transe_eval(sf_dir: str):
     """Filtered link-prediction ranks (TransE eval protocol) over
     supplier→nation triples on the md5-deterministic INIT embeddings
@@ -6713,6 +6772,7 @@ QUERIES = {
     "docs_logreg_score": q_docs_logreg_score,
     "kg_transe": q_kg_transe,
     "kg_transe_eval": q_kg_transe_eval,
+    "graph_walks": q_graph_walks,
     "sparql_pred_counts": q_sparql_pred_counts,
     "forge_pages": q_forge_pages,
     "graph_degree_hist": q_graph_degree_hist,
@@ -6851,6 +6911,7 @@ ORACLES = {
     "kg_char_sets": SQL_KG_CHAR_SETS,
     "kg_negatives": SQL_KG_NEGATIVES,
     "kg_transe_eval": SQL_KG_TRANSE_EVAL,
+    "graph_walks": SQL_GRAPH_WALKS,
     "docs_chunks": SQL_DOCS_CHUNKS,
     "events_intervals": SQL_EVENTS_INTERVALS,
     "docs_quality_ntile": SQL_DOCS_QUALITY_NTILE,
