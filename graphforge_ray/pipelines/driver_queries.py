@@ -6719,6 +6719,9 @@ ORDER BY t.doc_id
 # registry entries (len(QUERIES) of them — never a hand count) are
 # verified locally by tools/check_contract.py regardless of position.
 QUERIES = {
+    "kg_transe": q_kg_transe,
+    "kg_transe_eval": q_kg_transe_eval,
+    "graph_walks": q_graph_walks,
     "warc_ingest": q_warc_ingest,
     "docs_dup_substrings": q_docs_dup_substrings,
     "docs_incremental_neardup": q_docs_incremental_neardup,
@@ -6770,9 +6773,6 @@ QUERIES = {
     "ann_quantized": q_ann_quantized,
     "embeddings_kmeans": q_embeddings_kmeans,
     "docs_logreg_score": q_docs_logreg_score,
-    "kg_transe": q_kg_transe,
-    "kg_transe_eval": q_kg_transe_eval,
-    "graph_walks": q_graph_walks,
     "sparql_pred_counts": q_sparql_pred_counts,
     "forge_pages": q_forge_pages,
     "graph_degree_hist": q_graph_degree_hist,
