@@ -155,6 +155,40 @@ def run_bench() -> dict:
     # 4. similarity search
     timed("ann_topk", lambda: dq.q_ann_topk(sf_dir))
 
+    # 4b. KG-embedding training: one full-batch TransE epoch over the
+    # orders→customer graph (~sf×1.5M triples, ~sf×2.5M entities at
+    # dim 16) — negatives + two entity-keyed shuffles + scatter-add
+    # (round-5 model-training leg)
+    import pandas as pd
+
+    from graphforge_ray.stages.transe import (
+        distinct_entities, init_embeddings, transe_epoch)
+
+    def kg_embed():
+        orders = rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey"],
+        )
+        trips = orders.map_batches(
+            lambda df: pd.DataFrame({
+                "subj": "ord:" + df["o_orderkey"].astype(str),
+                "pred": "ex:placedBy",
+                "obj": "cust:" + df["o_custkey"].astype(str),
+            }),
+            batch_format="pandas",
+        ).materialize()
+        e0 = init_embeddings(
+            distinct_entities(trips), dim=16, salt="bench-e")
+        r0 = init_embeddings(
+            rd.from_pandas(pd.DataFrame({"pred": ["ex:placedBy"]})),
+            dim=16, name_col="pred", salt="bench-r", normalize=False,
+        ).to_pandas()
+        e1, _ = transe_epoch(trips, e0, r0, lr=0.01, margin=1.0)
+        return e1.count()
+
+    n_emb = timed("kg_embed", kg_embed)
+    detail["kg_embed"] = {"entities": int(n_emb), "dim": 16}
+
     # 5. multimodal decode throughput (pure-Python from-scratch codecs:
     # PNG inflate+filters / GIF LZW / baseline JPEG — the PIL-less
     # constraint of this container; the number exists so the next

@@ -5556,7 +5556,8 @@ def q_kg_transe(sf_dir: str):
     subgradients accumulated through two entity-keyed shuffles.
     Rows-only — the epoch isn't SQL-expressible; exactness is pinned
     by the sequential hashlib/numpy replay in tests/test_transe.py."""
-    from ..stages.transe import init_embeddings, transe_epoch
+    from ..stages.transe import (
+        distinct_entities, init_embeddings, transe_epoch)
 
     sup = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
 
@@ -5571,18 +5572,8 @@ def q_kg_transe(sf_dir: str):
 
     trips = sup.map_batches(to_triples, batch_format="pandas") \
         .materialize()
-    ents = (
-        trips.map_batches(
-            lambda df: pd.DataFrame(
-                {"ent": pd.concat([df["subj"], df["obj"]],
-                                  ignore_index=True)}
-            ).drop_duplicates(),
-            batch_format="pandas",
-        )
-        .groupby("ent")
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
-    )
-    e0 = init_embeddings(ents, dim=8, salt="transe-e")
+    e0 = init_embeddings(
+        distinct_entities(trips), dim=8, salt="transe-e")
     r0 = init_embeddings(
         rd.from_pandas(pd.DataFrame({"pred": ["ex:basedIn"]})),
         dim=8, name_col="pred", salt="transe-r", normalize=False,
@@ -5673,7 +5664,8 @@ def q_kg_transe_eval(sf_dir: str):
     transe_rank_eval — entity table streams, test-side broadcast).
     Distance gaps (≥1e-3) dwarf cross-engine float-sum noise
     (≤1e-15), so strict-< rank counts match DuckDB exactly."""
-    from ..stages.transe import init_embeddings, transe_rank_eval
+    from ..stages.transe import (
+        distinct_entities, init_embeddings, transe_rank_eval)
 
     sup = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
 
@@ -5692,18 +5684,8 @@ def q_kg_transe_eval(sf_dir: str):
         lambda df: to_triples(df[df["s_suppkey"] % 7 == 0]),
         batch_format="pandas",
     )
-    ents = (
-        trips.map_batches(
-            lambda df: pd.DataFrame(
-                {"ent": pd.concat([df["subj"], df["obj"]],
-                                  ignore_index=True)}
-            ).drop_duplicates(),
-            batch_format="pandas",
-        )
-        .groupby("ent")
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
-    )
-    e0 = init_embeddings(ents, dim=8, salt="te", normalize=False)
+    e0 = init_embeddings(
+        distinct_entities(trips), dim=8, salt="te", normalize=False)
     r0 = init_embeddings(
         rd.from_pandas(pd.DataFrame({"pred": ["ex:basedIn"]})),
         dim=8, name_col="pred", salt="tr", normalize=False,

@@ -15,13 +15,19 @@ Determinism + scale shape:
   RNG state shipped (the stages/vectorize projection-matrix rule).
 - **Negatives** come from ``stages/sampling.negative_sample`` (the
   md5-ranked corrupt-tail rule, growth-stable, never broadcast).
-- **One epoch = full-batch subgradient, TWO entity-keyed shuffles**:
+- **One epoch = full-batch subgradient, THREE bucket shuffles**:
   (1) a tag-union-bucket lookup ships each training row's three entity
   vectors (h, t, t′) from the embedding table to the row — probes and
   lookups meet in one shuffle, the embedding table is never broadcast
-  and never on the driver; (2) gradients scatter-add back per entity
-  in one bucket-sum shuffle. Relations are ontology-sized: collected
-  once behind a loud cap and broadcast (the rdfs/owl convention).
+  and never on the driver (the relation NAME rides the h-probe row,
+  so no separate relation side); (2) rows regroup by row key to
+  compute subgradients, emitting per-bucket integer partials; (3) the
+  apply shuffle joins partials to the embedding table and folds the
+  per-entity reduce into its kernel (no separate reduce shuffle).
+  Relations are ontology-sized: broadcast behind a loud cap, their
+  per-bucket gradient partials summed driver-side (the rdfs/owl
+  convention). Vectors travel as fixed-width BYTES rows (pickling
+  float lists measured 53 s → this layout 22 s on the sf0.1 bench).
 - **L1 subgradients are INTEGER count vectors** (sign components in
   {−1, 0, +1} summed over active triples), so the distributed
   accumulation is exact regardless of summation order; floats enter
@@ -35,9 +41,23 @@ import pandas as pd
 
 from .fasthash import hex_prefix_int, md5_hex
 
-__all__ = ["init_embeddings", "transe_epoch", "transe_rank_eval"]
+__all__ = ["distinct_entities", "init_embeddings", "transe_epoch",
+           "transe_rank_eval"]
 
 _PREFIX = 10  # 40 hex bits → exact in doubles
+
+
+def _enc_rows(V: np.ndarray) -> list:
+    """(n, d) matrix → one fixed-width bytes object per row (the
+    shuffle-cheap vector encoding; see transe_epoch)."""
+    return [r.tobytes() for r in np.ascontiguousarray(V)]
+
+
+def _dec_rows(col: np.ndarray, dtype, dim: int) -> np.ndarray:
+    """Inverse of _enc_rows over an object array of bytes → (n, d)."""
+    if not len(col):
+        return np.zeros((0, dim), dtype)
+    return np.frombuffer(b"".join(col), dtype=dtype).reshape(-1, dim)
 
 
 def _vec_block(names: np.ndarray, dim: int, salt: str,
@@ -54,6 +74,34 @@ def _vec_block(names: np.ndarray, dim: int, salt: str,
         nrm = np.linalg.norm(vecs, axis=1, keepdims=True)
         vecs = vecs / np.where(nrm == 0, 1.0, nrm)
     return vecs
+
+
+def distinct_entities(
+    triples: "ray.data.Dataset",
+    cols: tuple[str, str, str] = ("subj", "pred", "obj"),
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Distinct subjects ∪ objects → Dataset (ent). Per-batch
+    drop_duplicates combiner, then ONE coarse bucket shuffle with a
+    vectorized per-bucket dedup — never a per-key groupby (the
+    measured-16×-slower Ray per-key aggregate path)."""
+    from ..shuffle import bucket_tag
+
+    s, _, o = cols
+
+    def ents_batch(df: pd.DataFrame) -> pd.DataFrame:
+        e = pd.concat([df[s], df[o]], ignore_index=True)
+        out = pd.DataFrame({"ent": e}).drop_duplicates()
+        return out.assign(_bucket=bucket_tag(out, "ent", num_buckets))
+
+    return (
+        triples.map_batches(ents_batch, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: g.drop_duplicates("ent")[["ent"]],
+            batch_format="pandas",
+        )
+    )
 
 
 def init_embeddings(
@@ -112,8 +160,12 @@ def transe_epoch(
     import ray
     import ray.data as rd
 
-    from ..shuffle import bucket_tag
+    from ..shuffle import bucket_tag, snap_lineage
     from .sampling import negative_sample
+
+    # consumed by BOTH shuffles (vector lookup + update base) — snap so
+    # the second consumer replays blocks, not the upstream plan
+    ent_emb = snap_lineage(ent_emb)
 
     if len(rel_emb) > max_relations:
         raise ValueError(
@@ -142,29 +194,42 @@ def transe_epoch(
             o: df[o].astype(str), "neg": df["neg_obj"].astype(str),
         })
 
-    rows = negs.map_batches(keyed_rows, batch_format="pandas") \
-        .materialize()
+    # snap, not bare materialize: rows feeds probes AND rel_of, and
+    # grads/apply chain 3 more shuffles on top (deep-DAG replay lesson)
+    rows = snap_lineage(
+        negs.map_batches(keyed_rows, batch_format="pandas"))
+
+    # Vectors travel through shuffles as FIXED-WIDTH BYTES (one small
+    # bytes object per row), never as Python lists: shuffling 16-float
+    # lists pickles 16 boxed floats per row (measured the sf0.1 epoch
+    # at 53 s); bytes rows + frombuffer decode cut the epoch to a
+    # third. Public columns stay list<float64> at the API boundary.
 
     # ---- shuffle 1: ship (h, t, t′) vectors to each row -------------
+    # the relation NAME rides the h-probe row ("rel" column), so the
+    # gradient shuffle needs no separate relation-row union side
     def probes(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.concat(
             [
-                pd.DataFrame({"ent": df[s], "rid": df["rid"], "role": "h"}),
-                pd.DataFrame({"ent": df[o], "rid": df["rid"], "role": "t"}),
+                pd.DataFrame({"ent": df[s], "rid": df["rid"],
+                              "role": "h", "rel": df[p]}),
+                pd.DataFrame({"ent": df[o], "rid": df["rid"],
+                              "role": "t", "rel": ""}),
                 pd.DataFrame({"ent": df["neg"], "rid": df["rid"],
-                              "role": "n"}),
+                              "role": "n", "rel": ""}),
             ],
             ignore_index=True,
         )
-        out["embedding"] = None
+        out["embedding"] = b""
         out["_side"] = np.int8(0)
         return out.assign(_bucket=bucket_tag(out, "ent", num_buckets))
 
     def lookup(df: pd.DataFrame) -> pd.DataFrame:
+        V = np.asarray(df["embedding"].tolist(), np.float64)
         out = pd.DataFrame({
             "ent": df[ent_col].astype(str),
-            "rid": "", "role": "",
-            "embedding": df["embedding"],
+            "rid": "", "role": "", "rel": "",
+            "embedding": _enc_rows(V),
             "_side": np.int8(1),
         })
         return out.assign(_bucket=bucket_tag(out, "ent", num_buckets))
@@ -172,9 +237,9 @@ def transe_epoch(
     def ship(g: pd.DataFrame) -> pd.DataFrame:
         pr = g[g["_side"] == 0]
         lk = g[g["_side"] == 1].drop_duplicates("ent")
-        m = pr[["ent", "rid", "role"]].merge(
+        m = pr[["ent", "rid", "role", "rel"]].merge(
             lk[["ent", "embedding"]], on="ent", how="inner")
-        return m[["rid", "role", "ent", "embedding"]]
+        return m[["rid", "role", "rel", "ent", "embedding"]]
 
     shipped = (
         rows.map_batches(probes, batch_format="pandas")
@@ -187,88 +252,90 @@ def transe_epoch(
     def tag_rid(df: pd.DataFrame) -> pd.DataFrame:
         return df.assign(_bucket=bucket_tag(df, "rid", num_buckets))
 
-    rel_of = rows.map_batches(
-        lambda df: pd.DataFrame(
-            {"rid": df["rid"], "role": "r", "ent": df[p],
-             "embedding": None}),
-        batch_format="pandas",
-    ).map_batches(tag_rid, batch_format="pandas")
+    _GEMPTY = pd.DataFrame({
+        "ent": pd.Series([], dtype=object),
+        "g": pd.Series([], dtype=object),
+        "_bucket": pd.Series([], dtype="int32")})
+
+    def _scatter_sum(ents: np.ndarray, G: np.ndarray) -> pd.DataFrame:
+        """Exact integer scatter-add per entity key → (ent, g:bytes)."""
+        codes, uniq = pd.factorize(ents)
+        M = np.zeros((len(uniq), G.shape[1]), np.int64)
+        np.add.at(M, codes, G)
+        return pd.DataFrame({"ent": uniq, "g": _enc_rows(M)})
 
     def grads(g: pd.DataFrame) -> pd.DataFrame:
-        """Vectorized per-bucket subgradients: pivot (rid × role),
-        stack the role matrices, one batched sign computation."""
+        """Per-bucket subgradients: role-scatter by rid code, decode
+        bytes matrices, one batched sign computation, integer
+        scatter-add combiner."""
         rm = ray.get(rel_ref)
-        empty = pd.DataFrame({
-            "ent": pd.Series([], dtype=object),
-            "g": pd.Series([], dtype=object),
-            "_bucket": pd.Series([], dtype="int32")})
-        w = g.drop_duplicates(["rid", "role"]).set_index(
-            ["rid", "role"])[["ent", "embedding"]].unstack("role")
-        need = [("ent", "h"), ("ent", "t"), ("ent", "n"), ("ent", "r"),
-                ("embedding", "h"), ("embedding", "t"),
-                ("embedding", "n")]
-        if any(c not in w.columns for c in need):
-            return empty
-        w = w.dropna(subset=need)
-        if not len(w):
-            return empty
-        H = np.stack(w[("embedding", "h")].to_numpy())
-        T = np.stack(w[("embedding", "t")].to_numpy())
-        N = np.stack(w[("embedding", "n")].to_numpy())
-        R = np.stack(
-            w[("ent", "r")].map(rm).to_numpy())
+        g = g.drop_duplicates(["rid", "role"])
+        codes, _rids = pd.factorize(g["rid"].to_numpy())
+        n = len(_rids)
+        role_ix = {"h": 0, "t": 1, "n": 2}
+        have = np.zeros((n, 3), bool)
+        ent_at = np.empty((n, 3), object)
+        byt = np.empty((n, 3), object)
+        rel_at = np.empty(n, object)
+        rl = g["role"].to_numpy()
+        en = g["ent"].to_numpy(dtype=object)
+        eb = g["embedding"].to_numpy(dtype=object)
+        rc = g["rel"].to_numpy(dtype=object)
+        for r_, k_ in role_ix.items():
+            msel = rl == r_
+            have[codes[msel], k_] = True
+            ent_at[codes[msel], k_] = en[msel]
+            byt[codes[msel], k_] = eb[msel]
+            if r_ == "h":
+                rel_at[codes[msel]] = rc[msel]
+        ok = have.all(axis=1)
+        if not ok.any():
+            return _GEMPTY
+        H = _dec_rows(byt[ok, 0], np.float64, dim)
+        T = _dec_rows(byt[ok, 1], np.float64, dim)
+        N = _dec_rows(byt[ok, 2], np.float64, dim)
+        rcodes, rnames = pd.factorize(rel_at[ok])
+        R = np.stack([rm[x] for x in rnames])[rcodes]
         dp = H + R - T
         dn = H + R - N
         act = (margin + np.abs(dp).sum(1) - np.abs(dn).sum(1)) > 0
         if not act.any():
-            return empty
+            return _GEMPTY
         sp = np.sign(dp[act]).astype(np.int64)
         sn = np.sign(dn[act]).astype(np.int64)
-        he = w[("ent", "h")].to_numpy(dtype=object)[act]
-        te = w[("ent", "t")].to_numpy(dtype=object)[act]
-        ne = w[("ent", "n")].to_numpy(dtype=object)[act]
-        re_ = w[("ent", "r")].to_numpy(dtype=object)[act]
-        out = pd.DataFrame({
-            "ent": np.concatenate([
-                he, te, ne,
-                np.array(["\x1frel\x1f" + r for r in re_],
-                         dtype=object),
-            ]),
-            "g": (sp - sn).tolist() + (-sp).tolist() + sn.tolist()
-                 + (sp - sn).tolist(),
-        })
-        # per-batch combiner: sum integer grads per key
-        out = out.groupby("ent", as_index=False).agg(
-            g=("g", lambda vs: np.sum(
-                np.stack(vs.to_numpy()), axis=0).tolist()))
+        keys = np.concatenate([
+            ent_at[ok, 0][act], ent_at[ok, 1][act], ent_at[ok, 2][act],
+            np.array(["\x1frel\x1f" + r for r in rel_at[ok][act]],
+                     dtype=object),
+        ])
+        G = np.concatenate([sp - sn, -sp, sn, sp - sn])
+        out = _scatter_sum(keys, G)
         out["_bucket"] = bucket_tag(out, "ent", num_buckets)
         return out
 
-    grad_rows = (
+    # grad partials PER RID-BUCKET — the per-entity reduce is folded
+    # into the apply shuffle (one fewer all-to-all; the apply kernel
+    # scatter-sums partials before stepping)
+    grad_final = snap_lineage(
         shipped.map_batches(tag_rid, batch_format="pandas")
-        .union(rel_of)
         .groupby("_bucket")
         .map_groups(grads, batch_format="pandas")
     )
 
-    # grads were bucketed by rid upstream; re-reduce per entity key
-    def grad_reduce(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("ent", as_index=False).agg(
-            g=("g", lambda vs: np.sum(
-                np.stack(vs.to_numpy()), axis=0).tolist()))
-
-    grad_final = grad_rows.groupby("_bucket").map_groups(
-        grad_reduce, batch_format="pandas"
-    ).materialize()
-
-    # relation updates: ontology-sized slice to the driver
+    # relation updates: per-bucket partials summed driver-side
+    # (relation-count × num_buckets rows — ontology-sized)
     rel_g = grad_final.map_batches(
         lambda df: df[df["ent"].str.startswith("\x1frel\x1f")],
         batch_format="pandas",
     ).to_pandas()
+    upd: dict = {}
+    if len(rel_g):
+        Gr = _dec_rows(rel_g["g"].to_numpy(dtype=object),
+                       np.int64, dim)
+        for e, v in zip(rel_g["ent"], Gr):
+            k = e[len("\x1frel\x1f"):]
+            upd[k] = upd.get(k, np.zeros(dim, np.int64)) + v
     new_rel = rel_emb.copy()
-    upd = {r["ent"][len("\x1frel\x1f"):]: np.asarray(r["g"], np.float64)
-           for _, r in rel_g.iterrows()}
     new_rel["embedding"] = [
         (np.asarray(v, np.float64)
          - lr * upd.get(str(k), np.zeros(dim))).tolist()
@@ -279,15 +346,16 @@ def transe_epoch(
     def ent_probe(df: pd.DataFrame) -> pd.DataFrame:
         g = df[~df["ent"].str.startswith("\x1frel\x1f")]
         out = pd.DataFrame({
-            "ent": g["ent"], "embedding": None, "g": g["g"],
+            "ent": g["ent"], "embedding": b"", "g": g["g"],
             "_side": np.int8(1),
         })
         return out.assign(_bucket=bucket_tag(out, "ent", num_buckets))
 
     def ent_base(df: pd.DataFrame) -> pd.DataFrame:
+        V = np.asarray(df["embedding"].tolist(), np.float64)
         out = pd.DataFrame({
             "ent": df[ent_col].astype(str),
-            "embedding": df["embedding"], "g": None,
+            "embedding": _enc_rows(V), "g": b"",
             "_side": np.int8(0),
         })
         return out.assign(_bucket=bucket_tag(out, "ent", num_buckets))
@@ -298,16 +366,21 @@ def transe_epoch(
             return pd.DataFrame({ent_col: pd.Series([], dtype=object),
                                  "embedding": pd.Series([], dtype=object)})
         gr = g[g["_side"] == 1]
-        V = np.stack([np.asarray(v, np.float64)
-                      for v in base["embedding"]])
+        V = _dec_rows(base["embedding"].to_numpy(dtype=object),
+                      np.float64, dim).copy()
         if len(gr):
-            gm = pd.Series(list(gr["g"]), index=gr["ent"])
-            hit = base["ent"].map(gm)
-            mask = hit.notna().to_numpy()
+            # per-rid-bucket partials: exact integer scatter-sum per
+            # entity (the reduce folded out of its own shuffle)
+            Gp = _dec_rows(gr["g"].to_numpy(dtype=object),
+                           np.int64, dim)
+            gcodes, guniq = pd.factorize(
+                gr["ent"].to_numpy(dtype=object))
+            M = np.zeros((len(guniq), dim), np.int64)
+            np.add.at(M, gcodes, Gp)
+            idx = pd.Index(guniq).get_indexer(base["ent"])
+            mask = idx >= 0
             if mask.any():
-                G = np.stack([np.asarray(v, np.float64)
-                              for v in hit[mask]])
-                V[mask] = V[mask] - lr * G
+                V[mask] = V[mask] - lr * M[idx[mask]]
         nrm = np.linalg.norm(V, axis=1, keepdims=True)
         V = V / np.where(nrm == 0, 1.0, nrm)
         return pd.DataFrame({ent_col: base["ent"].to_numpy(),
