@@ -1,0 +1,92 @@
+"""Embedding pipeline E2E: checkpoints, resume, epoch parity, eval."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from graphforge_ray.pipelines.embed import run_embed_pipeline
+from graphforge_ray.state.manifest import StageManifest
+
+TRIPS = pd.DataFrame(
+    {
+        "subj": [f"e{i}" for i in range(24)],
+        "pred": ["likes" if i % 2 else "knows" for i in range(24)],
+        "obj": [f"e{(i * 7 + 3) % 24}" for i in range(24)],
+    }
+)
+
+
+@pytest.fixture()
+def trip_parquet(tmp_path):
+    path = str(tmp_path / "triples.parquet")
+    TRIPS.to_parquet(path, index=False)
+    return path
+
+
+def test_embed_pipeline_end_to_end(ray_session, tmp_path, trip_parquet):
+    out = str(tmp_path / "embed")
+    runner = run_embed_pipeline(
+        trip_parquet, out, dim=6, epochs=2, lr=0.05, test_mod=3)
+    for st in ("entities", "init", "epoch-0001", "epoch-0002", "eval"):
+        m = StageManifest.read(os.path.join(out, st))
+        assert m is not None and m.status == "done", st
+
+    # embeddings are unit-norm lists, readable without the module
+    ent = pd.read_parquet(os.path.join(out, "epoch-0002", "ent"))
+    V = np.asarray(ent["embedding"].tolist(), np.float64)
+    assert V.shape[1] == 6
+    assert np.allclose(np.linalg.norm(V, axis=1), 1.0)
+
+    ev = StageManifest.read(os.path.join(out, "eval"))
+    assert 0.0 < ev.extra["mrr"] <= 1.0
+    assert ev.rows_out > 0
+
+    # resume: same args → every stage skips
+    r2 = run_embed_pipeline(
+        trip_parquet, out, dim=6, epochs=2, lr=0.05, test_mod=3)
+    assert all(l.startswith("skip") for l in r2.log), r2.log
+
+    # changed hyper-parameter invalidates training but not entities
+    r3 = run_embed_pipeline(
+        trip_parquet, out, dim=6, epochs=2, lr=0.02, test_mod=3)
+    assert r3.log[0].startswith("skip entities")
+    assert any(l.startswith("ran epoch-0001") for l in r3.log)
+
+
+def test_embed_epoch_matches_direct_call(ray_session, tmp_path,
+                                         trip_parquet):
+    from graphforge_ray.stages.transe import (
+        distinct_entities, init_embeddings, transe_epoch)
+
+    out = str(tmp_path / "embed1")
+    run_embed_pipeline(trip_parquet, out, dim=6, epochs=1, lr=0.05,
+                       salt="graft-embed")
+    got = pd.read_parquet(os.path.join(out, "epoch-0001", "ent"))
+    gmap = {k: np.asarray(v, np.float64)
+            for k, v in zip(got["ent"], got["embedding"])}
+
+    trips = rd.from_pandas(TRIPS)
+    e0 = init_embeddings(distinct_entities(trips), 6,
+                         salt="graft-embed-e")
+    r0 = init_embeddings(
+        rd.from_pandas(pd.DataFrame({"pred": ["knows", "likes"]})),
+        6, name_col="pred", salt="graft-embed-r", normalize=False,
+    ).to_pandas()
+    e1, _ = transe_epoch(trips, e0, r0, lr=0.05, margin=1.0)
+    want = e1.to_pandas()
+    wmap = {k: np.asarray(v, np.float64)
+            for k, v in zip(want["ent"], want["embedding"])}
+    assert set(gmap) == set(wmap)
+    for k in wmap:
+        assert np.allclose(gmap[k], wmap[k], atol=1e-12), k
+
+
+def test_embed_bad_params(ray_session, tmp_path, trip_parquet):
+    with pytest.raises(ValueError, match="epochs"):
+        run_embed_pipeline(trip_parquet, str(tmp_path / "x"), epochs=0)
+    with pytest.raises(ValueError, match="no input parquet"):
+        run_embed_pipeline(str(tmp_path / "nope_dir"),
+                           str(tmp_path / "y"))
