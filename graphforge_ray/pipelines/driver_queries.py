@@ -5655,6 +5655,41 @@ SELECT walk_id, step, node FROM walks
 """
 
 
+def q_graph_walk_pairs(sf_dir: str):
+    """DeepWalk skip-gram training pairs over the part-graph walks
+    (stages/walks.skipgram_pairs): windowed (center, context) counts,
+    walk-bucket self-merge + one pair-keyed reduce — vs the oracle's
+    walk self-join + GROUP BY on the identical recursive walks."""
+    from ..stages.walks import random_walks, skipgram_pairs
+
+    part = _t(sf_dir, "part", ["p_partkey"])
+    starts = part.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df.loc[(df["p_partkey"] % 97 == 0)
+                            & (df["p_partkey"] >= 1),
+                            "p_partkey"].to_numpy()}),
+        batch_format="pandas",
+    )
+    walks = random_walks(
+        _part_graph_edges(sf_dir), walk_len=6, walks_per_node=2,
+        starts=starts,
+    )
+    return skipgram_pairs(walks, window=2)
+
+
+SQL_GRAPH_WALK_PAIRS = (
+    SQL_GRAPH_WALKS.rsplit("SELECT walk_id, step, node FROM walks", 1)[0]
+    + """
+SELECT a.node AS center, b.node AS context,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM walks a
+JOIN walks b ON a.walk_id = b.walk_id AND a.step <> b.step
+            AND ABS(a.step - b.step) <= 2
+GROUP BY a.node, b.node
+"""
+)
+
+
 def q_kg_transe_eval(sf_dir: str):
     """Filtered link-prediction ranks (TransE eval protocol) over
     supplier→nation triples on the md5-deterministic INIT embeddings
@@ -6704,6 +6739,7 @@ QUERIES = {
     "kg_transe": q_kg_transe,
     "kg_transe_eval": q_kg_transe_eval,
     "graph_walks": q_graph_walks,
+    "graph_walk_pairs": q_graph_walk_pairs,
     "warc_ingest": q_warc_ingest,
     "docs_dup_substrings": q_docs_dup_substrings,
     "docs_incremental_neardup": q_docs_incremental_neardup,
@@ -6894,6 +6930,7 @@ ORACLES = {
     "kg_negatives": SQL_KG_NEGATIVES,
     "kg_transe_eval": SQL_KG_TRANSE_EVAL,
     "graph_walks": SQL_GRAPH_WALKS,
+    "graph_walk_pairs": SQL_GRAPH_WALK_PAIRS,
     "docs_chunks": SQL_DOCS_CHUNKS,
     "events_intervals": SQL_EVENTS_INTERVALS,
     "docs_quality_ntile": SQL_DOCS_QUALITY_NTILE,

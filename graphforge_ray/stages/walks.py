@@ -33,10 +33,10 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ..shuffle import bucket_tag, snap_lineage
+from ..shuffle import bucket_tag, pair_bucket_tag, snap_lineage
 from .fasthash import hex_prefix_int, md5_hex
 
-__all__ = ["random_walks"]
+__all__ = ["random_walks", "skipgram_pairs"]
 
 
 def random_walks(
@@ -194,3 +194,64 @@ def random_walks(
     for o in outs[1:]:
         out = out.union(o)
     return out
+
+
+def skipgram_pairs(
+    walks: "ray.data.Dataset",
+    window: int,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """DeepWalk training pairs: for every walk and every position pair
+    within ``window`` steps, emit (center, context) BOTH ways →
+    Dataset (center, context, cnt:int64) with exact global counts.
+
+    Two narrow shuffles: walks co-locate by walk_id (each bucket
+    self-merges its walks ``window`` times, vectorized — no per-walk
+    Python); per-bucket integer pair counts then reduce once keyed on
+    the (center, context) composite. SQL-replayable as a self-join on
+    (walk_id, |Δstep| ≤ window) + GROUP BY."""
+    if window < 1:
+        raise ValueError(f"window must be ≥ 1: {window}")
+
+    def tag_walk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_bucket=bucket_tag(df, "walk_id", num_buckets))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        base = g[["walk_id", "step", "node"]]
+        parts = []
+        for d in range(1, window + 1):
+            sh = base.assign(step=base["step"] - d)
+            m = base.merge(sh, on=["walk_id", "step"],
+                           suffixes=("", "_ctx"))
+            if not len(m):
+                continue
+            parts.append(pd.DataFrame(
+                {"center": m["node"], "context": m["node_ctx"]}))
+            parts.append(pd.DataFrame(
+                {"center": m["node_ctx"], "context": m["node"]}))
+        if not parts:
+            return pd.DataFrame({
+                "center": pd.Series([], dtype=base["node"].dtype),
+                "context": pd.Series([], dtype=base["node"].dtype),
+                "cnt": pd.Series([], dtype="int64"),
+                "_bucket": pd.Series([], dtype="int32")})
+        res = pd.concat(parts, ignore_index=True)
+        res = res.groupby(["center", "context"], as_index=False) \
+            .size().rename(columns={"size": "cnt"})
+        res["cnt"] = res["cnt"].astype("int64")
+        return res.assign(_bucket=pair_bucket_tag(
+            res, ["center", "context"], num_buckets))
+
+    def reduce_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["center", "context"], as_index=False) \
+            .agg(cnt=("cnt", "sum"))
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    return (
+        walks.map_batches(tag_walk, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(reduce_pairs, batch_format="pandas")
+    )

@@ -77,3 +77,30 @@ def test_walks_explicit_starts_and_guards(ray_session):
         lambda r: False)
     with pytest.raises(ValueError, match="empty start"):
         random_walks(ds, walk_len=1, starts=empty)
+
+
+def test_skipgram_pairs_match_bruteforce(ray_session):
+    from collections import Counter
+
+    from graphforge_ray.stages.walks import skipgram_pairs
+
+    ds = rd.from_pandas(EDGES).repartition(3)
+    walks = random_walks(ds, walk_len=5, walks_per_node=2)
+    got = skipgram_pairs(walks, window=2).to_pandas()
+    got_map = {(r.center, r.context): r.cnt
+               for r in got.itertuples(index=False)}
+
+    rows = _replay(EDGES, sorted(EDGES["s"].unique()), 5, 2)
+    by_walk = {}
+    for wid, step, node in rows:
+        by_walk.setdefault(wid, []).append((step, node))
+    want = Counter()
+    for seq in by_walk.values():
+        seq = [n for _, n in sorted(seq)]
+        for i, c in enumerate(seq):
+            for j in range(max(0, i - 2), min(len(seq), i + 3)):
+                if j != i:
+                    want[(c, seq[j])] += 1
+    assert got_map == dict(want)
+    with pytest.raises(ValueError, match="window"):
+        skipgram_pairs(walks, window=0)
