@@ -5690,6 +5690,74 @@ GROUP BY a.node, b.node
 )
 
 
+def q_graph_wl(sf_dir: str):
+    """Weisfeiler–Leman signatures (2 rounds) over the labeled part
+    graph — k →half k//2, k →prev k−1 (stages/wl.wl_signatures:
+    pagerank-shaped scatter/gather, md5 of own label + sorted contrib
+    multiset) — vs a 2×-unrolled string_agg/md5 SQL replay."""
+    from ..stages.wl import wl_signatures
+
+    part = _t(sf_dir, "part", ["p_partkey"])
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        k = df.loc[df["p_partkey"] >= 1, "p_partkey"]
+        return pd.concat([
+            pd.DataFrame({"s": k, "p": "half", "o": k // 2}),
+            pd.DataFrame({"s": k, "p": "prev", "o": k - 1}),
+        ], ignore_index=True)
+
+    return wl_signatures(
+        part.map_batches(edges, batch_format="pandas"), rounds=2)
+
+
+SQL_GRAPH_WL = r"""
+WITH e AS (
+    SELECT CAST(s AS VARCHAR) AS s, p, CAST(o AS VARCHAR) AS o FROM (
+        SELECT p_partkey AS s, 'half' AS p, p_partkey // 2 AS o
+        FROM part WHERE p_partkey >= 1
+        UNION ALL
+        SELECT p_partkey, 'prev', p_partkey - 1
+        FROM part WHERE p_partkey >= 1
+    )
+),
+n AS (
+    SELECT DISTINCT node FROM (
+        SELECT s AS node FROM e UNION SELECT o FROM e
+    )
+),
+l0 AS (SELECT node, '' AS lab FROM n),
+c1 AS (
+    SELECT e.s AS node, e.p || '|' || l.lab AS contrib
+    FROM e JOIN l0 l ON l.node = e.o
+),
+l1 AS (
+    SELECT nn.node,
+           md5(l.lab || '|' || COALESCE(
+               string_agg(c.contrib, '|' ORDER BY c.contrib), ''))
+               AS lab
+    FROM n nn
+    JOIN l0 l ON l.node = nn.node
+    LEFT JOIN c1 c ON c.node = nn.node
+    GROUP BY nn.node, l.lab
+),
+c2 AS (
+    SELECT e.s AS node, e.p || '|' || l.lab AS contrib
+    FROM e JOIN l1 l ON l.node = e.o
+),
+l2 AS (
+    SELECT nn.node,
+           md5(l.lab || '|' || COALESCE(
+               string_agg(c.contrib, '|' ORDER BY c.contrib), ''))
+               AS lab
+    FROM n nn
+    JOIN l1 l ON l.node = nn.node
+    LEFT JOIN c2 c ON c.node = nn.node
+    GROUP BY nn.node, l.lab
+)
+SELECT node, lab FROM l2
+"""
+
+
 def q_kg_transe_eval(sf_dir: str):
     """Filtered link-prediction ranks (TransE eval protocol) over
     supplier→nation triples on the md5-deterministic INIT embeddings
@@ -6740,6 +6808,7 @@ QUERIES = {
     "kg_transe_eval": q_kg_transe_eval,
     "graph_walks": q_graph_walks,
     "graph_walk_pairs": q_graph_walk_pairs,
+    "graph_wl": q_graph_wl,
     "warc_ingest": q_warc_ingest,
     "docs_dup_substrings": q_docs_dup_substrings,
     "docs_incremental_neardup": q_docs_incremental_neardup,
@@ -6931,6 +7000,7 @@ ORACLES = {
     "kg_transe_eval": SQL_KG_TRANSE_EVAL,
     "graph_walks": SQL_GRAPH_WALKS,
     "graph_walk_pairs": SQL_GRAPH_WALK_PAIRS,
+    "graph_wl": SQL_GRAPH_WL,
     "docs_chunks": SQL_DOCS_CHUNKS,
     "events_intervals": SQL_EVENTS_INTERVALS,
     "docs_quality_ntile": SQL_DOCS_QUALITY_NTILE,
