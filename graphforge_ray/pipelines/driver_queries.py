@@ -5758,6 +5758,48 @@ SELECT node, lab FROM l2
 """
 
 
+def q_sparql_update(sf_dir: str):
+    """SPARQL 1.1 Update (DELETE/INSERT WHERE) over the supplier KG:
+    relocate every supplier based in nation 3 to a new predicate
+    (query/sparql.run_update — WHERE evaluates distributed, templates
+    instantiate per batch, ONE composite-keyed shuffle applies
+    (store − deletes) ∪ inserts with set semantics) — vs an
+    EXCEPT/UNION set-ops oracle."""
+    from ..query.sparql import run_update
+
+    sup = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    trips = sup.map_batches(
+        lambda df: pd.DataFrame({
+            "subj": "sup:" + df["s_suppkey"].astype(str),
+            "pred": "ex:basedIn",
+            "obj": "nat:" + df["s_nationkey"].astype(str),
+        }),
+        batch_format="pandas",
+    )
+    q = ('DELETE { ?s ex:basedIn ?o } '
+         'INSERT { ?s ex:locatedIn ?o } '
+         'WHERE { ?s ex:basedIn ?o . FILTER(?o = "nat:3") }')
+    return run_update(trips, q)
+
+
+SQL_SPARQL_UPDATE = """
+WITH trip AS (
+    SELECT 'sup:' || CAST(s_suppkey AS VARCHAR) AS subj,
+           'ex:basedIn' AS pred,
+           'nat:' || CAST(s_nationkey AS VARCHAR) AS obj
+    FROM supplier
+),
+matched AS (SELECT subj, obj FROM trip WHERE obj = 'nat:3')
+SELECT subj, pred, obj FROM (
+    SELECT subj, pred, obj FROM trip
+    EXCEPT
+    SELECT subj, 'ex:basedIn', obj FROM matched
+    UNION
+    SELECT subj, 'ex:locatedIn', obj FROM matched
+)
+"""
+
+
 def q_kg_transe_eval(sf_dir: str):
     """Filtered link-prediction ranks (TransE eval protocol) over
     supplier→nation triples on the md5-deterministic INIT embeddings
@@ -6809,6 +6851,7 @@ QUERIES = {
     "graph_walks": q_graph_walks,
     "graph_walk_pairs": q_graph_walk_pairs,
     "graph_wl": q_graph_wl,
+    "sparql_update": q_sparql_update,
     "warc_ingest": q_warc_ingest,
     "docs_dup_substrings": q_docs_dup_substrings,
     "docs_incremental_neardup": q_docs_incremental_neardup,
@@ -7001,6 +7044,7 @@ ORACLES = {
     "graph_walks": SQL_GRAPH_WALKS,
     "graph_walk_pairs": SQL_GRAPH_WALK_PAIRS,
     "graph_wl": SQL_GRAPH_WL,
+    "sparql_update": SQL_SPARQL_UPDATE,
     "docs_chunks": SQL_DOCS_CHUNKS,
     "events_intervals": SQL_EVENTS_INTERVALS,
     "docs_quality_ntile": SQL_DOCS_QUALITY_NTILE,

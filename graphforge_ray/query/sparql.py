@@ -82,6 +82,7 @@ __all__ = [
     "run_ask",
     "run_construct",
     "run_describe",
+    "run_update",
     "SelectQuery",
 ]
 
@@ -3174,3 +3175,231 @@ def explain_select(
     if q.offset:
         lines.append(f"OFFSET {q.offset} (collect=True only)")
     return "\n".join(lines)
+
+
+_INSERT_DATA = re.compile(
+    r"\b(?P<op>INSERT|DELETE)\s+DATA\s*\{(?P<body>.*)\}\s*$",
+    re.S | re.I,
+)
+_DELETE_WHERE_SHORT = re.compile(
+    r"\bDELETE\s+WHERE\s*\{(?P<body>.*)\}\s*$", re.S | re.I
+)
+_MODIFY = re.compile(
+    r"\b(?:DELETE\s*\{(?P<del>[^{}]*)\}\s*)?"
+    r"(?:INSERT\s*\{(?P<ins>[^{}]*)\}\s*)?"
+    r"WHERE\s*\{(?P<body>.*)\}\s*$",
+    re.S | re.I,
+)
+
+
+def _template_frame(template, df: pd.DataFrame) -> pd.DataFrame:
+    """Instantiate triple-template patterns over a bindings batch
+    (the CONSTRUCT rule: rows with an unbound template var drop)."""
+    frames = []
+    for s, p, o in template:
+        cols = {}
+        mask = pd.Series(True, index=df.index)
+        for name, term in (("subj", s), ("pred", p), ("obj", o)):
+            if isinstance(term, str) and term.startswith("?"):
+                col = df[term[1:]]
+                mask &= col.notna()
+                cols[name] = col
+            else:
+                cols[name] = pd.Series(term, index=df.index,
+                                       dtype=object)
+        tri = pd.DataFrame(cols).loc[mask]
+        frames.append(tri.astype(
+            {"subj": str, "pred": str, "obj": str}))
+    if not frames:
+        return pd.DataFrame({"subj": pd.Series([], dtype=object),
+                             "pred": pd.Series([], dtype=object),
+                             "obj": pd.Series([], dtype=object)})
+    return pd.concat(frames, ignore_index=True)
+
+
+def _ground_frame(pats) -> pd.DataFrame:
+    for t in pats:
+        for term in t:
+            if isinstance(term, PathExpr) or (
+                    isinstance(term, str) and term.startswith("?")):
+                raise ValueError(
+                    "INSERT/DELETE DATA requires ground triples "
+                    f"(no variables/paths): {t}")
+    return pd.DataFrame(
+        [(str(s), str(p), str(o)) for s, p, o in pats],
+        columns=["subj", "pred", "obj"],
+    ).drop_duplicates()
+
+
+def run_update(
+    triples: "ray.data.Dataset",
+    query: str,
+    prefixes: dict[str, str] | None = None,
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """SPARQL 1.1 Update over an immutable graph Dataset → the UPDATED
+    (subj, pred, obj) Dataset with set semantics (callers republish —
+    the manifest/atomic-rename pattern of pipelines/forge).
+
+    Supported forms (SPARQL 1.1 Update, public spec):
+
+    * ``INSERT DATA { ground triples }`` — no shuffle: the
+      statement-sized data is broadcast, one membership pass finds
+      which rows already exist, the missing rows union in.
+    * ``DELETE DATA { ground triples }`` — no shuffle: broadcast
+      key-set filter, pure map-side.
+    * ``DELETE WHERE { patterns }`` — shorthand: the pattern group is
+      both the match and the delete template.
+    * ``DELETE { tmpl } INSERT { tmpl } WHERE { body }`` (either
+      template optional) — the WHERE group evaluates distributed, both
+      templates instantiate vectorized per bindings batch, and ONE
+      composite-keyed bucket shuffle applies (store − deletes) ∪
+      inserts with set semantics.
+    """
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from ..shuffle import pair_bucket_tag, snap_lineage
+
+    qtext = prepare_query(query, prefixes)
+    decl = dict(_PREFIX_DECL.findall(qtext))
+    cols = ["subj", "pred", "obj"]
+
+    # store metadata columns (obj_is_iri, lang, …) are PRESERVED for
+    # kept rows; inserted rows synthesize obj_is_iri by the P3 typing
+    # rule (startsWith 'http') and fill other extras with ""
+    schema = triples.schema(fetch_if_missing=True)
+    extra_cols = [c for c in (schema.names if schema else [])
+                  if c not in cols]
+
+    def fill_extras(out: pd.DataFrame) -> pd.DataFrame:
+        for c in extra_cols:
+            if c == "obj_is_iri":
+                out[c] = out["obj"].str.startswith("http")
+            else:
+                out[c] = ""
+        return out
+
+    m = _INSERT_DATA.search(qtext)
+    if m:
+        data = _ground_frame(_parse_patterns(m.group("body"), decl))
+        keys = set(map(tuple, data.itertuples(index=False)))
+        keys_ref = ray.put(keys)
+
+        def key_mask(df: pd.DataFrame) -> pd.Series:
+            ks = ray.get(keys_ref)
+            return pd.Series(
+                [(a, b, c) in ks for a, b, c in
+                 zip(df["subj"].astype(str), df["pred"].astype(str),
+                     df["obj"].astype(str))],
+                index=df.index,
+            )
+
+        if m.group("op").upper() == "DELETE":
+            return triples.map_batches(
+                lambda df: df[~key_mask(df)],
+                batch_format="pandas",
+            )
+        # INSERT DATA: find which rows already exist (bounded by the
+        # statement size), append only the missing ones
+        present = triples.map_batches(
+            lambda df: df[key_mask(df)][cols].astype(str)
+            .drop_duplicates(),
+            batch_format="pandas",
+        ).to_pandas().drop_duplicates()
+        have = set(map(tuple, present.itertuples(index=False)))
+        missing = data[[tuple(r) not in have
+                        for r in data.itertuples(index=False)]]
+        if not len(missing):
+            return triples
+        missing = fill_extras(missing.copy())[cols + extra_cols]
+        return triples.union(rd.from_pandas(missing))
+
+    mw = _DELETE_WHERE_SHORT.search(qtext)
+    if mw:
+        body = mw.group("body")
+        del_tmpl = _parse_patterns(body, decl)
+        ins_tmpl = []
+    else:
+        mm = _MODIFY.search(qtext)
+        if not mm or (mm.group("del") is None
+                      and mm.group("ins") is None):
+            raise ValueError(
+                "unsupported UPDATE form (expected INSERT/DELETE DATA, "
+                "DELETE WHERE, or DELETE/INSERT … WHERE)")
+        body = mm.group("body")
+        del_tmpl = (_parse_patterns(mm.group("del"), decl)
+                    if mm.group("del") else [])
+        ins_tmpl = (_parse_patterns(mm.group("ins"), decl)
+                    if mm.group("ins") else [])
+
+    for tmpl in (del_tmpl, ins_tmpl):
+        for s, p, o in tmpl:
+            if isinstance(p, PathExpr):
+                raise ValueError(
+                    "property paths are not allowed in an UPDATE "
+                    "template")
+    tmpl_vars = sorted({
+        t[1:]
+        for pat in (list(del_tmpl) + list(ins_tmpl))
+        for t in pat
+        if isinstance(t, str) and t.startswith("?")
+    })
+    body_vars = set(re.findall(r"\?(\w+)", body))
+    missing_v = [v for v in tmpl_vars if v not in body_vars]
+    if missing_v:
+        raise ValueError(
+            f"UPDATE template variable(s) {missing_v} never appear "
+            "in the WHERE group")
+    sel_vars = tmpl_vars or sorted(body_vars)
+    if not sel_vars:
+        raise ValueError("UPDATE WHERE group binds no variables")
+    sel = ("SELECT " + " ".join("?" + v for v in sel_vars)
+           + " WHERE {" + body + "}")
+    q = compile_select(prepare_query(sel, decl))
+    bindings = snap_lineage(_eval_where(triples, q))
+
+    dt, it = [tuple(t) for t in del_tmpl], [tuple(t) for t in ins_tmpl]
+
+    def tag(side: int, tmpl=None):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            if tmpl is None:
+                out = df.copy()
+                for c in cols:
+                    out[c] = out[c].astype(str)
+            else:
+                out = fill_extras(_template_frame(tmpl, df))
+            out = out.assign(_side=np.int8(side))
+            return out.assign(
+                _bucket=pair_bucket_tag(out, cols, num_buckets))[
+                cols + extra_cols + ["_side", "_bucket"]]
+
+        return fn
+
+    sides = triples.map_batches(tag(0), batch_format="pandas")
+    if dt:
+        sides = sides.union(
+            bindings.map_batches(tag(1, dt), batch_format="pandas"))
+    if it:
+        sides = sides.union(
+            bindings.map_batches(tag(2, it), batch_format="pandas"))
+
+    keep_cols = cols + extra_cols
+
+    def apply_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        key = pd.MultiIndex.from_frame(g[cols])
+        store = g[g["_side"] == 0]
+        dels = set(key[g["_side"] == 1])
+        keep = store[~pd.MultiIndex.from_frame(store[cols]).isin(dels)]
+        ins = g[g["_side"] == 2].drop_duplicates(cols)
+        if len(ins):
+            have = set(pd.MultiIndex.from_frame(keep[cols]))
+            ins = ins[~pd.MultiIndex.from_frame(ins[cols]).isin(have)]
+        return pd.concat(
+            [keep[keep_cols], ins[keep_cols]], ignore_index=True)
+
+    return (
+        sides.groupby("_bucket")
+        .map_groups(apply_bucket, batch_format="pandas")
+    )
