@@ -4688,6 +4688,36 @@ FROM part
 """
 
 
+def q_sparql_orderby_agg_expr(sf_dir: str):
+    """ORDER BY over an aggregate-alias EXPRESSION — DESC(?c * 2) —
+    evaluated POST-grouping (r5: the former loud refusal is now a
+    post-aggregation bind; with LIMIT the ordering is load-bearing for
+    the hash, not just presentation)."""
+    from ..query.sparql import run_select
+
+    out = run_select(
+        _part_triples(sf_dir),
+        f"SELECT ?o (COUNT(?s) AS ?c) "
+        f"WHERE {{ ?s <{VOCAB_CHILDOF}> ?o }} "
+        f"GROUP BY ?o ORDER BY DESC(?c * 2) ?o LIMIT 20",
+    )
+    out["c"] = out["c"].astype(np.int64)
+    return out[["o", "c"]]
+
+
+SQL_SPARQL_ORDERBY_AGG_EXPR = """
+WITH e AS (
+    SELECT 'part:' || CAST(p_partkey AS VARCHAR) AS s,
+           'part:' || CAST(p_partkey // 2 AS VARCHAR) AS o
+    FROM part WHERE p_partkey > 1
+)
+SELECT o, CAST(COUNT(*) AS BIGINT) AS c
+FROM e GROUP BY o
+ORDER BY COUNT(*) * 2 DESC, o
+LIMIT 20
+"""
+
+
 def q_sparql_select_dataset(sf_dir: str):
     """Dataset-returning SELECT (collect=False): the closure-sized
     binding set stays distributed — no ``to_pandas`` inside the
@@ -6852,6 +6882,7 @@ QUERIES = {
     "graph_walk_pairs": q_graph_walk_pairs,
     "graph_wl": q_graph_wl,
     "sparql_update": q_sparql_update,
+    "sparql_orderby_agg_expr": q_sparql_orderby_agg_expr,
     "warc_ingest": q_warc_ingest,
     "docs_dup_substrings": q_docs_dup_substrings,
     "docs_incremental_neardup": q_docs_incremental_neardup,
@@ -7045,6 +7076,7 @@ ORACLES = {
     "graph_walk_pairs": SQL_GRAPH_WALK_PAIRS,
     "graph_wl": SQL_GRAPH_WL,
     "sparql_update": SQL_SPARQL_UPDATE,
+    "sparql_orderby_agg_expr": SQL_SPARQL_ORDERBY_AGG_EXPR,
     "docs_chunks": SQL_DOCS_CHUNKS,
     "events_intervals": SQL_EVENTS_INTERVALS,
     "docs_quality_ntile": SQL_DOCS_QUALITY_NTILE,

@@ -142,6 +142,10 @@ class SelectQuery:
     graph_groups: list[tuple] = field(default_factory=list)
     # each: (graph term — '?var' or IRI, pattern list, group-scoped
     # filter list, group-scoped OPTIONAL groups) from GRAPH { … }
+    post_order_binds: list[tuple] = field(default_factory=list)
+    # each: (helper var, expr AST) — ORDER BY expression keys that
+    # reference an AGGREGATE alias; evaluated on the aggregated
+    # result (post-grouping), sorted on, then dropped
 
 
 @dataclass
@@ -1118,8 +1122,11 @@ def _rewrite_select_expressions(
       scope; it is never projected).
 
     Plain-var forms pass through untouched, so every existing query
-    compiles identically."""
+    compiles identically. Returns (proj, body, tail, post_binds) —
+    post_binds are ORDER BY expressions over aggregate aliases, to be
+    evaluated on the aggregated result."""
     binds: list[str] = []
+    post_binds: list[tuple] = []
     agg_aliases: set[str] = set()
 
     new_items = []
@@ -1209,20 +1216,18 @@ def _rewrite_select_expressions(
             if im:
                 key_var = inner
             else:
-                # expression keys become PRE-grouping BINDs, where an
-                # aggregate-result alias is unbound — refuse loudly
-                # instead of failing later with a confusing BIND error
                 hit = agg_aliases.intersection(
                     re.findall(r"\?\w+", inner))
-                if hit:
-                    raise ValueError(
-                        "ORDER BY over aggregate-result expressions is "
-                        f"unsupported (alias {sorted(hit)[0]} in "
-                        f"{inner!r}); ORDER BY the bare alias instead"
-                    )
                 key_var = f"?__ord_{n_ord}"
                 n_ord += 1
-                binds.append(f"BIND({inner} AS {key_var})")
+                if hit:
+                    # references an aggregate alias → the expression
+                    # must evaluate POST-grouping, on the aggregated
+                    # result (a pre-grouping BIND would see the alias
+                    # unbound)
+                    post_binds.append((key_var[1:], inner))
+                else:
+                    binds.append(f"BIND({inner} AS {key_var})")
             keys.append(f"{direction}({key_var})" if direction
                         else key_var)
             i = j
@@ -1233,7 +1238,7 @@ def _rewrite_select_expressions(
 
     if binds:
         body = body + " " + " ".join(binds)
-    return proj, body, tail
+    return proj, body, tail, post_binds
 
 
 def compile_select(
@@ -1253,7 +1258,9 @@ def compile_select(
 
     # expression projections / ORDER BY expression keys → BIND rewrite
     # (previously these were SILENTLY dropped — wrong columns/order)
-    proj, body, tail = _rewrite_select_expressions(proj, body, tail)
+    proj, body, tail, _post_raw = _rewrite_select_expressions(
+        proj, body, tail)
+    post_order_binds = [(v, _parse_expr(t)) for v, t in _post_raw]
 
     aggregates = []
     agg_params: dict[str, str] = {}
@@ -1417,6 +1424,7 @@ def compile_select(
             having=_tail_having(tail, query),
             agg_params=agg_params,
             offset=_tail_offset(tail, query),
+            post_order_binds=post_order_binds,
         )
 
     # GRAPH groups (quad scoping): brace-scan cut first. FILTER,
@@ -1568,6 +1576,7 @@ def compile_select(
         offset=_tail_offset(tail, query),
         subselects=subselects,
         graph_groups=graph_groups_parsed,
+        post_order_binds=post_order_binds,
     )
 
 
@@ -2798,8 +2807,23 @@ def run_select(
                 )
             if q.order_by:
                 # aggregate aliases are plain columns post-grouping —
-                # the same distributed sort (+ top-k) applies
+                # the same distributed sort (+ top-k) applies; ORDER BY
+                # expressions over aliases evaluate here, post-grouping
+                if q.post_order_binds:
+                    out_ds = out_ds.map_batches(
+                        lambda df, _b=tuple(q.post_order_binds):
+                        df.assign(**{v: _eval_expr(a, df)
+                                     for v, a in _b}),
+                        batch_format="pandas",
+                    )
                 out_ds = _order_dataset_topk(out_ds, q.order_by, q.limit)
+                if q.post_order_binds:
+                    helpers = [v for v, _ in q.post_order_binds]
+                    out_ds = out_ds.map_batches(
+                        lambda df, _h=tuple(helpers):
+                        df.drop(columns=list(_h)),
+                        batch_format="pandas",
+                    )
             elif q.limit is not None:
                 out_ds = limit_op(out_ds, q.limit)
             return out_ds
@@ -2807,7 +2831,12 @@ def run_select(
         if q.having:
             out = _apply_filters(out, q.having)
         if q.order_by:
+            for v, a in q.post_order_binds:
+                out = out.assign(**{v: _eval_expr(a, out)})
             out = _order_frame(out, q.order_by)
+            if q.post_order_binds:
+                out = out.drop(
+                    columns=[v for v, _ in q.post_order_binds])
         if q.offset:
             out = out.iloc[q.offset:]
         if q.limit is not None:

@@ -1743,14 +1743,19 @@ def test_collect_false_ungrouped_aggregate_one_row(score_triples):
     assert len(got) == 1 and int(got["n"].iloc[0]) == 3
 
 
-def test_order_by_over_aggregate_alias_expression_refused(score_triples):
-    # ADVICE r4: pre-grouping BIND of an aggregate alias is unbound —
-    # must refuse loudly at compile time, not fail with a BIND error
-    with pytest.raises(ValueError, match="aggregate-result"):
-        compile_select(
-            "SELECT ?p (COUNT(?s) AS ?c) WHERE { ?s ?p ?o } "
-            "GROUP BY ?p ORDER BY DESC(?c + 1)"
-        )
+def test_order_by_over_aggregate_alias_compiles_post_grouping(
+        score_triples):
+    # ADVICE r4 follow-up: the alias expression now compiles into a
+    # POST-grouping bind instead of refusing (pre-grouping BIND would
+    # see the alias unbound)
+    q = compile_select(
+        "SELECT ?p (COUNT(?s) AS ?c) WHERE { ?s ?p ?o } "
+        "GROUP BY ?p ORDER BY DESC(?c + 1)"
+    )
+    assert len(q.post_order_binds) == 1
+    assert q.order_by and q.order_by[0][1] is True  # descending helper
+    # the helper is NOT a pre-grouping BIND
+    assert not any(v.startswith("__ord_") for v, _ in q.binds)
 
 
 def test_lone_question_mark_projection_refused():
@@ -2157,3 +2162,27 @@ def test_explain_select_aggregate_and_graph():
     assert "distributed groupby().aggregate()" in plan
     assert "post-aggregate filter" in plan
     assert "full Dataset.sort" in plan  # no LIMIT → full sort
+
+
+def test_order_by_aggregate_alias_expression(triples_ds):
+    # DESC(?c * 2) where ?c is an aggregate alias: the expression key
+    # evaluates POST-grouping (pre-grouping BIND would see ?c unbound)
+    out = run_select(
+        triples_ds,
+        "SELECT ?p (COUNT(?s) AS ?c) WHERE { ?s ?p ?o } "
+        "GROUP BY ?p ORDER BY DESC(?c * 2) ?p",
+    )
+    assert list(out.columns) == ["p", "c"]
+    assert out["c"].tolist() == sorted(out["c"].tolist(), reverse=True)
+    assert out["c"].iloc[0] == 2  # rdf:type has two triples
+
+    ds = run_select(
+        triples_ds,
+        "SELECT ?p (COUNT(?s) AS ?c) WHERE { ?s ?p ?o } "
+        "GROUP BY ?p ORDER BY DESC(?c + 1) ?p",
+        collect=False,
+    )
+    df = ds.to_pandas()
+    assert list(df.columns) == ["p", "c"]
+    assert df["c"].tolist() == out["c"].tolist()
+    assert df["p"].tolist() == out["p"].tolist()
