@@ -356,6 +356,36 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def q_events_lag(sf_dir: str):
+    """Per-user LAG/LEAD of value + microsecond inter-arrival gap in
+    event-time order (stages/windows.lag_window): one key-bucket
+    shuffle, vectorized per-bucket sort + groupby shift. NULL firsts
+    pinned to the −1 sentinel on both sides."""
+    from ..stages.windows import lag_window
+
+    out = lag_window(
+        _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    )
+    return out.map_batches(
+        lambda df: df.assign(
+            lag_value=df["lag_value"].fillna(-1.0),
+            lead_value=df["lead_value"].fillna(-1.0),
+        ),
+        batch_format="pandas",
+    )
+
+
+SQL_EVENTS_LAG = """
+SELECT event_id, user_id,
+       COALESCE(LAG(value, 1) OVER w, -1.0) AS lag_value,
+       COALESCE(LEAD(value, 1) OVER w, -1.0) AS lead_value,
+       COALESCE(CAST(epoch_us(ts) - epoch_us(LAG(ts, 1) OVER w)
+                AS BIGINT), -1) AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def q_events_trailing(sf_dir: str):
     """Per-event trailing 1-hour count/sum (SQL RANGE-frame semantics,
     peer-inclusive): one key-bucket shuffle, per bucket one sort + two
@@ -6883,6 +6913,7 @@ QUERIES = {
     "graph_wl": q_graph_wl,
     "sparql_update": q_sparql_update,
     "sparql_orderby_agg_expr": q_sparql_orderby_agg_expr,
+    "events_lag": q_events_lag,
     "warc_ingest": q_warc_ingest,
     "docs_dup_substrings": q_docs_dup_substrings,
     "docs_incremental_neardup": q_docs_incremental_neardup,
@@ -7077,6 +7108,7 @@ ORACLES = {
     "graph_wl": SQL_GRAPH_WL,
     "sparql_update": SQL_SPARQL_UPDATE,
     "sparql_orderby_agg_expr": SQL_SPARQL_ORDERBY_AGG_EXPR,
+    "events_lag": SQL_EVENTS_LAG,
     "docs_chunks": SQL_DOCS_CHUNKS,
     "events_intervals": SQL_EVENTS_INTERVALS,
     "docs_quality_ntile": SQL_DOCS_QUALITY_NTILE,

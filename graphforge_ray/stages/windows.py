@@ -26,7 +26,8 @@ import pandas as pd
 import ray
 import ray.data
 
-__all__ = ["tumbling_window", "sliding_window", "session_window"]
+__all__ = ["tumbling_window", "sliding_window", "session_window",
+           "trailing_window", "running_window", "lag_window"]
 
 US = 1_000_000
 
@@ -285,4 +286,63 @@ def running_window(
         events.map_batches(tag, batch_format="pandas")
         .groupby("_bucket")
         .map_groups(cumulate, batch_format="pandas")
+    )
+
+
+def lag_window(
+    events: "ray.data.Dataset",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    periods: int = 1,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """→ (id, key, lag_value, lead_value, gap_us:int64) — per-key
+    LAG/LEAD of ``value_col`` by ``periods`` rows in event-time order
+    (ties broken by ``id_col``), plus the microsecond gap to the
+    previous event (NULL→-1 for the first ``periods`` rows of a key:
+    typed sentinel, never an object NaN through the shuffle). The
+    inter-arrival / delta-feature primitive.
+
+    One key-bucket shuffle; per bucket a single vectorized sort +
+    groupby shift (no per-key Python loop). A key's full history lands
+    in one group — the session_window partitioning assumption."""
+    from ..shuffle import bucket_tag
+
+    _require_positive(periods=periods)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[id_col, key, ts_col, value_col]].copy()
+        out["_bucket"] = bucket_tag(out, key, num_buckets)
+        return out
+
+    def shift(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, id_col], kind="stable")
+        grp = g.groupby(key, sort=False)
+        lag = grp[value_col].shift(periods)
+        lead = grp[value_col].shift(-periods)
+        prev_ts = grp[ts_col].shift(periods)
+        gap = (
+            (_ts_us(g[ts_col]) - _ts_us(prev_ts.fillna(g[ts_col])))
+            if np.issubdtype(np.asarray(g[ts_col]).dtype, np.datetime64)
+            or str(g[ts_col].dtype).startswith("datetime")
+            else (g[ts_col] - prev_ts.fillna(g[ts_col])).to_numpy()
+        )
+        gap = np.asarray(gap, np.int64)
+        gap[prev_ts.isna().to_numpy()] = -1
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                key: g[key].to_numpy(),
+                "lag_value": lag.to_numpy(np.float64),
+                "lead_value": lead.to_numpy(np.float64),
+                "gap_us": gap,
+            }
+        )
+
+    return (
+        events.map_batches(tag, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(shift, batch_format="pandas")
     )

@@ -163,3 +163,40 @@ def test_trailing_window_range_frame(ray_session):
     assert out.loc[4, "trail_n"] == 1 and out.loc[4, "trail_sum"] == 8.0
     # user 9 isolated
     assert out.loc[5, "trail_n"] == 1 and out.loc[5, "trail_sum"] == 16.0
+
+
+def test_lag_window_matches_pandas(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from graphforge_ray.stages.windows import lag_window
+
+    df = pd.DataFrame({
+        "event_id": range(8),
+        "user_id": ["u1", "u2", "u1", "u1", "u2", "u3", "u2", "u1"],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00:00", "2024-01-01 00:00:30",
+            "2024-01-01 00:01:00", "2024-01-01 00:01:00",
+            "2024-01-01 00:05:00", "2024-01-01 00:00:10",
+            "2024-01-01 00:06:00", "2024-01-01 01:00:00",
+        ]),
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0],
+    })
+    got = lag_window(rd.from_pandas(df).repartition(3)).to_pandas() \
+        .sort_values("event_id", ignore_index=True)
+    want = df.sort_values(["user_id", "ts", "event_id"])
+    grp = want.groupby("user_id", sort=False)
+    want = want.assign(
+        lag_value=grp["value"].shift(1),
+        lead_value=grp["value"].shift(-1),
+        prev_ts=grp["ts"].shift(1),
+    ).sort_values("event_id", ignore_index=True)
+    gap = ((want["ts"] - want["prev_ts"]).dt.total_seconds() * 1e6)
+    gap = gap.fillna(-1).astype(np.int64)
+    assert np.allclose(got["lag_value"].fillna(-9),
+                       want["lag_value"].fillna(-9))
+    assert np.allclose(got["lead_value"].fillna(-9),
+                       want["lead_value"].fillna(-9))
+    assert got["gap_us"].tolist() == gap.tolist()
+    with pytest.raises(ValueError, match="positive"):
+        lag_window(rd.from_pandas(df), periods=0)
