@@ -5860,6 +5860,64 @@ SELECT subj, pred, obj FROM (
 """
 
 
+def q_graph_scc(sf_dir: str):
+    """Strongly connected components of the modular doubling graph —
+    nodes 0..126, edges r → 2r mod 127 (cycles of length 7: ord(2 mod
+    127) = 7) plus 13 feeder tails 127+i → i (singleton SCCs) — via
+    the coloring/FW-BW algorithm (stages/scc). The residue edge set is
+    identical at every sf ≥ 0.001, so the query is sf-stable; oracle =
+    brute-force mutual reachability (127-node closure is tiny)."""
+    from ..stages.scc import strongly_connected_components
+
+    part = _t(sf_dir, "part", ["p_partkey"])
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        r = (df["p_partkey"] % 127).astype("int64")
+        tails = 127 + (df["p_partkey"] % 13).astype("int64")
+        return pd.concat([
+            pd.DataFrame({"s": r, "o": (2 * r) % 127}),
+            pd.DataFrame({"s": tails, "o": r}),
+        ], ignore_index=True).drop_duplicates()
+
+    out = strongly_connected_components(
+        part.map_batches(edges, batch_format="pandas"))
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "node": df["node"].astype("int64"),
+            "scc_id": df["scc_id"].astype("int64")}),
+        batch_format="pandas",
+    )
+
+
+SQL_GRAPH_SCC = r"""
+WITH RECURSIVE e AS (
+    SELECT DISTINCT s, o FROM (
+        SELECT p_partkey % 127 AS s, (2 * (p_partkey % 127)) % 127 AS o
+        FROM part
+        UNION ALL
+        SELECT 127 + p_partkey % 13, p_partkey % 127 FROM part
+    )
+),
+n AS (
+    SELECT DISTINCT node FROM (
+        SELECT s AS node FROM e UNION SELECT o FROM e
+    )
+),
+reach(a, b) AS (
+    SELECT DISTINCT s, o FROM e
+    UNION
+    SELECT r.a, e.o FROM reach r JOIN e ON e.s = r.b
+)
+SELECT nn.node,
+       CAST(COALESCE(MIN(r1.b) FILTER (WHERE r2.a IS NOT NULL),
+                     nn.node) AS BIGINT) AS scc_id
+FROM n nn
+LEFT JOIN reach r1 ON r1.a = nn.node
+LEFT JOIN reach r2 ON r2.a = r1.b AND r2.b = nn.node
+GROUP BY nn.node
+"""
+
+
 def q_kg_transe_eval(sf_dir: str):
     """Filtered link-prediction ranks (TransE eval protocol) over
     supplier→nation triples on the md5-deterministic INIT embeddings
@@ -6914,6 +6972,7 @@ QUERIES = {
     "sparql_update": q_sparql_update,
     "sparql_orderby_agg_expr": q_sparql_orderby_agg_expr,
     "events_lag": q_events_lag,
+    "graph_scc": q_graph_scc,
     "warc_ingest": q_warc_ingest,
     "docs_dup_substrings": q_docs_dup_substrings,
     "docs_incremental_neardup": q_docs_incremental_neardup,
@@ -7109,6 +7168,7 @@ ORACLES = {
     "sparql_update": SQL_SPARQL_UPDATE,
     "sparql_orderby_agg_expr": SQL_SPARQL_ORDERBY_AGG_EXPR,
     "events_lag": SQL_EVENTS_LAG,
+    "graph_scc": SQL_GRAPH_SCC,
     "docs_chunks": SQL_DOCS_CHUNKS,
     "events_intervals": SQL_EVENTS_INTERVALS,
     "docs_quality_ntile": SQL_DOCS_QUALITY_NTILE,
