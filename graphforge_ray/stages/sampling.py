@@ -456,6 +456,7 @@ def negative_sample(
     cols: tuple[str, str, str] = ("subj", "pred", "obj"),
     num_buckets: int = 64,
     keep_obj: bool = False,
+    ents: "ray.data.Dataset | None" = None,
 ) -> "ray.data.Dataset":
     """KG-embedding training negatives: for every triple and
     ``j ∈ [0, k)``, corrupt the tail with a pseudo-random entity —
@@ -478,25 +479,29 @@ def negative_sample(
         raise ValueError(f"k must be ≥ 1: {k}")
     s, p, o = cols
 
-    def ents_batch(df: pd.DataFrame) -> pd.DataFrame:
-        e = pd.concat([df[s], df[o]], ignore_index=True)
-        return pd.DataFrame({"ent": e}).drop_duplicates()
+    if ents is None:
+        def ents_batch(df: pd.DataFrame) -> pd.DataFrame:
+            e = pd.concat([df[s], df[o]], ignore_index=True)
+            return pd.DataFrame({"ent": e}).drop_duplicates()
 
-    def tag_ent(df: pd.DataFrame) -> pd.DataFrame:
-        from ..shuffle import bucket_tag
+        def tag_ent(df: pd.DataFrame) -> pd.DataFrame:
+            from ..shuffle import bucket_tag
 
-        return df.assign(_bucket=bucket_tag(df, "ent", num_buckets))
+            return df.assign(_bucket=bucket_tag(df, "ent", num_buckets))
 
-    ents = (
-        triples.map_batches(ents_batch, batch_format="pandas")
-        .map_batches(tag_ent, batch_format="pandas")
-        .groupby("_bucket")
-        .map_groups(
-            lambda g: g.drop_duplicates(subset=["ent"])[["ent"]],
-            batch_format="pandas",
+        ents = (
+            triples.map_batches(ents_batch, batch_format="pandas")
+            .map_batches(tag_ent, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(
+                lambda g: g.drop_duplicates(subset=["ent"])[["ent"]],
+                batch_format="pandas",
+            )
+            .materialize()
         )
-        .materialize()
-    )
+    # else: caller supplies the DISTINCT entity table (ent) — e.g.
+    # transe_epoch, whose embedding table IS the entity set; skipping
+    # the rebuild saves one shuffle per epoch
     n_ents = ents.count()
     if n_ents == 0:
         raise ValueError("negative_sample: no entities in input")

@@ -156,7 +156,10 @@ def transe_epoch(
 
     Duplicate triples contribute ONCE per epoch (the row key is a pure
     function of the triple — KG set semantics, consistent with the
-    store's canonicalize stage)."""
+    store's canonicalize stage). Corrupted tails are drawn from the
+    EMBEDDING TABLE's entity set (normally exactly the triples'
+    entities; a warm-start table with extra entities widens the
+    negative vocabulary accordingly)."""
     import ray
     import ray.data as rd
 
@@ -180,7 +183,15 @@ def transe_epoch(
     rel_ref = ray.put(rel_map)
     dim = len(next(iter(rel_map.values())))
 
-    negs = negative_sample(triples, k=1, cols=cols, keep_obj=True)
+    # the embedding table IS the distinct entity set — hand it to
+    # negative_sample so the per-epoch entity rebuild shuffle is skipped
+    ent_names = ent_emb.map_batches(
+        lambda df: pd.DataFrame(
+            {"ent": df[ent_col].astype(str).to_numpy()}),
+        batch_format="pandas",
+    )
+    negs = negative_sample(triples, k=1, cols=cols, keep_obj=True,
+                           ents=ent_names)
 
     # row key: pure function of the training row (stable across shuffles)
     def keyed_rows(df: pd.DataFrame) -> pd.DataFrame:
