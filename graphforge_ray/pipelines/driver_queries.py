@@ -2702,6 +2702,103 @@ def q_docs_decontaminate(sf_dir: str):
     )
 
 
+def q_docs_bloom_decontam(sf_dir: str):
+    """Bloom-filter decontamination (stages/bloom): the benchmark's
+    8-gram set builds a 65536-bit filter DISTRIBUTED (per-block
+    partial bitsets OR-reduced), the fixed-size bytes broadcast once,
+    and the corpus scans map-side. Every bit is a pure md5 function,
+    so the oracle replays membership — false positives included —
+    exactly."""
+    from ..stages.bloom import bloom_ngram_flags, build_bloom
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    bench = docs.map_batches(
+        lambda df: df[df["doc_id"] % 50 == 0], batch_format="pandas")
+
+    def grams(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.split()
+        lens = words.str.len().to_numpy(np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame({"g": pd.Series([], dtype=object)})
+        flat = pd.Series(
+            np.concatenate([np.asarray(w, dtype=object)
+                            for w in words if len(w)]),
+            dtype=object)
+        gram = flat.copy()
+        for sh in range(1, 8):
+            gram = gram + " " + flat.shift(-sh)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        pos = np.arange(len(flat)) - np.repeat(starts, lens)
+        valid = pos + 8 <= np.repeat(lens, lens)
+        return pd.DataFrame(
+            {"g": gram.to_numpy(object)[valid]}).drop_duplicates()
+
+    bloom = build_bloom(
+        bench.map_batches(grams, batch_format="pandas"),
+        "g", m_bits=65536, k=4)
+    out = bloom_ngram_flags(docs, bloom, n=8, m_bits=65536, k=4)
+    return out.map_batches(
+        lambda df: df[["doc_id", "n_grams", "n_hit", "contaminated"]],
+        batch_format="pandas",
+    )
+
+
+SQL_DOCS_BLOOM_DECONTAM = r"""
+WITH pw AS (
+    SELECT regexp_extract_all(COALESCE(text, ''), '\S+') AS ws,
+           CAST(len(regexp_extract_all(COALESCE(text, ''), '\S+'))
+                AS BIGINT) AS n
+    FROM documents WHERE doc_id % 50 = 0
+),
+pg AS (
+    SELECT DISTINCT array_to_string(
+        ws[CAST(s.i AS INT) : CAST(s.i + 7 AS INT)], ' ') AS g
+    FROM pw, unnest(generate_series(1, n - 7)) s(i)
+    WHERE n >= 8
+),
+bits AS (
+    SELECT DISTINCT
+        CAST(CONCAT('0x', substr(md5('graft-bloom|'
+            || CAST(t.j AS VARCHAR) || '|' || g), 1, 10))
+            AS BIGINT) % 65536 AS pos
+    FROM pg, UNNEST(generate_series(0, 3)) t(j)
+),
+dw AS (
+    SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '\S+') AS ws,
+           CAST(len(regexp_extract_all(COALESCE(text, ''), '\S+'))
+                AS BIGINT) AS n
+    FROM documents
+),
+dg AS (
+    SELECT DISTINCT doc_id, array_to_string(
+        ws[CAST(s.i AS INT) : CAST(s.i + 7 AS INT)], ' ') AS g
+    FROM dw, unnest(generate_series(1, n - 7)) s(i)
+    WHERE n >= 8
+),
+hit AS (
+    SELECT d.doc_id, d.g,
+           SUM(CASE WHEN CAST(CONCAT('0x', substr(md5('graft-bloom|'
+               || CAST(t.j AS VARCHAR) || '|' || d.g), 1, 10))
+               AS BIGINT) % 65536 IN (SELECT pos FROM bits)
+               THEN 1 ELSE 0 END) AS nbits
+    FROM dg d, UNNEST(generate_series(0, 3)) t(j)
+    GROUP BY d.doc_id, d.g
+),
+agg AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN nbits = 4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit
+    FROM hit GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_grams, 0) AS n_grams,
+       COALESCE(a.n_hit, 0) AS n_hit,
+       CAST(COALESCE(a.n_hit, 0) > 0 AS BIGINT) AS contaminated
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_docs_ngram_overlap(sf_dir: str):
     """N-gram-overlap decontamination (fraction form): the benchmark =
     every doc_id % 50 == 0 document; docs with doc_id % 9 == 0 get a
@@ -6973,6 +7070,7 @@ QUERIES = {
     "sparql_orderby_agg_expr": q_sparql_orderby_agg_expr,
     "events_lag": q_events_lag,
     "graph_scc": q_graph_scc,
+    "docs_bloom_decontam": q_docs_bloom_decontam,
     "warc_ingest": q_warc_ingest,
     "docs_dup_substrings": q_docs_dup_substrings,
     "docs_incremental_neardup": q_docs_incremental_neardup,
@@ -7169,6 +7267,7 @@ ORACLES = {
     "sparql_orderby_agg_expr": SQL_SPARQL_ORDERBY_AGG_EXPR,
     "events_lag": SQL_EVENTS_LAG,
     "graph_scc": SQL_GRAPH_SCC,
+    "docs_bloom_decontam": SQL_DOCS_BLOOM_DECONTAM,
     "docs_chunks": SQL_DOCS_CHUNKS,
     "events_intervals": SQL_EVENTS_INTERVALS,
     "docs_quality_ntile": SQL_DOCS_QUALITY_NTILE,
