@@ -56,24 +56,40 @@ def run_embed_pipeline(
     test_mod: int = 50,
     max_relations: int = 100_000,
     salt: str = "graft-embed",
+    warm_start: str | None = None,
 ):
     """Run (or resume) the embedding pipeline; returns the StageRunner
-    (``.log`` holds ran/skip lines; manifests carry the metrics)."""
+    (``.log`` holds ran/skip lines; manifests carry the metrics).
+
+    ``warm_start``: a previous run's stage dir (its ``init/`` or final
+    ``epoch-NNNN/``) — today's entities reuse yesterday's trained
+    vectors, only NEW entities/relations get the md5 init (incremental
+    KG maintenance: re-train a few epochs instead of from scratch)."""
     import ray.data as rd
 
     from ..state.manifest import StageRunner
     from ..stages.fasthash import hex_prefix_int, md5_hex
     from ..stages.transe import (
         distinct_entities, init_embeddings, transe_epoch,
-        transe_rank_eval)
+        transe_rank_eval, warm_init_embeddings)
 
     if epochs < 1:
         raise ValueError(f"epochs must be ≥ 1: {epochs}")
     s, p, o = cols
     paths = _expand(input_paths)
+    warm_ent_paths: list[str] = []
+    warm_rel_path: str | None = None
+    if warm_start is not None:
+        warm_ent_paths = sorted(
+            glob.glob(os.path.join(warm_start, "ent", "*.parquet")))
+        warm_rel_path = os.path.join(warm_start, "rel", "rel.parquet")
+        if not warm_ent_paths or not os.path.exists(warm_rel_path):
+            raise ValueError(
+                f"warm_start dir lacks ent/*.parquet + rel/rel.parquet:"
+                f" {warm_start}")
     runner = StageRunner(out_dir)
     hyper = {"dim": dim, "lr": lr, "margin": margin, "cols": list(cols),
-             "salt": salt}
+             "salt": salt, "warm": bool(warm_start)}
 
     def triples():
         return rd.read_parquet(paths, columns=list(cols))
@@ -93,7 +109,12 @@ def run_embed_pipeline(
         # the stage root also holds MANIFEST.json — glob the parquet
         ents = rd.read_parquet(
             sorted(glob.glob(os.path.join(ent_dir, "*.parquet"))))
-        e0 = init_embeddings(ents, dim, salt=f"{salt}-e")
+        if warm_ent_paths:
+            e0 = warm_init_embeddings(
+                ents, rd.read_parquet(warm_ent_paths), dim,
+                salt=f"{salt}-e")
+        else:
+            e0 = init_embeddings(ents, dim, salt=f"{salt}-e")
         os.makedirs(os.path.join(tmp_dir, "ent"))
         e0.write_parquet(os.path.join(tmp_dir, "ent"))
         # relations are ontology-sized: distinct preds via per-batch
@@ -117,12 +138,24 @@ def run_embed_pipeline(
             rd.from_pandas(pd.DataFrame({p: preds})),
             dim, name_col=p, salt=f"{salt}-r", normalize=False,
         ).to_pandas()
+        if warm_rel_path is not None:
+            # relations are ontology-sized: warm-merge driver-side
+            old = pd.read_parquet(warm_rel_path)
+            om = {str(k): np.asarray(v, np.float64).tolist()
+                  for k, v in zip(old[p], old["embedding"])}
+            r0["embedding"] = [
+                om.get(str(k), np.asarray(v, np.float64).tolist())
+                for k, v in zip(r0[p], r0["embedding"])
+            ]
         os.makedirs(os.path.join(tmp_dir, "rel"))
         r0.to_parquet(os.path.join(tmp_dir, "rel", "rel.parquet"),
                       index=False)
         return e0.count() + len(preds), {"relations": len(preds)}
 
-    runner.run("init", paths + [os.path.join(ent_dir, "MANIFEST.json")],
+    runner.run("init",
+               paths + [os.path.join(ent_dir, "MANIFEST.json")]
+               + warm_ent_paths
+               + ([warm_rel_path] if warm_rel_path else []),
                build_init, params=hyper)
 
     # ---- epochs --------------------------------------------------------

@@ -41,8 +41,8 @@ import pandas as pd
 
 from .fasthash import hex_prefix_int, md5_hex
 
-__all__ = ["distinct_entities", "init_embeddings", "transe_epoch",
-           "transe_rank_eval"]
+__all__ = ["distinct_entities", "init_embeddings",
+           "warm_init_embeddings", "transe_epoch", "transe_rank_eval"]
 
 _PREFIX = 10  # 40 hex bits → exact in doubles
 
@@ -559,3 +559,71 @@ def transe_rank_eval(
     out = test.copy()
     out["rank"] = rank
     return rd.from_pandas(out)
+
+
+def warm_init_embeddings(
+    names: "ray.data.Dataset",
+    prev: "ray.data.Dataset",
+    dim: int,
+    name_col: str = "ent",
+    salt: str = "transe",
+    normalize: bool = True,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Incremental-KG warm start: every name in ``names`` gets its
+    vector from ``prev`` (a trained (name, embedding) table) when
+    present, else the deterministic md5 init — ONE tag-union-bucket
+    shuffle (the snapshot-delta convention: yesterday's training is
+    never thrown away because today's graph gained entities).
+    Vectors from ``prev`` pass through UNCHANGED (no re-normalization:
+    a warm vector is already the training's output); fresh vectors
+    follow ``init_embeddings``' rule exactly."""
+    if dim < 1:
+        raise ValueError(f"dim must be ≥ 1: {dim}")
+    from ..shuffle import bucket_tag
+
+    def tag_names(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "ent": df[name_col].astype(str).to_numpy(dtype=object),
+            "emb": b"", "_side": np.int8(0),
+        })
+        return out.assign(_bucket=bucket_tag(out, "ent", num_buckets))
+
+    def tag_prev(df: pd.DataFrame) -> pd.DataFrame:
+        V = np.asarray(df["embedding"].tolist(), np.float64)
+        if V.ndim != 2 or V.shape[1] != dim:
+            raise ValueError(
+                f"prev embeddings have dim {V.shape[-1]}, expected "
+                f"{dim}")
+        out = pd.DataFrame({
+            "ent": df[name_col].astype(str).to_numpy(dtype=object),
+            "emb": _enc_rows(V), "_side": np.int8(1),
+        })
+        return out.assign(_bucket=bucket_tag(out, "ent", num_buckets))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        want = g.loc[g["_side"] == 0, ["ent"]].drop_duplicates("ent")
+        if not len(want):
+            return pd.DataFrame({
+                name_col: pd.Series([], dtype=object),
+                "embedding": pd.Series([], dtype=object)})
+        old = g[g["_side"] == 1].drop_duplicates("ent")
+        m = want.merge(old[["ent", "emb"]], on="ent", how="left")
+        hit = m["emb"].notna().to_numpy()
+        nm = m["ent"].to_numpy(dtype=object)
+        out = np.empty((len(m), dim), np.float64)
+        if hit.any():
+            out[hit] = _dec_rows(
+                m.loc[hit, "emb"].to_numpy(dtype=object),
+                np.float64, dim)
+        if (~hit).any():
+            out[~hit] = _vec_block(nm[~hit], dim, salt, normalize)
+        return pd.DataFrame({name_col: nm,
+                             "embedding": out.tolist()})
+
+    return (
+        names.map_batches(tag_names, batch_format="pandas")
+        .union(prev.map_batches(tag_prev, batch_format="pandas"))
+        .groupby("_bucket")
+        .map_groups(pick, batch_format="pandas")
+    )

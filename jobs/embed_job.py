@@ -38,6 +38,9 @@ def main() -> int:
     ap.add_argument("--margin", type=float, default=1.0)
     ap.add_argument("--test-mod", type=int, default=50,
                     help="1/N of triples become the eval slice")
+    ap.add_argument("--warm-start", default=None,
+                    help="previous run's init/ or epoch-NNNN/ dir — "
+                         "existing entities reuse trained vectors")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args()
 
@@ -56,6 +59,7 @@ def main() -> int:
     runner = run_embed_pipeline(
         args.input, args.out, dim=args.dim, epochs=args.epochs,
         lr=args.lr, margin=args.margin, test_mod=args.test_mod,
+        warm_start=args.warm_start,
     )
 
     stages = (["entities", "init"]

@@ -90,3 +90,36 @@ def test_embed_bad_params(ray_session, tmp_path, trip_parquet):
     with pytest.raises(ValueError, match="no input parquet"):
         run_embed_pipeline(str(tmp_path / "nope_dir"),
                            str(tmp_path / "y"))
+
+
+def test_embed_warm_start(ray_session, tmp_path, trip_parquet):
+    out1 = str(tmp_path / "run1")
+    run_embed_pipeline(trip_parquet, out1, dim=6, epochs=1, lr=0.05)
+
+    # day 2: same triples + a few new entities
+    t2 = pd.concat([
+        TRIPS,
+        pd.DataFrame({"subj": ["nx1", "nx2"], "pred": ["likes"] * 2,
+                      "obj": ["e0", "nx1"]}),
+    ], ignore_index=True)
+    p2 = str(tmp_path / "t2.parquet")
+    t2.to_parquet(p2, index=False)
+    out2 = str(tmp_path / "run2")
+    runner = run_embed_pipeline(
+        p2, out2, dim=6, epochs=1, lr=0.05,
+        warm_start=os.path.join(out1, "epoch-0001"))
+    assert any(l.startswith("ran init") for l in runner.log)
+
+    prev = pd.read_parquet(os.path.join(out1, "epoch-0001", "ent"))
+    init2 = pd.read_parquet(os.path.join(out2, "init", "ent"))
+    pmap = {k: np.asarray(v) for k, v in
+            zip(prev["ent"], prev["embedding"])}
+    imap = {k: np.asarray(v) for k, v in
+            zip(init2["ent"], init2["embedding"])}
+    # old entities start from yesterday's trained vectors
+    for k in pmap:
+        assert np.allclose(imap[k], pmap[k]), k
+    assert "nx1" in imap and "nx2" in imap
+    with pytest.raises(ValueError, match="warm_start"):
+        run_embed_pipeline(p2, str(tmp_path / "x"), dim=6, epochs=1,
+                           warm_start=str(tmp_path / "nope"))

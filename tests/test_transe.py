@@ -238,3 +238,26 @@ def test_transe_rank_eval_guards(ray_session):
         {"subj": ["zz"], "pred": ["likes"], "obj": ["b"]}))
     with pytest.raises(ValueError, match="entities without"):
         transe_rank_eval(bad_ent, E0, R0)
+
+
+def test_warm_init_embeddings(ray_session):
+    from graphforge_ray.stages.transe import warm_init_embeddings
+
+    prev = pd.DataFrame({
+        "ent": ["a", "b"],
+        "embedding": [[0.5] * DIM, [0.25] * DIM],
+    })
+    names = rd.from_pandas(
+        pd.DataFrame({"ent": ["a", "b", "zz"]})).repartition(2)
+    got = _emb_map(warm_init_embeddings(
+        names, rd.from_pandas(prev), DIM, salt="e"))
+    assert set(got) == {"a", "b", "zz"}
+    assert np.allclose(got["a"], 0.5)     # warm vector untouched
+    assert np.allclose(got["b"], 0.25)
+    assert np.allclose(got["zz"], _vec("zz", DIM, "e", True))
+    with pytest.raises(ValueError, match="dim"):
+        warm_init_embeddings(names, rd.from_pandas(prev), 0)
+    bad = prev.assign(embedding=[[1.0] * (DIM + 1)] * 2)
+    with pytest.raises(Exception):
+        warm_init_embeddings(
+            names, rd.from_pandas(bad), DIM).to_pandas()
