@@ -2799,6 +2799,62 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_docs_robots_filter(sf_dir: str):
+    """robots.txt-style crawl governance (stages/urls.robots_filter):
+    RFC 9309 longest-match Allow/Disallow over doc_id-derived URLs —
+    the rule set exercises longest-match override, an exact-length
+    tie (Allow wins), a whole-host Disallow, and unruled hosts. Oracle
+    replays the 2·len+allow max-score rule with LIKE prefixes."""
+    from ..stages.urls import robots_filter
+
+    docs = _t(sf_dir, "documents", ["doc_id"])
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].astype(np.int64)
+        url = ("http://site-" + (i % 5).astype(str)
+               + ".com/sec/" + (i % 13).astype(str))
+        return pd.DataFrame({"doc_id": i, "url": url})
+
+    rules = pd.DataFrame({
+        "host": ["site-0.com", "site-0.com", "site-1.com",
+                 "site-2.com", "site-2.com"],
+        "prefix": ["/sec/1", "/sec/12", "/", "/sec/3", "/sec/3"],
+        "allow": [0, 1, 0, 0, 1],
+    })
+    return robots_filter(
+        docs.map_batches(derive, batch_format="pandas"), rules)
+
+
+SQL_DOCS_ROBOTS_FILTER = """
+WITH u AS (
+    SELECT doc_id,
+           'http://site-' || CAST(doc_id % 5 AS VARCHAR)
+               || '.com/sec/' || CAST(doc_id % 13 AS VARCHAR) AS url,
+           'site-' || CAST(doc_id % 5 AS VARCHAR) || '.com' AS host,
+           '/sec/' || CAST(doc_id % 13 AS VARCHAR) AS path
+    FROM documents
+),
+rules(host, prefix, allow) AS (
+    VALUES ('site-0.com', '/sec/1', 0), ('site-0.com', '/sec/12', 1),
+           ('site-1.com', '/', 0),
+           ('site-2.com', '/sec/3', 0), ('site-2.com', '/sec/3', 1)
+),
+m AS (
+    SELECT u.doc_id,
+           MAX(2 * len(r.prefix) + r.allow) AS best
+    FROM u JOIN rules r
+      ON r.host = u.host AND u.path LIKE r.prefix || '%'
+    GROUP BY u.doc_id
+)
+SELECT u.doc_id, u.url,
+       CAST(CASE WHEN m.best IS NULL THEN 1 ELSE m.best % 2 END
+            AS BIGINT) AS allowed,
+       CAST(CASE WHEN m.best IS NULL THEN -1 ELSE m.best // 2 END
+            AS BIGINT) AS rule_len
+FROM u LEFT JOIN m ON m.doc_id = u.doc_id
+"""
+
+
 def q_docs_ngram_overlap(sf_dir: str):
     """N-gram-overlap decontamination (fraction form): the benchmark =
     every doc_id % 50 == 0 document; docs with doc_id % 9 == 0 get a
@@ -7071,6 +7127,7 @@ QUERIES = {
     "events_lag": q_events_lag,
     "graph_scc": q_graph_scc,
     "docs_bloom_decontam": q_docs_bloom_decontam,
+    "docs_robots_filter": q_docs_robots_filter,
     "warc_ingest": q_warc_ingest,
     "docs_dup_substrings": q_docs_dup_substrings,
     "docs_incremental_neardup": q_docs_incremental_neardup,
@@ -7268,6 +7325,7 @@ ORACLES = {
     "events_lag": SQL_EVENTS_LAG,
     "graph_scc": SQL_GRAPH_SCC,
     "docs_bloom_decontam": SQL_DOCS_BLOOM_DECONTAM,
+    "docs_robots_filter": SQL_DOCS_ROBOTS_FILTER,
     "docs_chunks": SQL_DOCS_CHUNKS,
     "events_intervals": SQL_EVENTS_INTERVALS,
     "docs_quality_ntile": SQL_DOCS_QUALITY_NTILE,

@@ -32,6 +32,7 @@ from ..shuffle import bucket_tag
 __all__ = [
     "canonical_url_batch", "url_dedup",
     "registered_domain_batch", "domain_stats",
+    "robots_filter",
 ]
 
 _TRACKING = r"([?&])(utm_[a-zA-Z0-9_]+|fbclid|gclid|msclkid)=[^&]*"
@@ -197,3 +198,63 @@ def domain_stats(
         .groupby("_bucket")
         .map_groups(reduce_bucket, batch_format="pandas")
     )
+
+
+def robots_filter(
+    ds: "ray.data.Dataset",
+    rules: pd.DataFrame,
+    url_col: str = "url",
+    max_rules: int = 100_000,
+) -> "ray.data.Dataset":
+    """Crawl-governance gate: apply robots.txt-style Allow/Disallow
+    rules (RFC 9309 longest-match precedence; Allow wins exact-length
+    ties; no rule → allowed; plain path PREFIXES, no wildcards —
+    documented subset so the decision is SQL-replayable) → adds
+    ``allowed`` (0/1 int64) and ``rule_len`` (matched prefix length,
+    −1 when no rule applied).
+
+    ``rules``: DataFrame (host, prefix, allow 0/1) — governance config
+    is bounded by construction (loud ``max_rules`` cap); it ships in
+    the task closure and each rule applies as ONE vectorized
+    host-equality + startswith pass over the batch, so the scan is
+    pure map-side (no shuffle)."""
+    need = {"host", "prefix", "allow"}
+    if not need.issubset(rules.columns):
+        raise ValueError(f"rules needs columns {sorted(need)}")
+    if len(rules) > max_rules:
+        raise ValueError(
+            f"rules table too large: {len(rules)} > {max_rules}")
+    rl = [(str(h).lower(), str(p), int(a))
+          for h, p, a in zip(rules["host"], rules["prefix"],
+                             rules["allow"])]
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[url_col].fillna("").astype(str)
+        auth = u.str.extract(r"^[a-zA-Z]+://([^/?#]*)", expand=False)
+        host = (
+            auth.fillna("").str.split("@").str[-1]
+            .str.split(":").str[0].str.lower()
+        )
+        path = u.str.replace(r"^[a-zA-Z]+://[^/?#]*", "",
+                             regex=True).str.extract(
+            r"^([^?#]*)", expand=False).fillna("")
+        path = path.where(path != "", "/")
+        # best = 2*len(prefix) + allow → longest match wins, Allow
+        # wins ties; decision = best parity
+        best = np.full(len(df), -1, np.int64)
+        hv = host.to_numpy(dtype=object)
+        pv = path.to_numpy(dtype=object)
+        for rh, rp, ra in rl:
+            m = (hv == rh) & pd.Series(pv).str.startswith(rp) \
+                .to_numpy()
+            if m.any():
+                score = 2 * len(rp) + ra
+                best[m] = np.maximum(best[m], score)
+        out = df.copy()
+        out["allowed"] = np.where(best < 0, 1, best % 2).astype(
+            np.int64)
+        out["rule_len"] = np.where(best < 0, -1, best // 2).astype(
+            np.int64)
+        return out
+
+    return ds.map_batches(scan, batch_format="pandas")

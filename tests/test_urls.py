@@ -184,3 +184,40 @@ def test_domain_stats_exact_counts(ray_session):
         ("shop.co.uk", 1, 1, 3),
     ]
     assert metrics.delta(before, after).get("domain_stats.unparsed") == 1
+
+
+def test_robots_filter_longest_match(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from graphforge_ray.stages.urls import robots_filter
+
+    rules = pd.DataFrame({
+        "host": ["ex.com", "ex.com", "ex.com", "Blk.com", "tie.com",
+                 "tie.com"],
+        "prefix": ["/private", "/private/pub", "/tmp", "/", "/a",
+                   "/a"],
+        "allow": [0, 1, 0, 0, 0, 1],
+    })
+    urls = pd.DataFrame({
+        "doc_id": range(8),
+        "url": [
+            "http://ex.com/private/x",        # disallow /private
+            "http://ex.com/private/pub/ok",   # allow (longer)
+            "http://ex.com/other",            # no rule → allowed
+            "https://user@BLK.com:8443/a",    # host case + userinfo
+            "http://tie.com/a/b",             # exact tie → allow wins
+            "http://ex.com",                  # empty path → '/'
+            None,
+            "not a url at all",
+        ],
+    })
+    got = robots_filter(
+        rd.from_pandas(urls).repartition(2), rules
+    ).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert got["allowed"].tolist() == [0, 1, 1, 0, 1, 1, 1, 1]
+    assert got["rule_len"].tolist() == [8, 12, -1, 1, 2, -1, -1, -1]
+    with pytest.raises(ValueError, match="columns"):
+        robots_filter(rd.from_pandas(urls), pd.DataFrame({"x": []}))
+    with pytest.raises(ValueError, match="too large"):
+        robots_filter(rd.from_pandas(urls), rules, max_rules=2)
