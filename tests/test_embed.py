@@ -123,3 +123,26 @@ def test_embed_warm_start(ray_session, tmp_path, trip_parquet):
     with pytest.raises(ValueError, match="warm_start"):
         run_embed_pipeline(p2, str(tmp_path / "x"), dim=6, epochs=1,
                            warm_start=str(tmp_path / "nope"))
+
+
+def test_embed_consumes_forge_output(ray_session, tmp_path):
+    """E2E KG → embeddings: run_embed_pipeline reads the forge
+    pipeline's canonical/ parquet directly (pruned to subj/pred/obj —
+    the extras columns ride along untouched)."""
+    from graphforge_ray.fixtures import write_pages_parquet
+    from graphforge_ray.pipelines.forge import run_forge_pipeline
+
+    pages = write_pages_parquet(str(tmp_path / "pages"), 64,
+                                rows_per_file=32)
+    fout = str(tmp_path / "kg")
+    run_forge_pipeline(pages, fout)
+    runner = run_embed_pipeline(
+        os.path.join(fout, "canonical"), str(tmp_path / "emb"),
+        dim=6, epochs=1, test_mod=10)
+    assert all(" " not in l or l.split()[0] in ("ran", "skip")
+               for l in runner.log)
+    ent = pd.read_parquet(
+        os.path.join(str(tmp_path / "emb"), "epoch-0001", "ent"))
+    assert len(ent) > 50  # forged KG entities got vectors
+    V = np.asarray(ent["embedding"].tolist())
+    assert np.allclose(np.linalg.norm(V, axis=1), 1.0)
