@@ -2799,6 +2799,52 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_events_distinct_hll(sf_dir: str):
+    """HyperLogLog distinct-user estimate over events
+    (stages/sketches.approx_distinct_hll): m-byte register partials
+    per block, driver max-merge — vs a register-exact SQL replay
+    (same md5 top-bits index / leftmost-one rule, same α·m²/Σ2^−M
+    estimator and small-range correction, FLOOR-1e4 parity)."""
+    from ..stages.sketches import approx_distinct_hll
+
+    return approx_distinct_hll(
+        _t(sf_dir, "events", ["user_id"]), "user_id", b=10)
+
+
+SQL_EVENTS_DISTINCT_HLL = """
+WITH h AS (
+    SELECT CAST(CONCAT('0x', substr(md5('graft-hll|'
+               || CAST(user_id AS VARCHAR)), 1, 10)) AS BIGINT) AS hv
+    FROM events WHERE user_id IS NOT NULL
+),
+r AS (
+    SELECT hv // 1073741824 AS idx, hv % 1073741824 AS rem FROM h
+),
+reg AS (
+    SELECT idx,
+           MAX(CASE WHEN rem = 0 THEN 31
+               ELSE 30 - CAST(FLOOR(LOG2(rem)) AS BIGINT) END) AS M
+    FROM r GROUP BY idx
+),
+s AS (
+    SELECT SUM(POWER(2.0, -M)) AS sp,
+           CAST(COUNT(*) AS BIGINT) AS nreg
+    FROM reg
+),
+e AS (
+    SELECT (0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0
+               / (sp + (1024 - nreg) * 1.0) AS raw,
+           1024 - nreg AS zeros
+    FROM s
+)
+SELECT CAST(1024 AS BIGINT) AS m,
+       FLOOR(1e4 * CASE WHEN raw <= 2560.0 AND zeros > 0
+                        THEN 1024.0 * LN(1024.0 / zeros)
+                        ELSE raw END) / 1e4 AS est
+FROM e
+"""
+
+
 def q_docs_robots_filter(sf_dir: str):
     """robots.txt-style crawl governance (stages/urls.robots_filter):
     RFC 9309 longest-match Allow/Disallow over doc_id-derived URLs —
@@ -7128,6 +7174,7 @@ QUERIES = {
     "graph_scc": q_graph_scc,
     "docs_bloom_decontam": q_docs_bloom_decontam,
     "docs_robots_filter": q_docs_robots_filter,
+    "events_distinct_hll": q_events_distinct_hll,
     "warc_ingest": q_warc_ingest,
     "docs_dup_substrings": q_docs_dup_substrings,
     "docs_incremental_neardup": q_docs_incremental_neardup,
@@ -7326,6 +7373,7 @@ ORACLES = {
     "graph_scc": SQL_GRAPH_SCC,
     "docs_bloom_decontam": SQL_DOCS_BLOOM_DECONTAM,
     "docs_robots_filter": SQL_DOCS_ROBOTS_FILTER,
+    "events_distinct_hll": SQL_EVENTS_DISTINCT_HLL,
     "docs_chunks": SQL_DOCS_CHUNKS,
     "events_intervals": SQL_EVENTS_INTERVALS,
     "docs_quality_ntile": SQL_DOCS_QUALITY_NTILE,

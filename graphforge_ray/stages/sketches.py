@@ -30,9 +30,10 @@ import numpy as np
 import pandas as pd
 
 from ..shuffle import bucket_tag
-from .fasthash import md5_hex
+from .fasthash import hex_prefix_int, md5_hex
 
-__all__ = ["corpus_top_terms", "approx_distinct_kmv"]
+__all__ = ["corpus_top_terms", "approx_distinct_kmv",
+           "approx_distinct_hll"]
 
 # fraction denominator: 10 hex chars = 40 bits. Small enough that
 # (k-1)·16^10 stays far inside double's 2^53 exact-integer range (so
@@ -166,3 +167,63 @@ def approx_distinct_kmv(
     for c in ("k", "n_hashes", "est_distinct"):
         df[c] = df[c].astype(np.int64)
     return df.reset_index(drop=True)
+
+
+def approx_distinct_hll(
+    ds: "ray.data.Dataset",
+    col: str,
+    b: int = 10,
+    salt: str = "graft-hll",
+) -> pd.DataFrame:
+    """HyperLogLog distinct-count estimate (Flajolet et al. 2007,
+    public) → one-row DataFrame (m:int64, est:float64) with
+    est = FLOOR(1e4·E)/1e4 (the float-parity convention).
+
+    Register rule (SQL-replayable — see the driver oracle): over the
+    40-bit md5 prefix h of ``salt|value``, register index = the top
+    ``b`` bits, register value M = position of the leftmost 1 in the
+    remaining w = 40−b bits (w − ⌊log2(rem)⌋; rem = 0 → w+1).
+    Estimator: α_m·m²/Σ 2^−M over all m registers (absent = 0), with
+    the standard small-range correction E ≤ 2.5m ∧ V>0 →
+    m·ln(m/V). The hash space (2^40) dwarfs any fixture count, so the
+    large-range branch is never taken.
+
+    Shape: per-block partial = m-byte register maxes (mergeable bytes
+    row); the driver maxes block partials — the sketch, not the keys,
+    moves. Complements ``approx_distinct_kmv``: HLL registers are
+    constant-size under union/incremental append."""
+    if not (4 <= b <= 16):
+        raise ValueError(f"b must be in [4, 16]: {b}")
+    m = 1 << b
+    w = 40 - b
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].dropna()
+        regs = np.zeros(m, np.uint8)
+        if len(v):
+            keys = np.array(
+                [f"{salt}|{x}" for x in v.astype(str)], dtype=object)
+            h = hex_prefix_int(md5_hex(keys), 10)
+            idx = (h >> w).astype(np.int64)
+            rem = (h & ((1 << w) - 1)).astype(np.int64)
+            rho = np.where(
+                rem == 0, w + 1,
+                w - np.floor(np.log2(np.where(rem == 0, 1, rem)))
+            ).astype(np.uint8)
+            np.maximum.at(regs, idx, rho)
+        return pd.DataFrame({"regs": [regs.tobytes()]})
+
+    regs = np.zeros(m, np.uint8)
+    for row in ds.map_batches(
+            partial, batch_format="pandas").take_all():
+        regs = np.maximum(regs, np.frombuffer(row["regs"], np.uint8))
+    M = regs.astype(np.float64)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -M))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return pd.DataFrame({
+        "m": pd.Series([m], dtype="int64"),
+        "est": [float(np.floor(est * 1e4) / 1e4)],
+    })

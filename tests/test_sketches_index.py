@@ -149,3 +149,36 @@ def test_bm25_ranking_matches_sequential_replay(docs):
 def test_bm25_empty_query_refused(docs):
     with pytest.raises(ValueError, match="non-empty"):
         bm25_topk(docs, [], k=3)
+
+
+def test_hll_registers_replay_and_accuracy(ray_session):
+    import hashlib
+
+    import numpy as np
+    import ray.data as rd
+
+    from graphforge_ray.stages.sketches import approx_distinct_hll
+
+    vals = [f"user-{i}" for i in range(3000)] * 2  # dups don't matter
+    ds = rd.from_pandas(pd.DataFrame({"u": vals})).repartition(4)
+    got = approx_distinct_hll(ds, "u", b=10)
+    est = got["est"].iloc[0]
+    assert abs(est - 3000) / 3000 < 0.15  # ~3% typical at m=1024
+
+    # register-exact replay
+    m, w = 1024, 30
+    regs = np.zeros(m, np.int64)
+    for v in set(vals):
+        h = int(hashlib.md5(f"graft-hll|{v}".encode())
+                .hexdigest()[:10], 16)
+        idx, rem = h >> w, h & ((1 << w) - 1)
+        rho = w + 1 if rem == 0 else w - int(np.floor(np.log2(rem)))
+        regs[idx] = max(regs[idx], rho)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.power(2.0, -regs.astype(float)))
+    zeros = int((regs == 0).sum())
+    if e <= 2.5 * m and zeros > 0:
+        e = m * np.log(m / zeros)
+    assert est == float(np.floor(e * 1e4) / 1e4)
+    with pytest.raises(ValueError, match="b must"):
+        approx_distinct_hll(ds, "u", b=2)
