@@ -2845,6 +2845,54 @@ FROM e
 """
 
 
+def q_events_type_cms(sf_dir: str):
+    """Count-Min sketch frequency estimates
+    (stages/sketches.count_min_sketch, Cormode & Muthukrishnan 2005):
+    4×3 additive counter sketch over events.event_type built from
+    per-block bincount partials, then the min-over-rows point estimate
+    for every distinct type. width=4 < |domain| forces slot collisions,
+    so the estimates genuinely exercise the upper-bound min rule — the
+    oracle replays counters AND estimator register-exactly (same
+    md5-prefix slot rule)."""
+    from ..stages.sketches import cms_estimate, count_min_sketch
+
+    ev = _t(sf_dir, "events", ["event_type"])
+    sketch = count_min_sketch(ev, "event_type", width=4, depth=3)
+    keys = sorted(
+        ev.map_batches(
+            lambda df: df.drop_duplicates(), batch_format="pandas"
+        )
+        .to_pandas()["event_type"]
+        .dropna()
+        .unique()
+    )
+    est = cms_estimate(sketch, keys, width=4, depth=3)
+    est = est.rename(columns={"key": "event_type"})
+    est["est"] = est["est"].astype(np.int64)
+    return est.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_EVENTS_TYPE_CMS = """
+WITH tc AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events WHERE event_type IS NOT NULL GROUP BY event_type
+),
+hashed AS (
+    SELECT i, event_type, cnt,
+           CAST(CONCAT('0x', substr(md5('graft-cms' || CAST(i AS VARCHAR)
+               || '|' || event_type), 1, 10)) AS BIGINT) % 4 AS slot
+    FROM tc CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS i)
+),
+counters AS (
+    SELECT i, slot, SUM(cnt) AS c FROM hashed GROUP BY i, slot
+)
+SELECT h.event_type, CAST(MIN(c.c) AS BIGINT) AS est
+FROM hashed h JOIN counters c ON c.i = h.i AND c.slot = h.slot
+GROUP BY h.event_type
+ORDER BY h.event_type
+"""
+
+
 def q_docs_robots_filter(sf_dir: str):
     """robots.txt-style crawl governance (stages/urls.robots_filter):
     RFC 9309 longest-match Allow/Disallow over doc_id-derived URLs —
@@ -7163,6 +7211,7 @@ ORDER BY t.doc_id
 # registry entries (len(QUERIES) of them — never a hand count) are
 # verified locally by tools/check_contract.py regardless of position.
 QUERIES = {
+    "events_type_cms": q_events_type_cms,
     "kg_transe": q_kg_transe,
     "kg_transe_eval": q_kg_transe_eval,
     "graph_walks": q_graph_walks,
@@ -7374,6 +7423,7 @@ ORACLES = {
     "docs_bloom_decontam": SQL_DOCS_BLOOM_DECONTAM,
     "docs_robots_filter": SQL_DOCS_ROBOTS_FILTER,
     "events_distinct_hll": SQL_EVENTS_DISTINCT_HLL,
+    "events_type_cms": SQL_EVENTS_TYPE_CMS,
     "docs_chunks": SQL_DOCS_CHUNKS,
     "events_intervals": SQL_EVENTS_INTERVALS,
     "docs_quality_ntile": SQL_DOCS_QUALITY_NTILE,

@@ -33,7 +33,7 @@ from ..shuffle import bucket_tag
 from .fasthash import hex_prefix_int, md5_hex
 
 __all__ = ["corpus_top_terms", "approx_distinct_kmv",
-           "approx_distinct_hll"]
+           "approx_distinct_hll", "count_min_sketch", "cms_estimate"]
 
 # fraction denominator: 10 hex chars = 40 bits. Small enough that
 # (k-1)·16^10 stays far inside double's 2^53 exact-integer range (so
@@ -227,3 +227,107 @@ def approx_distinct_hll(
         "m": pd.Series([m], dtype="int64"),
         "est": [float(np.floor(est * 1e4) / 1e4)],
     })
+
+
+def _cms_slots(values: np.ndarray, row: int, width: int,
+               salt: str) -> np.ndarray:
+    """Slot index of each value under sketch row ``row`` — md5 of
+    ``{salt}{row}|{value}`` 40-bit prefix mod width (the same
+    SQL-replayable rule every md5-keyed stage here uses)."""
+    keys = np.array([f"{salt}{row}|{v}" for v in values], dtype=object)
+    return (hex_prefix_int(md5_hex(keys), _PREFIX_HEX)
+            % np.int64(width)).astype(np.int64)
+
+
+def count_min_sketch(
+    ds: "ray.data.Dataset",
+    col: str,
+    width: int = 64,
+    depth: int = 3,
+    salt: str = "graft-cms",
+) -> pd.DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005, public) of the
+    frequency distribution of ``ds[col]`` → DataFrame (row:int64,
+    slot:int64, count:int64), one entry per NON-ZERO counter (absent
+    (row, slot) pairs are zero).
+
+    Counters are additive, so the shuffle shape is the repo's standard
+    combiner: each block folds its rows into ≤ depth·width partial
+    counter rows (np.bincount per sketch row — the column's values
+    never leave the block), then one (row, slot) groupby-sum merges
+    partials. The merged sketch is depth·width rows — driver-sized by
+    construction (the whole point of the sketch), and mergeable across
+    shards/snapshots without rescanning (same property as the KMV/HLL
+    sketches above).
+
+    Nulls are excluded (COUNT(col) semantics, matching KMV/HLL)."""
+    if width < 2 or depth < 1:
+        raise ValueError(f"need width ≥ 2, depth ≥ 1: {width}×{depth}")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].dropna()
+        if v.empty:
+            return pd.DataFrame(
+                {"row": pd.Series([], dtype=np.int64),
+                 "slot": pd.Series([], dtype=np.int64),
+                 "count": pd.Series([], dtype=np.int64)})
+        # hash DISTINCT values once per row, scale by their counts
+        vc = v.astype(str).value_counts()
+        vals = vc.index.to_numpy(dtype=object)
+        cnts = vc.to_numpy(dtype=np.int64)
+        rows, slots, counts = [], [], []
+        for i in range(depth):
+            sl = _cms_slots(vals, i, width, salt)
+            binned = np.bincount(sl, weights=cnts, minlength=width)
+            nz = np.nonzero(binned)[0]
+            rows.append(np.full(len(nz), i, dtype=np.int64))
+            slots.append(nz.astype(np.int64))
+            counts.append(binned[nz].astype(np.int64))
+        return pd.DataFrame({"row": np.concatenate(rows),
+                             "slot": np.concatenate(slots),
+                             "count": np.concatenate(counts)})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["row", "slot"], as_index=False)["count"].sum()
+        for c in ("row", "slot", "count"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    df = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("row")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    if df.empty or "row" not in df.columns:
+        return pd.DataFrame({"row": pd.Series([], dtype=np.int64),
+                             "slot": pd.Series([], dtype=np.int64),
+                             "count": pd.Series([], dtype=np.int64)})
+    for c in ("row", "slot", "count"):
+        df[c] = df[c].astype(np.int64)
+    return (df.sort_values(["row", "slot"])
+            .reset_index(drop=True))
+
+
+def cms_estimate(
+    sketch: pd.DataFrame,
+    keys,
+    width: int = 64,
+    depth: int = 3,
+    salt: str = "graft-cms",
+) -> pd.DataFrame:
+    """Point-frequency estimates from a ``count_min_sketch`` table →
+    DataFrame (key, est:int64), est = min over sketch rows of the
+    key's counter (the CM upper-bound estimator; never under-counts).
+    ``width``/``depth``/``salt`` must match the sketch build."""
+    keys = np.array([str(k) for k in keys], dtype=object)
+    counters = {(int(r), int(s)): int(c)
+                for r, s, c in sketch[["row", "slot", "count"]]
+                .itertuples(index=False)}
+    est = np.full(len(keys), np.iinfo(np.int64).max, dtype=np.int64)
+    for i in range(depth):
+        sl = _cms_slots(keys, i, width, salt)
+        got = np.array([counters.get((i, int(s)), 0) for s in sl],
+                       dtype=np.int64)
+        est = np.minimum(est, got)
+    return pd.DataFrame({"key": keys, "est": est})

@@ -182,3 +182,60 @@ def test_hll_registers_replay_and_accuracy(ray_session):
     assert est == float(np.floor(e * 1e4) / 1e4)
     with pytest.raises(ValueError, match="b must"):
         approx_distinct_hll(ds, "u", b=2)
+
+
+def test_cms_exact_when_wide_and_merge_invariant(ray_session):
+    from graphforge_ray.stages.sketches import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    vals = ["a"] * 7 + ["b"] * 3 + ["c"] * 5 + [None, None]
+    df = pd.DataFrame({"v": vals})
+    one = count_min_sketch(rd.from_pandas(df), "v", width=64, depth=3)
+    many = count_min_sketch(
+        rd.from_pandas(df).repartition(5), "v", width=64, depth=3
+    )
+    # additive counters → block layout can't change the merged sketch
+    pd.testing.assert_frame_equal(one, many)
+    est = cms_estimate(one, ["a", "b", "c", "zz"], width=64, depth=3)
+    assert dict(zip(est["key"], est["est"])) == {
+        "a": 7, "b": 3, "c": 5, "zz": 0
+    }
+    # total mass per sketch row = non-null row count
+    assert (one.groupby("row")["count"].sum() == 15).all()
+
+
+def test_cms_never_undercounts_and_collides_when_narrow(ray_session):
+    from graphforge_ray.stages.sketches import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    rng = np.random.RandomState(7)
+    keys = [f"k{i}" for i in range(20)]
+    true = {k: int(rng.randint(1, 30)) for k in keys}
+    rows = [k for k, n in true.items() for _ in range(n)]
+    ds = rd.from_pandas(pd.DataFrame({"v": rows})).repartition(4)
+    sk = count_min_sketch(ds, "v", width=4, depth=2)
+    est = cms_estimate(sk, keys, width=4, depth=2)
+    got = dict(zip(est["key"], est["est"]))
+    # CM estimate is an upper bound, never under
+    assert all(got[k] >= true[k] for k in keys)
+    # 20 keys in 4 slots MUST collide somewhere → at least one inflated
+    assert any(got[k] > true[k] for k in keys)
+
+
+def test_cms_empty_input_contract(ray_session):
+    from graphforge_ray.stages.sketches import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    ds = rd.from_pandas(pd.DataFrame({"v": [None, None]}))
+    sk = count_min_sketch(ds, "v", width=8, depth=2)
+    assert len(sk) == 0
+    est = cms_estimate(sk, ["x"], width=8, depth=2)
+    assert list(est["est"]) == [0]
+    with pytest.raises(ValueError):
+        count_min_sketch(ds, "v", width=1, depth=2)
