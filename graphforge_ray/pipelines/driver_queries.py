@@ -2893,6 +2893,178 @@ ORDER BY h.event_type
 """
 
 
+def q_web_host_graph(sf_dir: str):
+    """Host-level web-link graph (stages/weblinks.host_link_graph):
+    doc_id-derived (src_url, href) pairs exercising every resolution
+    case — absolute w/ case-varied host, protocol-relative,
+    root-relative, query-only, path-relative, ``../`` dot segment,
+    fragment-only (self), and a non-http scheme (dropped) — resolved
+    per RFC 3986 §5 (documented subset), mapped to registered domains
+    and counted. The oracle replays the IDENTICAL resolution chain
+    (every step an RE2 regex; the dot-collapse round unrolled twice —
+    fixture hrefs hold at most one dot segment) and domain rule."""
+    from ..stages.weblinks import host_link_graph
+
+    docs = _t(sf_dir, "documents", ["doc_id"])
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].astype(np.int64)
+        tld = pd.Series(
+            np.select([(i % 3) == 0, (i % 3) == 1],
+                      ["com", "co.uk"], "org"),
+            index=df.index)
+        www = pd.Series(np.where(i % 2 == 0, "www.", ""), index=df.index)
+        url = ("http://" + www + "site" + (i % 5).astype(str) + "."
+               + tld + "/a/b/page" + (i % 20).astype(str) + ".html")
+        m = i % 8
+        href = pd.Series(np.select(
+            [m == 0, m == 1, m == 2, m == 3, m == 4, m == 5, m == 6],
+            ["http://Other" + (i % 3).astype(str) + ".COM/x",
+             "//cdn-site" + (i % 4).astype(str) + ".net/lib.js",
+             "/root/doc" + (i % 6).astype(str),
+             "?q=" + (i % 9).astype(str),
+             "rel" + (i % 7).astype(str) + "/sub.html",
+             "../up" + (i % 5).astype(str) + ".html",
+             "#frag"],
+            "mailto:user@ex.org"), index=df.index, dtype=object)
+        return pd.DataFrame({"src_url": url.astype(object),
+                             "href": href})
+
+    return host_link_graph(docs.map_batches(derive,
+                                            batch_format="pandas"))
+
+
+SQL_WEB_HOST_GRAPH = r"""
+WITH e AS (
+  SELECT
+    'http://' || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END ||
+    'site' || CAST(doc_id % 5 AS VARCHAR) || '.' ||
+    CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+         ELSE 'org' END ||
+    '/a/b/page' || CAST(doc_id % 20 AS VARCHAR) || '.html' AS src_url,
+    CASE doc_id % 8
+      WHEN 0 THEN 'http://Other' || CAST(doc_id % 3 AS VARCHAR)
+                  || '.COM/x'
+      WHEN 1 THEN '//cdn-site' || CAST(doc_id % 4 AS VARCHAR)
+                  || '.net/lib.js'
+      WHEN 2 THEN '/root/doc' || CAST(doc_id % 6 AS VARCHAR)
+      WHEN 3 THEN '?q=' || CAST(doc_id % 9 AS VARCHAR)
+      WHEN 4 THEN 'rel' || CAST(doc_id % 7 AS VARCHAR) || '/sub.html'
+      WHEN 5 THEN '../up' || CAST(doc_id % 5 AS VARCHAR) || '.html'
+      WHEN 6 THEN '#frag'
+      ELSE 'mailto:user@ex.org' END AS href
+  FROM documents
+),
+parts AS (
+  SELECT src_url,
+    regexp_replace(href, '#.*$', '') AS h0,
+    regexp_extract(src_url,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*') AS origin,
+    regexp_extract(src_url, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1) AS scheme,
+    regexp_replace(substr(src_url, length(regexp_extract(src_url,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*')) + 1),
+      '[?#].*$', '') AS spath
+  FROM e
+),
+r0 AS (
+  SELECT src_url,
+    CASE
+      WHEN h0 = '' THEN regexp_replace(src_url, '#.*$', '')
+      WHEN regexp_matches(h0, '^[a-zA-Z][a-zA-Z0-9+.-]*:') THEN h0
+      WHEN h0 LIKE '//%' THEN scheme || ':' || h0
+      WHEN h0 LIKE '/%' THEN origin || h0
+      WHEN h0 LIKE '?%' THEN origin || spath || h0
+      ELSE origin ||
+           CASE WHEN regexp_replace(spath, '[^/]*$', '') = ''
+                THEN '/' ELSE regexp_replace(spath, '[^/]*$', '') END
+           || h0
+    END AS raw
+  FROM parts
+),
+r1 AS (
+  SELECT src_url,
+    CASE WHEN regexp_extract(raw, '^([a-zA-Z][a-zA-Z0-9+.-]*:)') <> ''
+    THEN lower(regexp_extract(raw, '^([a-zA-Z][a-zA-Z0-9+.-]*:)'))
+         || substr(raw, length(regexp_extract(raw,
+              '^([a-zA-Z][a-zA-Z0-9+.-]*:)')) + 1)
+    ELSE raw END AS res
+  FROM r0
+),
+sp AS (
+  SELECT src_url, res,
+    regexp_extract(res, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*') AS org2,
+    regexp_replace(substr(res, length(regexp_extract(res,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*')) + 1),
+      '\?.*$', '') AS p0,
+    regexp_extract(substr(res, length(regexp_extract(res,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*')) + 1), '(\?.*)$', 1) AS qs
+  FROM r1
+),
+c1 AS (
+  SELECT src_url, org2, qs,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(p0,
+        '/\./', '/', 'g'), '/\.$', '/'), '^/\.\./', '/'),
+        '^/\.\.$', '/'), '/[^/?#]+/\.\./', '/'),
+        '/[^/?#]+/\.\.$', '/') AS p1
+  FROM sp
+),
+c2 AS (
+  SELECT src_url, org2 ||
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(p1,
+        '/\./', '/', 'g'), '/\.$', '/'), '^/\.\./', '/'),
+        '^/\.\.$', '/'), '/[^/?#]+/\.\./', '/'),
+        '/[^/?#]+/\.\.$', '/') || qs AS resolved
+  FROM c1
+),
+keep AS (
+  SELECT src_url, resolved FROM c2
+  WHERE regexp_matches(resolved, '^https?://')
+),
+hosts AS (
+  SELECT
+    NULLIF(rtrim(lower(regexp_extract(src_url,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)),
+      '.'), '') AS sh,
+    NULLIF(rtrim(lower(regexp_extract(resolved,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)),
+      '.'), '') AS dh
+  FROM keep
+),
+doms AS (
+  SELECT
+    COALESCE(NULLIF(regexp_extract(sh,
+      '([^.]+\.(?:co\.uk|org\.uk|ac\.uk|gov\.uk|com\.au|net\.au|org\.au|co\.jp|co\.in|co\.kr|com\.br|com\.cn|com\.mx)|[^.]+\.[^.]+)$',
+      1), ''), sh) AS src_domain,
+    COALESCE(NULLIF(regexp_extract(dh,
+      '([^.]+\.(?:co\.uk|org\.uk|ac\.uk|gov\.uk|com\.au|net\.au|org\.au|co\.jp|co\.in|co\.kr|com\.br|com\.cn|com\.mx)|[^.]+\.[^.]+)$',
+      1), ''), dh) AS dst_domain
+  FROM hosts WHERE sh IS NOT NULL AND dh IS NOT NULL
+)
+SELECT src_domain, dst_domain, CAST(COUNT(*) AS BIGINT) AS n_links
+FROM doms GROUP BY src_domain, dst_domain
+ORDER BY src_domain, dst_domain
+"""
+
+
+def q_web_page_links(sf_dir: str):
+    """Host-level link graph over the REAL synthetic pages corpus
+    (rows-only — html anchor extraction is not SQL-expressible):
+    pages → forge anchor walk (extract/html_text.py, the byte-identical
+    extractor) → RFC 3986 resolution → registered-domain edge counts.
+    Pinned by pytest goldens on the deterministic fixture corpus."""
+    from ..stages.weblinks import host_link_graph, page_link_edges
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        n = max(64, int(float(sf) * 60_000))
+    except ValueError:
+        n = 200
+    pages = rd.from_arrow(gen_pages_table(n))
+    return host_link_graph(page_link_edges(pages))
+
+
 def q_docs_robots_filter(sf_dir: str):
     """robots.txt-style crawl governance (stages/urls.robots_filter):
     RFC 9309 longest-match Allow/Disallow over doc_id-derived URLs —
@@ -7212,6 +7384,8 @@ ORDER BY t.doc_id
 # verified locally by tools/check_contract.py regardless of position.
 QUERIES = {
     "events_type_cms": q_events_type_cms,
+    "web_host_graph": q_web_host_graph,
+    "web_page_links": q_web_page_links,
     "kg_transe": q_kg_transe,
     "kg_transe_eval": q_kg_transe_eval,
     "graph_walks": q_graph_walks,
@@ -7424,6 +7598,7 @@ ORACLES = {
     "docs_robots_filter": SQL_DOCS_ROBOTS_FILTER,
     "events_distinct_hll": SQL_EVENTS_DISTINCT_HLL,
     "events_type_cms": SQL_EVENTS_TYPE_CMS,
+    "web_host_graph": SQL_WEB_HOST_GRAPH,
     "docs_chunks": SQL_DOCS_CHUNKS,
     "events_intervals": SQL_EVENTS_INTERVALS,
     "docs_quality_ntile": SQL_DOCS_QUALITY_NTILE,
