@@ -883,6 +883,95 @@ JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
 """
 
 
+def q_graph_clustering(sf_dir: str):
+    """Per-node local clustering coefficient (stages/graph.
+    local_clustering: wedge-close triangle rows exploded to per-node
+    counts + degree census + one left-outer bindings_join) vs a 3-way
+    self-join SQL oracle; both sides round to 8 decimals (the float
+    parity rule — the coefficient is one float64 divide of two exact
+    integers on both sides)."""
+    from ..stages.graph import local_clustering
+
+    df = local_clustering(_part_graph_edges(sf_dir)).to_pandas()
+    df["node"] = df["node"].astype(np.int64)
+    df["clustering"] = df["clustering"].round(8)
+    return df.sort_values("node").reset_index(drop=True)[
+        ["node", "clustering"]]
+
+
+SQL_GRAPH_CLUSTERING = f"""
+WITH raw AS ({_PART_GRAPH_SQL}),
+c AS (
+    SELECT DISTINCT LEAST(s, o) AS a, GREATEST(s, o) AS b
+    FROM raw WHERE s <> o
+),
+deg AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+    FROM (SELECT a AS node FROM c UNION ALL SELECT b AS node FROM c)
+    GROUP BY node
+),
+tri AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM c e1
+    JOIN c e2 ON e2.a = e1.b
+    JOIN c e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tn AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS t
+    FROM (SELECT x AS node FROM tri UNION ALL
+          SELECT y AS node FROM tri UNION ALL
+          SELECT z AS node FROM tri)
+    GROUP BY node
+)
+SELECT deg.node,
+       ROUND(CASE WHEN deg.d >= 2
+             THEN 2.0 * CAST(COALESCE(tn.t, 0) AS DOUBLE)
+                  / CAST(deg.d * (deg.d - 1) AS DOUBLE)
+             ELSE 0.0 END, 8) AS clustering
+FROM deg LEFT JOIN tn USING (node)
+ORDER BY deg.node
+"""
+
+
+def q_graph_assortativity(sf_dir: str):
+    """Degree assortativity coefficient (Newman 2002 — Pearson over
+    endpoint degrees, both orientations of the undirected simple edge
+    set). All five moments are exact-integer float64 sums on both
+    sides, so the final divide is bit-comparable; round 8."""
+    from ..stages.graph import degree_assortativity
+
+    r = degree_assortativity(_part_graph_edges(sf_dir))
+    return pd.DataFrame({"assortativity": [np.round(r, 8)]})
+
+
+SQL_GRAPH_ASSORTATIVITY = f"""
+WITH raw AS ({_PART_GRAPH_SQL}),
+c AS (
+    SELECT DISTINCT LEAST(s, o) AS a, GREATEST(s, o) AS b
+    FROM raw WHERE s <> o
+),
+deg AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+    FROM (SELECT a AS node FROM c UNION ALL SELECT b AS node FROM c)
+    GROUP BY node
+),
+j AS (
+    SELECT da.d AS x, db.d AS y
+    FROM c JOIN deg da ON da.node = c.a JOIN deg db ON db.node = c.b
+),
+m AS (
+    SELECT CAST(2 * COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(x + y) AS DOUBLE) AS sx,
+           CAST(SUM(x * x + y * y) AS DOUBLE) AS sxx,
+           CAST(2 * SUM(x * y) AS DOUBLE) AS sxy
+    FROM j
+)
+SELECT ROUND((n * sxy - sx * sx) / (n * sxx - sx * sx), 8)
+           AS assortativity
+FROM m
+"""
+
+
 def q_graph_degree_hist(sf_dir: str):
     """Out-degree histogram of the customer→order graph (orders per
     customer): two-level distributed aggregate, tiny result."""
@@ -7383,6 +7472,8 @@ ORDER BY t.doc_id
 # registry entries (len(QUERIES) of them — never a hand count) are
 # verified locally by tools/check_contract.py regardless of position.
 QUERIES = {
+    "graph_clustering": q_graph_clustering,
+    "graph_assortativity": q_graph_assortativity,
     "events_type_cms": q_events_type_cms,
     "web_host_graph": q_web_host_graph,
     "web_page_links": q_web_page_links,
@@ -7554,6 +7645,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_clustering": SQL_GRAPH_CLUSTERING,
+    "graph_assortativity": SQL_GRAPH_ASSORTATIVITY,
     "docs_span_dedup": SQL_DOCS_SPAN_DEDUP,
     "docs_url_dedup": SQL_DOCS_URL_DEDUP,
     "docs_source_mixture": SQL_DOCS_SOURCE_MIXTURE,

@@ -37,6 +37,8 @@ __all__ = [
     "label_propagation",
     "hits",
     "triangle_count",
+    "local_clustering",
+    "degree_assortativity",
     "bfs_depths",
     "sssp",
     "node_jaccard",
@@ -519,6 +521,57 @@ def hits(
     return state
 
 
+def _canon_dedup_edges(
+    edges: "ray.data.Dataset", num_buckets: int
+) -> "ray.data.Dataset":
+    """(s, o) edge Dataset → materialized UNDIRECTED simple edge set
+    (id_a < id_b), self-loops dropped, parallel edges collapsed — the
+    shared front half of the triangle family (count / per-node
+    clustering / assortativity)."""
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["s"].to_numpy()
+        o = df["o"].to_numpy()
+        keep = s != o
+        s, o = s[keep], o[keep]
+        return pd.DataFrame(
+            {"id_a": np.minimum(s, o), "id_b": np.maximum(s, o)}
+        ).drop_duplicates()
+
+    return dedup_pairs(
+        edges.map_batches(canon, batch_format="pandas"),
+        num_buckets=num_buckets,
+    ).materialize()
+
+
+def _undirected_degrees(
+    e: "ray.data.Dataset", num_buckets: int
+) -> "ray.data.Dataset":
+    """Canonical simple edge set (id_a < id_b) → Dataset (node, d:int64)
+    undirected degree. Map-side combiner, one node-bucket reduce."""
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.concat(
+            [df["id_a"].rename("node"), df["id_b"].rename("node")],
+            ignore_index=True,
+        ).to_frame()
+        g = g.groupby("node", as_index=False).size().rename(
+            columns={"size": "d"})
+        g["d"] = g["d"].astype(np.int64)
+        return g.assign(_bucket=bucket_tag(g, "node", num_buckets))
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False)["d"].sum()
+        out["d"] = out["d"].astype(np.int64)
+        return out
+
+    return (
+        e.map_batches(combine, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
+
+
 def triangle_count(
     edges: "ray.data.Dataset",
     num_buckets: int | None = None,
@@ -549,22 +602,23 @@ def triangle_count(
     is extra work, never missing work)."""
     if num_buckets is None:
         num_buckets = _auto_partitions(edges.count())
+    e = _canon_dedup_edges(edges, num_buckets)
+    return _closed_triangles(
+        e, num_buckets, hub_threshold, max_salts
+    ).count()
 
-    def canon(df: pd.DataFrame) -> pd.DataFrame:
-        s = df["s"].to_numpy()
-        o = df["o"].to_numpy()
-        keep = s != o
-        s, o = s[keep], o[keep]
-        return pd.DataFrame(
-            {"id_a": np.minimum(s, o), "id_b": np.maximum(s, o)}
-        ).drop_duplicates()
 
+def _closed_triangles(
+    e: "ray.data.Dataset",
+    num_buckets: int,
+    hub_threshold: int = 1_000_000,
+    max_salts: int = 64,
+) -> "ray.data.Dataset":
+    """Materialized canonical simple edge set (id_a < id_b) → Dataset
+    (a, b, c) with a < b < c, one row per closed triangle (the
+    wedge-close with hub-skew pre-split documented in
+    ``triangle_count``)."""
     import ray as _ray
-
-    e = dedup_pairs(
-        edges.map_batches(canon, batch_format="pandas"),
-        num_buckets=num_buckets,
-    ).materialize()
 
     # the union shuffle fills the missing side column with object NaN,
     # widening dtypes; the closing semi-join buckets by key HASH, and
@@ -687,10 +741,161 @@ def triangle_count(
         lambda df: df.rename(columns={"id_a": "a", "id_b": "c"}),
         batch_format="pandas",
     )
-    closed = bindings_join(
+    return bindings_join(
         wedges, closing, on=["a", "c"], how="semi", num_buckets=num_buckets
     )
-    return closed.count()
+
+
+def local_clustering(
+    edges: "ray.data.Dataset",
+    num_buckets: int | None = None,
+    hub_threshold: int = 1_000_000,
+    max_salts: int = 64,
+) -> "ray.data.Dataset":
+    """Local clustering coefficient per node of the UNDIRECTED simple
+    graph induced by an (s, o) edge Dataset → Dataset (node,
+    clustering:float64): c(v) = 2·t(v) / (d(v)·(d(v)−1)) for degree ≥ 2,
+    else 0.0, where t(v) counts triangles through v.
+
+    Scale shape: per-node triangle counts come from exploding the
+    closed-triangle rows (``_closed_triangles`` — wedge-close with
+    hub-skew pre-split) through a map-side count combiner and ONE
+    node-bucket reduce; degrees ride the same census pattern; the final
+    (node, d) ⟕ (node, t) meet is one ``bindings_join`` (triangle-free
+    nodes coalesce to t=0). Nothing corpus-sized touches the driver."""
+    if num_buckets is None:
+        num_buckets = _auto_partitions(edges.count())
+    e = _canon_dedup_edges(edges, num_buckets)
+    closed = _closed_triangles(e, num_buckets, hub_threshold, max_salts)
+
+    def tri_combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.concat(
+            [df["a"].rename("node"), df["b"].rename("node"),
+             df["c"].rename("node")],
+            ignore_index=True,
+        ).to_frame()
+        g = g.groupby("node", as_index=False).size().rename(
+            columns={"size": "t"})
+        g["t"] = g["t"].astype(np.int64)
+        return g.assign(_bucket=bucket_tag(g, "node", num_buckets))
+
+    def tri_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False)["t"].sum()
+        out["t"] = out["t"].astype(np.int64)
+        return out
+
+    tri = (
+        closed.map_batches(tri_combine, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(tri_reduce, batch_format="pandas")
+    )
+    deg = _undirected_degrees(e, num_buckets)
+    # triangle-free graph → tri is FULLY empty (schema None), which the
+    # join's schema read can't take (CLAUDE.md empty-Dataset guard):
+    # every coefficient is 0.0, straight from the degree table
+    tri = tri.materialize()
+    if tri.schema(fetch_if_missing=True) is None:
+        return deg.map_batches(
+            lambda df: pd.DataFrame(
+                {"node": df["node"],
+                 "clustering": np.zeros(len(df), dtype=np.float64)}),
+            batch_format="pandas",
+        )
+    joined = bindings_join(
+        deg, tri, on=["node"], how="left_outer", num_buckets=num_buckets
+    )
+
+    def coeff(df: pd.DataFrame) -> pd.DataFrame:
+        # bindings_join object-fills the missing side — re-cast (the
+        # CLAUDE.md numeric-caller rule) before the arithmetic
+        d = pd.to_numeric(df["d"]).to_numpy(dtype=np.float64)
+        t = pd.to_numeric(df["t"].fillna(0)).to_numpy(dtype=np.float64)
+        c = np.where(d >= 2, 2.0 * t / np.maximum(d * (d - 1), 1.0), 0.0)
+        node = df["node"]
+        if not np.issubdtype(np.asarray(node).dtype, np.number):
+            node = pd.to_numeric(node, errors="ignore")
+        return pd.DataFrame({"node": node, "clustering": c})
+
+    return joined.map_batches(coeff, batch_format="pandas")
+
+
+def degree_assortativity(
+    edges: "ray.data.Dataset",
+    num_buckets: int | None = None,
+) -> float:
+    """Degree assortativity coefficient (Newman 2002, Pearson
+    correlation of endpoint degrees over the UNDIRECTED simple edge
+    set, each edge contributing both orientations) → scalar float.
+
+    Scale shape: canonical dedup → degree census → TWO kv-style
+    bindings_joins pin d(a) and d(b) onto the edges → one pass of
+    five moment partials (n, Σx, Σxx, Σxy with x=y-symmetry) summed by
+    an ungrouped aggregate; the driver sees only the five scalars."""
+    from ray.data.aggregate import Sum
+
+    if num_buckets is None:
+        num_buckets = _auto_partitions(edges.count())
+    e = _canon_dedup_edges(edges, num_buckets)
+    deg = _undirected_degrees(e, num_buckets).materialize()
+
+    ea = bindings_join(
+        e.map_batches(
+            lambda df: df.rename(columns={"id_a": "node"}),
+            batch_format="pandas"),
+        deg.map_batches(
+            lambda df: df.rename(columns={"d": "da"}),
+            batch_format="pandas"),
+        on=["node"], how="inner", num_buckets=num_buckets,
+    ).map_batches(
+        lambda df: df.rename(columns={"node": "id_a"}),
+        batch_format="pandas",
+    )
+    # the first join's union shuffle object-fills — restore the SECOND
+    # join's key dtype to the degree table's node dtype FIRST, or the
+    # hash buckets split int64 vs object-int keys apart (CLAUDE.md rule)
+    from ..shuffle import np_key_dtype
+
+    key_dt = np_key_dtype(deg, "node")
+
+    def rekey(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.rename(columns={"id_b": "node"})
+        if key_dt is not None:
+            out["node"] = out["node"].astype(key_dt)
+        return out
+
+    eab = bindings_join(
+        ea.map_batches(rekey, batch_format="pandas"),
+        deg.map_batches(
+            lambda df: df.rename(columns={"d": "db"}),
+            batch_format="pandas"),
+        on=["node"], how="inner", num_buckets=num_buckets,
+    )
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        da = pd.to_numeric(df["da"]).to_numpy(dtype=np.float64)
+        db = pd.to_numeric(df["db"]).to_numpy(dtype=np.float64)
+        # both orientations of every undirected edge: x ↔ y symmetric
+        return pd.DataFrame({
+            "n": [np.float64(2 * len(df))],
+            "sx": [float((da + db).sum())],
+            "sxx": [float((da * da + db * db).sum())],
+            "sxy": [float(2.0 * (da * db).sum())],
+        })
+
+    m = eab.map_batches(moments, batch_format="pandas").aggregate(
+        Sum(on="n", alias_name="n"), Sum(on="sx", alias_name="sx"),
+        Sum(on="sxx", alias_name="sxx"), Sum(on="sxy", alias_name="sxy"),
+    )
+    if not m or m.get("n") in (None, 0):
+        raise ValueError("degree_assortativity: no edges")
+    n, sx, sxx, sxy = m["n"], m["sx"], m["sxx"], m["sxy"]
+    var = n * sxx - sx * sx
+    if var <= 0:
+        raise ValueError(
+            "degree_assortativity undefined: zero degree variance "
+            "(regular graph or no edges)"
+        )
+    return float((n * sxy - sx * sx) / var)
 
 
 def bfs_depths(

@@ -690,3 +690,87 @@ def test_harmonic_centrality_bad_params():
         harmonic_centrality(ds, num_seeds=0)
     with pytest.raises(ValueError):
         harmonic_centrality(ds, max_depth=0)
+
+
+# ---------------------------------------------------------------------------
+# local clustering coefficient + degree assortativity
+# ---------------------------------------------------------------------------
+
+def _und_oracle(pairs):
+    """Undirected simple graph: adjacency, per-node triangles, degrees."""
+    und = {(min(s, o), max(s, o)) for s, o in pairs if s != o}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {n: 0 for n in adj}
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            if a < b < c:
+                tri[a] += 1
+                tri[b] += 1
+                tri[c] += 1
+    return und, adj, tri
+
+
+def test_local_clustering_matches_bruteforce():
+    from graphforge_ray.stages.graph import local_clustering
+
+    ks = np.arange(1, 61)
+    pairs = list(zip(ks, ks // 2)) + list(zip(ks, ks - 1))
+    und, adj, tri = _und_oracle(pairs)
+    exp = {
+        n: (2 * tri[n] / (len(adj[n]) * (len(adj[n]) - 1))
+            if len(adj[n]) >= 2 else 0.0)
+        for n in adj
+    }
+    got = (
+        local_clustering(_edges_ds(pairs, num_blocks=4))
+        .to_pandas().set_index("node")["clustering"].to_dict()
+    )
+    assert set(got) == set(exp)
+    for n, v in exp.items():
+        assert abs(got[n] - v) < 1e-12, n
+
+
+def test_local_clustering_triangle_free_and_isolated_degree1():
+    from graphforge_ray.stages.graph import local_clustering
+
+    # a path graph: no triangles, every coefficient 0.0 (incl. deg-1 ends)
+    pairs = [(1, 2), (2, 3), (3, 4)]
+    got = local_clustering(_edges_ds(pairs)).to_pandas()
+    assert set(got["node"]) == {1, 2, 3, 4}
+    assert (got["clustering"] == 0.0).all()
+
+
+def test_degree_assortativity_matches_numpy():
+    from graphforge_ray.stages.graph import degree_assortativity
+
+    ks = np.arange(1, 61)
+    pairs = list(zip(ks, ks // 2)) + list(zip(ks, ks - 1))
+    und, adj, _ = _und_oracle(pairs)
+    xs, ys = [], []
+    for a, b in und:
+        xs += [len(adj[a]), len(adj[b])]
+        ys += [len(adj[b]), len(adj[a])]
+    exp = np.corrcoef(xs, ys)[0, 1]
+    got = degree_assortativity(_edges_ds(pairs, num_blocks=4))
+    assert abs(got - exp) < 1e-10
+
+
+def test_degree_assortativity_star_is_negative_one():
+    from graphforge_ray.stages.graph import degree_assortativity
+
+    # star K_{1,5}: perfectly disassortative, r = -1
+    pairs = [(0, i) for i in range(1, 6)]
+    got = degree_assortativity(_edges_ds(pairs))
+    assert abs(got - (-1.0)) < 1e-12
+
+
+def test_degree_assortativity_regular_graph_raises():
+    from graphforge_ray.stages.graph import degree_assortativity
+
+    # 4-cycle: every degree 2 → zero variance → loud error
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    with pytest.raises(ValueError, match="variance|no edges"):
+        degree_assortativity(_edges_ds(pairs))
