@@ -2982,49 +2982,64 @@ ORDER BY h.event_type
 """
 
 
+def _web_edge_frame(df: pd.DataFrame,
+                    with_anchor: bool = False) -> pd.DataFrame:
+    """doc_id rows → deterministic (src_url, href[, anchor_text]) pairs
+    exercising every resolution case — absolute w/ case-varied host,
+    protocol-relative, root-relative, query-only, path-relative,
+    ``../`` dot segment, fragment-only (self), and a non-http scheme
+    (dropped). Mirrored exactly by ``_WEB_EDGES_SQL``."""
+    i = df["doc_id"].astype(np.int64)
+    tld = pd.Series(
+        np.select([(i % 3) == 0, (i % 3) == 1],
+                  ["com", "co.uk"], "org"),
+        index=df.index)
+    www = pd.Series(np.where(i % 2 == 0, "www.", ""), index=df.index)
+    url = ("http://" + www + "site" + (i % 5).astype(str) + "."
+           + tld + "/a/b/page" + (i % 20).astype(str) + ".html")
+    m = i % 8
+    href = pd.Series(np.select(
+        [m == 0, m == 1, m == 2, m == 3, m == 4, m == 5, m == 6],
+        ["http://Other" + (i % 3).astype(str) + ".COM/x",
+         "//cdn-site" + (i % 4).astype(str) + ".net/lib.js",
+         "/root/doc" + (i % 6).astype(str),
+         "?q=" + (i % 9).astype(str),
+         "rel" + (i % 7).astype(str) + "/sub.html",
+         "../up" + (i % 5).astype(str) + ".html",
+         "#frag"],
+        "mailto:user@ex.org"), index=df.index, dtype=object)
+    out = pd.DataFrame({"src_url": url.astype(object), "href": href})
+    if with_anchor:
+        a = i % 5
+        out["anchor_text"] = pd.Series(np.select(
+            [a == 0, a == 1, a == 2, a == 3],
+            ["Click Here!",
+             "read more",
+             "Home page 3",
+             "the-best_Site 42"],
+            ""), index=df.index, dtype=object)
+    return out
+
+
 def q_web_host_graph(sf_dir: str):
-    """Host-level web-link graph (stages/weblinks.host_link_graph):
-    doc_id-derived (src_url, href) pairs exercising every resolution
-    case — absolute w/ case-varied host, protocol-relative,
-    root-relative, query-only, path-relative, ``../`` dot segment,
-    fragment-only (self), and a non-http scheme (dropped) — resolved
-    per RFC 3986 §5 (documented subset), mapped to registered domains
-    and counted. The oracle replays the IDENTICAL resolution chain
-    (every step an RE2 regex; the dot-collapse round unrolled twice —
-    fixture hrefs hold at most one dot segment) and domain rule."""
+    """Host-level web-link graph (stages/weblinks.host_link_graph) over
+    the doc_id-derived edge set (``_web_edge_frame``), resolved per RFC
+    3986 §5 (documented subset), mapped to registered domains and
+    counted. The oracle replays the IDENTICAL resolution chain (every
+    step an RE2 regex; the dot-collapse round unrolled twice — fixture
+    hrefs hold at most one dot segment) and domain rule."""
     from ..stages.weblinks import host_link_graph
 
     docs = _t(sf_dir, "documents", ["doc_id"])
-
-    def derive(df: pd.DataFrame) -> pd.DataFrame:
-        i = df["doc_id"].astype(np.int64)
-        tld = pd.Series(
-            np.select([(i % 3) == 0, (i % 3) == 1],
-                      ["com", "co.uk"], "org"),
-            index=df.index)
-        www = pd.Series(np.where(i % 2 == 0, "www.", ""), index=df.index)
-        url = ("http://" + www + "site" + (i % 5).astype(str) + "."
-               + tld + "/a/b/page" + (i % 20).astype(str) + ".html")
-        m = i % 8
-        href = pd.Series(np.select(
-            [m == 0, m == 1, m == 2, m == 3, m == 4, m == 5, m == 6],
-            ["http://Other" + (i % 3).astype(str) + ".COM/x",
-             "//cdn-site" + (i % 4).astype(str) + ".net/lib.js",
-             "/root/doc" + (i % 6).astype(str),
-             "?q=" + (i % 9).astype(str),
-             "rel" + (i % 7).astype(str) + "/sub.html",
-             "../up" + (i % 5).astype(str) + ".html",
-             "#frag"],
-            "mailto:user@ex.org"), index=df.index, dtype=object)
-        return pd.DataFrame({"src_url": url.astype(object),
-                             "href": href})
-
-    return host_link_graph(docs.map_batches(derive,
+    return host_link_graph(docs.map_batches(_web_edge_frame,
                                             batch_format="pandas"))
 
 
-SQL_WEB_HOST_GRAPH = r"""
-WITH e AS (
+# Shared SQL fragments for the web-link family (host graph / host
+# PageRank / anchor top-k) — one definition of the doc_id-derived edge
+# set, the RFC 3986 resolution chain, and the host→registered-domain
+# mapping, so every oracle replays the IDENTICAL rules.
+_WEB_EDGES_SQL = """
   SELECT
     'http://' || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END ||
     'site' || CAST(doc_id % 5 AS VARCHAR) || '.' ||
@@ -3043,9 +3058,18 @@ WITH e AS (
       WHEN 6 THEN '#frag'
       ELSE 'mailto:user@ex.org' END AS href
   FROM documents
-),
+"""
+
+
+def _web_resolve_sql(extra: str = "") -> str:
+    r"""CTE chain ``parts → … → keep`` resolving e(src_url, href
+    {extra}) per the documented RFC 3986 subset — regex-for-regex the
+    stages/weblinks.resolve_href_batch chain (dot-collapse round
+    unrolled twice; fixture hrefs hold at most one dot segment).
+    ``extra`` is a trailing ``, col`` list passed through every CTE."""
+    return rf"""
 parts AS (
-  SELECT src_url,
+  SELECT src_url{extra},
     regexp_replace(href, '#.*$', '') AS h0,
     regexp_extract(src_url,
       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*') AS origin,
@@ -3056,7 +3080,7 @@ parts AS (
   FROM e
 ),
 r0 AS (
-  SELECT src_url,
+  SELECT src_url{extra},
     CASE
       WHEN h0 = '' THEN regexp_replace(src_url, '#.*$', '')
       WHEN regexp_matches(h0, '^[a-zA-Z][a-zA-Z0-9+.-]*:') THEN h0
@@ -3071,7 +3095,7 @@ r0 AS (
   FROM parts
 ),
 r1 AS (
-  SELECT src_url,
+  SELECT src_url{extra},
     CASE WHEN regexp_extract(raw, '^([a-zA-Z][a-zA-Z0-9+.-]*:)') <> ''
     THEN lower(regexp_extract(raw, '^([a-zA-Z][a-zA-Z0-9+.-]*:)'))
          || substr(raw, length(regexp_extract(raw,
@@ -3080,7 +3104,7 @@ r1 AS (
   FROM r0
 ),
 sp AS (
-  SELECT src_url, res,
+  SELECT src_url{extra}, res,
     regexp_extract(res, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*') AS org2,
     regexp_replace(substr(res, length(regexp_extract(res,
       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*')) + 1),
@@ -3090,7 +3114,7 @@ sp AS (
   FROM r1
 ),
 c1 AS (
-  SELECT src_url, org2, qs,
+  SELECT src_url{extra}, org2, qs,
     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       regexp_replace(regexp_replace(p0,
         '/\./', '/', 'g'), '/\.$', '/'), '^/\.\./', '/'),
@@ -3099,7 +3123,7 @@ c1 AS (
   FROM sp
 ),
 c2 AS (
-  SELECT src_url, org2 ||
+  SELECT src_url{extra}, org2 ||
     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       regexp_replace(regexp_replace(p1,
         '/\./', '/', 'g'), '/\.$', '/'), '^/\.\./', '/'),
@@ -3108,29 +3132,42 @@ c2 AS (
   FROM c1
 ),
 keep AS (
-  SELECT src_url, resolved FROM c2
+  SELECT src_url{extra}, resolved FROM c2
   WHERE regexp_matches(resolved, '^https?://')
-),
+)"""
+
+
+_WEB_HOST_EXPR = (
+    "NULLIF(rtrim(lower(regexp_extract({col}, "
+    "'^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)), "
+    "'.'), '')"
+)
+_WEB_DOM_EXPR = (
+    r"COALESCE(NULLIF(regexp_extract({h}, "
+    r"'([^.]+\.(?:co\.uk|org\.uk|ac\.uk|gov\.uk|com\.au|net\.au"
+    r"|org\.au|co\.jp|co\.in|co\.kr|com\.br|com\.cn|com\.mx)"
+    r"|[^.]+\.[^.]+)$', 1), ''), {h})"
+)
+
+_WEB_DOMS_SQL = f"""
 hosts AS (
   SELECT
-    NULLIF(rtrim(lower(regexp_extract(src_url,
-      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)),
-      '.'), '') AS sh,
-    NULLIF(rtrim(lower(regexp_extract(resolved,
-      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)),
-      '.'), '') AS dh
+    {_WEB_HOST_EXPR.format(col="src_url")} AS sh,
+    {_WEB_HOST_EXPR.format(col="resolved")} AS dh
   FROM keep
 ),
 doms AS (
   SELECT
-    COALESCE(NULLIF(regexp_extract(sh,
-      '([^.]+\.(?:co\.uk|org\.uk|ac\.uk|gov\.uk|com\.au|net\.au|org\.au|co\.jp|co\.in|co\.kr|com\.br|com\.cn|com\.mx)|[^.]+\.[^.]+)$',
-      1), ''), sh) AS src_domain,
-    COALESCE(NULLIF(regexp_extract(dh,
-      '([^.]+\.(?:co\.uk|org\.uk|ac\.uk|gov\.uk|com\.au|net\.au|org\.au|co\.jp|co\.in|co\.kr|com\.br|com\.cn|com\.mx)|[^.]+\.[^.]+)$',
-      1), ''), dh) AS dst_domain
+    {_WEB_DOM_EXPR.format(h="sh")} AS src_domain,
+    {_WEB_DOM_EXPR.format(h="dh")} AS dst_domain
   FROM hosts WHERE sh IS NOT NULL AND dh IS NOT NULL
-)
+)"""
+
+
+SQL_WEB_HOST_GRAPH = f"""
+WITH e AS ({_WEB_EDGES_SQL}),
+{_web_resolve_sql()},
+{_WEB_DOMS_SQL}
 SELECT src_domain, dst_domain, CAST(COUNT(*) AS BIGINT) AS n_links
 FROM doms GROUP BY src_domain, dst_domain
 ORDER BY src_domain, dst_domain
@@ -3152,6 +3189,123 @@ def q_web_page_links(sf_dir: str):
         n = 200
     pages = rd.from_arrow(gen_pages_table(n))
     return host_link_graph(page_link_edges(pages))
+
+
+def q_web_anchor_topk(sf_dir: str, k: int = 3):
+    """Aggregated anchor text per target domain (stages/weblinks.
+    anchor_term_topk) — the web-search "what the rest of the web calls
+    this site" signal: doc_id-derived (src_url, href, anchor_text)
+    rows → resolve → registered domain → lowercase [a-z0-9]+ tokens →
+    per-(domain, term) counts → top-k per domain (ties by term). The
+    oracle replays the identical chain with regexp_extract_all +
+    ROW_NUMBER."""
+    from ..stages.weblinks import anchor_term_topk
+
+    docs = _t(sf_dir, "documents", ["doc_id"])
+    edges = docs.map_batches(
+        lambda df: _web_edge_frame(df, with_anchor=True),
+        batch_format="pandas")
+    out = anchor_term_topk(edges, k=k).to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["dst_domain", "term"]).reset_index(drop=True)[
+        ["dst_domain", "term", "n"]]
+
+
+_WEB_ANCHOR_CASE = """,
+    CASE doc_id % 5
+      WHEN 0 THEN 'Click Here!'
+      WHEN 1 THEN 'read more'
+      WHEN 2 THEN 'Home page 3'
+      WHEN 3 THEN 'the-best_Site 42'
+      ELSE '' END AS anchor_text"""
+_WEB_EDGES_ANCHOR_SQL = _WEB_EDGES_SQL.replace(
+    "END AS href\n  FROM documents",
+    "END AS href" + _WEB_ANCHOR_CASE + "\n  FROM documents")
+
+SQL_WEB_ANCHOR_TOPK = f"""
+WITH e AS ({_WEB_EDGES_ANCHOR_SQL}),
+{_web_resolve_sql(", anchor_text")},
+ahosts AS (
+  SELECT {_WEB_HOST_EXPR.format(col="resolved")} AS dh, anchor_text
+  FROM keep
+),
+adoms AS (
+  SELECT {_WEB_DOM_EXPR.format(h="dh")} AS dst_domain, anchor_text
+  FROM ahosts WHERE dh IS NOT NULL
+),
+toks AS (
+  SELECT dst_domain,
+         unnest(regexp_extract_all(lower(anchor_text), '[a-z0-9]+'))
+             AS term
+  FROM adoms
+),
+counts AS (
+  SELECT dst_domain, term, CAST(COUNT(*) AS BIGINT) AS n
+  FROM toks GROUP BY dst_domain, term
+),
+ranked AS (
+  SELECT dst_domain, term, n,
+         ROW_NUMBER() OVER (PARTITION BY dst_domain
+                            ORDER BY n DESC, term) AS rk
+  FROM counts
+)
+SELECT dst_domain, term, n FROM ranked WHERE rk <= 3
+ORDER BY dst_domain, term
+"""
+
+
+def q_web_host_pagerank(sf_dir: str, num_iters: int = 2):
+    """Domain authority: PageRank over the host-level link graph —
+    host_link_graph composed into stages/graph.pagerank (string node
+    ids; each distinct (src_domain, dst_domain) pair is one edge;
+    dst-only domains exercise the dangling path). Oracle: the shared
+    resolution-chain SQL feeding the same unrolled power-iteration CTEs
+    as graph_pagerank; both sides round to 8 decimals."""
+    from ..stages.graph import pagerank
+    from ..stages.weblinks import host_link_graph
+
+    docs = _t(sf_dir, "documents", ["doc_id"])
+    hg = host_link_graph(docs.map_batches(_web_edge_frame,
+                                          batch_format="pandas"))
+    pe = hg.map_batches(
+        lambda df: pd.DataFrame({"s": df["src_domain"],
+                                 "o": df["dst_domain"]}),
+        batch_format="pandas")
+    df = pagerank(pe, num_iters=num_iters, damping=0.85).to_pandas()
+    df["rank"] = df["rank"].round(8)
+    return (df.rename(columns={"node": "domain"})
+            .sort_values("domain").reset_index(drop=True)
+            [["domain", "rank"]])
+
+
+def _web_host_pagerank_sql(num_iters: int = 2) -> str:
+    ctes = [
+        f"WITH e AS ({_WEB_EDGES_SQL}),",
+        _web_resolve_sql().lstrip("\n") + ",",
+        _WEB_DOMS_SQL.lstrip("\n") + ",",
+        # MATERIALIZED: every unrolled round references pe/deg/nodes —
+        # un-materialized they re-inline the whole regex resolve chain
+        # per reference and DuckDB OOMs planning it
+        "pe AS MATERIALIZED (SELECT src_domain AS s, dst_domain AS o "
+        "FROM doms GROUP BY src_domain, dst_domain),",
+        "nodes AS MATERIALIZED "
+        "(SELECT s AS node FROM pe UNION SELECT o FROM pe),",
+        "deg AS MATERIALIZED "
+        "(SELECT s AS node, COUNT(*) AS d FROM pe GROUP BY s),",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),",
+        "p0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),",
+    ]
+    last = _pr_rounds(ctes, "p", "pe", "nodes", "deg", "nn", "p0",
+                      num_iters)
+    ctes[-1] = ctes[-1].rstrip(",")
+    return (
+        "\n".join(ctes)
+        + f"\nSELECT node AS domain, ROUND(r, 8) AS rank FROM {last} "
+        "ORDER BY domain"
+    )
+
+
+SQL_WEB_HOST_PAGERANK = _web_host_pagerank_sql(2)
 
 
 def q_docs_robots_filter(sf_dir: str):
@@ -7474,6 +7628,8 @@ ORDER BY t.doc_id
 QUERIES = {
     "graph_clustering": q_graph_clustering,
     "graph_assortativity": q_graph_assortativity,
+    "web_anchor_topk": q_web_anchor_topk,
+    "web_host_pagerank": q_web_host_pagerank,
     "events_type_cms": q_events_type_cms,
     "web_host_graph": q_web_host_graph,
     "web_page_links": q_web_page_links,
@@ -7647,6 +7803,8 @@ QUERIES = {
 ORACLES = {
     "graph_clustering": SQL_GRAPH_CLUSTERING,
     "graph_assortativity": SQL_GRAPH_ASSORTATIVITY,
+    "web_anchor_topk": SQL_WEB_ANCHOR_TOPK,
+    "web_host_pagerank": SQL_WEB_HOST_PAGERANK,
     "docs_span_dedup": SQL_DOCS_SPAN_DEDUP,
     "docs_url_dedup": SQL_DOCS_URL_DEDUP,
     "docs_source_mixture": SQL_DOCS_SOURCE_MIXTURE,

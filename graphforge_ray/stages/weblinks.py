@@ -48,10 +48,11 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ..shuffle import bucket_tag
+from ..shuffle import bucket_tag, pair_bucket_tag
 from .urls import registered_domain_batch
 
-__all__ = ["resolve_href_batch", "host_link_graph", "page_link_edges"]
+__all__ = ["resolve_href_batch", "host_link_graph", "page_link_edges",
+           "anchor_term_topk"]
 
 _SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*:"
 _ORIGIN_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
@@ -201,6 +202,74 @@ def host_link_graph(
         .groupby("_bucket")
         .map_groups(reduce_bucket, batch_format="pandas")
     )
+
+
+_TOKEN_RE = r"[a-z0-9]+"
+
+
+def anchor_term_topk(
+    edges: "ray.data.Dataset",
+    k: int = 3,
+    src_col: str = "src_url",
+    href_col: str = "href",
+    text_col: str = "anchor_text",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Aggregated anchor text per TARGET domain — the classic web-search
+    signal (what the rest of the web calls a site): (src_url, href,
+    anchor_text) rows → Dataset (dst_domain, term, n:int64), the k most
+    frequent anchor terms per destination registered domain (ties by
+    term ascending — deterministic, SQL-replayable as ROW_NUMBER()).
+
+    Tokenization is the deterministic lowercase ``[a-z0-9]+`` scan (the
+    same RE2-class contract as the resolution chain, so a DuckDB oracle
+    replays it with regexp_extract_all). Scale shape: resolve + domain
+    map + tokenize + per-batch (domain, term) count combiner are all
+    map-side; ONE (domain, term)-bucket shuffle finalizes counts (each
+    pair lives wholly in its bucket, so sums are globally exact); the
+    top-k is ``stats.group_topk`` over the finalized one-row-per-pair
+    counts (≤ k rows per domain per block move in its shuffle)."""
+    from .stats import group_topk
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        res = resolve_href_batch(df[src_col], df[href_col])
+        ok = res.astype("string").str.match(r"^https?://").fillna(False)
+        dom = registered_domain_batch(res[ok])
+        toks = (
+            df.loc[ok.to_numpy(), text_col]
+            .astype("string").fillna("")
+            .str.lower()
+            .str.findall(_TOKEN_RE)
+        )
+        g = pd.DataFrame({"dst_domain": dom.to_numpy(),
+                          "term": toks.to_numpy()}).dropna(
+                              subset=["dst_domain"])
+        g = g.explode("term").dropna(subset=["term"])
+        if g.empty:
+            return pd.DataFrame(
+                {"dst_domain": pd.Series([], dtype=object),
+                 "term": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype=np.int64),
+                 "_bucket": pd.Series([], dtype="int32")})
+        g = (g.groupby(["dst_domain", "term"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype(np.int64)
+        return g.assign(
+            _bucket=pair_bucket_tag(g, ["dst_domain", "term"],
+                                    num_buckets))
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["dst_domain", "term"], as_index=False)["n"].sum()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    counts = (
+        edges.map_batches(combine, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
+    return group_topk(counts, key="dst_domain", score_col="n", k=k,
+                      id_col="term", num_buckets=num_buckets)
 
 
 def page_link_edges(pages: "ray.data.Dataset") -> "ray.data.Dataset":

@@ -157,3 +157,66 @@ def test_page_links_fixture_golden(ray_session):
         }
     )
     pd.testing.assert_frame_equal(out, exp)
+
+
+def test_anchor_term_topk(ray_session):
+    from graphforge_ray.stages.weblinks import anchor_term_topk
+
+    edges = pd.DataFrame(
+        {
+            "src_url": ["http://a.com/x"] * 5 + ["http://c.org/"] * 2,
+            "href": [
+                "http://B.co.UK/1", "//b.co.uk/2", "http://b.co.uk/3",
+                "http://b.co.uk/4", "mailto:x@y",       # dropped
+                "/p", "?q=1",                           # c.org self
+            ],
+            "anchor_text": [
+                "Click Here!", "click now", "here & THERE",
+                "page 9", "never counted",
+                "Home", None,                           # null → no tokens
+            ],
+        }
+    )
+    out = (
+        anchor_term_topk(rd.from_pandas(edges).repartition(3), k=2)
+        .to_pandas()
+        .sort_values(["dst_domain", "term"])
+        .reset_index(drop=True)
+    )
+    # b.co.uk term counts: click 2, here 2, now 1, there 1, page 1, 9 1
+    # → top-2 by (n desc, term asc) = click, here; c.org: home only
+    exp = pd.DataFrame(
+        {
+            "dst_domain": ["b.co.uk", "b.co.uk", "c.org"],
+            "term": ["click", "here", "home"],
+            "n": np.array([2, 2, 1], dtype=np.int64),
+        }
+    )
+    pd.testing.assert_frame_equal(out, exp)
+
+
+def test_anchor_term_topk_tie_and_digit_tokens(ray_session):
+    from graphforge_ray.stages.weblinks import anchor_term_topk
+
+    edges = pd.DataFrame(
+        {
+            "src_url": ["http://a.com/"] * 3,
+            "href": ["http://t.com/1"] * 3,
+            "anchor_text": ["alpha beta", "beta2 alpha", "42 alpha"],
+        }
+    )
+    out = (
+        anchor_term_topk(rd.from_pandas(edges).repartition(2), k=3)
+        .to_pandas()
+        .sort_values(["dst_domain", "term"])
+        .reset_index(drop=True)
+    )
+    # alpha 3; then ties at 1 broken by term asc: "42" < "beta"
+    exp = pd.DataFrame(
+        {
+            "dst_domain": ["t.com"] * 3,
+            "term": ["42", "alpha", "beta"],
+            "n": np.array([1, 3, 1], dtype=np.int64),
+        }
+    )
+    pd.testing.assert_frame_equal(out, exp)
