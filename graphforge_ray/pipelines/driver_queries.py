@@ -3308,6 +3308,68 @@ def _web_host_pagerank_sql(num_iters: int = 2) -> str:
 SQL_WEB_HOST_PAGERANK = _web_host_pagerank_sql(2)
 
 
+def q_web_redirects(sf_dir: str):
+    """Redirect-chain resolution to terminal targets (stages/urls.
+    resolve_redirects, pointer jumping — ⌈log₂ depth⌉ shuffle rounds):
+    doc_id-derived map ``p<i> → p<i//2>`` for i % 3 == 0, i > 0
+    (acyclic, multi-hop whenever i//2 is again ≡ 0 mod 3), resolved for
+    EVERY doc URL. Oracle: recursive CTE following the same map, max
+    hops per source = terminal."""
+    from ..stages.urls import resolve_redirects
+
+    docs = _t(sf_dir, "documents", ["doc_id"])
+
+    def derive_map(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].astype(np.int64)
+        m = (i % 3 == 0) & (i > 0)
+        i = i[m]
+        return pd.DataFrame({
+            "s": ("http://r.com/p" + i.astype(str)).astype(object),
+            "t": ("http://r.com/p" + (i // 2).astype(str)).astype(object),
+        })
+
+    def derive_urls(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].astype(np.int64)
+        return pd.DataFrame(
+            {"url": ("http://r.com/p" + i.astype(str)).astype(object)})
+
+    out = resolve_redirects(
+        docs.map_batches(derive_map, batch_format="pandas"),
+        docs.map_batches(derive_urls, batch_format="pandas"),
+    ).to_pandas()
+    out["hops"] = out["hops"].astype(np.int64)
+    return out.sort_values("url").reset_index(drop=True)[
+        ["url", "final_url", "hops"]]
+
+
+SQL_WEB_REDIRECTS = """
+WITH RECURSIVE m AS (
+    SELECT 'http://r.com/p' || CAST(doc_id AS VARCHAR) AS s,
+           'http://r.com/p' || CAST(doc_id // 2 AS VARCHAR) AS t
+    FROM documents WHERE doc_id % 3 = 0 AND doc_id > 0
+),
+u AS (
+    SELECT 'http://r.com/p' || CAST(doc_id AS VARCHAR) AS url
+    FROM documents
+),
+r(src, cur, hops) AS (
+    SELECT s, t, 1 FROM m
+    UNION ALL
+    SELECT r.src, m.t, r.hops + 1 FROM r JOIN m ON m.s = r.cur
+),
+term AS (
+    SELECT src, cur, hops,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY hops DESC) AS rk
+    FROM r
+)
+SELECT u.url,
+       COALESCE(term.cur, u.url) AS final_url,
+       CAST(COALESCE(term.hops, 0) AS BIGINT) AS hops
+FROM u LEFT JOIN term ON term.src = u.url AND term.rk = 1
+ORDER BY u.url
+"""
+
+
 def q_docs_robots_filter(sf_dir: str):
     """robots.txt-style crawl governance (stages/urls.robots_filter):
     RFC 9309 longest-match Allow/Disallow over doc_id-derived URLs —
@@ -7630,6 +7692,7 @@ QUERIES = {
     "graph_assortativity": q_graph_assortativity,
     "web_anchor_topk": q_web_anchor_topk,
     "web_host_pagerank": q_web_host_pagerank,
+    "web_redirects": q_web_redirects,
     "events_type_cms": q_events_type_cms,
     "web_host_graph": q_web_host_graph,
     "web_page_links": q_web_page_links,
@@ -7805,6 +7868,7 @@ ORACLES = {
     "graph_assortativity": SQL_GRAPH_ASSORTATIVITY,
     "web_anchor_topk": SQL_WEB_ANCHOR_TOPK,
     "web_host_pagerank": SQL_WEB_HOST_PAGERANK,
+    "web_redirects": SQL_WEB_REDIRECTS,
     "docs_span_dedup": SQL_DOCS_SPAN_DEDUP,
     "docs_url_dedup": SQL_DOCS_URL_DEDUP,
     "docs_source_mixture": SQL_DOCS_SOURCE_MIXTURE,

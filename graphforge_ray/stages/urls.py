@@ -32,7 +32,7 @@ from ..shuffle import bucket_tag
 __all__ = [
     "canonical_url_batch", "url_dedup",
     "registered_domain_batch", "domain_stats",
-    "robots_filter",
+    "robots_filter", "resolve_redirects",
 ]
 
 _TRACKING = r"([?&])(utm_[a-zA-Z0-9_]+|fbclid|gclid|msclkid)=[^&]*"
@@ -258,3 +258,146 @@ def robots_filter(
         return out
 
     return ds.map_batches(scan, batch_format="pandas")
+
+
+def resolve_redirects(
+    redirects: "ray.data.Dataset",
+    urls: "ray.data.Dataset | None" = None,
+    max_rounds: int = 20,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Resolve redirect CHAINS to their terminal target (crawl
+    governance: the frontier and the URL-dedup pass both need the final
+    fetch target, not the hop). ``redirects`` is an (s, t) Dataset —
+    conflicting targets for one source collapse deterministically to
+    the MINIMUM t; self-redirects are dropped. Returns, for the given
+    ``urls`` Dataset (column ``url``) — or for every redirect source
+    when ``urls`` is None — (url, final_url, hops:int64) where hops
+    counts followed edges (0 for a URL that is no redirect source).
+
+    Pointer jumping: each round rewrites the map M(s) → (t, hops) as
+    M'(s) = (M(t).t, hops + M(t).hops) where t is itself a source —
+    chain lengths DOUBLE per round, so L-deep chains settle in ⌈log₂L⌉
+    rounds of ONE tag-union-bucket shuffle each (same discipline as
+    dedup's min-label components). Rounds materialize + repartition so
+    sort-shuffle block counts don't explode (CLAUDE.md). A map still
+    live after ``max_rounds`` (chains deeper than 2^max_rounds — i.e. a
+    redirect CYCLE) fails loudly rather than truncating silently."""
+    from ray.data.aggregate import Sum
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"s": df["s"].astype(object),
+                          "t": df["t"].astype(object)})
+        g = g.loc[g["s"] != g["t"]]
+        g = g.sort_values(["s", "t"]).groupby("s", as_index=False).head(1)
+        g["hops"] = np.int64(1)
+        return g.assign(_bucket=bucket_tag(g, "s", num_buckets))
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.sort_values(["s", "t"])
+               .groupby("s", as_index=False).head(1))
+        return out[["s", "t", "hops"]]
+
+    m = (
+        redirects.map_batches(canon, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(dedup_bucket, batch_format="pandas")
+        .materialize()
+    )
+    # no (non-self) redirects at all → schema-less Dataset breaks the
+    # union below (CLAUDE.md empty-Dataset guard): everything terminal
+    if m.schema(fetch_if_missing=True) is None:
+        if urls is None:
+            return m
+        return urls.map_batches(
+            lambda df: pd.DataFrame(
+                {"url": df["url"].astype(object),
+                 "final_url": df["url"].astype(object),
+                 "hops": np.zeros(len(df), dtype=np.int64)}),
+            batch_format="pandas",
+        )
+
+    def tag_probe(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "k": df["t"].astype(object), "s": df["s"].astype(object),
+            "t": df["t"].astype(object),
+            "hops": df["hops"].astype(np.int64),
+            "_side": np.int8(0)})
+        return out.assign(_bucket=bucket_tag(out, "k", num_buckets))
+
+    def tag_map(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "k": df["s"].astype(object), "s": df["s"].astype(object),
+            "t": df["t"].astype(object),
+            "hops": df["hops"].astype(np.int64),
+            "_side": np.int8(1)})
+        return out.assign(_bucket=bucket_tag(out, "k", num_buckets))
+
+    def jump_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        probe = g.loc[g["_side"] == 0, ["k", "s", "t", "hops"]]
+        hit = g.loc[g["_side"] == 1, ["k", "t", "hops"]].rename(
+            columns={"t": "t2", "hops": "h2"})
+        out = probe.merge(hit, on="k", how="left")
+        live = out["t2"].notna()
+        out["t"] = out["t2"].where(live, out["t"])
+        out["hops"] = (out["hops"]
+                       + out["h2"].fillna(0).astype(np.int64))
+        out["_live"] = live.astype(np.int64)
+        return out[["s", "t", "hops", "_live"]]
+
+    for _ in range(max_rounds):
+        jumped = (
+            m.map_batches(tag_probe, batch_format="pandas")
+            .union(m.map_batches(tag_map, batch_format="pandas"))
+            .groupby("_bucket")
+            .map_groups(jump_bucket, batch_format="pandas")
+            .repartition(num_buckets)
+            .materialize()
+        )
+        agg = jumped.aggregate(Sum(on="_live", alias_name="live"))
+        live = int(agg["live"] or 0) if agg else 0
+        m = jumped.map_batches(
+            lambda df: df[["s", "t", "hops"]], batch_format="pandas"
+        ).materialize()
+        if live == 0:
+            break
+    else:
+        raise ValueError(
+            f"redirect map still live after {max_rounds} pointer-jump "
+            "rounds — redirect cycle or chain deeper than "
+            f"2^{max_rounds}"
+        )
+
+    if urls is None:
+        return m.map_batches(
+            lambda df: pd.DataFrame(
+                {"url": df["s"], "final_url": df["t"],
+                 "hops": df["hops"].astype(np.int64)}),
+            batch_format="pandas",
+        )
+
+    def tag_url(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "k": df["url"].astype(object), "s": df["url"].astype(object),
+            "t": pd.Series([""] * len(df), dtype=object, index=df.index),
+            "hops": np.zeros(len(df), dtype=np.int64),
+            "_side": np.int8(0)})
+        return out.assign(_bucket=bucket_tag(out, "k", num_buckets))
+
+    def final_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        probe = g.loc[g["_side"] == 0, ["k", "s"]]
+        hit = g.loc[g["_side"] == 1, ["k", "t", "hops"]].rename(
+            columns={"t": "t2", "hops": "h2"})
+        out = probe.merge(hit, on="k", how="left")
+        matched = out["t2"].notna()
+        return pd.DataFrame({
+            "url": out["s"],
+            "final_url": out["t2"].where(matched, out["s"]),
+            "hops": out["h2"].fillna(0).astype(np.int64)})
+
+    return (
+        urls.map_batches(tag_url, batch_format="pandas")
+        .union(m.map_batches(tag_map, batch_format="pandas"))
+        .groupby("_bucket")
+        .map_groups(final_bucket, batch_format="pandas")
+    )

@@ -221,3 +221,60 @@ def test_robots_filter_longest_match(ray_session):
         robots_filter(rd.from_pandas(urls), pd.DataFrame({"x": []}))
     with pytest.raises(ValueError, match="too large"):
         robots_filter(rd.from_pandas(urls), rules, max_rules=2)
+
+
+def test_resolve_redirects_chains_and_terminals(ray_session):
+    import numpy as np
+
+    from graphforge_ray.stages.urls import resolve_redirects
+
+    # chain a→b→c→d (depth 3, needs 2 doubling rounds), plus e→d
+    m = pd.DataFrame({"s": ["a", "b", "c", "e"],
+                      "t": ["b", "c", "d", "d"]})
+    u = pd.DataFrame({"url": ["a", "b", "d", "e", "z"]})
+    out = (
+        resolve_redirects(rd.from_pandas(m).repartition(2),
+                          rd.from_pandas(u).repartition(2))
+        .to_pandas().set_index("url")
+    )
+    assert out.loc["a", "final_url"] == "d" and out.loc["a", "hops"] == 3
+    assert out.loc["b", "final_url"] == "d" and out.loc["b", "hops"] == 2
+    assert out.loc["e", "final_url"] == "d" and out.loc["e", "hops"] == 1
+    # non-sources are their own terminal at 0 hops
+    assert out.loc["d", "final_url"] == "d" and out.loc["d", "hops"] == 0
+    assert out.loc["z", "final_url"] == "z" and out.loc["z", "hops"] == 0
+    assert out["hops"].dtype == np.int64
+
+
+def test_resolve_redirects_map_only_and_conflicts(ray_session):
+    from graphforge_ray.stages.urls import resolve_redirects
+
+    # conflicting targets for one source collapse to MIN t; self-loop
+    # rows are dropped entirely
+    m = pd.DataFrame({"s": ["a", "a", "x"], "t": ["c", "b", "x"]})
+    out = resolve_redirects(rd.from_pandas(m)).to_pandas()
+    got = dict(zip(out["url"], out["final_url"]))
+    assert got == {"a": "b"}
+
+
+def test_resolve_redirects_cycle_raises(ray_session):
+    import pytest as _pytest
+
+    from graphforge_ray.stages.urls import resolve_redirects
+
+    m = pd.DataFrame({"s": ["a", "b", "p"], "t": ["b", "a", "q"]})
+    with _pytest.raises(ValueError, match="cycle"):
+        resolve_redirects(rd.from_pandas(m), max_rounds=4)
+
+
+def test_resolve_redirects_empty_map(ray_session):
+    from graphforge_ray.stages.urls import resolve_redirects
+
+    m = pd.DataFrame({"s": ["x"], "t": ["x"]})  # only a self-loop
+    u = pd.DataFrame({"url": ["x", "y"]})
+    out = (
+        resolve_redirects(rd.from_pandas(m), rd.from_pandas(u))
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    assert list(out["final_url"]) == ["x", "y"]
+    assert list(out["hops"]) == [0, 0]
