@@ -4090,6 +4090,53 @@ ORDER BY doc_id, epoch
 SQL_DOCS_SOURCE_MIXTURE = _mixture_sql()
 
 
+def q_docs_host_boilerplate(sf_dir: str):
+    """Per-host boilerplate removal (the CCNet per-domain paragraph
+    dedup recipe): a 3-token span is boilerplate iff it appears in ≥ 3
+    DISTINCT documents OF THE SAME source — nav bars and footers repeat
+    within a host, body text doesn't. Same engine as span_dedup with
+    scope_col="source"; oracle replays the span grouping with marks
+    keyed on (source, span)."""
+    from ..stages.curation import span_dedup
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "source"])
+    return span_dedup(ds, window=3, scope_col="source", min_docs=3)
+
+
+SQL_DOCS_HOST_BOILERPLATE = r"""
+WITH split AS (
+    SELECT doc_id, source,
+           list_filter(string_split_regex(text, '\s+'),
+                       w -> w <> '') AS ws
+    FROM documents
+),
+words AS (
+    SELECT doc_id, source, unnest(ws) AS w,
+           unnest(range(1, len(ws) + 1)) AS ord
+    FROM split
+),
+spans AS (
+    SELECT doc_id, source, CAST(floor((ord - 1) / 3) AS BIGINT) AS si,
+           string_agg(w, ' ' ORDER BY ord) AS span
+    FROM words GROUP BY doc_id, source, si
+),
+marks AS (
+    SELECT source, span, COUNT(DISTINCT doc_id) >= 3 AS dup
+    FROM spans GROUP BY source, span
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN m.dup THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_spans,
+       CAST(COALESCE(SUM(CASE WHEN NOT m.dup THEN length(s.span) END), 0)
+            + GREATEST(COUNT(*)
+                       - SUM(CASE WHEN m.dup THEN 1 ELSE 0 END) - 1, 0)
+            AS BIGINT) AS kept_chars
+FROM spans s JOIN marks m USING (source, span)
+GROUP BY s.doc_id
+"""
+
+
 def q_docs_span_dedup(sf_dir: str):
     """Cross-document duplicate-span removal (C4/RefinedWeb line-dedup
     generalized to 3-token spans — the fixture corpus is single-line):
@@ -7693,6 +7740,7 @@ QUERIES = {
     "web_anchor_topk": q_web_anchor_topk,
     "web_host_pagerank": q_web_host_pagerank,
     "web_redirects": q_web_redirects,
+    "docs_host_boilerplate": q_docs_host_boilerplate,
     "events_type_cms": q_events_type_cms,
     "web_host_graph": q_web_host_graph,
     "web_page_links": q_web_page_links,
@@ -7869,6 +7917,7 @@ ORACLES = {
     "web_anchor_topk": SQL_WEB_ANCHOR_TOPK,
     "web_host_pagerank": SQL_WEB_HOST_PAGERANK,
     "web_redirects": SQL_WEB_REDIRECTS,
+    "docs_host_boilerplate": SQL_DOCS_HOST_BOILERPLATE,
     "docs_span_dedup": SQL_DOCS_SPAN_DEDUP,
     "docs_url_dedup": SQL_DOCS_URL_DEDUP,
     "docs_source_mixture": SQL_DOCS_SOURCE_MIXTURE,

@@ -186,14 +186,20 @@ def span_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_buckets: int = 32,
+    scope_col: str | None = None,
+    min_docs: int = 2,
 ) -> "ray.data.Dataset":
     """Cross-document duplicate-span removal (the C4 / RefinedWeb
     line-dedup recipe generalized to fixed-width token spans — the
     fixture corpus is single-line, so "span" = ``window`` consecutive
     whitespace tokens, non-overlapping, trailing partial span kept).
 
-    A span is a duplicate iff its exact text occurs in ≥ 2 DISTINCT
-    documents; every occurrence of a duplicate span is removed. Returns
+    A span is a duplicate iff its exact text occurs in ≥ ``min_docs``
+    DISTINCT documents — globally, or within each ``scope_col`` group
+    when set (the CCNet per-domain boilerplate recipe: pass
+    ``scope_col="source"`` and repeated within-host lines — nav bars,
+    footers — are the ones marked). Every occurrence of a duplicate
+    span is removed. Returns
     one row per document that has ≥ 1 span:
     ``(doc_id, n_spans, n_dup_spans, kept_chars)`` with ``kept_chars`` =
     ``len(' '.join(kept spans))``.
@@ -220,6 +226,8 @@ def span_dedup(
                 id_col: pd.Series([], dtype=np.int64),
                 "h": pd.Series([], dtype=object),
                 "span_chars": pd.Series([], dtype=np.int64),
+                **({"_scope": pd.Series([], dtype=object)}
+                   if scope_col else {}),
             }
         )
         words = df[text_col].fillna("").str.findall(r"\S+")
@@ -229,6 +237,8 @@ def span_dedup(
         row = ex.index.to_numpy()
         w = ex.to_numpy(dtype=object)
         ids = df[id_col].reindex(row).to_numpy()
+        scopes = (df[scope_col].astype(object).reindex(row).to_numpy()
+                  if scope_col else None)
         pos = pd.Series(np.ones(len(w)), index=row).groupby(
             level=0
         ).cumcount().to_numpy()
@@ -246,13 +256,16 @@ def span_dedup(
             sel = np.flatnonzero(ok)
             span[sel] = span[sel] + " " + w[start[sel] + k]
         s = pd.Series(span)
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 id_col: ids[start].astype(np.int64),
                 "h": md5_hex(span).astype(object),
                 "span_chars": s.str.len().to_numpy(dtype=np.int64),
             }
         )
+        if scope_col:
+            out["_scope"] = scopes[start]
+        return out
 
     # materialize: `spans` feeds BOTH the marks pipeline and the join
     # probe side below — without this the expensive tokenize+hash pass
@@ -261,27 +274,40 @@ def span_dedup(
     # the object store spills if they outgrow memory.
     spans = docs.map_batches(spans_of, batch_format="pandas").materialize()
 
+    key = (["_scope", "h"] if scope_col else ["h"])
+
     def mark_combine(df: pd.DataFrame) -> pd.DataFrame:
-        g = df[["h", id_col]].drop_duplicates()
+        g = df[key + [id_col]].drop_duplicates()
+        # bucketing on the digest alone keeps every scope of one span
+        # in one bucket — correct for both keyings, no pair hash needed
         return g.assign(_bucket=bucket_tag(g, "h", num_buckets))
 
     def mark_reduce(g: pd.DataFrame) -> pd.DataFrame:
-        nd = g.groupby("h")[id_col].nunique()
-        dup = nd.index[nd.to_numpy() >= 2]
-        return pd.DataFrame(
-            {"h": dup.to_numpy(dtype=object),
-             "dup": np.ones(len(dup), dtype=np.int64)}
-        )
+        nd = g.groupby(key)[id_col].nunique()
+        dup = nd.index[nd.to_numpy() >= min_docs]
+        out = pd.DataFrame(dup.to_frame(index=False) if scope_col
+                           else {"h": dup.to_numpy(dtype=object)})
+        out["dup"] = np.ones(len(out), dtype=np.int64)
+        return out
 
     marks = (
         spans.map_batches(mark_combine, batch_format="pandas")
         .groupby("_bucket")
         .map_groups(mark_reduce, batch_format="pandas")
-    )
+    ).materialize()
 
-    flagged = bindings_join(
-        spans, marks, on=["h"], how="left_outer", num_buckets=num_buckets
-    )
+    if marks.schema(fetch_if_missing=True) is None:
+        # zero duplicate spans anywhere → schema-less marks would break
+        # the join (CLAUDE.md empty-Dataset guard): nothing is flagged
+        flagged = spans.map_batches(
+            lambda df: df.assign(dup=np.full(len(df), np.nan)),
+            batch_format="pandas",
+        )
+    else:
+        flagged = bindings_join(
+            spans, marks, on=key, how="left_outer",
+            num_buckets=num_buckets
+        )
 
     def roll_combine(df: pd.DataFrame) -> pd.DataFrame:
         # bindings_join fills unmatched 'dup' with object NaN → re-cast

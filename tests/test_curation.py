@@ -742,3 +742,55 @@ def test_weighted_sample_proportional_and_deterministic(ray_session):
         "weighted_sample.nonpositive") == 3
     with pytest.raises(ValueError, match="k must be"):
         weighted_sample(rd.from_pandas(df2), k=0, weight_col="w")
+
+
+def test_span_dedup_host_scoped_boilerplate():
+    """scope_col: the SAME span in two DIFFERENT sources is not
+    boilerplate; within one source it is once >= min_docs docs carry
+    it."""
+    from graphforge_ray.stages.curation import span_dedup
+
+    docs = [
+        # hostA: 'nav bar foo' repeats in 3 docs → boilerplate (min 3)
+        (1, "nav bar foo body one x", "hostA"),
+        (2, "nav bar foo body two y", "hostA"),
+        (3, "nav bar foo body tri z", "hostA"),
+        # hostB carries the same span once → NOT boilerplate there
+        (4, "nav bar foo other text", "hostB"),
+        # hostA span in only 2 docs → below min_docs, kept
+        (5, "foot er!! twice only a", "hostA"),
+        (6, "foot er!! twice only b", "hostA"),
+    ]
+    ds = rd.from_pandas(
+        pd.DataFrame(docs, columns=["doc_id", "text", "source"])
+    ).repartition(3)
+    got = (
+        span_dedup(ds, window=3, num_buckets=4,
+                   scope_col="source", min_docs=3)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+        .set_index("doc_id")
+    )
+    # docs 1-3: first span flagged, second kept
+    for d in (1, 2, 3):
+        assert got.loc[d, "n_spans"] == 2 and got.loc[d, "n_dup_spans"] == 1
+    # doc 4 (hostB) and docs 5-6 (< min_docs): nothing flagged
+    for d in (4, 5, 6):
+        assert got.loc[d, "n_dup_spans"] == 0, d
+    assert got.loc[4, "kept_chars"] == len("nav bar foo other text")
+
+
+def test_span_dedup_scoped_no_duplicates_guard():
+    from graphforge_ray.stages.curation import span_dedup
+
+    docs = [(1, "a b c", "h1"), (2, "d e f", "h2")]
+    ds = rd.from_pandas(
+        pd.DataFrame(docs, columns=["doc_id", "text", "source"])
+    ).repartition(2)
+    got = (
+        span_dedup(ds, window=3, num_buckets=4,
+                   scope_col="source", min_docs=2)
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    assert list(got["n_dup_spans"]) == [0, 0]
+    assert list(got["kept_chars"]) == [5, 5]
