@@ -3308,6 +3308,79 @@ def _web_host_pagerank_sql(num_iters: int = 2) -> str:
 SQL_WEB_HOST_PAGERANK = _web_host_pagerank_sql(2)
 
 
+def q_web_host_pagerank_weighted(sf_dir: str, num_iters: int = 2):
+    """Weighted domain authority: PageRank with the host graph's
+    n_links as edge weights (rank flows proportionally to link count —
+    pagerank(weight_col=...)). Oracle: same unrolled rounds with
+    d = Σ out-weights and contribution (r / d) · w, association-matched
+    to the distributed kernel; round 8."""
+    from ..stages.graph import pagerank
+    from ..stages.weblinks import host_link_graph
+
+    docs = _t(sf_dir, "documents", ["doc_id"])
+    hg = host_link_graph(docs.map_batches(_web_edge_frame,
+                                          batch_format="pandas"))
+    pe = hg.map_batches(
+        lambda df: pd.DataFrame({
+            "s": df["src_domain"], "o": df["dst_domain"],
+            "w": df["n_links"].astype(np.float64)}),
+        batch_format="pandas")
+    df = pagerank(pe, num_iters=num_iters, damping=0.85,
+                  weight_col="w").to_pandas()
+    df["rank"] = df["rank"].round(8)
+    return (df.rename(columns={"node": "domain"})
+            .sort_values("domain").reset_index(drop=True)
+            [["domain", "rank"]])
+
+
+def _web_host_pagerank_weighted_sql(num_iters: int = 2) -> str:
+    ctes = [
+        f"WITH e AS ({_WEB_EDGES_SQL}),",
+        _web_resolve_sql().lstrip("\n") + ",",
+        _WEB_DOMS_SQL.lstrip("\n") + ",",
+        "pe AS MATERIALIZED (SELECT src_domain AS s, dst_domain AS o, "
+        "CAST(COUNT(*) AS DOUBLE) AS w "
+        "FROM doms GROUP BY src_domain, dst_domain),",
+        "nodes AS MATERIALIZED "
+        "(SELECT s AS node FROM pe UNION SELECT o FROM pe),",
+        "deg AS MATERIALIZED "
+        "(SELECT s AS node, SUM(w) AS d FROM pe GROUP BY s),",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),",
+        "p0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),",
+    ]
+    prev = "p0"
+    for i in range(num_iters):
+        cur = f"p{i + 1}"
+        ctes.append(
+            f"dm{i} AS (SELECT COALESCE(SUM({prev}.r), 0) AS dm "
+            f"FROM {prev} LEFT JOIN deg USING (node) "
+            "WHERE deg.d IS NULL),"
+        )
+        ctes.append(
+            f"i{i} AS (SELECT pe.o AS node, "
+            f"SUM(({prev}.r / deg.d) * pe.w) AS m FROM pe "
+            f"JOIN {prev} ON {prev}.node = pe.s "
+            "JOIN deg ON deg.node = pe.s GROUP BY pe.o),"
+        )
+        ctes.append(
+            f"{cur} AS (SELECT nodes.node, "
+            "(1 - 0.85) / (SELECT n FROM nn) "
+            f"+ 0.85 * (COALESCE(i{i}.m, 0) "
+            f"+ (SELECT dm FROM dm{i}) / (SELECT n FROM nn)) AS r "
+            f"FROM nodes LEFT JOIN i{i} ON i{i}.node = nodes.node),"
+        )
+        prev = cur
+    ctes[-1] = ctes[-1].rstrip(",")
+    return (
+        "\n".join(ctes)
+        + f"\nSELECT node AS domain, ROUND(r, 8) AS rank FROM {prev} "
+        "ORDER BY domain"
+    )
+
+
+SQL_WEB_HOST_PAGERANK_WEIGHTED = _web_host_pagerank_weighted_sql(2)
+
+
 def q_web_redirects(sf_dir: str):
     """Redirect-chain resolution to terminal targets (stages/urls.
     resolve_redirects, pointer jumping — ⌈log₂ depth⌉ shuffle rounds):
@@ -7740,6 +7813,7 @@ QUERIES = {
     "web_anchor_topk": q_web_anchor_topk,
     "web_host_pagerank": q_web_host_pagerank,
     "web_redirects": q_web_redirects,
+    "web_host_pagerank_weighted": q_web_host_pagerank_weighted,
     "docs_host_boilerplate": q_docs_host_boilerplate,
     "events_type_cms": q_events_type_cms,
     "web_host_graph": q_web_host_graph,
@@ -7918,6 +7992,7 @@ ORACLES = {
     "web_host_pagerank": SQL_WEB_HOST_PAGERANK,
     "web_redirects": SQL_WEB_REDIRECTS,
     "docs_host_boilerplate": SQL_DOCS_HOST_BOILERPLATE,
+    "web_host_pagerank_weighted": SQL_WEB_HOST_PAGERANK_WEIGHTED,
     "docs_span_dedup": SQL_DOCS_SPAN_DEDUP,
     "docs_url_dedup": SQL_DOCS_URL_DEDUP,
     "docs_source_mixture": SQL_DOCS_SOURCE_MIXTURE,

@@ -114,10 +114,17 @@ def pagerank(
     damping: float = 0.85,
     num_partitions: int | None = None,
     init_ranks: "ray.data.Dataset | None" = None,
+    weight_col: str | None = None,
 ) -> "ray.data.Dataset":
     """PageRank by power iteration over an (s, o) edge Dataset →
     Dataset (node, rank), exactly ``num_iters`` rounds (fixed rounds so
     an SQL oracle can unroll the same computation; no early exit).
+
+    ``weight_col`` names a strictly-positive edge-weight column
+    (e.g. the host graph's ``n_links``): each round a node sends
+    rank·w(e)/Σ_out w along each out-edge — the unweighted semantics
+    with every weight 1. Weights ≤ 0 / null raise loudly (a zero-weight
+    edge would silently differ from the edge's absence).
 
     ``init_ranks`` (node, rank) warm-starts the iteration — the
     incremental-maintenance path: after a snapshot delta, seed with the
@@ -153,15 +160,29 @@ def pagerank(
         num_partitions = _auto_partitions(edges.count())
     edges = edges.repartition(num_partitions).materialize()
 
+    # out_deg is the out-MASS denominator: edge count unweighted,
+    # Σ out-weights weighted — one dtype per mode so the union-tag
+    # shuffles below never mix int64/float64 fills (CLAUDE.md rule)
+    mass_dt = np.float64 if weight_col else np.int64
+
     # state = (node, out_deg, rank) for every node incident to an edge:
-    # scatter (node=s, d=1) and (node=o, d=0) with a within-batch
+    # scatter (node=s, d=w) and (node=o, d=0) with a within-batch
     # combiner, then one bucket groupby-sum
     def seed(df: pd.DataFrame) -> pd.DataFrame:
+        if weight_col:
+            w = df[weight_col].to_numpy(dtype=np.float64)
+            if len(w) and (not np.all(np.isfinite(w)) or (w <= 0).any()):
+                raise ValueError(
+                    f"pagerank weight_col {weight_col!r} must be "
+                    "strictly positive and finite"
+                )
+        else:
+            w = np.ones(len(df), mass_dt)
         both = pd.DataFrame(
             {
                 "node": pd.concat([df["s"], df["o"]], ignore_index=True),
                 "d": np.concatenate(
-                    [np.ones(len(df), np.int64), np.zeros(len(df), np.int64)]
+                    [w.astype(mass_dt), np.zeros(len(df), mass_dt)]
                 ),
             }
         )
@@ -207,7 +228,7 @@ def pagerank(
         def tag_prior(df: pd.DataFrame) -> pd.DataFrame:
             out = pd.DataFrame(
                 {"node": df["node"],
-                 "out_deg": np.int64(0),
+                 "out_deg": mass_dt(0),
                  "rank": df["rank"].astype(np.float64),
                  "_side": np.int8(1)}
             )
@@ -254,14 +275,16 @@ def pagerank(
                 "k": df["s"],
                 "dst": df["o"],
                 "w": np.float64(0.0),
-                "deg": np.int64(0),
+                "wt": (df[weight_col].to_numpy(dtype=np.float64)
+                       if weight_col else np.float64(1.0)),
+                "deg": mass_dt(0),
                 "_side": np.int8(0),
             }
         )
         return out.assign(_bucket=bucket_tag(out, "k", num_partitions))
 
     def scatter_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        el = g.loc[g["_side"] == 0, ["k", "dst"]]
+        el = g.loc[g["_side"] == 0, ["k", "dst", "wt"]]
         st = g.loc[g["_side"] == 1, ["k", "w", "deg"]]
         sent = el.merge(st[["k", "w"]], on="k", how="inner")
         return pd.concat(
@@ -269,8 +292,10 @@ def pagerank(
                 pd.DataFrame(
                     {
                         "dst": sent["dst"],
-                        "contrib": sent["w"],
-                        "deg": np.int64(0),
+                        # ×1.0 unweighted — IEEE identity, no parity
+                        # drift on the existing oracles
+                        "contrib": sent["w"] * sent["wt"],
+                        "deg": mass_dt(0),
                     }
                 ),
                 # carrier row: keeps in-degree-0 nodes alive and ships
@@ -301,7 +326,8 @@ def pagerank(
                     "k": df["node"],
                     "dst": df["node"],  # placeholder, unused on side 1
                     "w": w,
-                    "deg": df["out_deg"].astype(np.int64),
+                    "wt": np.float64(0.0),
+                    "deg": df["out_deg"].astype(mass_dt),
                     "_side": np.int8(1),
                 }
             )
@@ -330,7 +356,7 @@ def pagerank(
             return pd.DataFrame(
                 {
                     "node": out["dst"],
-                    "out_deg": out["deg"].astype(np.int64),
+                    "out_deg": out["deg"].astype(mass_dt),
                     "rank": _base + damping * out["contrib"] + _extra,
                 }
             )

@@ -774,3 +774,60 @@ def test_degree_assortativity_regular_graph_raises():
     pairs = [(1, 2), (2, 3), (3, 4), (4, 1)]
     with pytest.raises(ValueError, match="variance|no edges"):
         degree_assortativity(_edges_ds(pairs))
+
+
+def _weighted_pagerank_oracle(tris, num_iters, damping=0.85):
+    """(s, o, w) triples → exact weighted power iteration."""
+    nodes = sorted({x for s, o, _ in tris for x in (s, o)})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    outw = np.zeros(n)
+    for s, _, w in tris:
+        outw[idx[s]] += w
+    r = np.full(n, 1.0 / n)
+    for _ in range(num_iters):
+        dm = r[outw == 0].sum()
+        incoming = np.zeros(n)
+        for s, o, w in tris:
+            incoming[idx[o]] += (r[idx[s]] / outw[idx[s]]) * w
+        r = (1 - damping) / n + damping * (incoming + dm / n)
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def test_pagerank_weighted_matches_oracle():
+    tris = [(1, 2, 3.0), (1, 3, 1.0), (2, 3, 2.0), (3, 1, 1.0),
+            (4, 1, 5.0), (2, 4, 0.5)]  # 4 has out-edges; no dangling
+    tris += [(3, 5, 2.0)]              # 5 is dangling
+    df = pd.DataFrame(tris, columns=["s", "o", "w"])
+    ds = rd.from_pandas(df).repartition(3)
+    got = (
+        pagerank(ds, num_iters=4, weight_col="w")
+        .to_pandas().set_index("node")["rank"].to_dict()
+    )
+    want = _weighted_pagerank_oracle(tris, 4)
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-12, k
+
+
+def test_pagerank_weighted_all_ones_equals_unweighted():
+    pairs = CHAIN_WITH_HUB + [(3, 10)]
+    df = pd.DataFrame(pairs, columns=["s", "o"]).astype(np.int64)
+    df["w"] = 1.0
+    w = (
+        pagerank(rd.from_pandas(df).repartition(3), num_iters=3,
+                 weight_col="w")
+        .to_pandas().set_index("node")["rank"]
+    )
+    u = (
+        pagerank(_edges_ds(pairs), num_iters=3)
+        .to_pandas().set_index("node")["rank"]
+    )
+    for k in u.index:
+        assert abs(w[k] - u[k]) < 1e-14
+
+
+def test_pagerank_weighted_rejects_nonpositive():
+    df = pd.DataFrame({"s": [1, 2], "o": [2, 3], "w": [1.0, 0.0]})
+    with pytest.raises(Exception, match="strictly positive"):
+        pagerank(rd.from_pandas(df), num_iters=1, weight_col="w")
