@@ -766,10 +766,12 @@ def q_graph_label_prop(sf_dir: str, num_iters: int = 3):
     ]
 
 
-def _label_prop_sql(num_iters: int = 3) -> str:
-    """Unrolled synchronous-LP oracle: per round, each node adopts the
-    most frequent neighbor label (ties → smallest), mirroring
-    stages/graph.label_propagation round for round."""
+def _lp_ctes(num_iters: int = 3) -> tuple[list, str]:
+    """Unrolled synchronous-LP CTE chain (shared by the label-prop and
+    modularity oracles): per round, each node adopts the most frequent
+    neighbor label (ties → smallest), mirroring
+    stages/graph.label_propagation round for round. Returns (ctes,
+    final label CTE name); the last element carries a trailing comma."""
     ctes = [
         f"WITH e0 AS ({_LP_GRAPH_SQL}),",
         "eu AS (SELECT s, o FROM e0 UNION ALL SELECT o, s FROM e0),",
@@ -785,14 +787,72 @@ def _label_prop_sql(num_iters: int = 3) -> str:
             f"FROM eu e JOIN {prev} l ON l.node = e.s "
             f"GROUP BY e.o, l.label) WHERE rn = 1),"
         )
+    return ctes, f"l{num_iters}"
+
+
+def _label_prop_sql(num_iters: int = 3) -> str:
+    ctes, last = _lp_ctes(num_iters)
     ctes[-1] = ctes[-1].rstrip(",")
     return (
         "\n".join(ctes)
-        + f"\nSELECT node, label FROM l{num_iters} ORDER BY node"
+        + f"\nSELECT node, label FROM {last} ORDER BY node"
     )
 
 
 SQL_GRAPH_LABEL_PROP = _label_prop_sql(3)
+
+
+def q_graph_modularity(sf_dir: str, num_iters: int = 3):
+    """Modularity Q of the label-propagation partition over the
+    decade-structured LP graph (stages/graph.modularity composed onto
+    label_propagation — the partition-quality scalar). Oracle: the
+    unrolled LP CTE chain feeding the same Q = Σ_c [e_c/m −
+    (D_c/2m)²] formula, association-matched; round 8."""
+    from ..stages.graph import label_propagation, modularity
+
+    part = _t(sf_dir, "part", ["p_partkey"])
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["p_partkey"].astype(np.int64)
+        ring = pd.DataFrame(
+            {"s": k, "o": k - (k % 10) + ((k % 10) + 1) % 10}
+        )
+        m = (k % 10 != 0).to_numpy()
+        spoke = pd.DataFrame(
+            {"s": k[m], "o": (k[m] - (k[m] % 10))}
+        )
+        return pd.concat([ring, spoke], ignore_index=True)
+
+    edges = part.map_batches(to_edges, batch_format="pandas")
+    labels = label_propagation(edges, num_iters=num_iters)
+    q = modularity(edges, labels)
+    return pd.DataFrame({"modularity": [np.round(q, 8)]})
+
+
+def _modularity_sql(num_iters: int = 3) -> str:
+    ctes, last = _lp_ctes(num_iters)
+    ctes += [
+        "c AS (SELECT DISTINCT LEAST(s, o) AS a, GREATEST(s, o) AS b "
+        "FROM e0 WHERE s <> o),",
+        "mm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM c),",
+        f"j AS (SELECT la.label AS la, lb.label AS lb FROM c "
+        f"JOIN {last} la ON la.node = c.a "
+        f"JOIN {last} lb ON lb.node = c.b),",
+        "intra AS (SELECT la AS label, CAST(COUNT(*) AS DOUBLE) AS e "
+        "FROM j WHERE la = lb GROUP BY la),",
+        "degs AS (SELECT label, CAST(COUNT(*) AS DOUBLE) AS dsum FROM ("
+        "SELECT la AS label FROM j UNION ALL SELECT lb FROM j"
+        ") GROUP BY label),",
+        "terms AS (SELECT COALESCE(i.e, 0) / (SELECT m FROM mm) "
+        "- (d.dsum / (2 * (SELECT m FROM mm))) "
+        "* (d.dsum / (2 * (SELECT m FROM mm))) AS q "
+        "FROM degs d LEFT JOIN intra i USING (label))",
+    ]
+    return ("\n".join(ctes)
+            + "\nSELECT ROUND(SUM(q), 8) AS modularity FROM terms")
+
+
+SQL_GRAPH_MODULARITY = _modularity_sql(3)
 
 
 _PPR_SEEDS = [1, 2, 3]
@@ -7814,6 +7874,7 @@ QUERIES = {
     "web_host_pagerank": q_web_host_pagerank,
     "web_redirects": q_web_redirects,
     "web_host_pagerank_weighted": q_web_host_pagerank_weighted,
+    "graph_modularity": q_graph_modularity,
     "docs_host_boilerplate": q_docs_host_boilerplate,
     "events_type_cms": q_events_type_cms,
     "web_host_graph": q_web_host_graph,
@@ -7993,6 +8054,7 @@ ORACLES = {
     "web_redirects": SQL_WEB_REDIRECTS,
     "docs_host_boilerplate": SQL_DOCS_HOST_BOILERPLATE,
     "web_host_pagerank_weighted": SQL_WEB_HOST_PAGERANK_WEIGHTED,
+    "graph_modularity": SQL_GRAPH_MODULARITY,
     "docs_span_dedup": SQL_DOCS_SPAN_DEDUP,
     "docs_url_dedup": SQL_DOCS_URL_DEDUP,
     "docs_source_mixture": SQL_DOCS_SOURCE_MIXTURE,

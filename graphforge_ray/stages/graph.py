@@ -39,6 +39,7 @@ __all__ = [
     "triangle_count",
     "local_clustering",
     "degree_assortativity",
+    "modularity",
     "bfs_depths",
     "sssp",
     "node_jaccard",
@@ -922,6 +923,109 @@ def degree_assortativity(
             "(regular graph or no edges)"
         )
     return float((n * sxy - sx * sx) / var)
+
+
+def modularity(
+    edges: "ray.data.Dataset",
+    labels: "ray.data.Dataset",
+    num_buckets: int | None = None,
+) -> float:
+    """Newman modularity Q of a (node, label) partition over the
+    UNDIRECTED simple graph induced by an (s, o) edge Dataset →
+    scalar float: Q = Σ_c [ e_c/m − (D_c/(2m))² ] with e_c the
+    intra-community edge count, D_c the community degree sum, m the
+    simple-edge count. The quality score for label_propagation / SCC /
+    component partitions. ``labels`` must hold ONE row per node; a node
+    missing a label fails loudly (its edges would silently vanish from
+    the inner joins).
+
+    Scale shape: canonical dedup → two label joins (assortativity's
+    pattern, key dtype restored between them) → per-batch (label,
+    intra, dsum) count partials → one label-bucket reduce → per-label
+    Q terms → one ungrouped Sum. Driver sees m and Q only."""
+    from ray.data.aggregate import Sum
+
+    if num_buckets is None:
+        num_buckets = _auto_partitions(edges.count())
+    e = _canon_dedup_edges(edges, num_buckets)
+    m = e.count()
+    if m == 0:
+        raise ValueError("modularity: no edges")
+
+    la = bindings_join(
+        e.map_batches(
+            lambda df: df.rename(columns={"id_a": "node"}),
+            batch_format="pandas"),
+        labels.map_batches(
+            lambda df: pd.DataFrame({"node": df["node"],
+                                     "la": df["label"]}),
+            batch_format="pandas"),
+        on=["node"], how="inner", num_buckets=num_buckets,
+    ).map_batches(
+        # free the 'node' name for the second join's key (a duplicate
+        # column would shadow the rename below)
+        lambda df: df.rename(columns={"node": "id_a"}),
+        batch_format="pandas",
+    )
+    from ..shuffle import np_key_dtype
+
+    key_dt = np_key_dtype(labels, "node")
+
+    def rekey(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.rename(columns={"id_b": "node"})
+        if key_dt is not None:
+            out["node"] = out["node"].astype(key_dt)
+        return out
+
+    lab = bindings_join(
+        la.map_batches(rekey, batch_format="pandas"),
+        labels.map_batches(
+            lambda df: pd.DataFrame({"node": df["node"],
+                                     "lb": df["label"]}),
+            batch_format="pandas"),
+        on=["node"], how="inner", num_buckets=num_buckets,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["la"].to_numpy()
+        b = df["lb"].to_numpy()
+        intra = pd.DataFrame({"label": a[a == b]}).groupby(
+            "label", as_index=False).size().rename(
+            columns={"size": "intra"})
+        dsum = pd.DataFrame(
+            {"label": np.concatenate([a, b])}
+        ).groupby("label", as_index=False).size().rename(
+            columns={"size": "dsum"})
+        g = dsum.merge(intra, on="label", how="left")
+        g["intra"] = g["intra"].fillna(0).astype(np.int64)
+        g["dsum"] = g["dsum"].astype(np.int64)
+        return g.assign(_bucket=bucket_tag(g, "label", num_buckets))
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("label", as_index=False)[["intra", "dsum"]].sum()
+        t = out["dsum"].to_numpy(dtype=np.float64) / (2.0 * m)
+        return pd.DataFrame({
+            "q": out["intra"].to_numpy(dtype=np.float64) / m - t * t,
+            "edges2": out["dsum"].astype(np.int64),
+        })
+
+    agg = (
+        lab.map_batches(partial, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+        .aggregate(Sum(on="q", alias_name="q"),
+                   Sum(on="edges2", alias_name="edges2"))
+    )
+    if not agg or agg.get("edges2") is None:
+        raise ValueError("modularity: label join produced no rows — "
+                         "labels missing for every node")
+    if int(agg["edges2"]) != 2 * m:
+        raise ValueError(
+            f"modularity: {m - int(agg['edges2']) // 2} of {m} edges "
+            "lost label rows — labels must cover every incident node "
+            "exactly once"
+        )
+    return float(agg["q"])
 
 
 def bfs_depths(

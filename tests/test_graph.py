@@ -831,3 +831,52 @@ def test_pagerank_weighted_rejects_nonpositive():
     df = pd.DataFrame({"s": [1, 2], "o": [2, 3], "w": [1.0, 0.0]})
     with pytest.raises(Exception, match="strictly positive"):
         pagerank(rd.from_pandas(df), num_iters=1, weight_col="w")
+
+
+# ---------------------------------------------------------------------------
+# modularity
+# ---------------------------------------------------------------------------
+
+def _modularity_oracle(pairs, lab):
+    und = {(min(s, o), max(s, o)) for s, o in pairs if s != o}
+    m = len(und)
+    comms = {}
+    for a, b in und:
+        comms.setdefault(lab[a], [0, 0])
+        comms.setdefault(lab[b], [0, 0])
+        if lab[a] == lab[b]:
+            comms[lab[a]][0] += 1
+        comms[lab[a]][1] += 1
+        comms[lab[b]][1] += 1
+    return sum(e / m - (d / (2 * m)) ** 2 for e, d in comms.values())
+
+
+def test_modularity_matches_bruteforce():
+    from graphforge_ray.stages.graph import modularity
+
+    # two triangles joined by one bridge — the textbook 2-community
+    # graph (high Q for the natural split)
+    pairs = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    lab = {1: 0, 2: 0, 3: 0, 4: 1, 5: 1, 6: 1}
+    labels = rd.from_pandas(pd.DataFrame(
+        {"node": list(lab), "label": [lab[k] for k in lab]}
+    ).astype(np.int64))
+    got = modularity(_edges_ds(pairs), labels)
+    exp = _modularity_oracle(pairs, lab)
+    assert abs(got - exp) < 1e-12
+    assert got > 0.3  # the natural split scores high
+
+    # everything in ONE community: Q = e/m - 1 = 0 exactly
+    one = rd.from_pandas(pd.DataFrame(
+        {"node": list(lab), "label": [7] * len(lab)}).astype(np.int64))
+    assert abs(modularity(_edges_ds(pairs), one)) < 1e-12
+
+
+def test_modularity_missing_labels_raise():
+    from graphforge_ray.stages.graph import modularity
+
+    pairs = [(1, 2), (2, 3)]
+    labels = rd.from_pandas(pd.DataFrame(
+        {"node": [1, 2], "label": [0, 0]}).astype(np.int64))
+    with pytest.raises(Exception, match="labels must cover|no rows"):
+        modularity(_edges_ds(pairs), labels)
