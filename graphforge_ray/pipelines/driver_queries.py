@@ -2948,6 +2948,57 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_events_hll_by_type(sf_dir: str):
+    """Per-event-type HLL distinct-user estimates
+    (stages/sketches.approx_distinct_hll_grouped — one register row per
+    group, fully distributed fold, never on the driver) vs a
+    register-exact per-group SQL replay."""
+    from ..stages.sketches import approx_distinct_hll_grouped
+
+    out = approx_distinct_hll_grouped(
+        _t(sf_dir, "events", ["event_type", "user_id"]),
+        "event_type", "user_id", b=10).to_pandas()
+    out["m"] = out["m"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)[
+        ["event_type", "m", "est"]]
+
+
+SQL_EVENTS_HLL_BY_TYPE = """
+WITH h AS (
+    SELECT event_type AS k,
+           CAST(CONCAT('0x', substr(md5('graft-hll|'
+               || CAST(user_id AS VARCHAR)), 1, 10)) AS BIGINT) AS hv
+    FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+r AS (
+    SELECT k, hv // 1073741824 AS idx, hv % 1073741824 AS rem FROM h
+),
+reg AS (
+    SELECT k, idx,
+           MAX(CASE WHEN rem = 0 THEN 31
+               ELSE 30 - CAST(FLOOR(LOG2(rem)) AS BIGINT) END) AS M
+    FROM r GROUP BY k, idx
+),
+s AS (
+    SELECT k, SUM(POWER(2.0, -M)) AS sp,
+           CAST(COUNT(*) AS BIGINT) AS nreg
+    FROM reg GROUP BY k
+),
+e AS (
+    SELECT k, (0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0
+               / (sp + (1024 - nreg) * 1.0) AS raw,
+           1024 - nreg AS zeros
+    FROM s
+)
+SELECT k AS event_type,
+       CAST(1024 AS BIGINT) AS m,
+       FLOOR(1e4 * CASE WHEN raw <= 2560.0 AND zeros > 0
+                        THEN 1024.0 * LN(1024.0 / zeros)
+                        ELSE raw END) / 1e4 AS est
+FROM e ORDER BY event_type
+"""
+
+
 def q_events_distinct_hll(sf_dir: str):
     """HyperLogLog distinct-user estimate over events
     (stages/sketches.approx_distinct_hll): m-byte register partials
@@ -7875,6 +7926,7 @@ QUERIES = {
     "web_redirects": q_web_redirects,
     "web_host_pagerank_weighted": q_web_host_pagerank_weighted,
     "graph_modularity": q_graph_modularity,
+    "events_hll_by_type": q_events_hll_by_type,
     "docs_host_boilerplate": q_docs_host_boilerplate,
     "events_type_cms": q_events_type_cms,
     "web_host_graph": q_web_host_graph,
@@ -8055,6 +8107,7 @@ ORACLES = {
     "docs_host_boilerplate": SQL_DOCS_HOST_BOILERPLATE,
     "web_host_pagerank_weighted": SQL_WEB_HOST_PAGERANK_WEIGHTED,
     "graph_modularity": SQL_GRAPH_MODULARITY,
+    "events_hll_by_type": SQL_EVENTS_HLL_BY_TYPE,
     "docs_span_dedup": SQL_DOCS_SPAN_DEDUP,
     "docs_url_dedup": SQL_DOCS_URL_DEDUP,
     "docs_source_mixture": SQL_DOCS_SOURCE_MIXTURE,

@@ -33,7 +33,8 @@ from ..shuffle import bucket_tag
 from .fasthash import hex_prefix_int, md5_hex
 
 __all__ = ["corpus_top_terms", "approx_distinct_kmv",
-           "approx_distinct_hll", "count_min_sketch", "cms_estimate"]
+           "approx_distinct_hll", "approx_distinct_hll_grouped",
+           "count_min_sketch", "cms_estimate"]
 
 # fraction denominator: 10 hex chars = 40 bits. Small enough that
 # (k-1)·16^10 stays far inside double's 2^53 exact-integer range (so
@@ -331,3 +332,82 @@ def cms_estimate(
                        dtype=np.int64)
         est = np.minimum(est, got)
     return pd.DataFrame({"key": keys, "est": est})
+
+
+def approx_distinct_hll_grouped(
+    ds: "ray.data.Dataset",
+    key: str,
+    col: str,
+    b: int = 10,
+    salt: str = "graft-hll",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Per-group HyperLogLog distinct-count estimates → Dataset
+    (``key``, m:int64, est:float64) — ``approx_distinct_hll`` with one
+    register row PER GROUP (same register rule, same estimator, same
+    FLOOR(1e4·E)/1e4 parity convention; rows with a null key or null
+    value are dropped).
+
+    Shape (fully distributed — unlike the global form, the sketch never
+    touches the driver): per batch, registers for ALL groups build in
+    one vectorized ``np.maximum.at`` over a (groups × m) matrix → one
+    m-byte row per (batch, group); ONE key-bucket shuffle; per bucket a
+    ``np.maximum.reduceat`` fold per key and the vectorized estimator.
+    The shuffle moves (batch·group) register rows, never values."""
+    if not (4 <= b <= 16):
+        raise ValueError(f"b must be in [4, 16]: {b}")
+    m = 1 << b
+    w = 40 - b
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[key, col]].dropna()
+        if not len(d):
+            return pd.DataFrame({key: pd.Series([], dtype=object),
+                                 "regs": pd.Series([], dtype=object),
+                                 "_bucket": pd.Series([], dtype="int32")})
+        codes, uniq = pd.factorize(d[key], sort=False)
+        keys = np.array(
+            [f"{salt}|{x}" for x in d[col].astype(str)], dtype=object)
+        h = hex_prefix_int(md5_hex(keys), _PREFIX_HEX)
+        idx = (h >> w).astype(np.int64)
+        rem = (h & ((1 << w) - 1)).astype(np.int64)
+        rho = np.where(
+            rem == 0, w + 1,
+            w - np.floor(np.log2(np.where(rem == 0, 1, rem)))
+        ).astype(np.uint8)
+        regs = np.zeros((len(uniq), m), np.uint8)
+        np.maximum.at(regs, (codes, idx), rho)
+        out = pd.DataFrame({
+            key: uniq.astype(object),
+            "regs": [r.tobytes() for r in regs],
+        })
+        return out.assign(_bucket=bucket_tag(out, key, num_buckets))
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(key, kind="stable")
+        mat = np.frombuffer(
+            b"".join(g["regs"]), np.uint8).reshape(-1, m)
+        ks = g[key].to_numpy()
+        starts = np.flatnonzero(
+            np.r_[True, ks[1:] != ks[:-1]]) if len(ks) else np.array(
+            [], dtype=np.int64)
+        folded = np.maximum.reduceat(mat, starts, axis=0)
+        M = folded.astype(np.float64)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.power(2.0, -M), axis=1)
+        zeros = (folded == 0).sum(axis=1)
+        corr = np.where(zeros > 0,
+                        m * np.log(m / np.where(zeros > 0, zeros, 1)),
+                        est)
+        est = np.where((est <= 2.5 * m) & (zeros > 0), corr, est)
+        return pd.DataFrame({
+            key: ks[starts],
+            "m": np.full(len(starts), m, dtype=np.int64),
+            "est": np.floor(est * 1e4) / 1e4,
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )

@@ -239,3 +239,55 @@ def test_cms_empty_input_contract(ray_session):
     assert list(est["est"]) == [0]
     with pytest.raises(ValueError):
         count_min_sketch(ds, "v", width=1, depth=2)
+
+
+def test_hll_grouped_matches_global_per_group(ray_session):
+    """A single-group dataset must produce EXACTLY the global sketch's
+    estimate (same registers, same estimator, same FLOOR parity), and
+    a multi-group run must equal running the global form per slice."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from graphforge_ray.stages.sketches import (
+        approx_distinct_hll,
+        approx_distinct_hll_grouped,
+    )
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "g": np.repeat(["a", "b", "c"], [400, 250, 50]),
+        "v": np.concatenate([
+            rng.integers(0, 180, 400),      # ~180 distinct
+            rng.integers(1000, 1090, 250),  # ~90 distinct
+            np.arange(50),                  # exactly 50 distinct
+        ]),
+    })
+    got = (
+        approx_distinct_hll_grouped(
+            rd.from_pandas(df).repartition(4), "g", "v", b=10)
+        .to_pandas().set_index("g")
+    )
+    assert set(got.index) == {"a", "b", "c"}
+    for g in ["a", "b", "c"]:
+        sl = df.loc[df["g"] == g, ["v"]]
+        want = approx_distinct_hll(rd.from_pandas(sl), "v", b=10)
+        assert got.loc[g, "est"] == want["est"].iloc[0], g
+        true = sl["v"].nunique()
+        assert abs(got.loc[g, "est"] - true) / true < 0.15, g
+
+
+def test_hll_grouped_null_rows_dropped(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from graphforge_ray.stages.sketches import approx_distinct_hll_grouped
+
+    df = pd.DataFrame({"g": ["x", "x", None, "y"],
+                       "v": [1, None, 3, 4]})
+    got = (
+        approx_distinct_hll_grouped(rd.from_pandas(df), "g", "v")
+        .to_pandas().set_index("g")
+    )
+    assert set(got.index) == {"x", "y"}
+    assert got.loc["x", "est"] > 0 and got.loc["y", "est"] > 0
