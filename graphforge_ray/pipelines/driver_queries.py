@@ -1032,6 +1032,74 @@ FROM m
 """
 
 
+def q_graph_diameter(sf_dir: str):
+    """Double-sweep diameter lower bound (stages/graph.
+    diameter_estimate): BFS from the min node, re-BFS from the farthest
+    (min-node ties) — over the part graph restricted to keys ≤ 1024 so
+    the sweep depth (and the oracle's recursion budget) stays bounded
+    at every sf. Oracle: two depth-capped recursive CTEs with the same
+    deterministic picks."""
+    from ..stages.graph import diameter_estimate
+
+    part = _t(sf_dir, "part", ["p_partkey"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.and_(
+            pc.greater_equal(batch["p_partkey"], pa.scalar(1)),
+            pc.less_equal(batch["p_partkey"], pa.scalar(1024))))
+        k = t["p_partkey"]
+        half = pc.divide(k, pa.scalar(2, pa.int64()))
+        prev = pc.subtract(k, pa.scalar(1, pa.int64()))
+        return pa.concat_tables(
+            [pa.table({"s": k, "o": half}), pa.table({"s": k, "o": prev})]
+        )
+
+    return diameter_estimate(part.map_batches(edges,
+                                              batch_format="pyarrow"))
+
+
+SQL_GRAPH_DIAMETER = """
+WITH RECURSIVE e0 AS (
+    SELECT p_partkey AS s, p_partkey // 2 AS o FROM part
+    WHERE p_partkey BETWEEN 1 AND 1024
+    UNION ALL
+    SELECT p_partkey AS s, p_partkey - 1 AS o FROM part
+    WHERE p_partkey BETWEEN 1 AND 1024
+),
+eu AS (
+    SELECT s, o FROM e0 WHERE s <> o
+    UNION
+    SELECT o, s FROM e0 WHERE s <> o
+),
+seedt AS (
+    SELECT MIN(node) AS v
+    FROM (SELECT s AS node FROM eu UNION SELECT o FROM eu)
+),
+w1(node, d) AS (
+    SELECT (SELECT v FROM seedt), CAST(0 AS BIGINT)
+    UNION
+    SELECT eu.o, w1.d + 1 FROM w1 JOIN eu ON eu.s = w1.node
+    WHERE w1.d < 40
+),
+b1 AS (SELECT node, MIN(d) AS d FROM w1 GROUP BY node),
+fart AS (
+    SELECT node FROM b1
+    WHERE d = (SELECT MAX(d) FROM b1)
+    ORDER BY node LIMIT 1
+),
+w2(node, d) AS (
+    SELECT (SELECT node FROM fart), CAST(0 AS BIGINT)
+    UNION
+    SELECT eu.o, w2.d + 1 FROM w2 JOIN eu ON eu.s = w2.node
+    WHERE w2.d < 40
+),
+b2 AS (SELECT node, MIN(d) AS d FROM w2 GROUP BY node)
+SELECT (SELECT v FROM seedt) AS seed,
+       (SELECT node FROM fart) AS peripheral,
+       (SELECT MAX(d) FROM b2) AS diameter_lb
+"""
+
+
 def q_graph_degree_hist(sf_dir: str):
     """Out-degree histogram of the customer→order graph (orders per
     customer): two-level distributed aggregate, tiny result."""
@@ -7927,6 +7995,7 @@ QUERIES = {
     "web_host_pagerank_weighted": q_web_host_pagerank_weighted,
     "graph_modularity": q_graph_modularity,
     "events_hll_by_type": q_events_hll_by_type,
+    "graph_diameter": q_graph_diameter,
     "docs_host_boilerplate": q_docs_host_boilerplate,
     "events_type_cms": q_events_type_cms,
     "web_host_graph": q_web_host_graph,
@@ -8108,6 +8177,7 @@ ORACLES = {
     "web_host_pagerank_weighted": SQL_WEB_HOST_PAGERANK_WEIGHTED,
     "graph_modularity": SQL_GRAPH_MODULARITY,
     "events_hll_by_type": SQL_EVENTS_HLL_BY_TYPE,
+    "graph_diameter": SQL_GRAPH_DIAMETER,
     "docs_span_dedup": SQL_DOCS_SPAN_DEDUP,
     "docs_url_dedup": SQL_DOCS_URL_DEDUP,
     "docs_source_mixture": SQL_DOCS_SOURCE_MIXTURE,

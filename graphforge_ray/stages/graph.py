@@ -40,6 +40,7 @@ __all__ = [
     "local_clustering",
     "degree_assortativity",
     "modularity",
+    "diameter_estimate",
     "bfs_depths",
     "sssp",
     "node_jaccard",
@@ -923,6 +924,62 @@ def degree_assortativity(
             "(regular graph or no edges)"
         )
     return float((n * sxy - sx * sx) / var)
+
+
+def diameter_estimate(
+    edges: "ray.data.Dataset",
+    max_rounds: int = 64,
+    num_partitions: int | None = None,
+) -> pd.DataFrame:
+    """Double-sweep diameter lower bound (Magnien/Latapy/Habib 2009) of
+    the UNDIRECTED graph induced by an (s, o) edge Dataset → one-row
+    DataFrame (seed, peripheral, diameter_lb): BFS from the minimum
+    node, re-BFS from the farthest node found (ties → min node); the
+    second eccentricity is the classic tight diameter lower bound.
+
+    Deterministic by construction (min-node seed, min-node ties) so an
+    SQL oracle replays it with two depth-capped recursive CTEs. Both
+    sweeps ride ``bfs_depths`` (broadcast frontier under 500k rows,
+    shuffle fallback above); the driver sees four scalars. A component
+    wider than ``max_rounds`` hops fails loudly (bfs_depths' round
+    budget), never truncates."""
+    from ray.data.aggregate import Max, Min
+
+    def undirect(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["s"] != df["o"]
+        s, o = df.loc[keep, "s"], df.loc[keep, "o"]
+        return pd.DataFrame(
+            {"s": pd.concat([s, o], ignore_index=True),
+             "o": pd.concat([o, s], ignore_index=True)})
+
+    eu = edges.map_batches(undirect, batch_format="pandas").materialize()
+    nodes = eu.map_batches(
+        lambda df: pd.DataFrame({"node": df["s"]}), batch_format="pandas"
+    )
+    agg = nodes.aggregate(Min(on="node", alias_name="seed"))
+    if not agg or agg.get("seed") is None:
+        raise ValueError("diameter_estimate: no edges")
+    seed = agg["seed"]
+
+    def far_node(depths: "ray.data.Dataset"):
+        d = depths.materialize()
+        dmax = d.aggregate(Max(on="depth", alias_name="m"))["m"]
+        u = d.map_batches(
+            lambda df, _m=dmax: df[df["depth"] == _m],
+            batch_format="pandas",
+        ).aggregate(Min(on="node", alias_name="u"))["u"]
+        return u, int(dmax)
+
+    b1 = bfs_depths(eu, [seed], max_rounds=max_rounds,
+                    num_partitions=num_partitions)
+    far, _ = far_node(b1)
+    b2 = bfs_depths(eu, [far], max_rounds=max_rounds,
+                    num_partitions=num_partitions)
+    _, ecc = far_node(b2)
+    return pd.DataFrame({
+        "seed": [seed], "peripheral": [far],
+        "diameter_lb": pd.array([ecc], dtype="int64"),
+    })
 
 
 def modularity(

@@ -880,3 +880,31 @@ def test_modularity_missing_labels_raise():
         {"node": [1, 2], "label": [0, 0]}).astype(np.int64))
     with pytest.raises(Exception, match="labels must cover|no rows"):
         modularity(_edges_ds(pairs), labels)
+
+
+def test_diameter_estimate_path_and_star():
+    from graphforge_ray.stages.graph import diameter_estimate
+
+    # path 1-2-3-4-5 (fed as directed edges; sweep is undirected)
+    out = diameter_estimate(_edges_ds([(1, 2), (2, 3), (3, 4), (4, 5)]))
+    assert out.iloc[0]["seed"] == 1
+    assert out.iloc[0]["peripheral"] == 5
+    assert out.iloc[0]["diameter_lb"] == 4
+
+    # star around 0: every leaf is depth 1 from 0... seed is 0,
+    # farthest = min leaf (1), second sweep reaches depth 2
+    out = diameter_estimate(_edges_ds([(0, i) for i in range(1, 6)]))
+    assert out.iloc[0]["seed"] == 0
+    assert out.iloc[0]["peripheral"] == 1
+    assert out.iloc[0]["diameter_lb"] == 2
+
+
+def test_diameter_estimate_cycle_tie_break():
+    from graphforge_ray.stages.graph import diameter_estimate
+
+    # 6-cycle: ecc = 3 everywhere; farthest from 1 is node 4 (unique)
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 1)]
+    out = diameter_estimate(_edges_ds(pairs))
+    assert out.iloc[0]["seed"] == 1
+    assert out.iloc[0]["peripheral"] == 4
+    assert out.iloc[0]["diameter_lb"] == 3
