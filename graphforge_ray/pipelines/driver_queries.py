@@ -305,6 +305,77 @@ FROM events GROUP BY user_id, hour
 """
 
 
+def q_events_funnel(sf_dir: str):
+    """Ordered-funnel conversion view → click → purchase
+    (stages/windows.funnel_counts — first-touch step chain, one
+    user-bucket shuffle, exact per-bucket counts). Oracle: stepwise
+    MIN(ts)-after-previous-step joins."""
+    from ..stages.windows import funnel_counts
+
+    return funnel_counts(
+        _t(sf_dir, "events", ["user_id", "event_type", "ts"]),
+        steps=["view", "click", "purchase"],
+    )
+
+
+SQL_EVENTS_FUNNEL = """
+WITH s1 AS (
+    SELECT user_id, MIN(ts) AS t FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t
+    FROM events e JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t
+    WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t
+    FROM events e JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT * FROM (
+    SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+    UNION ALL
+    SELECT 2, 'click', COUNT(*) FROM s2
+    UNION ALL
+    SELECT 3, 'purchase', COUNT(*) FROM s3
+) ORDER BY step
+"""
+
+
+def q_events_retention(sf_dir: str):
+    """Retention-cohort matrix (stages/windows.retention_cohorts):
+    cohort = first event date per user, distinct active users per
+    (cohort, day offset). Oracle: the same epoch-day arithmetic with a
+    distinct join."""
+    from ..stages.windows import retention_cohorts
+
+    out = retention_cohorts(
+        _t(sf_dir, "events", ["user_id", "ts"])).to_pandas()
+    out["day_offset"] = out["day_offset"].astype(np.int64)
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values(["cohort_date", "day_offset"]).reset_index(
+        drop=True)[["cohort_date", "day_offset", "n_users"]]
+
+
+SQL_EVENTS_RETENTION = """
+WITH d AS (
+    SELECT DISTINCT user_id,
+           epoch_us(ts) // 86400000000 AS day
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+f AS (SELECT user_id, MIN(day) AS d0 FROM d GROUP BY user_id)
+SELECT strftime(make_timestamp(f.d0 * 86400000000), '%Y-%m-%d')
+           AS cohort_date,
+       CAST(d.day - f.d0 AS BIGINT) AS day_offset,
+       CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_users
+FROM d JOIN f USING (user_id)
+GROUP BY f.d0, d.day - f.d0
+ORDER BY cohort_date, day_offset
+"""
+
+
 def q_user_sessions(sf_dir: str):
     """Session windows (30-min gap) per user — groupby(key) shuffle +
     per-group vectorized gaps-and-islands (stages/windows.session_window);
@@ -7996,6 +8067,8 @@ QUERIES = {
     "graph_modularity": q_graph_modularity,
     "events_hll_by_type": q_events_hll_by_type,
     "graph_diameter": q_graph_diameter,
+    "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
     "docs_host_boilerplate": q_docs_host_boilerplate,
     "events_type_cms": q_events_type_cms,
     "web_host_graph": q_web_host_graph,
@@ -8178,6 +8251,8 @@ ORACLES = {
     "graph_modularity": SQL_GRAPH_MODULARITY,
     "events_hll_by_type": SQL_EVENTS_HLL_BY_TYPE,
     "graph_diameter": SQL_GRAPH_DIAMETER,
+    "events_funnel": SQL_EVENTS_FUNNEL,
+    "events_retention": SQL_EVENTS_RETENTION,
     "docs_span_dedup": SQL_DOCS_SPAN_DEDUP,
     "docs_url_dedup": SQL_DOCS_URL_DEDUP,
     "docs_source_mixture": SQL_DOCS_SOURCE_MIXTURE,

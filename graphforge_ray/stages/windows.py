@@ -27,7 +27,8 @@ import ray
 import ray.data
 
 __all__ = ["tumbling_window", "sliding_window", "session_window",
-           "trailing_window", "running_window", "lag_window"]
+           "trailing_window", "running_window", "lag_window",
+           "funnel_counts", "retention_cohorts"]
 
 US = 1_000_000
 
@@ -345,4 +346,138 @@ def lag_window(
         events.map_batches(tag, batch_format="pandas")
         .groupby("_bucket")
         .map_groups(shift, batch_format="pandas")
+    )
+
+
+def funnel_counts(
+    events: "ray.data.Dataset",
+    steps: list,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    num_buckets: int = 32,
+) -> pd.DataFrame:
+    """Ordered-funnel conversion (product telemetry's classic): per
+    user, step i matches the EARLIEST event of type ``steps[i]``
+    strictly after the matched step i−1 (first-touch semantics, step 0
+    = the user's earliest such event) → small DataFrame (step:int64
+    1-based, event_type, n_users:int64), one row per step.
+
+    Scale shape: rows filtered to funnel types map-side, ONE user-bucket
+    shuffle; each bucket advances all of its users through the step
+    chain with len(steps) vectorized groupby-mins (a user lives wholly
+    in its bucket, so per-bucket counts are globally exact); the driver
+    sums len(steps) partials per bucket."""
+    if not steps:
+        raise ValueError("funnel_counts: steps must be non-empty")
+    from ..shuffle import bucket_tag
+
+    step_set = list(dict.fromkeys(steps))
+    if len(step_set) != len(steps):
+        raise ValueError(f"funnel steps must be distinct: {steps}")
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.loc[df[type_col].isin(steps),
+                   [user_col, type_col, ts_col]].dropna()
+        out = pd.DataFrame({
+            "u": d[user_col],
+            "t": d[type_col].astype(object),
+            "ts": _ts_us(d[ts_col]),
+        })
+        return out.assign(_bucket=bucket_tag(out, "u", num_buckets))
+
+    def walk(g: pd.DataFrame) -> pd.DataFrame:
+        cur = None  # Series: user → matched ts of the previous step
+        counts = []
+        for st in steps:
+            sub = g.loc[g["t"] == st, ["u", "ts"]]
+            if cur is not None:
+                prev = sub["u"].map(cur)
+                sub = sub.loc[prev.notna() & (sub["ts"]
+                                              > prev.fillna(np.inf))]
+            cur = sub.groupby("u")["ts"].min()
+            counts.append(len(cur))
+        return pd.DataFrame({
+            "step": np.arange(1, len(steps) + 1, dtype=np.int64),
+            "event_type": pd.Series(steps, dtype=object),
+            "n_users": np.array(counts, dtype=np.int64),
+        })
+
+    parts = (
+        events.map_batches(pick, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(walk, batch_format="pandas")
+        .to_pandas()
+    )
+    if parts.empty:
+        return pd.DataFrame({
+            "step": np.arange(1, len(steps) + 1, dtype=np.int64),
+            "event_type": pd.Series(steps, dtype=object),
+            "n_users": np.zeros(len(steps), dtype=np.int64),
+        })
+    out = parts.groupby(["step", "event_type"], as_index=False)[
+        "n_users"].sum()
+    out["step"] = out["step"].astype(np.int64)
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values("step").reset_index(drop=True)
+
+
+def retention_cohorts(
+    events: "ray.data.Dataset",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Retention-cohort matrix: cohort = the user's FIRST event date,
+    day_offset = whole days since it → Dataset (cohort_date:str
+    'YYYY-MM-DD', day_offset:int64, n_users:int64) counting DISTINCT
+    users active at that offset (the activation/retention grid every
+    product-analytics stack draws).
+
+    Scale shape: ONE user-bucket shuffle; each bucket derives its
+    users' first dates and distinct (cohort, offset) pairs vectorized
+    (a user lives wholly in its bucket → partial counts are exact);
+    one tiny (cohort, offset) groupby-sum finishes. The matrix is
+    calendar-bounded (days × days), never corpus-sized."""
+    from ..shuffle import bucket_tag, pair_bucket_tag
+
+    DAY = 86_400_000_000
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[user_col, ts_col]].dropna()
+        out = pd.DataFrame({"u": d[user_col],
+                            "day": _ts_us(d[ts_col]) // DAY})
+        out = out.drop_duplicates()
+        return out.assign(_bucket=bucket_tag(out, "u", num_buckets))
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["u", "day"]].drop_duplicates()
+        first = g.groupby("u")["day"].transform("min")
+        pairs = pd.DataFrame({
+            "cohort_day": first.astype(np.int64),
+            "day_offset": (g["day"] - first).astype(np.int64),
+        })
+        out = pairs.groupby(["cohort_day", "day_offset"],
+                            as_index=False).size().rename(
+            columns={"size": "n_users"})
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out.assign(_bucket=pair_bucket_tag(
+            out, ["cohort_day", "day_offset"], num_buckets))
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["cohort_day", "day_offset"], as_index=False)[
+            "n_users"].sum()
+        date = pd.to_datetime(out["cohort_day"] * DAY, unit="us")
+        return pd.DataFrame({
+            "cohort_date": date.dt.strftime("%Y-%m-%d").astype(object),
+            "day_offset": out["day_offset"].astype(np.int64),
+            "n_users": out["n_users"].astype(np.int64),
+        })
+
+    return (
+        events.map_batches(pick, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(per_user, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
     )

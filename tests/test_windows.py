@@ -200,3 +200,86 @@ def test_lag_window_matches_pandas(ray_session):
     assert got["gap_us"].tolist() == gap.tolist()
     with pytest.raises(ValueError, match="positive"):
         lag_window(rd.from_pandas(df), periods=0)
+
+
+def test_funnel_counts_first_touch(ray_session):
+    import ray.data as rd
+
+    import numpy as np
+
+    from graphforge_ray.stages.windows import funnel_counts
+
+    t0 = pd.Timestamp("2024-01-01")
+
+    def ev(u, typ, mins):
+        return {"user_id": u, "event_type": typ,
+                "ts": t0 + pd.Timedelta(minutes=mins)}
+
+    rows = [
+        # u1 completes in order
+        ev(1, "view", 0), ev(1, "click", 5), ev(1, "purchase", 9),
+        # u2 clicks BEFORE viewing — click must not count (first-touch
+        # view at 10; no click after it)
+        ev(2, "click", 1), ev(2, "view", 10),
+        # u3 views + clicks, purchase precedes the click → 2 steps only
+        ev(3, "purchase", 0), ev(3, "view", 2), ev(3, "click", 4),
+        # u4 never views
+        ev(4, "click", 1), ev(4, "purchase", 2),
+        # noise types ignored
+        ev(1, "error", 3), ev(2, "signup", 3),
+    ]
+    out = funnel_counts(
+        rd.from_pandas(pd.DataFrame(rows)).repartition(3),
+        steps=["view", "click", "purchase"],
+    )
+    got = dict(zip(out["event_type"], out["n_users"]))
+    assert got == {"view": 3, "click": 2, "purchase": 1}
+    assert list(out["step"]) == [1, 2, 3]
+    assert out["n_users"].dtype == np.int64
+
+
+def test_funnel_counts_validation(ray_session):
+    import ray.data as rd
+
+    import pytest as _pytest
+
+    from graphforge_ray.stages.windows import funnel_counts
+
+    ds = rd.from_pandas(pd.DataFrame(
+        {"user_id": [1], "event_type": ["view"],
+         "ts": [pd.Timestamp("2024-01-01")]}))
+    with _pytest.raises(ValueError, match="non-empty"):
+        funnel_counts(ds, steps=[])
+    with _pytest.raises(ValueError, match="distinct"):
+        funnel_counts(ds, steps=["view", "view"])
+
+
+def test_retention_cohorts_matrix(ray_session):
+    import ray.data as rd
+
+    import numpy as np
+
+    from graphforge_ray.stages.windows import retention_cohorts
+
+    def ev(u, day, hour=1):
+        return {"user_id": u,
+                "ts": pd.Timestamp("2024-01-01")
+                + pd.Timedelta(days=day, hours=hour)}
+
+    rows = [
+        ev(1, 0), ev(1, 0, 5), ev(1, 2),      # cohort d0: active 0, 2
+        ev(2, 0), ev(2, 1),                   # cohort d0: active 0, 1
+        ev(3, 1), ev(3, 3),                   # cohort d1: active 0, 2
+    ]
+    out = (
+        retention_cohorts(rd.from_pandas(pd.DataFrame(rows))
+                          .repartition(2))
+        .to_pandas()
+        .sort_values(["cohort_date", "day_offset"], ignore_index=True)
+    )
+    want = pd.DataFrame({
+        "cohort_date": ["2024-01-01"] * 3 + ["2024-01-02"] * 2,
+        "day_offset": np.array([0, 1, 2, 0, 2], dtype=np.int64),
+        "n_users": np.array([2, 1, 1, 1, 1], dtype=np.int64),
+    })
+    pd.testing.assert_frame_equal(out, want)
