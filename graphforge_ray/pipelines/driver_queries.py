@@ -376,6 +376,35 @@ ORDER BY cohort_date, day_offset
 """
 
 
+def q_events_transitions(sf_dir: str):
+    """First-order event-transition counts (stages/windows.
+    transition_counts — per-user ordered shift, one user-bucket
+    shuffle). Oracle: LAG window over the same (ts, event_id) order."""
+    from ..stages.windows import transition_counts
+
+    return transition_counts(
+        _t(sf_dir, "events",
+           ["user_id", "event_type", "ts", "event_id"]))
+
+
+SQL_EVENTS_TRANSITIONS = """
+WITH o AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev_type
+    FROM events
+    WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+          AND ts IS NOT NULL
+)
+SELECT prev_type, event_type AS next_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM o WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+ORDER BY prev_type, next_type
+"""
+
+
 def q_user_sessions(sf_dir: str):
     """Session windows (30-min gap) per user — groupby(key) shuffle +
     per-group vectorized gaps-and-islands (stages/windows.session_window);
@@ -1220,6 +1249,64 @@ WITH e AS (
 ),
 n AS (SELECT a AS node FROM e UNION SELECT b AS node FROM e)
 SELECT node, node - (node % 10) AS label FROM n ORDER BY node
+"""
+
+
+def q_graph_component_sizes(sf_dir: str):
+    """Component-size histogram (how fragmented is the graph — the
+    first diagnostic on any extracted web/KG graph): pointer-jumped
+    connected components → per-label count partials → size histogram.
+    Only the histogram (≤ distinct-size rows) reaches the driver."""
+    from ..stages.dedup import connected_components
+    from ..shuffle import bucket_tag
+
+    part = _t(sf_dir, "part", ["p_partkey"])
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["p_partkey"].to_numpy()
+        k = k[k % 10 != 0]
+        return pd.DataFrame({"id_a": k, "id_b": k - 1})
+
+    labels = connected_components(
+        part.map_batches(edges, batch_format="pandas"))
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("label", as_index=False).size().rename(
+            columns={"size": "n"})
+        g["n"] = g["n"].astype(np.int64)
+        return g.assign(_bucket=bucket_tag(g, "label", 16))
+
+    def sizes(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("label", as_index=False)["n"].sum()
+        h = out.groupby("n", as_index=False).size().rename(
+            columns={"n": "size", "size": "n_components"})
+        h["size"] = h["size"].astype(np.int64)
+        h["n_components"] = h["n_components"].astype(np.int64)
+        return h
+
+    hist = (
+        labels.map_batches(count_partial, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(sizes, batch_format="pandas")
+        .to_pandas()
+    )
+    out = hist.groupby("size", as_index=False)["n_components"].sum()
+    out["size"] = out["size"].astype(np.int64)
+    out["n_components"] = out["n_components"].astype(np.int64)
+    return out.sort_values("size").reset_index(drop=True)
+
+
+SQL_GRAPH_COMPONENT_SIZES = """
+WITH e AS (
+    SELECT p_partkey AS a, p_partkey - 1 AS b FROM part
+    WHERE p_partkey % 10 <> 0
+),
+n AS (SELECT a AS node FROM e UNION SELECT b AS node FROM e),
+lab AS (SELECT node, node - (node % 10) AS label FROM n),
+cs AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS size
+       FROM lab GROUP BY label)
+SELECT size, CAST(COUNT(*) AS BIGINT) AS n_components
+FROM cs GROUP BY size ORDER BY size
 """
 
 
@@ -8069,6 +8156,8 @@ QUERIES = {
     "graph_diameter": q_graph_diameter,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
+    "events_transitions": q_events_transitions,
+    "graph_component_sizes": q_graph_component_sizes,
     "docs_host_boilerplate": q_docs_host_boilerplate,
     "events_type_cms": q_events_type_cms,
     "web_host_graph": q_web_host_graph,
@@ -8253,6 +8342,8 @@ ORACLES = {
     "graph_diameter": SQL_GRAPH_DIAMETER,
     "events_funnel": SQL_EVENTS_FUNNEL,
     "events_retention": SQL_EVENTS_RETENTION,
+    "events_transitions": SQL_EVENTS_TRANSITIONS,
+    "graph_component_sizes": SQL_GRAPH_COMPONENT_SIZES,
     "docs_span_dedup": SQL_DOCS_SPAN_DEDUP,
     "docs_url_dedup": SQL_DOCS_URL_DEDUP,
     "docs_source_mixture": SQL_DOCS_SOURCE_MIXTURE,

@@ -28,7 +28,7 @@ import ray.data
 
 __all__ = ["tumbling_window", "sliding_window", "session_window",
            "trailing_window", "running_window", "lag_window",
-           "funnel_counts", "retention_cohorts"]
+           "funnel_counts", "retention_cohorts", "transition_counts"]
 
 US = 1_000_000
 
@@ -481,3 +481,61 @@ def retention_cohorts(
         .groupby("_bucket")
         .map_groups(reduce_bucket, batch_format="pandas")
     )
+
+
+def transition_counts(
+    events: "ray.data.Dataset",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_buckets: int = 32,
+) -> pd.DataFrame:
+    """First-order event-transition (Markov) counts: per user, order
+    events by (ts, id) and count consecutive (prev_type, next_type)
+    pairs → small DataFrame (prev_type, next_type, n:int64). The
+    session-model / next-event-prediction primitive.
+
+    Scale shape: ONE user-bucket shuffle (a user's history lands whole
+    in its bucket — the session_window partitioning assumption); per
+    bucket a single vectorized sort + groupby shift → per-pair counts;
+    the driver merges ≤ |types|² rows per bucket."""
+    from ..shuffle import bucket_tag
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[user_col, type_col, ts_col, id_col]].dropna(
+            subset=[user_col, type_col, ts_col])
+        out = pd.DataFrame({
+            "u": out[user_col], "t": out[type_col].astype(object),
+            "ts": _ts_us(out[ts_col]), "i": out[id_col],
+        })
+        return out.assign(_bucket=bucket_tag(out, "u", num_buckets))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "ts", "i"], kind="stable")
+        prev = g.groupby("u", sort=False)["t"].shift(1)
+        m = prev.notna()
+        out = pd.DataFrame({"prev_type": prev[m],
+                            "next_type": g.loc[m, "t"]})
+        out = out.groupby(["prev_type", "next_type"],
+                          as_index=False).size().rename(
+            columns={"size": "n"})
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    parts = (
+        events.map_batches(tag, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if parts.empty:
+        return pd.DataFrame({
+            "prev_type": pd.Series([], dtype=object),
+            "next_type": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype=np.int64)})
+    out = parts.groupby(["prev_type", "next_type"], as_index=False)[
+        "n"].sum()
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["prev_type", "next_type"]).reset_index(
+        drop=True)

@@ -283,3 +283,31 @@ def test_retention_cohorts_matrix(ray_session):
         "n_users": np.array([2, 1, 1, 1, 1], dtype=np.int64),
     })
     pd.testing.assert_frame_equal(out, want)
+
+
+def test_transition_counts_ordered_pairs(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from graphforge_ray.stages.windows import transition_counts
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        # u1: a -> b -> a  (pairs: ab, ba)
+        {"user_id": 1, "event_type": "a", "ts": t0, "event_id": 1},
+        {"user_id": 1, "event_type": "b",
+         "ts": t0 + pd.Timedelta(minutes=1), "event_id": 2},
+        {"user_id": 1, "event_type": "a",
+         "ts": t0 + pd.Timedelta(minutes=2), "event_id": 3},
+        # u2: same-ts tie broken by event_id: b (id 4) then a (id 5)
+        {"user_id": 2, "event_type": "b", "ts": t0, "event_id": 4},
+        {"user_id": 2, "event_type": "a", "ts": t0, "event_id": 5},
+        # u3: single event -> no pair
+        {"user_id": 3, "event_type": "a", "ts": t0, "event_id": 6},
+    ]
+    out = transition_counts(
+        rd.from_pandas(pd.DataFrame(rows)).repartition(3))
+    got = {(r["prev_type"], r["next_type"]): r["n"]
+           for _, r in out.iterrows()}
+    assert got == {("a", "b"): 1, ("b", "a"): 2}
+    assert out["n"].dtype == np.int64
