@@ -1200,6 +1200,37 @@ SELECT (SELECT v FROM seedt) AS seed,
 """
 
 
+def q_parts_copurchase(sf_dir: str):
+    """Co-purchase graph (stages/graph.bipartite_project): parts
+    co-occurring in ≥ 2 distinct orders, weighted by distinct-order
+    count — the one-mode projection every recommender / co-citation
+    pipeline starts from. Oracle: distinct self-join + HAVING."""
+    from ..stages.graph import bipartite_project
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    out = bipartite_project(
+        li, "l_orderkey", "l_partkey", min_count=2).to_pandas()
+    out["a"] = out["a"].astype(np.int64)
+    out["b"] = out["b"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)[
+        ["a", "b", "n"]]
+
+
+SQL_PARTS_COPURCHASE = """
+WITH b AS (
+    SELECT DISTINCT l_orderkey AS k, l_partkey AS v FROM lineitem
+),
+p AS (
+    SELECT x.v AS a, y.v AS b FROM b x JOIN b y USING (k)
+    WHERE x.v < y.v
+)
+SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+FROM p GROUP BY a, b HAVING COUNT(*) >= 2
+ORDER BY a, b
+"""
+
+
 def q_graph_degree_hist(sf_dir: str):
     """Out-degree histogram of the customer→order graph (orders per
     customer): two-level distributed aggregate, tiny result."""
@@ -8158,6 +8189,7 @@ QUERIES = {
     "events_retention": q_events_retention,
     "events_transitions": q_events_transitions,
     "graph_component_sizes": q_graph_component_sizes,
+    "parts_copurchase": q_parts_copurchase,
     "docs_host_boilerplate": q_docs_host_boilerplate,
     "events_type_cms": q_events_type_cms,
     "web_host_graph": q_web_host_graph,
@@ -8344,6 +8376,7 @@ ORACLES = {
     "events_retention": SQL_EVENTS_RETENTION,
     "events_transitions": SQL_EVENTS_TRANSITIONS,
     "graph_component_sizes": SQL_GRAPH_COMPONENT_SIZES,
+    "parts_copurchase": SQL_PARTS_COPURCHASE,
     "docs_span_dedup": SQL_DOCS_SPAN_DEDUP,
     "docs_url_dedup": SQL_DOCS_URL_DEDUP,
     "docs_source_mixture": SQL_DOCS_SOURCE_MIXTURE,

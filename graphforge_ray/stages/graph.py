@@ -41,6 +41,7 @@ __all__ = [
     "degree_assortativity",
     "modularity",
     "diameter_estimate",
+    "bipartite_project",
     "bfs_depths",
     "sssp",
     "node_jaccard",
@@ -924,6 +925,70 @@ def degree_assortativity(
             "(regular graph or no edges)"
         )
     return float((n * sxy - sx * sx) / var)
+
+
+def bipartite_project(
+    ds: "ray.data.Dataset",
+    key: str,
+    value: str,
+    min_count: int = 1,
+    max_group: int = 10_000,
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Bipartite one-mode projection with co-occurrence weights — the
+    co-purchase / co-citation / co-click graph constructor: (key,
+    value) rows → Dataset (a, b, n:int64) with a < b counting the
+    DISTINCT keys in which both values co-occur; pairs below
+    ``min_count`` are dropped (they dominate the output on power-law
+    data and carry no signal).
+
+    Pair generation is inherently |group|² per key: groups larger than
+    ``max_group`` are EXCLUDED and counted in the
+    ``bipartite_groups_dropped`` metric (no-silent-caps — a single
+    degenerate container would otherwise emit billions of pairs).
+    Scale shape: per-batch distinct, ONE key-bucket shuffle generates
+    each key's pairs with a vectorized self-merge, ONE pair-bucket
+    shuffle sums counts."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be ≥ 1: {min_count}")
+    if num_buckets is None:
+        num_buckets = _auto_partitions(ds.count())
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"k": df[key], "v": df[value]}).dropna()
+        g = g.drop_duplicates()
+        return g.assign(_bucket=bucket_tag(g, "k", num_buckets))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["k", "v"]].drop_duplicates()
+        sizes = g.groupby("k")["v"].transform("size")
+        big = g.loc[sizes > max_group, "k"].nunique()
+        if big:
+            from .. import metrics
+
+            metrics.incr("bipartite_groups_dropped", int(big))
+        g = g.loc[sizes <= max_group]
+        m = g.merge(g, on="k")
+        m = m.loc[m["v_x"] < m["v_y"]]
+        out = m.groupby(["v_x", "v_y"], as_index=False).size().rename(
+            columns={"v_x": "a", "v_y": "b", "size": "n"})
+        out["n"] = out["n"].astype(np.int64)
+        return out.assign(
+            _bucket=pair_bucket_tag(out, ["a", "b"], num_buckets))
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["a", "b"], as_index=False)["n"].sum()
+        out = out.loc[out["n"] >= min_count]
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
 
 
 def diameter_estimate(

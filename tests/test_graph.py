@@ -908,3 +908,32 @@ def test_diameter_estimate_cycle_tie_break():
     assert out.iloc[0]["seed"] == 1
     assert out.iloc[0]["peripheral"] == 4
     assert out.iloc[0]["diameter_lb"] == 3
+
+
+def test_bipartite_project_counts_and_cap():
+    from graphforge_ray.stages.graph import bipartite_project
+
+    rows = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2, 3, 3, 3, 3],
+        "v": [10, 20, 30, 10, 20, 10, 20, 30, 30],  # dup (3,30) ignored
+    })
+    ds = rd.from_pandas(rows).repartition(3)
+    out = (
+        bipartite_project(ds, "k", "v", min_count=1)
+        .to_pandas().sort_values(["a", "b"], ignore_index=True)
+    )
+    got = {(r["a"], r["b"]): r["n"] for _, r in out.iterrows()}
+    # (10,20) in k=1,2,3; (10,30) in 1,3; (20,30) in 1,3
+    assert got == {(10, 20): 3, (10, 30): 2, (20, 30): 2}
+
+    # min_count filter
+    out2 = bipartite_project(ds, "k", "v", min_count=3).to_pandas()
+    assert len(out2) == 1 and out2.iloc[0]["n"] == 3
+
+    # max_group: k=1 and k=3 (3 values each) dropped, only k=2 pairs
+    out3 = (
+        bipartite_project(ds, "k", "v", min_count=1, max_group=2)
+        .to_pandas()
+    )
+    got3 = {(r["a"], r["b"]): r["n"] for _, r in out3.iterrows()}
+    assert got3 == {(10, 20): 1}
