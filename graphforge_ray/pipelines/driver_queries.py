@@ -3749,6 +3749,110 @@ def _web_host_pagerank_weighted_sql(num_iters: int = 2) -> str:
 SQL_WEB_HOST_PAGERANK_WEIGHTED = _web_host_pagerank_weighted_sql(2)
 
 
+def q_web_frontier(sf_dir: str, k: int = 20):
+    """Crawl-frontier prioritization — the end-to-end crawl-governance
+    composition: resolve every harvested href, keep http(s) targets NOT
+    already fetched (anti join vs the source-URL set), score each
+    candidate by its registered domain's PageRank over the host graph,
+    return the top-k (rank desc, url asc). Every stage distributed:
+    map-side resolve, bucket dedup, bindings_join anti, rank join on
+    domain, partial-top-k. Oracle: the shared resolve-chain SQL + the
+    unrolled host-PageRank rounds + NOT IN + ORDER BY/LIMIT."""
+    from ..shuffle import bindings_join, bucket_tag
+    from ..stages.graph import pagerank
+    from ..stages.urls import registered_domain_batch
+    from ..stages.weblinks import host_link_graph, resolve_href_batch
+
+    docs = _t(sf_dir, "documents", ["doc_id"])
+    edges = docs.map_batches(_web_edge_frame,
+                             batch_format="pandas").materialize()
+
+    def resolved_targets(df: pd.DataFrame) -> pd.DataFrame:
+        res = resolve_href_batch(df["src_url"], df["href"])
+        ok = res.astype("string").str.match(r"^https?://").fillna(False)
+        out = pd.DataFrame({"url": res[ok].astype(object)})
+        return out.assign(_bucket=bucket_tag(out, "url", 16))
+
+    cand = (
+        edges.map_batches(resolved_targets, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(lambda g: g[["url"]].drop_duplicates(),
+                    batch_format="pandas")
+    )
+    seen = edges.map_batches(
+        lambda df: df[["src_url"]].drop_duplicates().rename(
+            columns={"src_url": "url"}),
+        batch_format="pandas")
+    unseen = bindings_join(cand, seen, on=["url"], how="anti",
+                           num_buckets=16)
+
+    hg = host_link_graph(edges)
+    pe = hg.map_batches(
+        lambda df: pd.DataFrame({"s": df["src_domain"],
+                                 "o": df["dst_domain"]}),
+        batch_format="pandas")
+    ranks = pagerank(pe, num_iters=2, damping=0.85).map_batches(
+        lambda df: pd.DataFrame({"dom": df["node"],
+                                 "rank": df["rank"].round(8)}),
+        batch_format="pandas")
+
+    def with_dom(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "url": df["url"].astype(object),
+            "dom": registered_domain_batch(
+                df["url"].astype("string")).astype(object)})
+
+    scored = bindings_join(
+        unseen.map_batches(with_dom, batch_format="pandas"),
+        ranks, on=["dom"], how="inner", num_buckets=16)
+
+    # partial top-k per block, final top-k on ≤ k·blocks rows
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "url": df["url"].astype(object),
+            "rank": pd.to_numeric(df["rank"]).astype(np.float64)})
+        return d.sort_values(["rank", "url"],
+                             ascending=[False, True]).head(k)
+
+    parts = scored.map_batches(topk, batch_format="pandas").to_pandas()
+    return (parts.sort_values(["rank", "url"],
+                              ascending=[False, True])
+            .head(k).reset_index(drop=True)[["url", "rank"]])
+
+
+def _web_frontier_sql(k: int = 20) -> str:
+    dom_of_url = _WEB_DOM_EXPR.format(
+        h=_WEB_HOST_EXPR.format(col="u.url"))
+    ctes = [
+        f"WITH e AS ({_WEB_EDGES_SQL}),",
+        _web_resolve_sql().lstrip("\n") + ",",
+        _WEB_DOMS_SQL.lstrip("\n") + ",",
+        "pe AS MATERIALIZED (SELECT src_domain AS s, dst_domain AS o "
+        "FROM doms GROUP BY src_domain, dst_domain),",
+        "nodes AS MATERIALIZED "
+        "(SELECT s AS node FROM pe UNION SELECT o FROM pe),",
+        "deg AS MATERIALIZED "
+        "(SELECT s AS node, COUNT(*) AS d FROM pe GROUP BY s),",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),",
+        "p0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),",
+    ]
+    last = _pr_rounds(ctes, "p", "pe", "nodes", "deg", "nn", "p0", 2)
+    ctes += [
+        "cand AS MATERIALIZED (SELECT DISTINCT resolved FROM keep),",
+        "seen AS MATERIALIZED (SELECT DISTINCT src_url FROM e),",
+        "unseen AS (SELECT resolved AS url FROM cand "
+        "WHERE resolved NOT IN (SELECT src_url FROM seen)),",
+        f"scored AS (SELECT u.url, ROUND({last}.r, 8) AS rank "
+        f"FROM unseen u JOIN {last} ON {last}.node = {dom_of_url})",
+    ]
+    return ("\n".join(ctes)
+            + f"\nSELECT url, rank FROM scored "
+            f"ORDER BY rank DESC, url LIMIT {k}")
+
+
+SQL_WEB_FRONTIER = _web_frontier_sql(20)
+
+
 def q_web_redirects(sf_dir: str):
     """Redirect-chain resolution to terminal targets (stages/urls.
     resolve_redirects, pointer jumping — ⌈log₂ depth⌉ shuffle rounds):
@@ -8190,6 +8294,7 @@ QUERIES = {
     "events_transitions": q_events_transitions,
     "graph_component_sizes": q_graph_component_sizes,
     "parts_copurchase": q_parts_copurchase,
+    "web_frontier": q_web_frontier,
     "docs_host_boilerplate": q_docs_host_boilerplate,
     "events_type_cms": q_events_type_cms,
     "web_host_graph": q_web_host_graph,
@@ -8377,6 +8482,7 @@ ORACLES = {
     "events_transitions": SQL_EVENTS_TRANSITIONS,
     "graph_component_sizes": SQL_GRAPH_COMPONENT_SIZES,
     "parts_copurchase": SQL_PARTS_COPURCHASE,
+    "web_frontier": SQL_WEB_FRONTIER,
     "docs_span_dedup": SQL_DOCS_SPAN_DEDUP,
     "docs_url_dedup": SQL_DOCS_URL_DEDUP,
     "docs_source_mixture": SQL_DOCS_SOURCE_MIXTURE,
