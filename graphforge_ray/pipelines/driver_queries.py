@@ -1132,6 +1132,60 @@ FROM m
 """
 
 
+def q_graph_truss(sf_dir: str, k: int = 3):
+    """3-truss of the part graph (stages/graph.k_truss — iterative
+    support peel over the shared wedge-close machinery, runs to
+    fixpoint). Oracle: 4 unrolled peel rounds — more than the measured
+    fixpoint depth (2 incl. confirm at every sf), and peeling past the
+    fixpoint is idempotent, so the round counts need not match."""
+    from ..stages.graph import k_truss
+
+    out = k_truss(_part_graph_edges(sf_dir), k=k).to_pandas()
+    out["id_a"] = out["id_a"].astype(np.int64)
+    out["id_b"] = out["id_b"].astype(np.int64)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)[
+        ["id_a", "id_b"]]
+
+
+def _truss_sql(k: int = 3, rounds: int = 4) -> str:
+    need = k - 2
+    ctes = [
+        f"WITH raw AS ({_PART_GRAPH_SQL}),",
+        "t0 AS MATERIALIZED (SELECT DISTINCT LEAST(s, o) AS a, "
+        "GREATEST(s, o) AS b FROM raw WHERE s <> o),",
+    ]
+    for i in range(rounds):
+        p, c = f"t{i}", f"t{i + 1}"
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT ea, eb, COUNT(*) AS sup "
+            f"FROM ("
+            f"SELECT e1.a AS ea, e1.b AS eb FROM {p} e1 "
+            f"JOIN {p} e2 ON e2.a = e1.b "
+            f"JOIN {p} e3 ON e3.a = e1.a AND e3.b = e2.b "
+            f"UNION ALL "
+            f"SELECT e1.a, e2.b FROM {p} e1 "
+            f"JOIN {p} e2 ON e2.a = e1.b "
+            f"JOIN {p} e3 ON e3.a = e1.a AND e3.b = e2.b "
+            f"UNION ALL "
+            f"SELECT e1.b, e2.b FROM {p} e1 "
+            f"JOIN {p} e2 ON e2.a = e1.b "
+            f"JOIN {p} e3 ON e3.a = e1.a AND e3.b = e2.b"
+            f") GROUP BY ea, eb),"
+        )
+        ctes.append(
+            f"{c} AS MATERIALIZED (SELECT e.a, e.b FROM {p} e "
+            f"JOIN s{i} ON s{i}.ea = e.a AND s{i}.eb = e.b "
+            f"WHERE s{i}.sup >= {need}),"
+        )
+    ctes[-1] = ctes[-1].rstrip(",")
+    return ("\n".join(ctes)
+            + f"\nSELECT a AS id_a, b AS id_b FROM t{rounds} "
+            "ORDER BY id_a, id_b")
+
+
+SQL_GRAPH_TRUSS = _truss_sql(3, 4)
+
+
 def q_graph_diameter(sf_dir: str):
     """Double-sweep diameter lower bound (stages/graph.
     diameter_estimate): BFS from the min node, re-BFS from the farthest
@@ -8295,6 +8349,7 @@ QUERIES = {
     "graph_component_sizes": q_graph_component_sizes,
     "parts_copurchase": q_parts_copurchase,
     "web_frontier": q_web_frontier,
+    "graph_truss": q_graph_truss,
     "docs_host_boilerplate": q_docs_host_boilerplate,
     "events_type_cms": q_events_type_cms,
     "web_host_graph": q_web_host_graph,
@@ -8483,6 +8538,7 @@ ORACLES = {
     "graph_component_sizes": SQL_GRAPH_COMPONENT_SIZES,
     "parts_copurchase": SQL_PARTS_COPURCHASE,
     "web_frontier": SQL_WEB_FRONTIER,
+    "graph_truss": SQL_GRAPH_TRUSS,
     "docs_span_dedup": SQL_DOCS_SPAN_DEDUP,
     "docs_url_dedup": SQL_DOCS_URL_DEDUP,
     "docs_source_mixture": SQL_DOCS_SOURCE_MIXTURE,

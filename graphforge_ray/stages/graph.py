@@ -40,6 +40,7 @@ __all__ = [
     "local_clustering",
     "degree_assortativity",
     "modularity",
+    "k_truss",
     "diameter_estimate",
     "bipartite_project",
     "bfs_depths",
@@ -1045,6 +1046,86 @@ def diameter_estimate(
         "seed": [seed], "peripheral": [far],
         "diameter_lb": pd.array([ecc], dtype="int64"),
     })
+
+
+def k_truss(
+    edges: "ray.data.Dataset",
+    k: int,
+    max_rounds: int = 64,
+    num_buckets: int | None = None,
+    hub_threshold: int = 1_000_000,
+    max_salts: int = 64,
+) -> "ray.data.Dataset":
+    """k-truss of the UNDIRECTED simple graph (Cohen 2008): the maximal
+    subgraph where every edge participates in ≥ k−2 triangles of the
+    subgraph → Dataset (id_a, id_b) of surviving edges (a < b). The
+    edge-level cohesion filter one notch stronger than k-core —
+    standard for spam-farm / link-ring detection on web graphs.
+
+    Peeling rounds: recompute per-edge triangle support over the
+    CURRENT edge set (the shared ``_closed_triangles`` wedge-close with
+    hub pre-split), drop edges below k−2, repeat until no edge drops
+    (the classic fixpoint — each round is triangle cost, round count ≤
+    the peel depth). ``max_rounds`` exhaustion with edges still
+    dropping fails loudly. Support counting is one explode + one
+    edge-bucket reduce; the driver sees only per-round edge counts."""
+    if k < 2:
+        raise ValueError(f"k must be ≥ 2: {k}")
+    if num_buckets is None:
+        num_buckets = _auto_partitions(edges.count())
+    need = k - 2
+    e = _canon_dedup_edges(edges, num_buckets)
+    n_edges = e.count()
+
+    def support_tag(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.concat([
+            pd.DataFrame({"id_a": df["a"], "id_b": df["b"]}),
+            pd.DataFrame({"id_a": df["a"], "id_b": df["c"]}),
+            pd.DataFrame({"id_a": df["b"], "id_b": df["c"]}),
+        ], ignore_index=True)
+        g = g.groupby(["id_a", "id_b"], as_index=False).size().rename(
+            columns={"size": "sup"})
+        g["sup"] = g["sup"].astype(np.int64)
+        return g.assign(
+            _bucket=pair_bucket_tag(g, ["id_a", "id_b"], num_buckets))
+
+    def keep_tag(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["id_a", "id_b"]].assign(sup=np.int64(0))
+        return out.assign(
+            _bucket=pair_bucket_tag(out, ["id_a", "id_b"], num_buckets))
+
+    def filter_bucket(g: pd.DataFrame, _need=need) -> pd.DataFrame:
+        # edge rows (sup=0 carriers) + support partials meet per bucket
+        out = g.groupby(["id_a", "id_b"], as_index=False)["sup"].sum()
+        out = out.loc[out["sup"] >= _need, ["id_a", "id_b"]]
+        return out
+
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            return e
+        if need == 0:
+            return e  # 2-truss = the simple graph itself
+        closed = _closed_triangles(e, num_buckets, hub_threshold,
+                                   max_salts).materialize()
+        if closed.schema(fetch_if_missing=True) is None:
+            # no triangles at all → no edge reaches any support; keep
+            # the (id_a, id_b) schema for downstream readers
+            return e.map_batches(lambda df: df.head(0),
+                                 batch_format="pandas")
+        kept = (
+            closed.map_batches(support_tag, batch_format="pandas")
+            .union(e.map_batches(keep_tag, batch_format="pandas"))
+            .groupby("_bucket")
+            .map_groups(filter_bucket, batch_format="pandas")
+            .materialize()
+        )
+        n_kept = kept.count()
+        if n_kept == n_edges:
+            return kept
+        e, n_edges = kept, n_kept
+    raise ValueError(
+        f"k_truss did not converge in {max_rounds} peel rounds"
+    )
 
 
 def modularity(

@@ -937,3 +937,55 @@ def test_bipartite_project_counts_and_cap():
     )
     got3 = {(r["a"], r["b"]): r["n"] for _, r in out3.iterrows()}
     assert got3 == {(10, 20): 1}
+
+
+def _truss_oracle(pairs, k):
+    und = {(min(s, o), max(s, o)) for s, o in pairs if s != o}
+    need = k - 2
+    while True:
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {e: len(adj[e[0]] & adj[e[1]]) for e in und}
+        kept = {e for e in und if sup[e] >= need}
+        if kept == und:
+            return und
+        und = kept
+
+
+def test_k_truss_matches_peel_oracle():
+    from graphforge_ray.stages.graph import k_truss
+
+    # two triangles sharing an edge + a pendant path + a 4-clique
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (1, 4),       # 2 triangles
+             (4, 5), (5, 6),                                # path (peels)
+             (10, 11), (10, 12), (10, 13), (11, 12),
+             (11, 13), (12, 13)]                            # K4
+    def edge_set(df):
+        # a fully-peeled truss is an EMPTY Dataset — pandas conversion
+        # drops columns (documented schema-less-when-empty behavior)
+        if len(df) == 0:
+            return set()
+        return set(map(tuple, df[["id_a", "id_b"]].to_numpy()))
+
+    for k in (3, 4, 5):
+        got = edge_set(k_truss(_edges_ds(pairs), k=k).to_pandas())
+        assert got == _truss_oracle(pairs, k), k
+    # 5-truss: K4 edges have support 2 < 3 → everything peels
+    assert _truss_oracle(pairs, 5) == set()
+
+
+def test_k_truss_triangle_free_is_empty():
+    from graphforge_ray.stages.graph import k_truss
+
+    got = k_truss(_edges_ds([(1, 2), (2, 3), (3, 4)]), k=3).to_pandas()
+    assert len(got) == 0
+
+
+def test_k_truss_k2_is_simple_graph():
+    from graphforge_ray.stages.graph import k_truss
+
+    got = k_truss(_edges_ds([(1, 2), (2, 1), (3, 3), (2, 3)]), k=2)
+    assert set(map(tuple, got.to_pandas()[["id_a", "id_b"]]
+                   .to_numpy())) == {(1, 2), (2, 3)}
