@@ -1132,6 +1132,38 @@ FROM m
 """
 
 
+def q_graph_neighbor_agg(sf_dir: str):
+    """One-hop neighbor feature smoothing (stages/graph.neighbor_agg —
+    the SGC/LightGCN propagate step): mean in-neighbor p_size per node
+    of the part graph. p_size is integral, so sums are exact on both
+    sides and the single divide is bit-comparable (FLOOR 1e-6)."""
+    from ..stages.graph import neighbor_agg
+
+    part = _t(sf_dir, "part", ["p_partkey", "p_size"])
+    feats = part.map_batches(
+        lambda df: pd.DataFrame({
+            "node": df["p_partkey"].astype(np.int64),
+            "p_size": df["p_size"].astype(np.float64)}),
+        batch_format="pandas")
+    out = neighbor_agg(_part_graph_edges(sf_dir), feats,
+                       ["p_size"]).to_pandas()
+    out["node"] = out["node"].astype(np.int64)
+    out["n_nbrs"] = out["n_nbrs"].astype(np.int64)
+    return out.sort_values("node").reset_index(drop=True)[
+        ["node", "n_nbrs", "p_size_mean"]]
+
+
+SQL_GRAPH_NEIGHBOR_AGG = f"""
+WITH e AS ({_PART_GRAPH_SQL}),
+f AS (SELECT p_partkey AS node, CAST(p_size AS DOUBLE) AS v FROM part)
+SELECT e.o AS node,
+       CAST(COUNT(*) AS BIGINT) AS n_nbrs,
+       FLOOR(SUM(f.v) / COUNT(*) * 1e6) / 1e6 AS p_size_mean
+FROM e JOIN f ON f.node = e.s
+GROUP BY e.o ORDER BY node
+"""
+
+
 def q_graph_truss(sf_dir: str, k: int = 3):
     """3-truss of the part graph (stages/graph.k_truss — iterative
     support peel over the shared wedge-close machinery, runs to
@@ -8350,6 +8382,7 @@ QUERIES = {
     "parts_copurchase": q_parts_copurchase,
     "web_frontier": q_web_frontier,
     "graph_truss": q_graph_truss,
+    "graph_neighbor_agg": q_graph_neighbor_agg,
     "docs_host_boilerplate": q_docs_host_boilerplate,
     "events_type_cms": q_events_type_cms,
     "web_host_graph": q_web_host_graph,
@@ -8539,6 +8572,7 @@ ORACLES = {
     "parts_copurchase": SQL_PARTS_COPURCHASE,
     "web_frontier": SQL_WEB_FRONTIER,
     "graph_truss": SQL_GRAPH_TRUSS,
+    "graph_neighbor_agg": SQL_GRAPH_NEIGHBOR_AGG,
     "docs_span_dedup": SQL_DOCS_SPAN_DEDUP,
     "docs_url_dedup": SQL_DOCS_URL_DEDUP,
     "docs_source_mixture": SQL_DOCS_SOURCE_MIXTURE,

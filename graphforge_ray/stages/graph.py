@@ -41,6 +41,7 @@ __all__ = [
     "degree_assortativity",
     "modularity",
     "k_truss",
+    "neighbor_agg",
     "diameter_estimate",
     "bipartite_project",
     "bfs_depths",
@@ -1046,6 +1047,82 @@ def diameter_estimate(
         "seed": [seed], "peripheral": [far],
         "diameter_lb": pd.array([ecc], dtype="int64"),
     })
+
+
+def neighbor_agg(
+    edges: "ray.data.Dataset",
+    feats: "ray.data.Dataset",
+    feat_cols: list,
+    node_col: str = "node",
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Neighbor feature aggregation — the GNN-prep smoothing step
+    (SGC / LightGCN's propagate-then-train recipe, one hop): for each
+    DESTINATION node of an (s, o) edge Dataset, the mean of every
+    ``feat_cols`` feature over its in-neighbors' rows in ``feats``
+    (node_col + numeric columns) → Dataset (node, n_nbrs:int64,
+    <col>_mean… — FLOOR-truncated at 1e-6, the float-parity
+    convention). Parallel edges weigh individually (message-passing
+    semantics); edges whose source has no feature row contribute
+    nothing (and don't count in n_nbrs).
+
+    Scale shape: ONE tag-union-bucket shuffle keyed on the source ships
+    feature rows onto edges (the table is never broadcast); per-batch
+    (dst, sum…, count) partials then ONE dst-bucket reduce. Driver sees
+    nothing."""
+    if not feat_cols:
+        raise ValueError("neighbor_agg: feat_cols must be non-empty")
+    if num_buckets is None:
+        num_buckets = _auto_partitions(edges.count())
+
+    fcols = list(feat_cols)
+
+    def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"k": df["s"], "dst": df["o"],
+                            "_side": np.int8(0)})
+        for c in fcols:
+            out[c] = np.float64(0.0)
+        return out.assign(_bucket=bucket_tag(out, "k", num_buckets))
+
+    def tag_feat(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"k": df[node_col], "dst": df[node_col],
+                            "_side": np.int8(1)})
+        for c in fcols:
+            out[c] = df[c].to_numpy(dtype=np.float64)
+        return out.assign(_bucket=bucket_tag(out, "k", num_buckets))
+
+    def ship(g: pd.DataFrame) -> pd.DataFrame:
+        el = g.loc[g["_side"] == 0, ["k", "dst"]]
+        ft = g.loc[g["_side"] == 1, ["k"] + fcols].drop_duplicates("k")
+        m = el.merge(ft, on="k", how="inner")
+        part = m.groupby("dst", as_index=False).agg(
+            **{c: (c, "sum") for c in fcols},
+            n_nbrs=("k", "size"),
+        )
+        part["n_nbrs"] = part["n_nbrs"].astype(np.int64)
+        return part.assign(_bucket=bucket_tag(part, "dst", num_buckets))
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("dst", as_index=False).agg(
+            **{c: (c, "sum") for c in fcols},
+            n_nbrs=("n_nbrs", "sum"),
+        )
+        res = pd.DataFrame({"node": out["dst"],
+                            "n_nbrs": out["n_nbrs"].astype(np.int64)})
+        n = out["n_nbrs"].to_numpy(dtype=np.float64)
+        for c in fcols:
+            res[f"{c}_mean"] = np.floor(
+                out[c].to_numpy(dtype=np.float64) / n * 1e6) / 1e6
+        return res
+
+    return (
+        edges.map_batches(tag_edge, batch_format="pandas")
+        .union(feats.map_batches(tag_feat, batch_format="pandas"))
+        .groupby("_bucket")
+        .map_groups(ship, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
 
 
 def k_truss(

@@ -989,3 +989,28 @@ def test_k_truss_k2_is_simple_graph():
     got = k_truss(_edges_ds([(1, 2), (2, 1), (3, 3), (2, 3)]), k=2)
     assert set(map(tuple, got.to_pandas()[["id_a", "id_b"]]
                    .to_numpy())) == {(1, 2), (2, 3)}
+
+
+def test_neighbor_agg_means_and_missing_features():
+    from graphforge_ray.stages.graph import neighbor_agg
+
+    edges = _edges_ds([(1, 10), (2, 10), (3, 10), (1, 20), (9, 20),
+                       (1, 1)])  # 9 has no feature row; self-loop ok
+    feats = rd.from_pandas(pd.DataFrame({
+        "node": [1, 2, 3],
+        "f": [2.0, 4.0, 9.0],
+    }))
+    out = (
+        neighbor_agg(edges, feats, ["f"])
+        .to_pandas().set_index("node")
+    )
+    assert out.loc[10, "n_nbrs"] == 3
+    assert abs(out.loc[10, "f_mean"] - 5.0) < 1e-9
+    # node 20: only src 1 has features (src 9 contributes nothing)
+    assert out.loc[20, "n_nbrs"] == 1
+    assert abs(out.loc[20, "f_mean"] - 2.0) < 1e-9
+    # self-loop counts as an in-edge of node 1
+    assert out.loc[1, "n_nbrs"] == 1
+    # validation
+    with pytest.raises(ValueError, match="non-empty"):
+        neighbor_agg(edges, feats, [])
