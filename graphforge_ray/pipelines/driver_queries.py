@@ -344,6 +344,49 @@ SELECT * FROM (
 """
 
 
+def q_events_funnel_latency(sf_dir: str):
+    """Mean time-to-convert per funnel transition (stages/windows.
+    funnel_latency — integer-microsecond gap sums, exact). Oracle: the
+    stepwise MIN-after-previous joins with epoch_us arithmetic."""
+    from ..stages.windows import funnel_latency
+
+    return funnel_latency(
+        _t(sf_dir, "events", ["user_id", "event_type", "ts"]),
+        steps=["view", "click", "purchase"],
+    )
+
+
+SQL_EVENTS_FUNNEL_LATENCY = """
+WITH s1 AS (
+    SELECT user_id, MIN(ts) AS t FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t
+    FROM events e JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t
+    WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t
+    FROM events e JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT * FROM (
+    SELECT CAST(2 AS BIGINT) AS step, 'view' AS from_type,
+           'click' AS to_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(FLOOR(CAST(SUM(epoch_us(s2.t) - epoch_us(s1.t))
+                           AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS mean_gap_us
+    FROM s2 JOIN s1 USING (user_id)
+    UNION ALL
+    SELECT 3, 'click', 'purchase', COUNT(*),
+           CAST(FLOOR(CAST(SUM(epoch_us(s3.t) - epoch_us(s2.t))
+                           AS DOUBLE) / COUNT(*)) AS BIGINT)
+    FROM s3 JOIN s2 USING (user_id)
+) ORDER BY step
+"""
+
+
 def q_events_retention(sf_dir: str):
     """Retention-cohort matrix (stages/windows.retention_cohorts):
     cohort = first event date per user, distinct active users per
@@ -8376,6 +8419,7 @@ QUERIES = {
     "events_hll_by_type": q_events_hll_by_type,
     "graph_diameter": q_graph_diameter,
     "events_funnel": q_events_funnel,
+    "events_funnel_latency": q_events_funnel_latency,
     "events_retention": q_events_retention,
     "events_transitions": q_events_transitions,
     "graph_component_sizes": q_graph_component_sizes,
@@ -8566,6 +8610,7 @@ ORACLES = {
     "events_hll_by_type": SQL_EVENTS_HLL_BY_TYPE,
     "graph_diameter": SQL_GRAPH_DIAMETER,
     "events_funnel": SQL_EVENTS_FUNNEL,
+    "events_funnel_latency": SQL_EVENTS_FUNNEL_LATENCY,
     "events_retention": SQL_EVENTS_RETENTION,
     "events_transitions": SQL_EVENTS_TRANSITIONS,
     "graph_component_sizes": SQL_GRAPH_COMPONENT_SIZES,

@@ -28,7 +28,8 @@ import ray.data
 
 __all__ = ["tumbling_window", "sliding_window", "session_window",
            "trailing_window", "running_window", "lag_window",
-           "funnel_counts", "retention_cohorts", "transition_counts"]
+           "funnel_counts", "funnel_latency", "retention_cohorts",
+           "transition_counts"]
 
 US = 1_000_000
 
@@ -539,3 +540,84 @@ def transition_counts(
     out["n"] = out["n"].astype(np.int64)
     return out.sort_values(["prev_type", "next_type"]).reset_index(
         drop=True)
+
+
+def funnel_latency(
+    events: "ray.data.Dataset",
+    steps: list,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    num_buckets: int = 32,
+) -> pd.DataFrame:
+    """Time-to-convert per funnel transition: for every user advancing
+    from step i to step i+1 under ``funnel_counts``' first-touch rule,
+    the gap between the two matched events → DataFrame (step:int64 =
+    the LATER step's 1-based index, from_type, to_type, n_users:int64,
+    mean_gap_us:int64 = FLOOR(Σgap/n), exact — gaps are integer
+    microseconds, so the sums agree bit-for-bit with a SQL replay).
+
+    Same shape as funnel_counts: one user-bucket shuffle, vectorized
+    step chain per bucket, len(steps)−1 scalar partials per bucket."""
+    if len(steps) < 2:
+        raise ValueError("funnel_latency needs ≥ 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct: {steps}")
+    from ..shuffle import bucket_tag
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.loc[df[type_col].isin(steps),
+                   [user_col, type_col, ts_col]].dropna()
+        out = pd.DataFrame({
+            "u": d[user_col],
+            "t": d[type_col].astype(object),
+            "ts": _ts_us(d[ts_col]),
+        })
+        return out.assign(_bucket=bucket_tag(out, "u", num_buckets))
+
+    def walk(g: pd.DataFrame) -> pd.DataFrame:
+        cur = None
+        rows = []
+        for i, st in enumerate(steps):
+            sub = g.loc[g["t"] == st, ["u", "ts"]]
+            if cur is not None:
+                prev = sub["u"].map(cur)
+                sub = sub.loc[prev.notna()
+                              & (sub["ts"] > prev.fillna(np.inf))]
+            nxt = sub.groupby("u")["ts"].min()
+            if cur is not None:
+                gaps = (nxt - nxt.index.map(cur)).to_numpy(np.int64)
+                rows.append((i + 1, int(gaps.sum()), len(gaps)))
+            cur = nxt
+        return pd.DataFrame({
+            "step": np.array([r[0] for r in rows], dtype=np.int64),
+            "gap_sum": np.array([r[1] for r in rows], dtype=np.int64),
+            "n_users": np.array([r[2] for r in rows], dtype=np.int64),
+        })
+
+    parts = (
+        events.map_batches(pick, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(walk, batch_format="pandas")
+        .to_pandas()
+    )
+    base = pd.DataFrame({
+        "step": np.arange(2, len(steps) + 1, dtype=np.int64),
+        "from_type": pd.Series(steps[:-1], dtype=object),
+        "to_type": pd.Series(steps[1:], dtype=object),
+    })
+    if parts.empty:
+        agg = pd.DataFrame({"step": base["step"],
+                            "gap_sum": np.int64(0),
+                            "n_users": np.int64(0)})
+    else:
+        agg = parts.groupby("step", as_index=False)[
+            ["gap_sum", "n_users"]].sum()
+    out = base.merge(agg, on="step", how="left").fillna(0)
+    n = out["n_users"].to_numpy(np.int64)
+    s = out["gap_sum"].to_numpy(np.int64)
+    out["n_users"] = n
+    out["mean_gap_us"] = np.where(
+        n > 0, np.floor(s / np.maximum(n, 1)), 0).astype(np.int64)
+    return out[["step", "from_type", "to_type", "n_users",
+                "mean_gap_us"]]

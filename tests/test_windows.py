@@ -311,3 +311,50 @@ def test_transition_counts_ordered_pairs(ray_session):
            for _, r in out.iterrows()}
     assert got == {("a", "b"): 1, ("b", "a"): 2}
     assert out["n"].dtype == np.int64
+
+
+def test_funnel_latency_gaps(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from graphforge_ray.stages.windows import funnel_latency
+
+    t0 = pd.Timestamp("2024-01-01")
+
+    def ev(u, typ, mins):
+        return {"user_id": u, "event_type": typ,
+                "ts": t0 + pd.Timedelta(minutes=mins)}
+
+    rows = [
+        # u1: view@0 click@5 purchase@9 → gaps 5min, 4min
+        ev(1, "view", 0), ev(1, "click", 5), ev(1, "purchase", 9),
+        # u2: view@0 click@15, no purchase → only first gap (15min)
+        ev(2, "view", 0), ev(2, "click", 15),
+        # u3: click precedes view → converts nothing
+        ev(3, "click", 0), ev(3, "view", 1),
+    ]
+    out = funnel_latency(
+        rd.from_pandas(pd.DataFrame(rows)).repartition(2),
+        steps=["view", "click", "purchase"],
+    )
+    r2 = out[out["step"] == 2].iloc[0]
+    r3 = out[out["step"] == 3].iloc[0]
+    assert (r2["from_type"], r2["to_type"]) == ("view", "click")
+    assert r2["n_users"] == 2
+    assert r2["mean_gap_us"] == 10 * 60 * 1_000_000  # mean(5, 15) min
+    assert r3["n_users"] == 1
+    assert r3["mean_gap_us"] == 4 * 60 * 1_000_000
+    assert out["mean_gap_us"].dtype == np.int64
+
+
+def test_funnel_latency_no_converters(ray_session):
+    import ray.data as rd
+
+    from graphforge_ray.stages.windows import funnel_latency
+
+    rows = [{"user_id": 1, "event_type": "click",
+             "ts": pd.Timestamp("2024-01-01")}]
+    out = funnel_latency(rd.from_pandas(pd.DataFrame(rows)),
+                         steps=["view", "click"])
+    assert list(out["n_users"]) == [0]
+    assert list(out["mean_gap_us"]) == [0]
