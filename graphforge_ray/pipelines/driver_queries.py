@@ -3830,6 +3830,38 @@ def q_web_host_pagerank_weighted(sf_dir: str, num_iters: int = 2):
             [["domain", "rank"]])
 
 
+def _pr_rounds_w(ctes: list, pfx: str, e: str, nodes: str, deg: str,
+                 nn: str, r0: str, n: int) -> str:
+    """Append n unrolled WEIGHTED power-iteration rounds (edge table
+    ``e``(s, o, w), ``deg`` = Σ out-weights; contribution association
+    (r / d) · w matches the distributed kernel). Returns the final
+    rank CTE name."""
+    prev = r0
+    for i in range(n):
+        cur = f"{pfx}{i + 1}"
+        ctes.append(
+            f"dm_{pfx}{i} AS (SELECT COALESCE(SUM({prev}.r), 0) AS dm "
+            f"FROM {prev} LEFT JOIN {deg} USING (node) "
+            f"WHERE {deg}.d IS NULL),"
+        )
+        ctes.append(
+            f"i_{pfx}{i} AS (SELECT {e}.o AS node, "
+            f"SUM(({prev}.r / {deg}.d) * {e}.w) AS m FROM {e} "
+            f"JOIN {prev} ON {prev}.node = {e}.s "
+            f"JOIN {deg} ON {deg}.node = {e}.s GROUP BY {e}.o),"
+        )
+        ctes.append(
+            f"{cur} AS (SELECT {nodes}.node, "
+            f"(1 - 0.85) / (SELECT n FROM {nn}) "
+            f"+ 0.85 * (COALESCE(i_{pfx}{i}.m, 0) "
+            f"+ (SELECT dm FROM dm_{pfx}{i}) / (SELECT n FROM {nn})) "
+            f"AS r FROM {nodes} LEFT JOIN i_{pfx}{i} "
+            f"ON i_{pfx}{i}.node = {nodes}.node),"
+        )
+        prev = cur
+    return prev
+
+
 def _web_host_pagerank_weighted_sql(num_iters: int = 2) -> str:
     ctes = [
         f"WITH e AS ({_WEB_EDGES_SQL}),",
@@ -3845,32 +3877,12 @@ def _web_host_pagerank_weighted_sql(num_iters: int = 2) -> str:
         "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),",
         "p0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),",
     ]
-    prev = "p0"
-    for i in range(num_iters):
-        cur = f"p{i + 1}"
-        ctes.append(
-            f"dm{i} AS (SELECT COALESCE(SUM({prev}.r), 0) AS dm "
-            f"FROM {prev} LEFT JOIN deg USING (node) "
-            "WHERE deg.d IS NULL),"
-        )
-        ctes.append(
-            f"i{i} AS (SELECT pe.o AS node, "
-            f"SUM(({prev}.r / deg.d) * pe.w) AS m FROM pe "
-            f"JOIN {prev} ON {prev}.node = pe.s "
-            "JOIN deg ON deg.node = pe.s GROUP BY pe.o),"
-        )
-        ctes.append(
-            f"{cur} AS (SELECT nodes.node, "
-            "(1 - 0.85) / (SELECT n FROM nn) "
-            f"+ 0.85 * (COALESCE(i{i}.m, 0) "
-            f"+ (SELECT dm FROM dm{i}) / (SELECT n FROM nn)) AS r "
-            f"FROM nodes LEFT JOIN i{i} ON i{i}.node = nodes.node),"
-        )
-        prev = cur
+    last = _pr_rounds_w(ctes, "p", "pe", "nodes", "deg", "nn", "p0",
+                        num_iters)
     ctes[-1] = ctes[-1].rstrip(",")
     return (
         "\n".join(ctes)
-        + f"\nSELECT node AS domain, ROUND(r, 8) AS rank FROM {prev} "
+        + f"\nSELECT node AS domain, ROUND(r, 8) AS rank FROM {last} "
         "ORDER BY domain"
     )
 
@@ -6973,6 +6985,61 @@ WHERE pc.c_xy >= 5
 """
 
 
+def q_docs_textrank(sf_dir: str):
+    """TextRank corpus keywords (stages/cooccur.textrank_keywords):
+    weighted PageRank over the ±3-window word co-occurrence graph
+    (pairs ≥ 5), top-20 by (rank desc, word asc). Oracle: the PMI
+    pair CTE feeding the unrolled weighted-PageRank rounds."""
+    from ..stages.cooccur import textrank_keywords
+
+    return textrank_keywords(
+        _t(sf_dir, "documents", ["doc_id", "text"]),
+        window=3, min_count=5, num_iters=2, k=20)
+
+
+def _textrank_sql(window: int = 3, min_count: int = 5,
+                  num_iters: int = 2, k: int = 20) -> str:
+    ctes = [
+        r"""WITH toks AS (
+    SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '\S+') AS tl
+    FROM documents
+),
+w AS (
+    SELECT doc_id, generate_subscripts(tl, 1) AS i, unnest(tl) AS w
+    FROM toks
+),
+pr AS (
+    SELECT LEAST(a.w, b.w) AS x, GREATEST(a.w, b.w) AS y
+    FROM w a JOIN w b
+      ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND """
+        + str(window) + """
+),
+pc AS MATERIALIZED (
+    SELECT x, y, CAST(COUNT(*) AS DOUBLE) AS w FROM pr
+    GROUP BY x, y HAVING COUNT(*) >= """ + str(min_count) + """
+),
+pe AS MATERIALIZED (
+    SELECT x AS s, y AS o, w FROM pc
+    UNION ALL SELECT y, x, w FROM pc
+),
+nodes AS MATERIALIZED (SELECT DISTINCT s AS node FROM pe),
+deg AS MATERIALIZED (SELECT s AS node, SUM(w) AS d FROM pe GROUP BY s),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+t0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),""",
+    ]
+    last = _pr_rounds_w(ctes, "t", "pe", "nodes", "deg", "nn", "t0",
+                        num_iters)
+    ctes[-1] = ctes[-1].rstrip(",")
+    return (
+        "\n".join(ctes)
+        + f"\nSELECT node AS word, ROUND(r, 8) AS rank FROM {last} "
+        f"ORDER BY rank DESC, word LIMIT {k}"
+    )
+
+
+SQL_DOCS_TEXTRANK = _textrank_sql(3, 5, 2, 20)
+
+
 def q_lineitem_corr(sf_dir: str):
     """Pearson correlation of quantity vs extended price over the full
     lineitem table — one moment pass, six driver scalars
@@ -8427,6 +8494,7 @@ QUERIES = {
     "web_frontier": q_web_frontier,
     "graph_truss": q_graph_truss,
     "graph_neighbor_agg": q_graph_neighbor_agg,
+    "docs_textrank": q_docs_textrank,
     "docs_host_boilerplate": q_docs_host_boilerplate,
     "events_type_cms": q_events_type_cms,
     "web_host_graph": q_web_host_graph,
@@ -8618,6 +8686,7 @@ ORACLES = {
     "web_frontier": SQL_WEB_FRONTIER,
     "graph_truss": SQL_GRAPH_TRUSS,
     "graph_neighbor_agg": SQL_GRAPH_NEIGHBOR_AGG,
+    "docs_textrank": SQL_DOCS_TEXTRANK,
     "docs_span_dedup": SQL_DOCS_SPAN_DEDUP,
     "docs_url_dedup": SQL_DOCS_URL_DEDUP,
     "docs_source_mixture": SQL_DOCS_SOURCE_MIXTURE,

@@ -35,7 +35,7 @@ import pandas as pd
 from ..shuffle import bindings_join, bucket_tag, pair_bucket_tag, snap_lineage
 from .lm import _doc_words
 
-__all__ = ["cooccurrence_pmi"]
+__all__ = ["cooccurrence_pmi", "textrank_keywords"]
 
 
 def _doc_pairs(
@@ -177,3 +177,79 @@ def cooccurrence_pmi(
         )
 
     return with_y.map_batches(score, batch_format="pandas")
+
+
+def textrank_keywords(
+    docs: "ray.data.Dataset",
+    window: int = 3,
+    min_count: int = 2,
+    num_iters: int = 3,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 32,
+) -> pd.DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004, public):
+    PageRank over the word co-occurrence graph — terms co-occurring
+    within ±``window`` positions ≥ ``min_count`` times form a weighted
+    UNDIRECTED graph (weight = co-occurrence count), damped PageRank
+    ranks them, the top ``k`` by (rank desc, word asc) are the corpus
+    keywords → small DataFrame (word, rank:float64 rounded 8).
+
+    Pure composition: the PMI pair-count combiner feeds
+    ``stages/graph.pagerank(weight_col=…)`` via the symmetric edge
+    expansion (each undirected pair contributes both orientations);
+    only the top-k rows reach the driver (per-block partial top-k)."""
+    if window < 1 or min_count < 1 or num_iters < 1 or k < 1:
+        raise ValueError(
+            "window/min_count/num_iters/k must all be ≥ 1"
+        )
+    from .graph import pagerank
+
+    def pair_combine(df: pd.DataFrame) -> pd.DataFrame:
+        p = _doc_pairs(df, id_col, text_col, window)
+        g = p.groupby(["x", "y"], as_index=False).size().rename(
+            columns={"size": "c_xy"}
+        )
+        g["c_xy"] = g["c_xy"].astype(np.int64)
+        return g.assign(
+            _bucket=pair_bucket_tag(g, ["x", "y"], num_buckets)
+        )
+
+    pairs = (
+        docs.map_batches(pair_combine, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: g.groupby(["x", "y"], as_index=False)["c_xy"].sum(),
+            batch_format="pandas",
+        )
+        .map_batches(
+            lambda df, _m=min_count: df.loc[df["c_xy"] >= _m],
+            batch_format="pandas",
+        )
+    )
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["c_xy"].astype(np.float64)
+        return pd.DataFrame({
+            "s": pd.concat([df["x"], df["y"]], ignore_index=True),
+            "o": pd.concat([df["y"], df["x"]], ignore_index=True),
+            "w": pd.concat([w, w], ignore_index=True),
+        })
+
+    ranks = pagerank(pairs.map_batches(sym, batch_format="pandas"),
+                     num_iters=num_iters, weight_col="w")
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "word": df["node"].astype(object),
+            "rank": df["rank"].round(8)})
+        return d.sort_values(["rank", "word"],
+                             ascending=[False, True]).head(k)
+
+    parts = ranks.map_batches(topk, batch_format="pandas").to_pandas()
+    if parts.empty:
+        raise ValueError("textrank_keywords: no pairs above min_count")
+    return (parts.sort_values(["rank", "word"],
+                              ascending=[False, True])
+            .head(k).reset_index(drop=True))
