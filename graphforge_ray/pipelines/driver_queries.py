@@ -1704,6 +1704,66 @@ ORDER BY node
 """
 
 
+def q_graph_temporal_reach(sf_dir: str):
+    """Hop-bounded earliest-arrival TEMPORAL reachability
+    (stages/graph.temporal_reach — an edge (s, o, t) is traversable
+    only when t >= arrival at s; same Bellman-Ford frontier discipline
+    as sssp, ≤6 hops from node 1 at start=0) over the part graph with
+    deterministic integer timestamps t = dst % 11 — vs a hop-bounded
+    recursive-CTE time-respecting-walk oracle. Arrivals are
+    integer-valued doubles, so both sides are float-exact; ROUND(6)
+    guards the rule anyway."""
+    from ..stages.graph import temporal_reach
+
+    part = _t(sf_dir, "part", ["p_partkey"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater_equal(batch["p_partkey"], pa.scalar(1)))
+        k = t["p_partkey"]
+        half = pc.divide(k, pa.scalar(2, pa.int64()))
+        prev = pc.subtract(k, pa.scalar(1, pa.int64()))
+        eleven = pa.scalar(11, pa.int64())
+        mod11 = pc.subtract(k, pc.multiply(pc.divide(k, eleven), eleven))
+        ts = pc.cast(mod11, pa.float64())
+        return pa.concat_tables(
+            [
+                pa.table({"s": half, "o": k, "t": ts}),
+                pa.table({"s": prev, "o": k, "t": ts}),
+            ]
+        )
+
+    reach = temporal_reach(
+        part.map_batches(edges, batch_format="pyarrow"),
+        seeds=[1],
+        start=0.0,
+        max_hops=6,
+    )
+    df = reach.to_pandas()
+    df["arrival"] = df["arrival"].round(6)
+    return df.sort_values("node").reset_index(drop=True)[["node", "arrival"]]
+
+
+SQL_GRAPH_TEMPORAL_REACH = """
+WITH RECURSIVE e AS (
+    SELECT p_partkey // 2 AS s, p_partkey AS o,
+           CAST(p_partkey % 11 AS DOUBLE) AS t
+    FROM part WHERE p_partkey >= 1
+    UNION ALL
+    SELECT p_partkey - 1 AS s, p_partkey AS o,
+           CAST(p_partkey % 11 AS DOUBLE) AS t
+    FROM part WHERE p_partkey >= 1
+), walk(node, arrival, hops) AS (
+    SELECT CAST(1 AS BIGINT), CAST(0 AS DOUBLE), 0
+    UNION
+    SELECT e.o, e.t, walk.hops + 1
+    FROM walk JOIN e ON e.s = walk.node AND e.t >= walk.arrival
+    WHERE walk.hops < 6
+)
+SELECT node, ROUND(MIN(arrival), 6) AS arrival FROM walk GROUP BY node
+ORDER BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # KG mapping over documents (RML path, S2/P-family) — SQL-expressible
 # ---------------------------------------------------------------------------
@@ -8638,6 +8698,7 @@ QUERIES = {
     "graph_bfs": q_graph_bfs,
     "graph_hits": q_graph_hits,
     "graph_sssp": q_graph_sssp,
+    "graph_temporal_reach": q_graph_temporal_reach,
     "graph_jaccard": q_graph_jaccard,
     "graph_kcore": q_graph_kcore,
     "rml_documents_triples": q_rml_documents_triples,
@@ -8797,6 +8858,7 @@ ORACLES = {
     "graph_bfs": SQL_GRAPH_BFS,
     "graph_hits": SQL_GRAPH_HITS,
     "graph_sssp": SQL_GRAPH_SSSP,
+    "graph_temporal_reach": SQL_GRAPH_TEMPORAL_REACH,
     "graph_jaccard": SQL_GRAPH_JACCARD,
     "graph_kcore": SQL_GRAPH_KCORE,
     "rml_documents_triples": SQL_RML_DOCUMENTS_TRIPLES,

@@ -46,6 +46,7 @@ __all__ = [
     "bipartite_project",
     "bfs_depths",
     "sssp",
+    "temporal_reach",
     "node_jaccard",
     "k_core",
     "harmonic_centrality",
@@ -1713,6 +1714,179 @@ def sssp(
 
     return dist.map_batches(
         lambda df: df[["node", "dist"]], batch_format="pandas"
+    )
+
+
+def temporal_reach(
+    edges: "ray.data.Dataset",
+    seeds,
+    src: str = "s",
+    dst: str = "o",
+    ts: str = "t",
+    start: float = 0.0,
+    max_hops: int | None = None,
+    max_rounds: int = 64,
+    num_partitions: int | None = None,
+    broadcast_limit: int = 500_000,
+) -> "ray.data.Dataset":
+    """Earliest-arrival reachability over a TEMPORAL directed edge
+    Dataset (src, dst, ts): an edge is traversable only at its
+    timestamp, and only if that timestamp is ≥ the arrival time at its
+    source — the time-respecting-path semantics of temporal graphs
+    (contact networks, citation flows, link rot). Seeds start at
+    ``start``; → Dataset (node, arrival:float64) with the minimal
+    arrival per reachable node (seeds themselves report ``start``).
+
+    Same Bellman-Ford frontier discipline as ``sssp`` (broadcast relax
+    under ``broadcast_limit``, tag-union-bucket shuffle above; one
+    improve shuffle rebuilds the arrival table per round; lineage
+    snapped; the driver sees improvement counts). ``max_hops=H`` gives
+    the hop-bounded SQL-replayable form; without it, round exhaustion
+    raises loudly."""
+    import ray
+    import ray.data as rd
+
+    seed_list = sorted(set(seeds))
+    if not seed_list:
+        raise ValueError("temporal_reach requires at least one seed")
+    edges = edges.materialize()
+    if num_partitions is None:
+        num_partitions = _auto_partitions(edges.count())
+
+    arr = rd.from_pandas(
+        pd.DataFrame({"node": seed_list}).assign(
+            arrival=np.float64(start))
+    ).materialize()
+    frontier_pdf = pd.DataFrame(
+        {"node": seed_list, "arrival": np.float64(start)}
+    )
+    frontier_ds = None
+    rounds = 0
+
+    while True:
+        rounds += 1
+        if max_hops is not None and rounds > max_hops:
+            break
+        if rounds > max_rounds:
+            raise RuntimeError(
+                f"temporal_reach: frontier still improving after "
+                f"{max_rounds} rounds — raise max_rounds or set "
+                "max_hops for the hop-bounded form"
+            )
+
+        if frontier_pdf is not None:
+            f_ref = ray.put(dict(zip(frontier_pdf["node"],
+                                     frontier_pdf["arrival"])))
+
+            def relax(df: pd.DataFrame) -> pd.DataFrame:
+                fmap = ray.get(f_ref)
+                hit = df[df[src].isin(fmap)]
+                if hit.empty:
+                    return pd.DataFrame(
+                        {"node": pd.Series([], dtype=df[dst].dtype),
+                         "arrival": pd.Series([], dtype=np.float64)})
+                t = hit[ts].to_numpy(np.float64)
+                ok = t >= hit[src].map(fmap).to_numpy(np.float64)
+                out = pd.DataFrame({"node": hit[dst].to_numpy()[ok],
+                                    "arrival": t[ok]})
+                return out.groupby("node",
+                                   as_index=False)["arrival"].min()
+
+            cand = edges.map_batches(relax, batch_format="pandas")
+        else:
+            nb = num_partitions
+
+            def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+                out = pd.DataFrame({
+                    "k": df[src], "node": df[dst],
+                    "arrival": df[ts].astype(np.float64),
+                    "_side": np.int8(0)})
+                return out.assign(_bucket=bucket_tag(out, "k", nb))
+
+            def tag_frontier(df: pd.DataFrame) -> pd.DataFrame:
+                out = pd.DataFrame({
+                    "k": df["node"], "node": df["node"],
+                    "arrival": df["arrival"].astype(np.float64),
+                    "_side": np.int8(1)})
+                return out.assign(_bucket=bucket_tag(out, "k", nb))
+
+            def relax_bucket(g: pd.DataFrame) -> pd.DataFrame:
+                f = g.loc[g["_side"] == 1, ["k", "arrival"]].rename(
+                    columns={"arrival": "farr"})
+                el = g.loc[g["_side"] == 0, ["k", "node", "arrival"]]
+                hit = el.merge(f, on="k", how="inner")
+                hit = hit.loc[hit["arrival"] >= hit["farr"]]
+                if hit.empty:
+                    return pd.DataFrame(
+                        {"node": pd.Series([], dtype=el["node"].dtype),
+                         "arrival": pd.Series([], dtype=np.float64)})
+                return hit.groupby("node",
+                                   as_index=False)["arrival"].min()
+
+            cand = (
+                edges.map_batches(tag_edge, batch_format="pandas")
+                .union(frontier_ds.map_batches(tag_frontier,
+                                               batch_format="pandas"))
+                .groupby("_bucket")
+                .map_groups(relax_bucket, batch_format="pandas")
+            )
+
+        nb2 = num_partitions
+
+        def tag_cand(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.assign(_side=np.int8(0))
+            return out.assign(_bucket=bucket_tag(out, "node", nb2))
+
+        def tag_arr(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[["node", "arrival"]].assign(_side=np.int8(1))
+            return out.assign(_bucket=bucket_tag(out, "node", nb2))
+
+        def improve_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            cur = g.loc[g["_side"] == 1, ["node", "arrival"]]
+            cn = (g.loc[g["_side"] == 0, ["node", "arrival"]]
+                  .groupby("node", as_index=False)["arrival"].min()
+                  .rename(columns={"arrival": "cand"}))
+            merged = cur.merge(cn, on="node", how="outer")
+            cand_v = merged["cand"].to_numpy(np.float64)
+            cur_v = merged["arrival"].to_numpy(np.float64)
+            better = np.where(np.isnan(cur_v), cand_v,
+                              np.fmin(cur_v, cand_v))
+            improved = np.isnan(cur_v) | (
+                ~np.isnan(cand_v) & (cand_v < cur_v))
+            return pd.DataFrame({"node": merged["node"],
+                                 "arrival": better,
+                                 "_improved": improved})
+
+        arr = snap_lineage(
+            cand.map_batches(tag_cand, batch_format="pandas")
+            .union(arr.map_batches(tag_arr, batch_format="pandas"))
+            .groupby("_bucket")
+            .map_groups(improve_bucket, batch_format="pandas")
+            .repartition(num_partitions)
+        )
+
+        n_improved = int(sum(
+            r["n"] for r in arr.map_batches(
+                lambda df: pd.DataFrame(
+                    {"n": [int(df["_improved"].sum())]}),
+                batch_format="pandas",
+            ).take_all()
+        ))
+        if n_improved == 0:
+            break
+        new = arr.map_batches(
+            lambda df: df.loc[df["_improved"], ["node", "arrival"]],
+            batch_format="pandas",
+        )
+        if n_improved <= broadcast_limit:
+            frontier_pdf = new.to_pandas()
+            frontier_ds = None
+        else:
+            frontier_pdf = None
+            frontier_ds = new
+
+    return arr.map_batches(
+        lambda df: df[["node", "arrival"]], batch_format="pandas"
     )
 
 

@@ -19,6 +19,7 @@ from graphforge_ray.stages.graph import (
     out_degrees,
     pagerank,
     sssp,
+    temporal_reach,
     triangle_count,
 )
 
@@ -371,6 +372,70 @@ def test_sssp_round_exhaustion_raises():
     chain = [(i, i + 1, 1.0) for i in range(12)]
     with pytest.raises(RuntimeError, match="still improving"):
         sssp(_wedges_ds(chain), seeds=[0], max_rounds=5)
+
+
+def _temporal_oracle(edges, seeds, start=0.0, max_hops=None):
+    """Round-synchronous earliest-arrival relaxation, plain python
+    (an edge (s, o, t) is usable only when t >= arrival[s])."""
+    arr = {s: float(start) for s in seeds}
+    rounds = max_hops if max_hops is not None else len(edges) + 1
+    for _ in range(rounds):
+        nxt = dict(arr)
+        for s, o, t in edges:
+            if s in arr and t >= arr[s] and t < nxt.get(o, np.inf):
+                nxt[o] = t
+        if nxt == arr:
+            break
+        arr = nxt
+    return arr
+
+
+# (src, dst, timestamp) — time-respecting-path semantics
+TEMPORAL_GRAPH = [
+    (1, 2, 1.0), (2, 3, 2.0),   # respects time: 1→2@1 then 2→3@2
+    (1, 4, 5.0), (4, 5, 3.0),   # 4→5@3 blocked (3 < arrival 5)
+    (4, 5, 6.0),                # later parallel edge works: arrival 6
+    (2, 6, 0.5),                # blocked: 0.5 < arrival-at-2 (1.0)
+    (7, 8, 1.0),                # island, only reachable from seed 7
+    (1, 3, 9.0),                # direct but late — min arrival stays 2
+]
+
+
+def test_temporal_reach_matches_oracle():
+    got = temporal_reach(
+        _wedges_ds(TEMPORAL_GRAPH), seeds=[1], ts="w"
+    ).to_pandas()
+    exp = _temporal_oracle(TEMPORAL_GRAPH, [1])
+    assert dict(zip(got["node"], got["arrival"])) == pytest.approx(exp)
+    # the time-blocked edges never fire; the late direct edge loses
+    assert exp == {1: 0.0, 2: 1.0, 3: 2.0, 4: 5.0, 5: 6.0}
+
+
+def test_temporal_reach_hop_bounded_and_start():
+    got = temporal_reach(
+        _wedges_ds(TEMPORAL_GRAPH), seeds=[1], ts="w", start=1.5, max_hops=1
+    ).to_pandas()
+    exp = _temporal_oracle(TEMPORAL_GRAPH, [1], start=1.5, max_hops=1)
+    assert dict(zip(got["node"], got["arrival"])) == pytest.approx(exp)
+    # start=1.5 disqualifies the t=1.0 edge out of the seed
+    assert 2 not in exp and exp[4] == 5.0
+
+
+def test_temporal_reach_shuffle_path_multi_source():
+    got = temporal_reach(
+        _wedges_ds(TEMPORAL_GRAPH, num_blocks=4),
+        seeds=[1, 7],
+        ts="w",
+        broadcast_limit=0,
+    ).to_pandas()
+    exp = _temporal_oracle(TEMPORAL_GRAPH, [1, 7])
+    assert dict(zip(got["node"], got["arrival"])) == pytest.approx(exp)
+    assert exp[8] == 1.0
+
+
+def test_temporal_reach_empty_seeds_raises():
+    with pytest.raises(ValueError):
+        temporal_reach(_wedges_ds(TEMPORAL_GRAPH), seeds=[], ts="w")
 
 
 def _jaccard_oracle(pairs, min_common=1, skip_middles=()):
